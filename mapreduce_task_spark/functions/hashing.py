@@ -1,0 +1,51 @@
+"""Deterministic, engine-portable hashing helpers.
+
+Everything is built from ``md5`` because it produces identical results
+in Spark, DuckDB, and Python — which makes MinHash/SimHash/fingerprint
+operators oracle-checkable. Spark's native ``hash``/``xxhash64`` are
+faster but engine-specific; at scale swap ``hash64`` for ``xxhash64``
+via the ``fast=`` flag (same shape, no oracle parity).
+
+All column functions are JVM built-ins (md5 + conv + substring): no
+Python UDFs anywhere on the hash path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# 15 hex chars = 60 bits < 2^63: always fits a signed int64 in any engine.
+_HEX_DIGITS = 15
+
+
+def md5_hex(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c.cast("string"))
+
+
+def hash64(col: Column | str, fast: bool = False) -> Column:
+    """60-bit non-negative integer hash of a string column.
+
+    Portable form: first 15 hex digits of md5, base-16 -> base-10.
+    DuckDB equivalent: ``CAST('0x' || substring(md5(x),1,15) AS BIGINT)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if fast:
+        # xxhash64 may be negative; mask to 60 bits for shape parity
+        return F.abs(F.xxhash64(c.cast("string"))) % F.lit(1 << 60)
+    return F.conv(F.substring(md5_hex(c), 1, _HEX_DIGITS), 16, 10).cast("bigint")
+
+
+def minhash_seed_hash(col: Column | str, seed: int, fast: bool = False) -> Column:
+    """Seeded hash family for MinHash: h_seed(x) = hash64(seed || ':' || x)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return hash64(F.concat(F.lit(f"{seed}:"), c.cast("string")), fast=fast)
+
+
+def hash64_duckdb_sql(expr: str) -> str:
+    """DuckDB SQL text equivalent of ``hash64`` (for oracle queries)."""
+    return f"CAST('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, {_HEX_DIGITS}) AS BIGINT)"
+
+
+def minhash_seed_hash_duckdb_sql(expr: str, seed: int) -> str:
+    return hash64_duckdb_sql(f"concat('{seed}:', CAST({expr} AS VARCHAR))")

@@ -1,0 +1,56 @@
+"""Inverted index — the reference's trace-insertindex-job re-expressed.
+
+Reference semantics (SURVEY.md §2.2 P6-P8, §2.3 A2/A6): parse
+``word\\tdocId`` pairs (malformed lines dropped + counted), group by
+word, dedupe doc ids (HashSet, TraceInsertIndexReducer.java:132-135),
+emit the comma-joined list (TraceInsertIndexReducer.java:140-145).
+
+The reference's HashSet iteration order is nondeterministic; we emit
+``sort_array(collect_set(...))`` so results are deterministic and
+oracle-comparable (SURVEY §7.3).
+
+Spark plan: partial ``collect_set`` runs map-side (ObjectHashAggregate),
+so the shuffle carries per-partition deduped sets, not raw pairs —
+the combiner the reference lacks. For skewed words at 100 TB the AQE
+skew handling plus the bounded vocabulary keep reduce partitions sane;
+for truly giant postings lists switch the caller to the pair output
+(``explode`` of the set) rather than a single concatenated string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import words
+
+
+def inverted_index(
+    pairs: DataFrame,
+    word_col: str = "word",
+    doc_col: str = "doc_id",
+    out_docs_col: str = "doc_ids",
+    sort: bool = True,
+) -> DataFrame:
+    """(word, doc) pairs -> (word, csv-of-sorted-distinct-docs, n_docs)."""
+    out = pairs.groupBy(F.col(word_col).alias("word")).agg(
+        F.array_join(F.sort_array(F.collect_set(F.col(doc_col).cast("string"))), ",").alias(
+            out_docs_col
+        ),
+        F.size(F.collect_set(F.col(doc_col).cast("string"))).cast("long").alias("n_docs"),
+    )
+    return out.orderBy("word") if sort else out
+
+
+def inverted_index_from_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sort: bool = True,
+) -> DataFrame:
+    """Tokenize documents, then index: word -> distinct doc ids.
+
+    The driver-table analogue of the reference job (FIXTURES.md maps
+    insertindex onto the ``documents`` table).
+    """
+    pairs = words(docs, text_col=text_col, keep=(id_col,))
+    return inverted_index(pairs, word_col="word", doc_col=id_col, sort=sort)

@@ -1,0 +1,7 @@
+"""Query definitions, grouped by SURVEY.md §2 / §7 build-plan area.
+
+Importing this package registers every query into
+``mapreduce_task_spark.registry``.
+"""
+
+from . import reference_jobs  # noqa: F401

@@ -1,0 +1,58 @@
+"""Query registry — the driver-facing inventory of implemented operators.
+
+Each entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with an equivalent ANSI-SQL oracle string that DuckDB runs on the same
+parquet tables (``oracle=None`` marks genuinely non-SQL-expressible ops;
+the driver then records a weaker rows-only check).
+
+Column-name discipline: every computed column is aliased identically in
+the Spark plan and the oracle SQL — the driver sorts columns by name
+before hashing values.
+
+Numeric discipline: double-typed aggregates are computed in DECIMAL and
+cast to DOUBLE at the end on BOTH sides, so the result is independent of
+floating-point accumulation order (Spark sums partitions in a
+nondeterministic order; DuckDB sums sequentially).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None, doc: str = ""):
+    """Decorator registering a (spark, sf_dir) -> DataFrame builder."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    # import for side effects: modules register their queries on import
+    from . import queries as _q  # noqa: F401
+
+    return dict(_REGISTRY)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Shorthand table loader used by query builders."""
+    return load_table(spark, sf_dir, name)

@@ -1,0 +1,64 @@
+"""Parquet table loading for the driver's synthetic star schema.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file per table under
+``{sf_dir}/{name}.parquet``.
+
+Scale notes: ``spark.read.parquet`` is the vectorized columnar scan —
+predicate pushdown and column pruning reach the file scan for free, and
+at 100 TB the same call reads a multi-thousand-file dataset split by
+``spark.sql.files.maxPartitionBytes``. Nothing here collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions a planner should always broadcast in a join.
+BROADCAST_TABLES = {"region", "nation", "supplier"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table; normalizes the events nanosecond timestamp.
+
+    The events parquet stores ``ts`` as INT64 TIMESTAMP(NANOS) which
+    Spark's reader rejects; with ``nanosAsLong`` it arrives as int64
+    nanoseconds and we convert to microsecond TIMESTAMP_NTZ (matching
+    DuckDB's read of the same file).
+    """
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast(
+                "timestamp_ntz"
+            ),
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view for the SQL API."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
