@@ -38,8 +38,12 @@ def words(df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()) -> 
     per-token loop; empty tokens (pure punctuation/digits/CJK) are
     dropped like TraceWordCountMapper.java:111.
     """
+    from ..sources.tables import ensure_parallelism
+
     cols = [F.col(c) for c in keep]
-    exploded = df.select(*cols, F.explode(tokenize(text_col)).alias("__raw"))
+    exploded = ensure_parallelism(df).select(
+        *cols, F.explode(tokenize(text_col)).alias("__raw")
+    )
     return (
         exploded.select(*cols, normalize_token("__raw").alias("word"))
         .filter(F.length("word") > 0)

@@ -5,3 +5,4 @@ Importing this package registers every query into
 """
 
 from . import reference_jobs  # noqa: F401
+from . import relational  # noqa: F401

@@ -1,0 +1,470 @@
+"""Relational breadth queries (SURVEY.md §7.2 v4).
+
+The reference has no joins/windows/rollups/set-ops/limits (SURVEY §2.5);
+these queries declare-and-test Spark's built-in coverage over the star
+schema, each with a DuckDB oracle.
+
+Determinism rules used throughout:
+- money/double aggregates computed in DECIMAL, cast to DOUBLE at the
+  end (both engines) -> no float accumulation-order sensitivity;
+- averages = CAST(decimal_sum AS DOUBLE)/count, never engine avg()
+  (decimal-division scale rules differ between engines);
+- every ORDER BY ... LIMIT has a unique tie-breaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession, Window, functions as F
+
+from ..operators.relational import (
+    anti_join,
+    broadcast_join,
+    grouped_top_k,
+    semi_join,
+    sessionize,
+    top_k,
+)
+from ..registry import query, t
+
+
+def _dec(col: str | Column, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def _dsum(col: str | Column, scale: int = 2) -> Column:
+    """Order-independent double sum (decimal accumulate, double out)."""
+    return F.sum(_dec(col, scale)).cast("double")
+
+
+# --------------------------------------------------------------------------
+# aggregation: TPC-H Q1 analogue
+# --------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan -> filter -> partial+final hash aggregate. "
+    "Filter and 6-column projection push into the parquet scan.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT r_name, count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    doc="Star join with explicitly broadcast dimensions: no shuffle of the "
+    "fact side for the join, only for the final tiny aggregation.",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str):
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region")
+    return (
+        broadcast_join(cust, nat, cust.c_nationkey == nat.n_nationkey)
+        .transform(lambda df: broadcast_join(df, reg, df.n_regionkey == reg.r_regionkey))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum("c_acctbal").alias("sum_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "join_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="Fact-fact shuffle join (sort-merge/shuffled-hash under AQE) + "
+    "global top-k via TakeOrderedAndProject (k-row heaps, no global window).",
+)
+def q_join_topk_orders(spark: SparkSession, sf_dir: str):
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    rev = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return top_k(rev, 10, F.col("revenue").desc(), F.col("o_orderkey").asc())
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left-semi join (EXISTS): only the key column of orders shuffles.",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return semi_join(cust, orders, cust.c_custkey == orders.o_custkey).select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    doc="Left-anti join (NOT EXISTS) against a filtered build side — "
+    "customers with no large order (non-empty at every sf).",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str):
+    cust = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return anti_join(cust, big, cust.c_custkey == big.o_custkey).select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 2
+    """,
+    doc="Per-group top-k: window partitioned by the group key — "
+    "parallelism scales with group count, no global sort.",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str):
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return grouped_top_k(
+        orders,
+        ["o_custkey"],
+        2,
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey").asc(),
+    )
+
+
+# --------------------------------------------------------------------------
+# window functions
+# --------------------------------------------------------------------------
+@query(
+    "window_funcs",
+    oracle="""
+    SELECT event_id, user_id,
+           row_number() OVER w AS rn,
+           lag(event_type) OVER w AS prev_type,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="row_number / lag / running sum over per-user event streams.",
+)
+def q_window_funcs(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.sum(_dec("value"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+@query(
+    "sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_idx
+    """,
+    doc="Sessionization: 30-min inactivity gap -> lag + running conditional "
+    "sum, both windows per-user (the batch analogue of session_window).",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", 1800, "event_id")
+    return s.groupBy("user_id", "session_idx").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# --------------------------------------------------------------------------
+# grouping sets / rollup / cube
+# --------------------------------------------------------------------------
+@query(
+    "rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP with grouping_id (same bitmask semantics in both engines).",
+)
+def q_rollup_agg(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        _dsum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "cube_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two dimensions.",
+)
+def q_cube_agg(spark: SparkSession, sf_dir: str):
+    return t(spark, sf_dir, "orders").cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# set operations
+# --------------------------------------------------------------------------
+@query(
+    "set_ops",
+    oracle="""
+    SELECT 'both' AS op, n_nationkey AS nationkey FROM (
+      SELECT n_nationkey FROM nation WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+      INTERSECT
+      SELECT n_nationkey FROM nation WHERE EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+    )
+    UNION ALL
+    SELECT 'customer_only' AS op, n_nationkey FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier
+    )
+    """,
+    doc="INTERSECT / EXCEPT / UNION ALL composed in one inventory query.",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str):
+    cust = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = cust.intersect(supp).select(F.lit("both").alias("op"), "nationkey")
+    # subtract = EXCEPT DISTINCT (exceptAll would keep per-copy multiplicity)
+    conly = cust.subtract(supp).select(F.lit("customer_only").alias("op"), "nationkey")
+    return both.unionAll(conly)
+
+
+# --------------------------------------------------------------------------
+# scalar function breadth: date / JSON / string+math / array
+# --------------------------------------------------------------------------
+@query(
+    "date_funcs",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+    doc="year/month/quarter extraction on TIMESTAMP_NTZ (timezone-free).",
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.month("o_orderdate").cast("int").alias("m"),
+            F.quarter("o_orderdate").cast("int").alias("q"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "json_funcs",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="JSON extraction from the events.props string column.",
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.countDistinct(k).alias("n_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "string_math_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           substring(p_name, 1, 8) AS name8,
+           CAST(length(p_name) AS INT) AS name_len,
+           concat(p_brand, '#', p_type) AS brand_type,
+           CAST(abs(p_size - 25) AS INT) AS size_dist,
+           CAST(p_size % 7 AS INT) AS size_mod,
+           round(CAST(p_retailprice AS DECIMAL(18,2)) * 110 / 100, 2) AS price_plus_10pct
+    FROM part
+    """,
+    doc="Scalar breadth: string (upper/substring/length/concat) and math "
+    "(abs/mod/round) — exact decimal arithmetic, engine-portable.",
+)
+def q_string_math_funcs(spark: SparkSession, sf_dir: str):
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.abs(F.col("p_size") - 25).cast("int").alias("size_dist"),
+        (F.col("p_size") % 7).cast("int").alias("size_mod"),
+        F.round(_dec("p_retailprice") * 110 / 100, 2).alias("price_plus_10pct"),
+    )
+
+
+@query(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       (a, b) -> a + b) AS sq_norm
+    FROM embeddings
+    """,
+    doc="Array functions over array<float>: size + sequential-fold "
+    "sum-of-squares (same fold order both engines -> bit-identical doubles).",
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str):
+    from ..functions.vectors import dot
+
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        dot("embedding", "embedding").alias("sq_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# time bucketing (the batch face of the streaming tumbling window)
+# --------------------------------------------------------------------------
+@query(
+    "window_tumbling",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1h window aggregation in batch — same groupBy(window()) "
+    "shape Structured Streaming uses (streaming/windows.py).",
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

@@ -54,6 +54,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a DataFrame that scanned as too few splits.
+
+    Small single-file inputs (like the test parquet) arrive as 1
+    partition, serializing every CPU-heavy downstream op. At 100 TB the
+    scan already has thousands of splits and this is a no-op — the
+    repartition only fires when the scan is narrower than the session's
+    parallelism.
+    """
+    spark = df.sparkSession
+    n = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, n // 2):
+        return df.repartition(n)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
 

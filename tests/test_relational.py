@@ -1,0 +1,47 @@
+import datetime as dt
+
+from pyspark.sql import Row, functions as F
+
+from mapreduce_task_spark.operators.relational import (
+    anti_join,
+    grouped_top_k,
+    semi_join,
+    sessionize,
+    top_k,
+)
+
+
+def test_top_k_deterministic_with_tiebreak(spark):
+    df = spark.createDataFrame([Row(k=i % 3, v=float(i % 3), id=i) for i in range(30)])
+    out = top_k(df, 5, F.col("v").desc(), F.col("id").asc()).collect()
+    assert [(r["v"], r["id"]) for r in out] == [(2.0, 2), (2.0, 5), (2.0, 8), (2.0, 11), (2.0, 14)]
+
+
+def test_grouped_top_k(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", v=1), Row(g="a", v=3), Row(g="a", v=2), Row(g="b", v=9)]
+    )
+    out = grouped_top_k(df, ["g"], 2, F.col("v").desc(), F.col("v").asc())
+    got = sorted((r["g"], r["v"], r["rn"]) for r in out.collect())
+    assert got == [("a", 2, 2), ("a", 3, 1), ("b", 9, 1)]
+
+
+def test_semi_anti_partition_rows(spark):
+    left = spark.createDataFrame([Row(k=1), Row(k=2), Row(k=3)])
+    right = spark.createDataFrame([Row(k=2), Row(k=2)])
+    assert [r["k"] for r in semi_join(left, right, "k").collect()] == [2]
+    assert sorted(r["k"] for r in anti_join(left, right, "k").collect()) == [1, 3]
+
+
+def test_sessionize_gap_splits(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(user_id=1, ts=t0, event_id=1),
+        Row(user_id=1, ts=t0 + dt.timedelta(minutes=10), event_id=2),
+        Row(user_id=1, ts=t0 + dt.timedelta(minutes=70), event_id=3),  # new session
+        Row(user_id=2, ts=t0, event_id=4),
+    ]
+    df = spark.createDataFrame(rows)
+    out = sessionize(df, "user_id", "ts", gap_seconds=1800, tiebreak_col="event_id")
+    got = {r["event_id"]: r["session_idx"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
