@@ -49,3 +49,37 @@ def hash64_duckdb_sql(expr: str) -> str:
 
 def minhash_seed_hash_duckdb_sql(expr: str, seed: int) -> str:
     return hash64_duckdb_sql(f"concat('{seed}:', CAST({expr} AS VARCHAR))")
+
+
+# --------------------------------------------------------------------------
+# Affine universal-hash family for MinHash: h_i(x) = (a_i*(H(x) mod P) + b_i) mod P
+# over the Mersenne prime P = 2^31 - 1. One md5 per value, then each extra
+# hash is two int64 ops (product < 2^62, no overflow) — 16x cheaper than 16
+# md5 invocations and equally portable to the DuckDB oracle.
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+
+
+def minhash_params(num: int) -> list[tuple[int, int]]:
+    """Deterministic md5-derived (a, b) pairs, a in [1, P-1], b in [0, P-1]."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [(h(f"a:{i}") % (MINHASH_P - 1) + 1, h(f"b:{i}") % MINHASH_P) for i in range(num)]
+
+
+def affine_minhash_cols(col: Column | str, num: int, fast: bool = False) -> list[Column]:
+    """``num`` MinHash hash columns from one base hash of ``col``."""
+    base = (hash64(col, fast=fast) % F.lit(MINHASH_P)).alias("__mhbase")
+    return [
+        ((F.lit(a) * base + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_params(num))
+    ]
+
+
+def affine_minhash_duckdb_sql(expr: str, num: int) -> list[str]:
+    """DuckDB SQL text for each hash in the affine family (same constants)."""
+    base = f"({hash64_duckdb_sql(expr)} % {MINHASH_P})"
+    return [f"(({a} * {base} + {b}) % {MINHASH_P})" for a, b in minhash_params(num)]

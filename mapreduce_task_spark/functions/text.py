@@ -29,6 +29,13 @@ def normalize_token(col: Column | str) -> Column:
     return F.regexp_replace(F.lower(c), NON_LETTER_RE, "")
 
 
+def normalized_tokens(col: Column | str) -> Column:
+    """Array of normalized non-empty tokens, order preserved (P1+P2+P3
+    as one narrow array expression — no explode, no shuffle)."""
+    toks = F.transform(tokenize(col), lambda x: F.regexp_replace(F.lower(x), NON_LETTER_RE, ""))
+    return F.filter(toks, lambda w: F.length(w) > 0)
+
+
 def words(df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()) -> DataFrame:
     """Explode a text column into one normalized non-empty word per row
     (P1+P2+P3). ``keep`` columns are carried along (e.g. doc_id for the

@@ -1,0 +1,264 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Exact dedup, MinHash+LSH near-dup, SimHash fingerprinting, and n-gram
+Jaccard verification — the dedup ladder a 100 TB text pipeline needs.
+The reference repo has no dedup (its only distinct is the InsertIndex
+HashSet, TraceInsertIndexReducer.java:132-135); these are the
+north-star extensions from BASELINE.json.
+
+Scale design:
+- Everything is built from JVM expressions (md5/conv/shiftright/min) —
+  no Python in the hot path; whole-stage codegen end to end.
+- MinHash signatures are 16 aggregate expressions over the shingle
+  rows, NOT a 16x row explosion: one shuffle on doc_id with map-side
+  partial min.
+- LSH banding turns near-dup search from O(n^2) pairs into an
+  equi-join on (band, signature) — shuffle-partitioned by bucket,
+  AQE splits skewed buckets. This is the only pair-producing join.
+- Candidate pairs are verified with exact shingle-set Jaccard, again
+  an equi-join on shingle + integer-only arithmetic (order-independent,
+  oracle-exact: int/int division is IEEE-deterministic).
+
+Hashes use functions.hashing.hash64 (md5-based) so DuckDB can replay
+them bit-for-bit; pass fast=True to swap in xxhash64 at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashing import affine_minhash_cols, hash64
+from ..functions.text import normalize_token, normalized_tokens, tokenize
+from ..sources.tables import ensure_parallelism
+
+NUM_HASHES = 16
+BANDS = 8  # 8 bands x 2 rows: P(candidate) = 1-(1-j^2)^8 -> 0.90 at j=0.5
+
+
+def positioned_words(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per normalized non-empty token with its original position.
+
+    Tokenization order matters for shingling, so this keeps the
+    posexplode ordinal (empty tokens are dropped AFTER numbering; the
+    lead() windows downstream skip the gaps identically in Spark and
+    the DuckDB oracle).
+    """
+    toks = ensure_parallelism(df).select(
+        F.col(id_col), F.posexplode(tokenize(text_col)).alias("ord", "raw")
+    )
+    return toks.select(
+        id_col, F.col("ord"), normalize_token("raw").alias("word")
+    ).filter(F.length("word") > 0)
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct word k-gram shingles per document: (id, shingle).
+
+    Built entirely with array expressions — tokenize/normalize/filter,
+    then shingle i = tokens[i..i+k-1] via indexed ``transform`` +
+    ``get`` (null past the end, dropped by the null-propagating
+    ``concat``), then per-doc ``array_distinct`` and one explode. Zero
+    shuffles, zero window sorts: a narrow map-only stage regardless of
+    corpus size.
+    """
+    base = ensure_parallelism(df).select(
+        F.col(id_col), normalized_tokens(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
+    sep = F.lit(" ")
+
+    def make_shingle(x, i):
+        parts = [x]
+        for off in range(1, k):
+            parts.extend([sep, F.get(toks, i + off)])
+        return F.concat(*parts)
+
+    sh_arr = F.array_distinct(
+        F.filter(F.transform(toks, make_shingle), lambda s: s.isNotNull())
+    )
+    return base.select(F.col(id_col), F.explode(sh_arr).alias("shingle"))
+
+
+def minhash_signature(
+    shingle_df: DataFrame, id_col: str = "doc_id", num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """MinHash signature: (id, mh0..mh{n-1}).
+
+    One hash-aggregate with ``num_hashes`` min() expressions — partial
+    aggregation map-side, single shuffle on id, no row explosion. The
+    hash family is ONE md5 per shingle plus two int64 ops per extra
+    hash (affine universal hashing mod 2^31-1), not ``num_hashes``
+    md5 invocations.
+    """
+    hs = affine_minhash_cols("shingle", num_hashes)
+    hashed = shingle_df.select(id_col, *hs)
+    mins = [F.min(f"h{s}").alias(f"mh{s}") for s in range(num_hashes)]
+    return hashed.groupBy(id_col).agg(*mins)
+
+
+def lsh_bands(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Unpivot a signature into (id, band, band_sig) rows.
+
+    band_sig concatenates the band's minhashes — the LSH bucket key.
+    """
+    rows_per_band = num_hashes // bands
+    pairs = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        pairs.append(F.lit(b))
+        pairs.append(F.concat_ws("-", *cols))
+    return sig_df.select(
+        id_col, F.stack(F.lit(bands), *pairs).alias("band", "band_sig")
+    )
+
+
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (a < b) from the LSH buckets.
+
+    Implemented as groupBy(bucket) -> sorted id set -> in-row pair
+    combinations (nested ``transform``/``slice`` array expression) —
+    NOT a self-join, so the (expensive) upstream signature pipeline is
+    evaluated once, not twice. One shuffle on the bucket key, then a
+    per-bucket O(k^2) array expansion.
+
+    A degenerate bucket of k identical docs expands to k^2/2 in-row
+    pairs; run exact dedup first (exact_dedup_groups) so mass-duplicate
+    corpora never reach LSH with identical texts — standard pipeline
+    order at 100 TB.
+    """
+    ids = F.sort_array(F.collect_set(id_col)).alias("ids")
+    buckets = (
+        bands_df.groupBy("band", "band_sig").agg(ids).filter(F.size("ids") >= 2)
+    )
+    lst = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            lst,
+            lambda x, i: F.transform(
+                F.slice(lst, i + F.lit(2), F.size(lst)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingle_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs.
+
+    Intersection via equi-join on shingle restricted to the candidate
+    pairs; |A| and |B| from one groupBy. jaccard = inter/(|A|+|B|-inter)
+    is an int/int divide — bitwise deterministic in every engine.
+    """
+    sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("n"))
+    sa = shingle_df.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingle_df.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def all_pairs_jaccard(
+    shingle_df: DataFrame, id_col: str = "doc_id", min_jaccard: float = 0.5
+) -> DataFrame:
+    """Exhaustive n-gram Jaccard: every pair sharing >=1 shingle.
+
+    The shingle equi-join bounds the blow-up to co-occurring pairs
+    (not n^2); at 100 TB add a document-frequency cap on shingles
+    (drop shingles present in > df_max docs) before this join.
+    """
+    sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("n"))
+    sa = shingle_df.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingle_df.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def simhash(
+    words_df: DataFrame, id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash fingerprint: (id, simhash bigint).
+
+    Per-token 60-bit hash; for each bit position the +1/-1 votes are
+    summed (token multiplicity counts, per the classic Charikar
+    scheme); the sign of each sum sets the output bit. Implemented as
+    ``bits`` conditional-sum aggregate expressions — one shuffle, no
+    row explosion, codegen throughout.
+    """
+    h = hash64("word").alias("h")
+    toks = words_df.select(id_col, h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    bit_terms = [
+        F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(bits)
+    ]
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return agg.select(id_col, out.cast("bigint").alias("simhash"))
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: group by content hash, keep min-id representative.
+
+    Returns (text_md5, rep_id, n_copies) — the dedup decision table; a
+    pipeline joins it back to keep only rep_id rows. Hash-groupBy is
+    one shuffle on the digest (uniform keys, no skew).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(F.min(id_col).alias(f"rep_{id_col}"), F.count("*").alias("n_copies"))
+    )

@@ -1,0 +1,303 @@
+"""Dedup + similarity-search queries (BASELINE.json north-star; SURVEY §7.2 v5).
+
+Each query pairs the Spark operator pipeline with a DuckDB oracle that
+replays the identical md5-derived hashing and integer-quantized vector
+arithmetic, so even double-typed outputs (jaccard, cosine) are
+bitwise-reproducible (see operators.dedup / operators.similarity for
+the determinism argument).
+
+Thresholds are calibrated to the synthetic testdata: documents carries
+~25 planted near-dup pairs at shingle-Jaccard >= 0.5; embeddings has
+no planted near-dups (max pairwise cos ~= 0.51), so the cosine-pair
+query uses a demonstration threshold of 0.35.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.hashing import affine_minhash_duckdb_sql, hash64_duckdb_sql
+from ..operators.dedup import (
+    BANDS,
+    NUM_HASHES,
+    all_pairs_jaccard,
+    exact_dedup_groups,
+    jaccard_verify,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signature,
+    positioned_words,
+    shingles,
+    simhash,
+)
+from ..operators.similarity import (
+    blocked_all_pairs_cosine,
+    brute_force_topk,
+    int_dot,
+    quantized_cosine,
+    srp_buckets,
+)
+from ..registry import query, t
+
+# ---------------------------------------------------------------------------
+# shared DuckDB CTE fragments
+
+# Tokenize + normalize with original ordinals (mirrors operators.dedup
+# .positioned_words), then 3-gram shingles via lead() (mirrors .shingles).
+_WORDS_CTE = r"""
+raw AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+tok0 AS (SELECT doc_id, unnest(toks) AS rawtok, unnest(range(len(toks))) AS ord FROM raw),
+tok AS (SELECT doc_id, ord, regexp_replace(lower(rawtok), '[^a-z]', '', 'g') AS word FROM tok0),
+wf AS (SELECT doc_id, ord, word FROM tok WHERE length(word) > 0)
+"""
+
+_SHINGLE_CTE = (
+    _WORDS_CTE
+    + """,
+led AS (SELECT doc_id, word,
+        lead(word, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w1,
+        lead(word, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+        FROM wf),
+sh AS (SELECT DISTINCT doc_id, word || ' ' || w1 || ' ' || w2 AS shingle
+       FROM led WHERE w2 IS NOT NULL)
+"""
+)
+
+_MH_EXPRS = ",\n  ".join(
+    f"min({h}) AS mh{s}"
+    for s, h in enumerate(affine_minhash_duckdb_sql("shingle", NUM_HASHES))
+)
+_SIG_CTE = _SHINGLE_CTE + f""",
+sig AS (SELECT doc_id, {_MH_EXPRS} FROM sh GROUP BY doc_id)
+"""
+
+_ROWS_PER_BAND = NUM_HASHES // BANDS
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    "SELECT doc_id, {b} AS band, {sig} AS band_sig FROM sig".format(
+        b=b,
+        sig="||'-'||".join(
+            f"CAST(mh{b * _ROWS_PER_BAND + r} AS VARCHAR)" for r in range(_ROWS_PER_BAND)
+        ),
+    )
+    for b in range(BANDS)
+)
+
+# Quantized embeddings: exact integer-valued doubles (see operators.similarity).
+_QVEC_CTE = """
+n AS (SELECT vec_id,
+        list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000)) AS qv
+      FROM embeddings),
+nv AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nq FROM n)
+"""
+
+# ---------------------------------------------------------------------------
+# dedup queries
+
+
+@query(
+    "dedup_exact",
+    f"""
+SELECT md5(text) AS text_md5, min(doc_id) AS rep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+    doc="Exact dedup decision table: content-hash groupBy, min-id representative.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_minhash",
+    f"WITH {_SIG_CTE} SELECT * FROM sig",
+    doc=f"MinHash signatures ({NUM_HASHES} md5-seeded hashes over 3-gram shingles).",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signature(shingles(t(spark, sf_dir, "documents")))
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+WITH {_SIG_CTE},
+bands AS ({_BAND_SELECTS}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+          GROUP BY c.id_a, c.id_b)
+SELECT i.id_a, i.id_b,
+       CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5
+""",
+    doc=f"MinHash-LSH near-dup: {BANDS} bands x {_ROWS_PER_BAND} rows bucket join, "
+    "then exact-Jaccard verification at >= 0.5.",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persist: the shingle set feeds the signature pipeline AND three
+    # scans inside jaccard_verify (sizes + both pair sides); at cluster
+    # scale this would be a DISK_ONLY persist or a checkpoint.
+    sh = shingles(t(spark, sf_dir, "documents")).persist()
+    cand = lsh_candidate_pairs(lsh_bands(minhash_signature(sh)))
+    return jaccard_verify(cand, sh).filter(F.col("jaccard") >= 0.5)
+
+
+_SIMHASH_BITS = 32
+_VOTE_EXPRS = ",\n  ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_BIT_SUM = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIMHASH_BITS)
+)
+
+
+@query(
+    "dedup_simhash",
+    f"""
+WITH {_WORDS_CTE},
+th AS (SELECT doc_id, {hash64_duckdb_sql('word')} AS h FROM wf),
+votes AS (SELECT doc_id, {_VOTE_EXPRS} FROM th GROUP BY doc_id)
+SELECT doc_id, CAST({_BIT_SUM} AS BIGINT) AS simhash FROM votes
+""",
+    doc=f"{_SIMHASH_BITS}-bit SimHash fingerprint (Charikar sign-of-vote-sums).",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import words
+
+    return simhash(words(t(spark, sf_dir, "documents"), keep=("doc_id",)), bits=_SIMHASH_BITS)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS inter
+          FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+          GROUP BY sa.doc_id, sb.doc_id)
+SELECT i.id_a, i.id_b,
+       CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5
+""",
+    doc="Exhaustive 3-gram Jaccard near-dup (shingle equi-join, >= 0.5).",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles(t(spark, sf_dir, "documents")).persist()
+    return all_pairs_jaccard(sh, min_jaccard=0.5)
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+WITH {_QVEC_CTE}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.qv, b.qv) / (sqrt(a.nq) * sqrt(b.nq)) AS cos
+FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.qv, b.qv) / (sqrt(a.nq) * sqrt(b.nq)) >= 0.35
+""",
+    doc="Embedding-cosine near-dup pairs (integer-quantized exact cosine, "
+    "demo threshold 0.35 — the synthetic embeddings have no planted dups).",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return blocked_all_pairs_cosine(t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+
+_TOPK_K = 5
+_N_QUERIES = 10
+
+
+@query(
+    "similarity_topk",
+    f"""
+WITH {_QVEC_CTE},
+scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                  list_dot_product(q.qv, c.qv) / (sqrt(q.nq) * sqrt(c.nq)) AS cos
+           FROM nv q JOIN nv c ON c.vec_id != q.vec_id
+           WHERE q.vec_id < {_N_QUERIES})
+SELECT query_id, cand_id, cos, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+      FROM scored) r
+WHERE rank <= {_TOPK_K}
+""",
+    doc=f"Brute-force cosine top-{_TOPK_K} for {_N_QUERIES} query vectors "
+    "(broadcast queries x full scan; exact quantized arithmetic).",
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < _N_QUERIES)
+    return brute_force_topk(emb, qids, k=_TOPK_K)
+
+
+_SRP_BITS = 4
+
+
+@query(
+    "similarity_srp_lsh",
+    f"""
+WITH {_QVEC_CTE},
+comp AS (SELECT vec_id, unnest(qv) AS val, unnest(range(64)) AS i FROM nv),
+hp AS (SELECT s.s, i.i,
+         (CAST('0x' || substring(md5(CAST(s.s AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 15) AS BIGINT) % 2001) - 1000 AS c
+       FROM range({_SRP_BITS}) s(s), range(64) i(i)),
+proj AS (SELECT comp.vec_id, hp.s, sum(comp.val * hp.c) AS p
+         FROM comp JOIN hp ON comp.i = hp.i GROUP BY comp.vec_id, hp.s),
+bits AS (SELECT vec_id, CAST(sum(CASE WHEN p >= 0 THEN 1 << s ELSE 0 END) AS BIGINT) AS bucket
+         FROM proj GROUP BY vec_id),
+nb AS (SELECT nv.vec_id, nv.qv, nv.nq, b.bucket FROM nv JOIN bits b USING (vec_id)),
+scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                  list_dot_product(q.qv, c.qv) / (sqrt(q.nq) * sqrt(c.nq)) AS cos
+           FROM nb q JOIN nb c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+           WHERE q.vec_id < {_N_QUERIES})
+SELECT query_id, cand_id, cos, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+      FROM scored) r
+WHERE rank <= {_TOPK_K}
+""",
+    doc=f"SRP-LSH approximate top-{_TOPK_K}: {_SRP_BITS}-bit signed-random-projection "
+    "buckets (md5-derived hyperplanes), candidates restricted to the query's bucket.",
+)
+def q_similarity_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    bk = srp_buckets(emb, nbits=_SRP_BITS)
+    q = bk.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qv_q"),
+        F.col("nq").alias("nq_q"),
+        "bucket",
+    )
+    c = bk.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("qv").alias("qv_c"),
+        F.col("nq").alias("nq_c"),
+        "bucket",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            quantized_cosine(
+                int_dot(F.col("qv_q"), F.col("qv_c")), F.col("nq_q"), F.col("nq_c")
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= _TOPK_K
+    )

@@ -1,0 +1,84 @@
+"""Dedup operator semantics on hand-built micro-data (SURVEY §5.2)."""
+
+import hashlib
+
+from pyspark.sql import Row, functions as F
+
+from mapreduce_task_spark.operators.dedup import (
+    all_pairs_jaccard,
+    exact_dedup_groups,
+    jaccard_verify,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signature,
+    shingles,
+    simhash,
+    positioned_words,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+
+
+def test_shingles_skip_filtered_tokens(spark):
+    # "123" normalizes to empty and is dropped BEFORE the k-gram window,
+    # so the shingle bridges across it (a b / b c — not a b 123).
+    df = _docs(spark, ["a b 123 c d"])
+    got = sorted(r["shingle"] for r in shingles(df, k=3).collect())
+    assert got == ["a b c", "b c d"]
+
+
+def test_shingles_distinct_per_doc(spark):
+    df = _docs(spark, ["x y z x y z x y z"])
+    got = sorted(r["shingle"] for r in shingles(df, k=3).collect())
+    assert got == ["x y z", "y z x", "z x y"]
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    df = _docs(spark, ["the quick brown fox jumps", "the quick brown fox jumps", "something else entirely here now"])
+    sig = minhash_signature(shingles(df)).collect()
+    by_id = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(16)) for r in sig}
+    assert by_id[0] == by_id[1]
+    assert by_id[0] != by_id[2]
+
+
+def test_lsh_finds_identical_pair_only(spark):
+    df = _docs(
+        spark,
+        [
+            "alpha beta gamma delta epsilon zeta",
+            "alpha beta gamma delta epsilon zeta",
+            "one two three four five six seven",
+        ],
+    )
+    sh = shingles(df)
+    pairs = lsh_candidate_pairs(lsh_bands(minhash_signature(sh)))
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
+    assert got == [(0, 1)]
+    ver = jaccard_verify(pairs, sh).collect()
+    assert len(ver) == 1 and ver[0]["jaccard"] == 1.0
+
+
+def test_all_pairs_jaccard_values(spark):
+    # doc0 shingles {a b c, b c d}; doc1 {a b c}; inter=1, union=2 -> 0.5
+    df = _docs(spark, ["a b c d", "a b c"])
+    got = all_pairs_jaccard(shingles(df), min_jaccard=0.4).collect()
+    assert len(got) == 1
+    assert (got[0]["id_a"], got[0]["id_b"], got[0]["jaccard"]) == (0, 1, 0.5)
+
+
+def test_simhash_identical_docs_match(spark):
+    df = _docs(spark, ["spark rules ok", "spark rules ok", "totally different words here"])
+    got = {r["doc_id"]: r["simhash"] for r in simhash(positioned_words(df)).collect()}
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+    assert all(0 <= v < (1 << 32) for v in got.values())
+
+
+def test_exact_dedup_groups(spark):
+    df = _docs(spark, ["same text", "same text", "unique text"])
+    got = {r["text_md5"]: (r["rep_doc_id"], r["n_copies"]) for r in exact_dedup_groups(df).collect()}
+    same_md5 = hashlib.md5(b"same text").hexdigest()
+    assert got[same_md5] == (0, 2)
+    assert len(got) == 2

@@ -1,0 +1,53 @@
+"""Similarity-search operator semantics (quantized-exact cosine)."""
+
+import math
+
+from pyspark.sql import Row, functions as F
+
+from mapreduce_task_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplanes,
+    srp_buckets,
+    with_quantized,
+)
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+def test_quantized_norm_exact(spark):
+    df = with_quantized(_emb(spark, [[0.5, -0.25, 0.125]]))
+    r = df.collect()[0]
+    assert r["qv"] == [500000, -250000, 125000]
+    assert r["nq"] == 500000**2 + 250000**2 + 125000**2
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    # q = [1,0]; candidates at decreasing cosine: [2,0]=1.0, [1,1]=.707, [0,1]=0, [-1,0]=-1
+    df = _emb(spark, [[1, 0], [2, 0], [1, 1], [0, 1], [-1, 0]])
+    qids = df.select("vec_id").filter(F.col("vec_id") == 0)
+    got = brute_force_topk(df, qids, k=4).collect()
+    assert [r["cand_id"] for r in got] == [1, 2, 3, 4]
+    assert got[0]["cos"] == 1.0
+    assert abs(got[1]["cos"] - 1 / math.sqrt(2)) < 1e-9
+    assert got[2]["cos"] == 0.0 and got[3]["cos"] == -1.0
+    assert [r["rank"] for r in got] == [1, 2, 3, 4]
+
+
+def test_hyperplanes_deterministic(spark):
+    assert hyperplanes(2, 4) == hyperplanes(2, 4)
+    flat = [c for row in hyperplanes(4, 64) for c in row]
+    assert all(-1000 <= c <= 1000 for c in flat)
+    assert len(set(flat)) > 100  # spread out, not degenerate
+
+
+def test_srp_same_vector_same_bucket(spark):
+    df = _emb(spark, [[0.3, -0.1, 0.7, 0.2], [0.3, -0.1, 0.7, 0.2], [-0.3, 0.1, -0.7, -0.2]])
+    got = {r["vec_id"]: r["bucket"] for r in srp_buckets(df, nbits=4).collect()}
+    assert got[0] == got[1]
+    # the antipodal vector flips every projection sign -> complementary bucket
+    assert got[2] == (~got[0]) & 0xF
