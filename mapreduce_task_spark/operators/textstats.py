@@ -1,0 +1,148 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (stopword-vote heuristic), quality scoring, token counting,
+and document fingerprinting — per-document scalar pipelines the
+reference lacks entirely (its only text ops are the §2.2 tokenizer
+primitives), re-expressed as narrow Spark array expressions.
+
+Scale design: every operator here is a per-row projection over the
+``documents`` scan — no shuffle, no UDF, full codegen. At 100 TB these
+run at parquet-scan speed with column pruning (only ``text`` is read).
+
+Determinism: all ratios are int/int divides in double (IEEE-exact);
+score formulas are written with the identical operator tree in the
+DuckDB oracles so results are bitwise-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.hashing import hash64
+from ..functions.text import normalized_tokens, tokenize
+from ..sources.tables import ensure_parallelism
+
+# Tiny per-language stopword sets for the n-gram/stopword-vote language
+# heuristic. Deliberately small + ASCII so the same lists inline into
+# oracle SQL.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "por", "para"),
+}
+
+# BPE-ish token pieces: letter runs, digit runs, single other-glyphs.
+BPE_ISH_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _toks(text_col: str) -> Column:
+    return normalized_tokens(text_col)
+
+
+def ws_token_count(text_col: str) -> Column:
+    """Raw whitespace-token count (split artifacts excluded)."""
+    return F.size(F.filter(tokenize(text_col), lambda x: x != F.lit("")))
+
+
+def stopword_hits(text_col: str, lang: str) -> Column:
+    """How many normalized tokens (with multiplicity) are stopwords of
+    ``lang``."""
+    stops = STOPWORDS[lang]
+    return F.size(F.filter(_toks(text_col), lambda w: w.isin(*stops)))
+
+
+def quality_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc quality features + a composite score in [0, 1].
+
+    score = 0.5*alpha_ratio + 0.3*stopword_ratio + 0.2*min(1, n_words/100)
+    — the formula is mirrored token-for-token in the oracle so the
+    double result is bit-identical.
+    """
+    toks = _toks(text_col)
+    n_words = F.size(toks)
+    word_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda acc, x: acc + x
+    )
+    n_chars = F.length(text_col)
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    en_hits = stopword_hits(text_col, "en")
+
+    alpha_ratio = alpha_chars.cast("double") / F.nullif(n_chars, F.lit(0)).cast("double")
+    stop_ratio = en_hits.cast("double") / F.nullif(n_words, F.lit(0)).cast("double")
+    avg_word_len = word_chars.cast("double") / F.nullif(n_words, F.lit(0)).cast("double")
+    length_term = F.least(F.lit(1.0), n_words.cast("double") / F.lit(100.0))
+    score = (
+        F.lit(0.5) * alpha_ratio + F.lit(0.3) * stop_ratio + F.lit(0.2) * length_term
+    )
+
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_chars.cast("long").alias("n_chars"),
+        avg_word_len.alias("avg_word_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword-vote language prediction over STOPWORDS' languages.
+
+    Argmax with a fixed precedence (en > de > fr > es on ties) so the
+    prediction is deterministic; hit counts are exposed for debugging
+    and for the oracle's value check.
+    """
+    hits = {lang: stopword_hits(text_col, lang) for lang in STOPWORDS}
+    pred = (
+        F.when(
+            (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]),
+            F.lit("en"),
+        )
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"]), F.lit("de"))
+        .when(hits["fr"] >= hits["es"], F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        *[hits[lang].cast("long").alias(f"{lang}_hits") for lang in STOPWORDS],
+        pred.alias("pred_lang"),
+    )
+
+
+def token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token-count estimators: whitespace, BPE-ish regex pieces, and
+    the chars/4 heuristic (ceil)."""
+    bpe_ish = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_ISH_RE), 0))
+    est4 = F.ceil(F.length(text_col).cast("double") / F.lit(4.0)).cast("bigint")
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        ws_token_count(text_col).cast("long").alias("n_ws_tokens"),
+        F.size(_toks(text_col)).cast("long").alias("n_norm_words"),
+        bpe_ish.cast("long").alias("n_bpe_ish"),
+        est4.alias("est_tokens_char4"),
+    )
+
+
+def fingerprints(
+    shingle_df: DataFrame, id_col: str = "doc_id", mod: int = 8
+) -> DataFrame:
+    """Mod-p sampled shingle-hash fingerprint (one row per kept hash).
+
+    Winnowing-style content sampling: keep hash(shingle) where
+    hash % mod == 0 — a ~1/mod deterministic sample of each doc's
+    shingle set, comparable across docs for containment detection.
+    """
+    h = hash64("shingle")
+    return (
+        shingle_df.select(F.col(id_col), h.alias("fp"))
+        .filter(F.col("fp") % mod == 0)
+        .distinct()
+    )

@@ -7,3 +7,4 @@ Importing this package registers every query into
 from . import reference_jobs  # noqa: F401
 from . import relational  # noqa: F401
 from . import llm_dedup  # noqa: F401
+from . import llm_text  # noqa: F401

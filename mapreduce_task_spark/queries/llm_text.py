@@ -1,0 +1,157 @@
+"""Text-analysis + multimodal queries (BASELINE.json north-star; SURVEY §7.2 v5).
+
+Oracles inline the same stopword lists / regexes / score formula as
+the Spark operators (operators.textstats), with identical expression
+trees so double outputs are bitwise-equal. ``multimodal_features`` is
+the one rows-only query here: its byte-level features come from a
+mapInPandas stage DuckDB can't replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dedup import shingles
+from ..operators.multimodal import extract_features, with_binary_payload
+from ..operators.textstats import (
+    BPE_ISH_RE,
+    STOPWORDS,
+    fingerprints,
+    language_id,
+    quality_features,
+    token_counts,
+)
+from ..functions.hashing import hash64_duckdb_sql
+from ..registry import query, t
+from .llm_dedup import _SHINGLE_CTE
+
+# DuckDB fragment: normalized token list (same pipeline as
+# functions.text.normalized_tokens).
+_TOKS = (
+    r"list_filter(list_transform(regexp_split_to_array(text, '\s+'), "
+    r"x -> regexp_replace(lower(x), '[^a-z]', '', 'g')), w -> length(w) > 0)"
+)
+
+
+def _in_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+
+def _hits(lang: str) -> str:
+    return f"CAST(len(list_filter(toks, w -> w IN ({_in_list(lang)}))) AS BIGINT)"
+
+
+@query(
+    "text_quality",
+    f"""
+WITH tk AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_words,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+    / CAST(nullif(len(toks), 0) AS DOUBLE) AS avg_word_len,
+  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+    / CAST(nullif(length(text), 0) AS DOUBLE) AS alpha_ratio,
+  CAST(len(list_filter(toks, w -> w IN ({_in_list('en')}))) AS DOUBLE)
+    / CAST(nullif(len(toks), 0) AS DOUBLE) AS stopword_ratio,
+  0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         / CAST(nullif(length(text), 0) AS DOUBLE))
+  + 0.3 * (CAST(len(list_filter(toks, w -> w IN ({_in_list('en')}))) AS DOUBLE)
+           / CAST(nullif(len(toks), 0) AS DOUBLE))
+  + 0.2 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS quality_score
+FROM tk
+""",
+    doc="Per-doc quality features + composite score (alpha/stopword/length mix).",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_features(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "lang_id",
+    f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  {_hits('en')} AS en_hits, {_hits('de')} AS de_hits,
+  {_hits('fr')} AS fr_hits, {_hits('es')} AS es_hits,
+  CASE
+    WHEN {_hits('en')} >= {_hits('de')} AND {_hits('en')} >= {_hits('fr')}
+         AND {_hits('en')} >= {_hits('es')} THEN 'en'
+    WHEN {_hits('de')} >= {_hits('fr')} AND {_hits('de')} >= {_hits('es')} THEN 'de'
+    WHEN {_hits('fr')} >= {_hits('es')} THEN 'fr'
+    ELSE 'es'
+  END AS pred_lang
+FROM tk
+""",
+    doc="Stopword-vote language ID (en/de/fr/es, fixed tie precedence).",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "token_stats",
+    rf"""
+SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT)
+    AS n_ws_tokens,
+  CAST(len({_TOKS}) AS BIGINT) AS n_norm_words,
+  CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_RE}')) AS BIGINT) AS n_bpe_ish,
+  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_tokens_char4
+FROM documents
+""",
+    doc="Token-count estimators: whitespace, BPE-ish regex pieces, chars/4.",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_fingerprint",
+    f"""
+WITH {_SHINGLE_CTE}
+SELECT DISTINCT doc_id, {hash64_duckdb_sql('shingle')} AS fp
+FROM sh WHERE {hash64_duckdb_sql('shingle')} % 8 = 0
+""",
+    doc="Mod-8 sampled shingle-hash fingerprints (winnowing-style content sample).",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(shingles(t(spark, sf_dir, "documents")), mod=8)
+
+
+@query(
+    "multimodal_meta",
+    """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS payload_md5,
+  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS modality,
+  CAST(doc_id % 64 * 16 AS INTEGER) AS width,
+  CAST(doc_id % 48 * 16 AS INTEGER) AS height,
+  CAST((doc_id % 30 + 1) * 1000 AS INTEGER) AS duration_ms
+FROM documents
+""",
+    doc="Binary-payload metadata surface: byte length, digest, typed media struct.",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = with_binary_payload(t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("media_meta.modality").alias("modality"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.duration_ms").alias("duration_ms"),
+    )
+
+
+@query(
+    "multimodal_features",
+    None,  # mapInPandas byte-level features: not SQL-expressible -> rows-only check
+    doc="Arrow-batched feature extraction over binary payloads (decode step "
+    "stubbed; see operators.multimodal).",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(with_binary_payload(t(spark, sf_dir, "documents")))

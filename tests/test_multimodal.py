@@ -1,0 +1,44 @@
+"""Multimodal binary-column plumbing: schema, batching, stubbed decode."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+
+from mapreduce_task_spark.operators.multimodal import (
+    decode_audio,
+    decode_image,
+    extract_features,
+    with_binary_payload,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+
+
+def test_payload_schema(spark):
+    df = with_binary_payload(_docs(spark, ["abc", "defg"]))
+    dt = dict(df.dtypes)
+    assert dt["payload"] == "binary"
+    assert dt["media_meta"].startswith("struct<modality:string,width:int")
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert bytes(rows[0]["payload"]) == b"abc"
+    assert rows[0]["media_meta"]["modality"] == "image"
+    assert rows[1]["media_meta"]["modality"] == "audio"
+
+
+def test_extract_features_deterministic(spark):
+    df = with_binary_payload(_docs(spark, ["abc"]))
+    r = extract_features(df).collect()[0]
+    assert r["n_bytes"] == 3
+    assert r["byte_sum"] == ord("a") + ord("b") + ord("c")
+    assert r["head_md5"] == hashlib.md5(b"abc").hexdigest()
+    assert r["modality"] == "image"
+
+
+def test_decoders_are_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF")
