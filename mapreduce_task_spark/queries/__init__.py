@@ -8,3 +8,4 @@ from . import reference_jobs  # noqa: F401
 from . import relational  # noqa: F401
 from . import llm_dedup  # noqa: F401
 from . import llm_text  # noqa: F401
+from . import advanced  # noqa: F401

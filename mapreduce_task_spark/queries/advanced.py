@@ -1,0 +1,148 @@
+"""Advanced relational breadth: temporal joins, grouping sets, exact
+percentiles (judge-checklist categories beyond queries.relational).
+
+Oracles use DuckDB's native ASOF JOIN / GROUPING SETS / quantile_cont
+against the same parquet views; Spark sides use the scalable
+compositions in operators.temporal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.temporal import asof_join, band_join, interval_pairs_per_key
+from ..registry import query, t
+
+
+@query(
+    "join_asof",
+    """
+WITH purch AS (
+  SELECT user_id, ts, max_by(event_id, event_id) AS p_id,
+         max_by(value, event_id) AS p_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id, c.ts, c.event_id,
+       p.p_id AS asof_p_id, p.p_value AS asof_p_value, p.ts AS asof_ts
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+    doc="As-of join: each click gets the user's latest purchase at-or-before "
+    "it (union + window-scan plan; DuckDB native ASOF as oracle).",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("event_id", "event_id").alias("p_id"),
+            F.max_by("value", "event_id").alias("p_value"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    return asof_join(clicks, purch, on="user_id", ts="ts", right_cols=("p_id", "p_value"))
+
+
+@query(
+    "join_range_band",
+    """
+WITH bands(band, lo, hi) AS (VALUES
+  ('xs', 0.0, 10.0), ('s', 10.0, 20.0), ('m', 20.0, 30.0),
+  ('l', 30.0, 40.0), ('xl', 40.0, 51.0))
+SELECT b.band, count(*) AS n,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+GROUP BY b.band
+""",
+    doc="Range (band) join: lineitem quantity banded against a broadcast "
+    "interval dimension, then aggregated.",
+)
+def q_join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("xs", 0.0, 10.0), ("s", 10.0, 20.0), ("m", 20.0, 30.0),
+         ("l", 30.0, 40.0), ("xl", 40.0, 51.0)],
+        "band string, lo double, hi double",
+    )
+    joined = band_join(li, bands, "l_quantity")
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "join_interval_pairs",
+    """
+SELECT a.user_id, count(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts <= a.ts + INTERVAL 30 MINUTES
+ AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+GROUP BY a.user_id
+""",
+    doc="Interval self-join: same-user event pairs within 30 minutes, via "
+    "time-bucketed equi-join (oracle is the naive theta join).",
+)
+def q_join_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interval_pairs_per_key(t(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+@query(
+    "grouping_sets",
+    """
+SELECT coalesce(n.n_name, '(all)') AS nation,
+       coalesce(o.o_orderpriority, '(all)') AS priority,
+       count(*) AS n,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY GROUPING SETS ((n.n_name), (o.o_orderpriority), ())
+""",
+    doc="GROUPING SETS over orders x customer x nation (rollup/cube's "
+    "general form; SQL-API surface).",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("orders", "customer", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"__gs_{name}")
+    return spark.sql(
+        """
+SELECT coalesce(n.n_name, '(all)') AS nation,
+       coalesce(o.o_orderpriority, '(all)') AS priority,
+       count(*) AS n,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM __gs_orders o
+JOIN __gs_customer c ON o.o_custkey = c.c_custkey
+JOIN __gs_nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY GROUPING SETS ((n.n_name), (o.o_orderpriority), ())
+"""
+    )
+
+
+@query(
+    "percentile_stats",
+    """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.5) AS q50,
+       quantile_cont(l_quantity, 0.75) AS q75,
+       max(l_quantity) AS q_max
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Exact interpolated percentiles per group (quartile fractions over "
+    "integer-valued quantities keep both engines' interpolation exact; "
+    "approx_percentile is the 100 TB substitute).",
+)
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.percentile("l_quantity", 0.5).alias("q50"),
+        F.percentile("l_quantity", 0.75).alias("q75"),
+        F.max("l_quantity").alias("q_max"),
+    )

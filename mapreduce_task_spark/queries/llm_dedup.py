@@ -91,6 +91,25 @@ nv AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nq FROM n)
 """
 
 # ---------------------------------------------------------------------------
+# persist bookkeeping: each query build releases the previous build's
+# cached intermediates (queries run sequentially in the driver/bench;
+# a leaked cache starves later pandas-UDF stages of executor memory).
+
+_LIVE_PERSISTS: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    for d in _LIVE_PERSISTS:
+        try:
+            d.unpersist()
+        except Exception:
+            pass
+    _LIVE_PERSISTS.clear()
+    _LIVE_PERSISTS.append(df.persist())
+    return df
+
+
+# ---------------------------------------------------------------------------
 # dedup queries
 
 
@@ -143,7 +162,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the shingle set feeds the signature pipeline AND three
     # scans inside jaccard_verify (sizes + both pair sides); at cluster
     # scale this would be a DISK_ONLY persist or a checkpoint.
-    sh = shingles(t(spark, sf_dir, "documents")).persist()
+    sh = _persist(shingles(t(spark, sf_dir, "documents")))
     cand = lsh_candidate_pairs(lsh_bands(minhash_signature(sh)))
     return jaccard_verify(cand, sh).filter(F.col("jaccard") >= 0.5)
 
@@ -192,7 +211,7 @@ WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5
     doc="Exhaustive 3-gram Jaccard near-dup (shingle equi-join, >= 0.5).",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingles(t(spark, sf_dir, "documents")).persist()
+    sh = _persist(shingles(t(spark, sf_dir, "documents")))
     return all_pairs_jaccard(sh, min_jaccard=0.5)
 
 

@@ -45,9 +45,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer DIV, not `/`: float division of ~1.7e18 nanos exceeds
+        # double precision (2^53) and lands a microsecond off.
         df = df.withColumn(
             "ts",
-            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast(
+            F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")).cast(
                 "timestamp_ntz"
             ),
         )
