@@ -1,0 +1,118 @@
+"""End-to-end corpus-cleaning pipeline + vectorized-UDF surface.
+
+``pipeline_clean_corpus`` is the flagship composition: quality-filter
+-> LSH near-dup removal (keep the lowest doc_id of each dup cluster)
+-> per-doc stats — the shape of a real LLM training-data prep job,
+exercising scan/project/filter, the MinHash-LSH pipeline, anti-join,
+and aggregation in ONE plan. The oracle replays all of it in SQL.
+
+``embedding_norms`` demonstrates the @pandas_udf (vectorized scalar
+UDF) surface with exact-arithmetic oracle parity: the norm is computed
+from the integer-quantized self-dot, so numpy's sqrt and DuckDB's sqrt
+see bit-identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..operators.dedup import (
+    jaccard_verify,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signature,
+    shingles,
+)
+from ..operators.textstats import quality_features
+from ..registry import query, t
+from .llm_dedup import _SIG_CTE, _BAND_SELECTS, _persist
+from .llm_text import _TOKS, _in_list
+
+_QUALITY_MIN = 0.45
+
+
+@query(
+    "pipeline_clean_corpus",
+    f"""
+WITH {_SIG_CTE},
+bands AS ({_BAND_SELECTS}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+          GROUP BY c.id_a, c.id_b),
+dup_b AS (SELECT DISTINCT i.id_b AS doc_id
+          FROM inter i
+          JOIN sizes na ON na.doc_id = i.id_a
+          JOIN sizes nb ON nb.doc_id = i.id_b
+          WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5),
+quality AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / CAST(nullif(length(text), 0) AS DOUBLE))
+    + 0.3 * (CAST(len(list_filter(toks, w -> w IN ({_in_list('en')}))) AS DOUBLE)
+             / CAST(nullif(len(toks), 0) AS DOUBLE))
+    + 0.2 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS quality_score
+  FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents) tk
+)
+SELECT q.doc_id, q.n_words, q.quality_score
+FROM quality q
+WHERE q.quality_score >= {_QUALITY_MIN}
+  AND q.doc_id NOT IN (SELECT doc_id FROM dup_b)
+""",
+    doc="End-to-end corpus cleaning: quality filter + LSH near-dup removal "
+    "(keep lowest id per cluster) -> per-doc stats, one composed plan.",
+)
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sh = _persist(shingles(docs))
+    cand = lsh_candidate_pairs(lsh_bands(minhash_signature(sh)))
+    dup_b = (
+        jaccard_verify(cand, sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    qf = quality_features(docs).select("doc_id", "n_words", "quality_score")
+    return qf.filter(F.col("quality_score") >= _QUALITY_MIN).join(
+        dup_b, "doc_id", "left_anti"
+    )
+
+
+@query(
+    "embedding_norms",
+    """
+SELECT vec_id,
+       sqrt(list_dot_product(
+         list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000)),
+         list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000))
+       )) / 1000000.0 AS qnorm
+FROM embeddings
+""",
+    doc="Vectorized @pandas_udf scalar surface: L2 norm from the quantized "
+    "self-dot (numpy batch compute, exact-arithmetic oracle parity).",
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def qnorm_fn(emb):
+        import numpy as np
+
+        m = np.stack(emb.to_numpy())
+        q = np.floor(m.astype(np.float64) * 1_000_000)
+        return pd.Series(np.sqrt((q * q).sum(axis=1)) / 1_000_000.0)
+
+    # real type objects, not strings: `from __future__ import annotations`
+    # stringifies inline hints, which pandas_udf can't resolve.
+    qnorm_fn.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    qnorm = pandas_udf(qnorm_fn, "double")
+
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id", qnorm(F.col("embedding")).alias("qnorm")
+    )
