@@ -66,6 +66,11 @@ def get_spark(
         .config("spark.default.parallelism", str(parallelism))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # keep catalog/metastore artifacts (bucketed-table tests) out of cwd
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
+        .config(
+            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/spark_graft_derby"
+        )
         # file-source parallelism: default 128m splits are right at scale;
         # local tests read tiny files so leave as-is (openCostInBytes packs them).
     )

@@ -9,6 +9,9 @@ from pyspark.sql import functions as F
 
 from mapreduce_task_spark.sources.tables import load_table
 from mapreduce_task_spark.streaming import (
+    running_dedupe,
+    session_counts,
+    sliding_counts,
     stateful_running_count,
     stream_from_directory,
     tumbling_counts,
@@ -51,6 +54,49 @@ def test_tumbling_counts_stream_matches_batch(spark, events_dir):
         for r in spark.sql("select * from t_tumble").collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_sliding_counts_stream_matches_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in sliding_counts(batch).collect()
+    }
+    stream = stream_from_directory(spark, events_dir, batch.schema)
+    _run_stream(sliding_counts(stream), "t_slide")
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("select * from t_slide").collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_session_counts_batch_merges_within_gap(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0), (1, t0 + dt.timedelta(minutes=10)),        # one session
+        (1, t0 + dt.timedelta(minutes=90)),                  # new session
+        (2, t0),
+    ]
+    df = spark.createDataFrame(
+        [{"user_id": u, "ts": ts} for u, ts in rows]
+    )
+    got = sorted(
+        (r["user_id"], r["n"]) for r in session_counts(df, gap="30 minutes").collect()
+    )
+    assert got == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_running_dedupe_batch(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [{"k": "a", "ts": t0}, {"k": "a", "ts": t0}, {"k": "b", "ts": t0}]
+    )
+    assert running_dedupe(df, ["k"]).count() == 2
 
 
 def test_stateful_running_count_totals(spark, events_dir):
