@@ -125,6 +125,29 @@ GROUP BY GROUPING SETS ((n.n_name), (o.o_orderpriority), ())
 
 
 @query(
+    "distinct_agg",
+    """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+""",
+    doc="Grouped exact distinct counting (expand+two-phase agg in Spark; "
+    "approx_count_distinct/HLL is the 100 TB substitute when exactness "
+    "isn't required).",
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
     "percentile_stats",
     """
 SELECT l_returnflag,

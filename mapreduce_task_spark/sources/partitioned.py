@@ -1,0 +1,43 @@
+"""Partitioned datasets: hive-style layout, dynamic overwrite, pruning.
+
+At 100 TB the events table is written partitioned by date (and often
+sub-bucketed); queries touching a day read one directory, not the
+table. This module encodes the three production rules:
+
+- write with ``partitionBy`` -> hive-style ``col=value`` directories;
+- overwrite with ``partitionOverwriteMode=dynamic`` so a backfill
+  replaces only the partitions present in the incoming frame (static
+  mode would wipe the whole table);
+- verify pruning: a filtered scan must show the predicate under
+  ``PartitionFilters`` (metadata-only pruning), not ``DataFilters``
+  (per-file evaluation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], dynamic: bool = True
+) -> None:
+    """Write (or dynamically overwrite) a hive-partitioned dataset."""
+    spark = df.sparkSession
+    if dynamic:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def with_date_partition(df: DataFrame, ts_col: str = "ts", out_col: str = "dt") -> DataFrame:
+    """Derive the date partition column from an event timestamp."""
+    return df.withColumn(out_col, F.to_date(ts_col))
+
+
+def partition_filters(df: DataFrame) -> str:
+    """The PartitionFilters clause of the scan (test/diagnostic helper)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "PartitionFilters" in line:
+            i = line.index("PartitionFilters")
+            return line[i : i + 200]
+    return ""

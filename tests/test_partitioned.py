@@ -1,0 +1,41 @@
+"""Partitioned writes: layout, dynamic overwrite, partition pruning."""
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from mapreduce_task_spark.sources.partitioned import (
+    partition_filters,
+    with_date_partition,
+    write_partitioned,
+)
+from mapreduce_task_spark.sources.tables import load_table
+
+
+def test_partitioned_write_prune_and_dynamic_overwrite(spark, sf_small):
+    d = tempfile.mkdtemp(prefix="events_part_")
+    try:
+        ev = with_date_partition(load_table(spark, sf_small, "events"))
+        write_partitioned(ev, d, ["dt"])
+        days = sorted(x for x in os.listdir(d) if x.startswith("dt="))
+        assert len(days) >= 25  # one directory per event day
+
+        back = spark.read.parquet(d)
+        one_day = back.filter(F.col("dt") == days[0].split("=")[1])
+        pf = partition_filters(one_day)
+        assert "dt" in pf  # predicate reached PartitionFilters -> pruned scan
+        assert one_day.count() == ev.filter(F.col("dt") == days[0].split("=")[1]).count()
+
+        # dynamic overwrite: rewriting ONE day's slice must leave others intact
+        total_before = back.count()
+        day0_count = one_day.count()
+        day0 = ev.filter(F.col("dt") == days[0].split("=")[1]).limit(5)
+        write_partitioned(day0, d, ["dt"], dynamic=True)
+        spark.catalog.refreshByPath(d)  # drop the cached file listing
+        after = spark.read.parquet(d)
+        assert after.filter(F.col("dt") == days[0].split("=")[1]).count() == 5
+        assert after.count() == total_before - day0_count + 5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
