@@ -36,6 +36,7 @@ from ..operators.similarity import (
     int_dot,
     quantized_cosine,
     srp_buckets,
+    with_quantized,
 )
 from ..registry import query, t
 
@@ -259,6 +260,57 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     qids = emb.select("vec_id").filter(F.col("vec_id") < _N_QUERIES)
     return brute_force_topk(emb, qids, k=_TOPK_K)
+
+
+@query(
+    "similarity_ivf_label",
+    f"""
+WITH {_QVEC_CTE},
+lb AS (SELECT nv.vec_id, nv.qv, nv.nq, e.label FROM nv JOIN embeddings e USING (vec_id)),
+scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                  list_dot_product(q.qv, c.qv) / (sqrt(q.nq) * sqrt(c.nq)) AS cos
+           FROM lb q JOIN lb c ON q.label = c.label AND c.vec_id != q.vec_id
+           WHERE q.vec_id < {_N_QUERIES})
+SELECT query_id, cand_id, cos, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+      FROM scored) r
+WHERE rank <= {_TOPK_K}
+""",
+    doc=f"IVF-style partition-restricted top-{_TOPK_K}: candidates limited to "
+    "the query's coarse cluster (the label column stands in for a k-means "
+    "assignment; at scale the cluster id IS the shuffle/bucket key).",
+)
+def q_similarity_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    qd = with_quantized(emb).select("vec_id", "qv", "nq", "label")
+    q = qd.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qv_q"),
+        F.col("nq").alias("nq_q"),
+        "label",
+    )
+    c = qd.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("qv").alias("qv_c"),
+        F.col("nq").alias("nq_c"),
+        "label",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "label")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            quantized_cosine(
+                int_dot(F.col("qv_q"), F.col("qv_c")), F.col("nq_q"), F.col("nq_c")
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= _TOPK_K
+    )
 
 
 _SRP_BITS = 4

@@ -99,6 +99,27 @@ def test_running_dedupe_batch(spark):
     assert running_dedupe(df, ["k"]).count() == 2
 
 
+def test_stream_static_enrichment_join(spark, events_dir):
+    """Stream-static join: each micro-batch enriched against a static dim."""
+    batch = spark.read.parquet(events_dir)
+    dim = spark.createDataFrame(
+        [{"event_type": t, "weight": i} for i, t in enumerate(
+            ["click", "view", "purchase", "signup", "error"])]
+    )
+    expected = batch.join(dim, "event_type").count()
+    stream = stream_from_directory(spark, events_dir, batch.schema)
+    q = (
+        stream.join(dim, "event_type")
+        .writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("select count(*) n from t_enrich").collect()[0]["n"] == expected
+
+
 def test_stateful_running_count_totals(spark, events_dir):
     batch = spark.read.parquet(events_dir)
     expected = {
