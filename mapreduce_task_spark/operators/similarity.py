@@ -177,6 +177,9 @@ def blocked_all_pairs_cosine(
         hi = np.maximum(id_a, id_b)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cos[ai, bi]})
 
+    # real type objects (not stringified by `from __future__ import
+    # annotations`) so applyInPandas infers the eval type silently
+    gemm.__annotations__ = {"key": tuple, "pdf": pd.DataFrame, "return": pd.DataFrame}
     return rows.groupBy("ba", "bb").applyInPandas(
         gemm, schema="id_a long, id_b long, cos double"
     )

@@ -1,0 +1,74 @@
+"""Property tests (hypothesis) — SURVEY §5.2 item 3.
+
+Tokenizer semantics vs a pure-Python reference, sort duplicate
+preservation, and quantized-cosine bounds.
+"""
+
+import math
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row, functions as F
+
+from mapreduce_task_spark.functions.text import normalized_tokens
+from mapreduce_task_spark.operators.sortops import total_sort
+
+
+def _py_normalize(line: str) -> list[str]:
+    """Reference semantics: split on \\s+, lower, strip [^a-z], drop empties
+    (TraceWordCountMapper.java:108-111)."""
+    toks = re.split(r"\s+", line)
+    out = []
+    for t in toks:
+        t = re.sub("[^a-z]", "", t.lower())
+        if t:
+            out.append(t)
+    return out
+
+
+# printable-ish lines incl. digits, punctuation, unicode, apostrophes
+_line = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=60,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_line, min_size=1, max_size=8))
+def test_tokenizer_matches_python_reference(spark, lines):
+    df = spark.createDataFrame([Row(text=l) for l in lines])
+    got = [r["t"] for r in df.select(normalized_tokens("text").alias("t")).collect()]
+    # createDataFrame preserves row order for a local list
+    assert got == [_py_normalize(l) for l in lines]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="abcde", max_size=5), min_size=1, max_size=30))
+def test_total_sort_preserves_duplicates(spark, values):
+    df = spark.createDataFrame([Row(v=v) for v in values])
+    got = [r["v"] for r in total_sort(df, "v").collect()]
+    assert got == sorted(values)  # exact multiset, exact order
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.floats(-1, 1, allow_nan=False, width=32), min_size=4, max_size=4),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_quantized_cosine_bounded(spark, vecs):
+    from mapreduce_task_spark.operators.similarity import blocked_all_pairs_cosine
+
+    # exclude near-zero vectors (norm 0 after quantization -> div by zero)
+    vecs = [v for v in vecs if sum(abs(x) for x in v) > 0.01]
+    if len(vecs) < 2:
+        return
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = blocked_all_pairs_cosine(df, threshold=-2.0, num_blocks=2).collect()
+    assert len(rows) == len(vecs) * (len(vecs) - 1) // 2
+    assert all(-1.0000001 <= r["cos"] <= 1.0000001 for r in rows)
