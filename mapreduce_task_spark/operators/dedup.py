@@ -187,14 +187,27 @@ def jaccard_verify(
 
 
 def all_pairs_jaccard(
-    shingle_df: DataFrame, id_col: str = "doc_id", min_jaccard: float = 0.5
+    shingle_df: DataFrame,
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.5,
+    df_max: int | None = None,
 ) -> DataFrame:
     """Exhaustive n-gram Jaccard: every pair sharing >=1 shingle.
 
     The shingle equi-join bounds the blow-up to co-occurring pairs
-    (not n^2); at 100 TB add a document-frequency cap on shingles
-    (drop shingles present in > df_max docs) before this join.
+    (not n^2), but a shingle present in d docs fans out d^2 pair rows.
+    ``df_max`` applies the standard tail cut: shingles in more than
+    df_max docs are dropped from BOTH the join and the per-doc sizes
+    (so jaccard stays a true set ratio over the kept shingles). At
+    100 TB this bounds the join fan-out to df_max^2 per shingle; the
+    cut also removes boilerplate n-grams that carry no dedup signal.
     """
+    if df_max is not None:
+        freq = shingle_df.groupBy("shingle").agg(F.count("*").alias("__df"))
+        shingle_df = (
+            shingle_df.join(freq.filter(F.col("__df") <= df_max), "shingle")
+            .drop("__df")
+        )
     sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("n"))
     sa = shingle_df.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingle_df.select(F.col(id_col).alias("id_b"), "shingle")

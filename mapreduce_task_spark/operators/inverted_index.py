@@ -30,12 +30,20 @@ def inverted_index(
     doc_col: str = "doc_id",
     out_docs_col: str = "doc_ids",
     sort: bool = True,
+    max_postings: int | None = None,
 ) -> DataFrame:
-    """(word, doc) pairs -> (word, csv-of-sorted-distinct-docs, n_docs)."""
+    """(word, doc) pairs -> (word, csv-of-sorted-distinct-docs, n_docs).
+
+    ``max_postings`` caps the emitted list (first N sorted doc ids) —
+    the 100 TB guard against a word present in every document blowing
+    up one aggregation buffer; ``n_docs`` still reports the true
+    distinct count.
+    """
+    docs_set = F.sort_array(F.collect_set(F.col(doc_col).cast("string")))
+    if max_postings is not None:
+        docs_set = F.slice(docs_set, 1, max_postings)
     out = pairs.groupBy(F.col(word_col).alias("word")).agg(
-        F.array_join(F.sort_array(F.collect_set(F.col(doc_col).cast("string"))), ",").alias(
-            out_docs_col
-        ),
+        F.array_join(docs_set, ",").alias(out_docs_col),
         F.size(F.collect_set(F.col(doc_col).cast("string"))).cast("long").alias("n_docs"),
     )
     return out.orderBy("word") if sort else out

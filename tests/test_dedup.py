@@ -68,6 +68,21 @@ def test_all_pairs_jaccard_values(spark):
     assert (got[0]["id_a"], got[0]["id_b"], got[0]["jaccard"]) == (0, 1, 0.5)
 
 
+def test_all_pairs_jaccard_df_cap_drops_hot_shingles(spark):
+    # 'x y z' appears in all 4 docs (df=4); with df_max=3 it is dropped
+    # everywhere, so the only surviving overlap is doc0/doc1's 'a b c'.
+    df = _docs(
+        spark,
+        ["a b c x y z", "a b c x y z", "x y z q r s", "x y z t u v"],
+    )
+    sh = shingles(df)
+    uncapped = {(r["id_a"], r["id_b"]) for r in all_pairs_jaccard(sh, min_jaccard=0.1).collect()}
+    capped = all_pairs_jaccard(sh, min_jaccard=0.1, df_max=3).collect()
+    assert (2, 3) in uncapped  # hot shingle linked unrelated docs
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped}
+    assert set(got) < uncapped and (2, 3) not in got
+
+
 def test_simhash_identical_docs_match(spark):
     df = _docs(spark, ["spark rules ok", "spark rules ok", "totally different words here"])
     got = {r["doc_id"]: r["simhash"] for r in simhash(positioned_words(df)).collect()}
