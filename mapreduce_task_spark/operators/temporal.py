@@ -96,6 +96,40 @@ def band_join(
     return df.join(F.broadcast(bands), cond, "inner")
 
 
+def uniform_band_join(
+    df: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    width: float,
+    num_bands: int,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Band join specialized for (near-)uniform band widths: derive the
+    bucket id on both sides and equi-join on it.
+
+    This turns the interpreted BroadcastNestedLoopJoin of ``band_join``
+    into a codegen BroadcastHashJoin — at 100 TB that is the difference
+    between 1 hash probe and num_bands predicate evaluations per row.
+    The exact [lo, hi) predicate still runs post-join, so bands whose
+    edges don't align to ``width`` (e.g. a wider last band mapped onto
+    ``num_bands - 1``) stay correct.
+    """
+    def bid(c: Column) -> Column:
+        return F.least(
+            F.floor(c / F.lit(width)).cast("int"), F.lit(num_bands - 1)
+        )
+
+    b = F.broadcast(bands.withColumn("__bid", bid(F.col(lo_col))))
+    in_band = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return (
+        df.withColumn("__bid", bid(F.col(value_col)))
+        .join(b, "__bid")
+        .filter(in_band)
+        .drop("__bid")
+    )
+
+
 def interval_pairs_per_key(
     df: DataFrame,
     key: str = "user_id",

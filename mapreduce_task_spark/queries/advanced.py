@@ -10,7 +10,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.temporal import asof_join, band_join, interval_pairs_per_key
+from ..operators.temporal import (
+    asof_join,
+    band_join,
+    interval_pairs_per_key,
+    uniform_band_join,
+)
 from ..registry import query, t
 
 
@@ -68,7 +73,9 @@ def q_join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("l", 30.0, 40.0), ("xl", 40.0, 51.0)],
         "band string, lo double, hi double",
     )
-    joined = band_join(li, bands, "l_quantity")
+    # uniform 10-wide bands (the wider last band folds onto id 4):
+    # equi-join on the derived bucket, not a nested-loop range join.
+    joined = uniform_band_join(li, bands, "l_quantity", width=10.0, num_bands=5)
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
@@ -215,6 +222,25 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count_distinct("user_id").alias("n_users"),
             F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "approx_sketches",
+    None,  # HLL/quantile-sketch estimates differ per engine: rows-only check
+    doc="Sketch-based aggregates for 100 TB: approx_count_distinct (HLL — "
+    "deterministic for fixed data: register-max merge is commutative) and "
+    "approx_percentile. The exact twins distinct_agg/percentile_stats carry "
+    "the oracles; these are the drop-in scale substitutes.",
+)
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_percentile("value", 0.5, 10000).alias("approx_median_value"),
         )
     )
 

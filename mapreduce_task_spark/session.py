@@ -27,6 +27,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # runtime row-level bloom pruning: a selective join side injects a
+    # bloom filter into the other side's scan (big win for the
+    # semi-join-heavy dedup pipelines at scale; no-op on tiny inputs).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Arrow for the pandas-UDF slow path (similarity/multimodal/chaos).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }

@@ -63,3 +63,19 @@ def test_interval_pairs_matches_bruteforce(spark):
         return out
 
     assert got == brute(rows)  # user 1: (0,10),(0,29),(10,29),(10,31),(29,31); user 2 none
+
+
+def test_uniform_band_join_matches_general(spark):
+    from mapreduce_task_spark.operators.temporal import uniform_band_join
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(x=float(v)) for v in (0, 5, 10, 39.9, 40, 50, 50.9)])
+    bands = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 20.0), ("c", 20.0, 30.0),
+         ("d", 30.0, 40.0), ("e", 40.0, 51.0)],
+        "band string, lo double, hi double",
+    )
+    uni = sorted((r["x"], r["band"]) for r in
+                 uniform_band_join(df, bands, "x", 10.0, 5).collect())
+    gen = sorted((r["x"], r["band"]) for r in band_join(df, bands, "x").collect())
+    assert uni == gen and (50.9, "e") in uni
