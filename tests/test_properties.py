@@ -16,8 +16,13 @@ from mapreduce_task_spark.operators.sortops import total_sort
 
 def _py_normalize(line: str) -> list[str]:
     """Reference semantics: split on \\s+, lower, strip [^a-z], drop empties
-    (TraceWordCountMapper.java:108-111)."""
-    toks = re.split(r"\s+", line)
+    (TraceWordCountMapper.java:108-111).
+
+    re.ASCII: Java's \\s is ASCII-only ([ \\t\\n\\x0B\\f\\r]) — Python's
+    unicode \\s additionally matches NEL/NBSP etc., which the Java reference
+    (and Spark's JVM regex) do NOT treat as token separators.
+    """
+    toks = re.split(r"\s+", line, flags=re.ASCII)
     out = []
     for t in toks:
         t = re.sub("[^a-z]", "", t.lower())
