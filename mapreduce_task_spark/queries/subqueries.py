@@ -1,0 +1,169 @@
+"""Subquery shapes, map-type scalars, and two more TPC-H analogues.
+
+SURVEY.md §2.5 lists "Subqueries" and "map scalar functions" among the
+categories the reference (oscar-osu/mapreduce-task — three MapReduce jobs,
+no query language at all) does not implement; these queries declare-and-test
+Spark's built-in coverage with DuckDB oracles, following the determinism
+rules of queries/relational.py (decimal accumulation, aliased columns,
+unique tie-breakers).
+
+Scale notes (SCALE.md applies):
+- scalar subqueries become a 1-row broadcast cross join — no shuffle of
+  the probe side, identical plan shape at any fact size;
+- IN-subqueries are left-semi joins (only the key column of the subquery
+  side shuffles; Catalyst picks broadcast when the build side is small);
+- q6 is scan+filter+single partial/final agg: pure map-side until one
+  1-row exchange; q10 is the classic fact-fact join + broadcast dims +
+  TakeOrderedAndProject top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession, functions as F
+
+from ..registry import query, t
+
+
+def _dec(col: str | Column, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: highly selective conjunctive filter + ungrouped "
+    "aggregate. All four predicates push into the parquet scan "
+    "(PushedFilters); the agg is map-side partial + one 1-row exchange.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue by customer. Fact-fact "
+    "shuffle join (orders x lineitem) with filters pushed to both scans, "
+    "broadcast nation dim, grouped decimal agg, global top-20 via "
+    "TakeOrderedAndProject (k-row heaps per partition, no full sort).",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = t(spark, sf_dir, "nation")
+    joined = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(nat), nat.n_nationkey == cust.c_nationkey)
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+@query(
+    "subquery_shapes",
+    oracle="""
+    SELECT p_partkey, CAST(p_size AS INT) AS p_size
+    FROM part
+    WHERE p_size > (SELECT max(p_size) - 5 FROM part)
+      AND p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 40)
+    """,
+    doc="Subquery coverage (absent in the reference, SURVEY §2.5): an "
+    "uncorrelated scalar subquery (threshold = max(p_size)-5, realized as "
+    "a 1-row broadcast cross join -- no recompute per row, no shuffle of "
+    "the probe side) composed with an IN-subquery (left-semi join on the "
+    "filtered lineitem keys).",
+)
+def q_subquery_shapes(spark: SparkSession, sf_dir: str):
+    part = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    thr = part.agg((F.max("p_size") - F.lit(5)).alias("size_thr"))
+    big = (
+        part.join(F.broadcast(thr))
+        .filter(F.col("p_size") > F.col("size_thr"))
+        .select("p_partkey", F.col("p_size").cast("int").alias("p_size"))
+    )
+    sold_heavy = li.filter(F.col("l_quantity") > 40).select("l_partkey")
+    return big.join(
+        sold_heavy, big.p_partkey == sold_heavy.l_partkey, "left_semi"
+    )
+
+
+@query(
+    "map_funcs",
+    oracle="""
+    SELECT event_id,
+           event_type AS type_from_map,
+           json_extract_string(props, '$.k') AS k_from_map,
+           CAST(2 AS INT) AS n_entries,
+           concat('k,type') AS keys_sorted_csv,
+           'marker' AS concat_probe
+    FROM events
+    """,
+    doc="Map-type scalar coverage: map_from_arrays / element_at / size / "
+    "map_keys / map_concat. The map is built and consumed inside the plan "
+    "(maps never cross the engine boundary -- the oracle checks the "
+    "extracted scalars), so Catalyst folds it to pure columnar exprs.",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("k")),
+        F.array(F.col("event_type"), F.get_json_object("props", "$.k")),
+    )
+    merged = F.map_concat(m, F.create_map(F.lit("probe"), F.lit("marker")))
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_from_map"),
+        F.element_at(m, "k").alias("k_from_map"),
+        F.size(m).cast("int").alias("n_entries"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted_csv"),
+        F.element_at(merged, "probe").alias("concat_probe"),
+    )
