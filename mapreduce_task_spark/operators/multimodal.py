@@ -90,16 +90,31 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """
     import hashlib
 
+    import numpy as np
     import pandas as pd
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             payloads = pdf["payload"]
+            # One concatenated uint8 view + np.add.reduceat over payload
+            # boundaries: the whole batch's byte sums in a single C-level
+            # pass (a per-payload Python sum() loop was ~100x slower and
+            # the bench's hottest spot).
+            lens = payloads.map(len).to_numpy(dtype="int64")
+            if lens.sum():
+                flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+                offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                # trailing empty payloads would index one past the end
+                offsets = np.minimum(offsets, len(flat) - 1)
+                sums = np.add.reduceat(flat.astype(np.int64), offsets)
+                sums[lens == 0] = 0  # reduceat folds the next range into empties
+            else:
+                sums = np.zeros(len(lens), dtype=np.int64)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "byte_sum": payloads.map(lambda b: sum(b) % (1 << 31)).astype("int64"),
+                    "n_bytes": lens,
+                    "byte_sum": sums % (1 << 31),
                     "head_md5": payloads.map(lambda b: hashlib.md5(b[:16]).hexdigest()),
                     "modality": pdf["media_meta"].map(lambda m: m["modality"]),
                 }

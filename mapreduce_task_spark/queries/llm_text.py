@@ -149,9 +149,20 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_features",
-    None,  # mapInPandas byte-level features: not SQL-expressible -> rows-only check
+    """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_bytes,
+  CAST(list_sum(list_transform(split(text, ''), c -> ascii(c))) % 2147483648
+       AS BIGINT) AS byte_sum,
+  md5(substring(text, 1, 16)) AS head_md5,
+  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS modality
+FROM documents
+""",
     doc="Arrow-batched feature extraction over binary payloads (decode step "
-    "stubbed; see operators.multimodal).",
+    "stubbed; see operators.multimodal). Oracle replays the byte stats "
+    "char-wise — valid because the synthetic corpus is pure ASCII "
+    "(byte == char), verified: 0 docs with octet_length != length.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(with_binary_payload(t(spark, sf_dir, "documents")))

@@ -233,7 +233,7 @@ def q_window_funcs(spark: SparkSession, sf_dir: str):
     WITH flagged AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+                       OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -362,7 +362,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str):
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
     FROM events
     GROUP BY event_type
@@ -394,7 +394,7 @@ def q_json_funcs(spark: SparkSession, sf_dir: str):
            concat(p_brand, '#', p_type) AS brand_type,
            CAST(abs(p_size - 25) AS INT) AS size_dist,
            CAST(p_size % 7 AS INT) AS size_mod,
-           round(CAST(p_retailprice AS DECIMAL(18,2)) * 110 / 100, 2) AS price_plus_10pct
+           CAST(round(CAST(p_retailprice AS DECIMAL(18,2)) * 110 / 100, 2) AS DOUBLE) AS price_plus_10pct
     FROM part
     """,
     doc="Scalar breadth: string (upper/substring/length/concat) and math "
@@ -410,7 +410,9 @@ def q_string_math_funcs(spark: SparkSession, sf_dir: str):
         F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
         F.abs(F.col("p_size") - 25).cast("int").alias("size_dist"),
         (F.col("p_size") % 7).cast("int").alias("size_mod"),
-        F.round(_dec("p_retailprice") * 110 / 100, 2).alias("price_plus_10pct"),
+        F.round(_dec("p_retailprice") * 110 / 100, 2)
+        .cast("double")
+        .alias("price_plus_10pct"),
     )
 
 
