@@ -185,8 +185,94 @@ def blocked_all_pairs_cosine(
     )
 
 
+def _nearest_cluster(qd: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Assign each row of qd(id, qv, nq) to the nearest centroid in
+    cents(j, cqv, cnq) — exact int64 squared distance, ties to lowest j.
+
+    cents is k rows -> broadcast nested-loop expand (xk) followed by a
+    min(struct) groupBy: partial aggregation collapses the fan-out
+    map-side, so the shuffle carries one row per input row.
+    """
+    dist = (F.col("nq") + F.col("cnq") - 2 * int_dot(F.col("qv"), F.col("cqv"))).alias(
+        "__dist"
+    )
+    return (
+        qd.crossJoin(F.broadcast(cents))
+        .select(id_col, "qv", "nq", "j", dist)
+        .groupBy(id_col)
+        .agg(
+            F.min(F.struct("__dist", "j")).alias("__m"),
+            F.first("qv").alias("qv"),
+            F.first("nq").alias("nq"),
+        )
+        .select(id_col, "qv", "nq", F.col("__m.j").alias("cluster"))
+    )
+
+
+def kmeans_lite_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic seeded k-means-lite coarse quantizer (IVF index build).
+
+    One Lloyd round, every step exact-integer so a SQL oracle replays it
+    bit-for-bit:
+      1. seeds: the k vectors with the smallest (md5-hash(id), id) — a
+         deterministic "random" draw (TakeOrderedAndProject, no full sort).
+      2. assign each vector to its nearest seed (exact int64 distance).
+      3. centroid update: element-wise integer floor-division mean
+         (sum - pmod(sum, n)) / n — exactly divisible, so the division
+         is exact in int64 and in any engine's double.
+      4. reassign to the updated centroids.
+
+    Returns (id, qv, nq, cluster). Scale: the only shuffles are the two
+    assignment groupBys (map-side combined) and the k x dim centroid agg;
+    centroids travel as a k-row broadcast. Component sums stay exact in
+    int64/double up to ~1e9 rows per cluster (1e6 quant x 1e9 < 2^53).
+    """
+    from ..functions.hashing import hash64
+
+    qd = with_quantized(df, vec_col).select(id_col, "qv", "nq")
+
+    seed_rows = qd.select(id_col, "qv", "nq", hash64(id_col).alias("__h")).orderBy(
+        "__h", id_col
+    ).limit(k)
+    # k rows: the single-partition window is fine
+    w = Window.orderBy("__h", id_col)
+    seeds = seed_rows.select(
+        F.row_number().over(w).alias("j"),
+        F.col("qv").alias("cqv"),
+        F.col("nq").alias("cnq"),
+    )
+
+    a1 = _nearest_cluster(qd, seeds, id_col)
+
+    sums = a1.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(dim)],
+    )
+    comps = [
+        ((F.col(f"s{i}") - F.pmod(F.col(f"s{i}"), F.col("n"))) / F.col("n")).cast(
+            "bigint"
+        )
+        for i in range(dim)
+    ]
+    cents2 = sums.select(
+        F.col("cluster").alias("j"), F.array(*comps).alias("cqv")
+    ).select("j", "cqv", int_dot(F.col("cqv"), F.col("cqv")).alias("cnq"))
+
+    return _nearest_cluster(qd, cents2, id_col)
+
+
 def srp_buckets(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", nbits: int = 4
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Signed-random-projection bucket per vector: (id, qv, nq, bucket).
 
@@ -194,8 +280,13 @@ def srp_buckets(
     literals so the projection is an exact int64 sum (deterministic).
     nbits sizes the bucket count (2^nbits) — tune to data volume so
     each bucket holds ~candidates-per-probe.
+
+    Pass ``dim`` (the embedding dimensionality) so building the plan
+    stays lazy; the ``.first()`` fallback launches a Spark job at
+    build time, which a production pipeline should avoid.
     """
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     hps = hyperplanes(nbits, dim)
     qd = with_quantized(df, vec_col)
     bucket = None

@@ -34,9 +34,9 @@ from ..operators.similarity import (
     blocked_all_pairs_cosine,
     brute_force_topk,
     int_dot,
+    kmeans_lite_clusters,
     quantized_cosine,
     srp_buckets,
-    with_quantized,
 )
 from ..registry import query, t
 
@@ -194,13 +194,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(words(t(spark, sf_dir, "documents"), keep=("doc_id",)), bits=_SIMHASH_BITS)
 
 
+_NGRAM_DF_MAX = 16
+
+
 @query(
     "dedup_ngram_jaccard",
     f"""
 WITH {_SHINGLE_CTE},
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {_NGRAM_DF_MAX}),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
 inter AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS inter
-          FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+          FROM shf sa JOIN shf sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
           GROUP BY sa.doc_id, sb.doc_id)
 SELECT i.id_a, i.id_b,
        CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) AS jaccard
@@ -209,11 +214,15 @@ JOIN sizes na ON na.doc_id = i.id_a
 JOIN sizes nb ON nb.doc_id = i.id_b
 WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5
 """,
-    doc="Exhaustive 3-gram Jaccard near-dup (shingle equi-join, >= 0.5).",
+    doc="Exhaustive 3-gram Jaccard near-dup (shingle equi-join, >= 0.5) with "
+    f"the document-frequency tail cut active (df_max={_NGRAM_DF_MAX}): a "
+    "shingle in d docs fans out d^2 pair rows, so boilerplate n-grams are "
+    "dropped from both the join and the per-doc set sizes — bounded fan-out "
+    "at scale, and the oracle applies the identical cut.",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _persist(shingles(t(spark, sf_dir, "documents")))
-    return all_pairs_jaccard(sh, min_jaccard=0.5)
+    return all_pairs_jaccard(sh, min_jaccard=0.5, df_max=_NGRAM_DF_MAX)
 
 
 @query(
@@ -262,42 +271,66 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, qids, k=_TOPK_K)
 
 
+_IVF_K = 8  # coarse clusters; the oracle replays the same seeded build
+_EMB_DIM = 64  # testdata embedding dimensionality (oracle hardcodes range(64))
+
+
 @query(
-    "similarity_ivf_label",
+    "similarity_ivf",
     f"""
 WITH {_QVEC_CTE},
-lb AS (SELECT nv.vec_id, nv.qv, nv.nq, e.label FROM nv JOIN embeddings e USING (vec_id)),
+hs AS (SELECT vec_id, qv, nq, {hash64_duckdb_sql('vec_id')} AS h FROM nv),
+seeds AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS j, qv AS cqv, nq AS cnq
+          FROM (SELECT * FROM hs ORDER BY h, vec_id LIMIT {_IVF_K})),
+a1 AS (SELECT vec_id, qv, nq, j,
+              row_number() OVER (PARTITION BY vec_id
+                  ORDER BY nq + cnq - 2 * list_dot_product(qv, cqv), j) AS rn
+       FROM nv CROSS JOIN seeds),
+m1 AS (SELECT vec_id, qv, nq, j AS cluster FROM a1 WHERE rn = 1),
+comp AS (SELECT cluster, unnest(qv) AS val, unnest(range(len(qv))) AS idx FROM m1),
+cs AS (SELECT cluster, idx, sum(val) AS s, count(*) AS n FROM comp GROUP BY cluster, idx),
+cvec AS (SELECT cluster AS j, list((s - ((s % n) + n) % n) / n ORDER BY idx) AS cqv
+         FROM cs GROUP BY cluster),
+c2 AS (SELECT j, cqv, list_dot_product(cqv, cqv) AS cnq FROM cvec),
+a2 AS (SELECT nv.vec_id, nv.qv, nv.nq, c2.j,
+              row_number() OVER (PARTITION BY nv.vec_id
+                  ORDER BY nv.nq + c2.cnq - 2 * list_dot_product(nv.qv, c2.cqv), c2.j) AS rn
+       FROM nv CROSS JOIN c2),
+m2 AS (SELECT vec_id, qv, nq, j AS cluster FROM a2 WHERE rn = 1),
 scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                   list_dot_product(q.qv, c.qv) / (sqrt(q.nq) * sqrt(c.nq)) AS cos
-           FROM lb q JOIN lb c ON q.label = c.label AND c.vec_id != q.vec_id
+           FROM m2 q JOIN m2 c ON q.cluster = c.cluster AND c.vec_id != q.vec_id
            WHERE q.vec_id < {_N_QUERIES})
 SELECT query_id, cand_id, cos, CAST(rank AS INTEGER) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
       FROM scored) r
 WHERE rank <= {_TOPK_K}
 """,
-    doc=f"IVF-style partition-restricted top-{_TOPK_K}: candidates limited to "
-    "the query's coarse cluster (the label column stands in for a k-means "
-    "assignment; at scale the cluster id IS the shuffle/bucket key).",
+    doc=f"IVF top-{_TOPK_K}: a real computed coarse quantizer — seeded "
+    f"k-means-lite ({_IVF_K} clusters, one exact-integer Lloyd round; see "
+    "operators.similarity.kmeans_lite_clusters) — then candidates restricted "
+    "to the query's cluster. At scale the cluster id IS the shuffle/bucket "
+    "key; the oracle replays the identical deterministic index build.",
 )
-def q_similarity_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    qd = with_quantized(emb).select("vec_id", "qv", "nq", "label")
-    q = qd.filter(F.col("vec_id") < _N_QUERIES).select(
+    # persist: the built index (id, qv, nq, cluster) feeds both join sides
+    cl = _persist(kmeans_lite_clusters(emb, k=_IVF_K, dim=_EMB_DIM))
+    q = cl.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("qv_q"),
         F.col("nq").alias("nq_q"),
-        "label",
+        "cluster",
     )
-    c = qd.select(
+    c = cl.select(
         F.col("vec_id").alias("cand_id"),
         F.col("qv").alias("qv_c"),
         F.col("nq").alias("nq_c"),
-        "label",
+        "cluster",
     )
     scored = (
         F.broadcast(q)
-        .join(c, "label")
+        .join(c, "cluster")
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -343,7 +376,8 @@ WHERE rank <= {_TOPK_K}
 )
 def q_similarity_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    bk = srp_buckets(emb, nbits=_SRP_BITS)
+    # dim passed explicitly: no driver-side .first() job at plan-build time
+    bk = srp_buckets(emb, nbits=_SRP_BITS, dim=_EMB_DIM)
     q = bk.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("qv_q"),

@@ -7,6 +7,7 @@ from pyspark.sql import Row, functions as F
 from mapreduce_task_spark.operators.similarity import (
     brute_force_topk,
     hyperplanes,
+    kmeans_lite_clusters,
     srp_buckets,
     with_quantized,
 )
@@ -43,6 +44,27 @@ def test_hyperplanes_deterministic(spark):
     flat = [c for row in hyperplanes(4, 64) for c in row]
     assert all(-1000 <= c <= 1000 for c in flat)
     assert len(set(flat)) > 100  # spread out, not degenerate
+
+
+def test_kmeans_lite_separates_obvious_clusters(spark):
+    # two tight groups on opposite axes -> they must land in different
+    # clusters and co-group within themselves, whatever the seed draw
+    a = [[1.0, 0.0, 0.0, 0.0], [0.9, 0.1, 0.0, 0.0], [0.95, -0.05, 0.0, 0.0]]
+    b = [[0.0, 0.0, 0.0, 1.0], [0.0, 0.1, 0.0, 0.9], [0.0, -0.05, 0.0, 0.95]]
+    df = _emb(spark, a + b)
+    got = {r["vec_id"]: r["cluster"] for r in
+           kmeans_lite_clusters(df, k=2, dim=4).collect()}
+    assert len(got) == 6
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] == got[5]
+    assert got[0] != got[3]
+
+
+def test_kmeans_lite_deterministic(spark):
+    df = _emb(spark, [[0.1 * i, 0.2, -0.3, 0.05 * i] for i in range(12)])
+    r1 = sorted(kmeans_lite_clusters(df, k=3, dim=4).collect())
+    r2 = sorted(kmeans_lite_clusters(df, k=3, dim=4).collect())
+    assert r1 == r2
 
 
 def test_srp_same_vector_same_bucket(spark):
