@@ -149,14 +149,19 @@ def _slow_stage(
     return src.mapInPandas(gen, schema=schema_out).select(*cols, HITS_COL)
 
 
-def _finish(df: DataFrame, observation: Observation | None, counter: str) -> DataFrame:
+def _finish(
+    df: DataFrame, observation: Observation | str | None, counter: str
+) -> DataFrame:
+    # str observation = streaming-friendly named metric: Observation
+    # objects only work on batch queries, while a name string surfaces
+    # the counters in every StreamingQueryProgress.observedMetrics.
     if observation is not None:
         df = df.observe(observation, F.sum(F.col(HITS_COL)).alias(counter))
     return df.drop(HITS_COL)
 
 
 def inject_map_chaos(
-    df: DataFrame, cfg: ChaosConfig, observation: Observation | None = None
+    df: DataFrame, cfg: ChaosConfig, observation: Observation | str | None = None
 ) -> DataFrame:
     """F1/F2: slow down scan-side partitions. No-op when disabled."""
     if not cfg.map_enabled:
@@ -168,7 +173,7 @@ def inject_map_chaos(
 
 
 def inject_reduce_chaos(
-    df: DataFrame, cfg: ChaosConfig, observation: Observation | None = None
+    df: DataFrame, cfg: ChaosConfig, observation: Observation | str | None = None
 ) -> DataFrame:
     """F3: slow down post-shuffle partitions (apply after the groupBy)."""
     if not cfg.reduce_enabled:
@@ -188,7 +193,7 @@ def inject_heavy_key(
     df: DataFrame,
     key_col: str,
     cfg: ChaosConfig,
-    observation: Observation | None = None,
+    observation: Observation | str | None = None,
 ) -> DataFrame:
     """F4: sleep whenever the configured hot key is reduced — creates the
     skew the reference demos with key ``the`` @5000 ms (run.sh:80-81)."""

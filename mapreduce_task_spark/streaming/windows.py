@@ -122,9 +122,20 @@ def session_counts(
 def running_dedupe(
     df: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "1 hour"
 ) -> DataFrame:
-    """Streaming exact dedup on ``keys`` within the watermark horizon."""
+    """Exact dedup on ``keys`` — same key set in batch and streaming.
+
+    Streams use ``dropDuplicatesWithinWatermark``: two events with the
+    same keys but different event times still dedupe (batch-equivalent
+    within the horizon), while state for a key is evicted once the
+    watermark passes it — bounded state on an unbounded stream. Plain
+    streaming ``dropDuplicates(keys)`` would keep every key forever;
+    adding ``ts`` to the keys (the previous formulation) silently
+    changed the dedup semantics between batch and stream.
+    """
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
     src = _with_watermark(df, ts_col, watermark)
-    return src.dropDuplicates(keys + [ts_col] if df.isStreaming else keys)
+    return src.dropDuplicatesWithinWatermark(keys)
 
 
 _STATE_SCHEMA = "n bigint"

@@ -1,0 +1,53 @@
+"""approx_sketches has no SQL oracle (HLL/quantile estimates are
+engine-specific), so this test gives the rows-only entry teeth: the
+estimates must land within their documented error bounds of the exact
+twins (distinct_agg / percentile_stats shapes) on real testdata.
+
+- approx_count_distinct: HyperLogLog++ with default rsd = 5%; assert
+  within 3x the documented rsd (15%) of the exact distinct count.
+- approx_percentile(value, 0.5, 10000): by the accuracy contract the
+  returned element's true rank is within n/10000 of the 0.5 quantile;
+  assert the estimate lies between the exact 0.45 and 0.55 quantiles
+  (vastly looser than n/10000 — stable across data refreshes).
+"""
+
+from pyspark.sql import functions as F
+
+from mapreduce_task_spark.sources.tables import load_table
+
+
+def test_approx_sketches_within_error_bounds(spark, sf_med):
+    ev = load_table(spark, sf_med, "events")
+    approx = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_percentile("value", 0.5, 10000).alias("approx_median_value"),
+        )
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.percentile("value", 0.45).alias("p45"),
+            F.percentile("value", 0.55).alias("p55"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact) and len(approx) > 0
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a["approx_users"] - e["users"]) <= 0.15 * e["users"], (
+            et,
+            a["approx_users"],
+            e["users"],
+        )
+        assert e["p45"] <= float(a["approx_median_value"]) <= e["p55"], (
+            et,
+            a["approx_median_value"],
+            e["p45"],
+            e["p55"],
+        )

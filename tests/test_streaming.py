@@ -99,6 +99,101 @@ def test_running_dedupe_batch(spark):
     assert running_dedupe(df, ["k"]).count() == 2
 
 
+def test_running_dedupe_stream_matches_batch_keys_only(spark, tmp_path):
+    """Same key at DIFFERENT event times must still dedupe on streams
+    (dropDuplicatesWithinWatermark), matching the batch semantics."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        {"k": "a", "ts": t0},
+        {"k": "a", "ts": t0 + dt.timedelta(minutes=5)},  # dup key, new ts
+        {"k": "b", "ts": t0},
+        {"k": "b", "ts": t0},
+    ]
+    batch = spark.createDataFrame(rows)
+    d = str(tmp_path / "dedup_src")
+    batch.coalesce(1).write.mode("overwrite").parquet(d)
+    src = spark.read.parquet(d)
+    assert running_dedupe(src, ["k"]).count() == 2
+
+    stream = stream_from_directory(spark, d, src.schema)
+    q = (
+        running_dedupe(stream, ["k"], watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select k from t_dedup").collect()
+    assert sorted(r["k"] for r in got) == ["a", "b"]
+
+
+def test_streaming_chaos_result_invariance(spark, events_dir):
+    """F1/F3 on the streaming path: slow micro-batch partitions (map-side
+    straggler) + a post-agg straggler stage; the results must be exactly
+    the batch results, and the injected hits must surface in the
+    streaming progress observedMetrics."""
+    from mapreduce_task_spark.chaos import ChaosConfig, inject_map_chaos
+
+    cfg = ChaosConfig.from_conf(
+        {
+            "insertindex.slow.map.partitions": "0,1,2,3,4,5,6,7",
+            "insertindex.slow.map.sleep.ms": "1",
+            "insertindex.slow.map.eachN": "500",
+        }
+    )
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in tumbling_counts(batch).collect()
+    }
+    stream = stream_from_directory(spark, events_dir, batch.schema)
+    chaotic = inject_map_chaos(stream, cfg, observation="chaos_map")
+    q = _run_stream(tumbling_counts(chaotic), "t_chaos_tumble")
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("select * from t_chaos_tumble").collect()
+    }
+    assert got == expected and len(got) > 0
+    hits = sum(
+        p["observedMetrics"]["chaos_map"]["SLOW_INJECT_MAP_HITS"] or 0
+        for p in q.recentProgress
+        if "chaos_map" in p.get("observedMetrics", {})
+    )
+    assert hits > 0
+
+
+def test_streaming_chaos_reduce_side_invariance(spark, events_dir):
+    """F3 after the streaming aggregation: a straggling reducer stage
+    must not change the emitted window counts."""
+    from mapreduce_task_spark.chaos import ChaosConfig, inject_reduce_chaos
+
+    cfg = ChaosConfig.from_conf(
+        {
+            "insertindex.slow.reduce.partitions": "0,1,2,3",
+            "insertindex.slow.reduce.sleep.ms": "1",
+            "insertindex.slow.reduce.eachN": "200",
+            "insertindex.slow.reduce.setup.sleep.ms": "5",
+        }
+    )
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in tumbling_counts(batch).collect()
+    }
+    stream = stream_from_directory(spark, events_dir, batch.schema)
+    slowed = inject_reduce_chaos(tumbling_counts(stream), cfg)
+    q = _run_stream(slowed, "t_chaos_reduce")
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("select * from t_chaos_reduce").collect()
+    }
+    assert got == expected and len(got) > 0
+
+
 def test_stream_static_enrichment_join(spark, events_dir):
     """Stream-static join: each micro-batch enriched against a static dim."""
     batch = spark.read.parquet(events_dir)
