@@ -95,6 +95,11 @@ nv AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nq FROM n)
 # persist bookkeeping: each query build releases the previous build's
 # cached intermediates (queries run sequentially in the driver/bench;
 # a leaked cache starves later pandas-UDF stages of executor memory).
+#
+# SCOPE: this module-global assumes the driver/bench contract of
+# strictly sequential query execution within one SparkSession. Callers
+# composing these builders concurrently should persist/unpersist at the
+# call site instead (the operators themselves never persist).
 
 _LIVE_PERSISTS: list[DataFrame] = []
 
