@@ -40,6 +40,27 @@ def main() -> int:
             load_table(spark, sf_dir, name).count()
         except Exception:
             pass
+    # also warm the codegen/shuffle/noop-sink machinery the first timed
+    # query otherwise absorbs (~2 s of JIT on a synthetic plan, not on
+    # any benched query's data)
+    try:
+        from pyspark.sql import functions as _F
+
+        (
+            spark.range(200_000)
+            .select(
+                (_F.col("id") % 97).alias("k"),
+                _F.explode(_F.split(_F.lit("a b c"), " ")).alias("w"),
+            )
+            .groupBy("k", "w")
+            .count()
+            .orderBy("k")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception:
+        pass
 
     def run_once(name) -> float:
         t0 = time.perf_counter()
