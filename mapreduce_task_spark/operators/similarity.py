@@ -189,23 +189,27 @@ def _nearest_cluster(qd: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     """Assign each row of qd(id, qv, nq) to the nearest centroid in
     cents(j, cqv, cnq) — exact int64 squared distance, ties to lowest j.
 
-    cents is k rows -> broadcast nested-loop expand (xk) followed by a
-    min(struct) groupBy: partial aggregation collapses the fan-out
-    map-side, so the shuffle carries one row per input row.
+    The k centroids are packed into ONE row (collect_list of structs)
+    and broadcast, so assignment is a pure per-row projection:
+    ``array_min`` over (distance, j) structs gives the lexicographic
+    argmin with the tie-break built in. No row fan-out, no shuffle —
+    the alternative (crossJoin xk + groupBy-argmin) shuffles every
+    input row per Lloyd round.
     """
-    dist = (F.col("nq") + F.col("cnq") - 2 * int_dot(F.col("qv"), F.col("cqv"))).alias(
-        "__dist"
-    )
-    return (
-        qd.crossJoin(F.broadcast(cents))
-        .select(id_col, "qv", "nq", "j", dist)
-        .groupBy(id_col)
-        .agg(
-            F.min(F.struct("__dist", "j")).alias("__m"),
-            F.first("qv").alias("qv"),
-            F.first("nq").alias("nq"),
+    packed = cents.agg(F.collect_list(F.struct("j", "cqv", "cnq")).alias("__cents"))
+    best = F.array_min(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                (F.col("nq") + c["cnq"] - 2 * int_dot(F.col("qv"), c["cqv"])).alias(
+                    "d"
+                ),
+                c["j"].alias("j"),
+            ),
         )
-        .select(id_col, "qv", "nq", F.col("__m.j").alias("cluster"))
+    )
+    return qd.crossJoin(F.broadcast(packed)).select(
+        id_col, "qv", "nq", best["j"].alias("cluster")
     )
 
 
