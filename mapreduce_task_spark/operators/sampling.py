@@ -1,0 +1,88 @@
+"""Deterministic sampling + corpus mixing for training-data pipelines.
+
+``df.sample()`` is seed-dependent per partitioning and not reproducible
+across runs/engines; these operators sample by CONTENT (a stable key
+hash), which a 100 TB pipeline needs:
+
+- reruns and backfills select the same rows (idempotent shards),
+- train/test splits are disjoint by construction and survive
+  re-partitioning,
+- every step is a codegen projection — no shuffle, no RNG state.
+
+``hash64`` is the md5-derived 60-bit hash used across the engine
+(functions/hashing.py), so any oracle can replay the selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.hashing import hash64
+
+_BUCKETS = 1_000_000  # ppm granularity for fractions
+
+
+def _bucket(id_col: str | Column, salt: str) -> Column:
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return hash64(F.concat(F.lit(f"{salt}:"), c.cast("string"))) % F.lit(_BUCKETS)
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep rows whose salted key
+    hash lands in the first ``fraction`` of bucket space."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(_bucket(id_col, salt) < int(round(fraction * _BUCKETS)))
+
+
+def train_test_split(
+    df: DataFrame, id_col: str, test_fraction: float = 0.1, salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive, reproducible (train, test) split.
+
+    Same hash expression, complementary predicates: every row lands in
+    exactly one side regardless of partitioning or rerun.
+    """
+    thr = int(round(test_fraction * _BUCKETS))
+    b = _bucket(id_col, salt)
+    return df.filter(b >= thr), df.filter(b < thr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing primitive
+    (e.g. keep 100% of books, 10% of web, 1% of logs).
+
+    The fraction map travels as a CASE expression (codegen literal, no
+    join); unknown strata get ``default_fraction``.
+    """
+    thr: Column = F.lit(int(round(default_fraction * _BUCKETS)))
+    for value, frac in sorted(fractions.items()):
+        thr = (
+            F.when(F.col(strata_col) == value, F.lit(int(round(frac * _BUCKETS))))
+            .otherwise(thr)
+        )
+    return df.filter(_bucket(id_col, salt) < thr)
+
+
+def mix_corpora(
+    sources: list[tuple[DataFrame, float]], id_col: str, salt: str = "mix"
+) -> DataFrame:
+    """Union independent corpora, each down-sampled to its mixing
+    weight (by-name union, so schemas may order columns differently)."""
+    sampled = [
+        hash_sample(df, id_col, w, salt=f"{salt}:{i}")
+        for i, (df, w) in enumerate(sources)
+    ]
+    out = sampled[0]
+    for s in sampled[1:]:
+        out = out.unionByName(s)
+    return out

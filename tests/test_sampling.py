@@ -1,0 +1,79 @@
+"""Deterministic sampling / mixing operator semantics."""
+
+from pyspark.sql import functions as F
+
+from mapreduce_task_spark.operators.sampling import (
+    hash_sample,
+    mix_corpora,
+    stratified_sample,
+    train_test_split,
+)
+from mapreduce_task_spark.sources.tables import load_table
+
+
+def test_hash_sample_fraction_and_determinism(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    n = docs.count()
+    s1 = hash_sample(docs, "doc_id", 0.3)
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3).collect()}
+    assert ids1 == ids2  # reproducible
+    assert 0.15 * n <= len(ids1) <= 0.45 * n  # ~binomial around 0.3
+    # repartitioning must not change the selection
+    ids3 = {
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(7), "doc_id", 0.3).collect()
+    }
+    assert ids3 == ids1
+    # different salt -> different (but still deterministic) draw
+    ids4 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3, salt="x").collect()}
+    assert ids4 != ids1
+
+
+def test_train_test_split_disjoint_exhaustive(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    train, test = train_test_split(docs, "doc_id", test_fraction=0.2)
+    tr = {r["doc_id"] for r in train.select("doc_id").collect()}
+    te = {r["doc_id"] for r in test.select("doc_id").collect()}
+    assert tr.isdisjoint(te)
+    assert len(tr) + len(te) == docs.count()
+    assert 0 < len(te) < len(tr)
+
+
+def test_stratified_sample_respects_per_stratum_fractions(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    frac = {"click": 1.0, "view": 0.2}
+    got = stratified_sample(ev, "event_type", "event_id", frac)
+    counts = {
+        r["event_type"]: r["n"]
+        for r in got.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["click"] == totals["click"]  # fraction 1.0 keeps all
+    assert 0.05 * totals["view"] <= counts.get("view", 0) <= 0.4 * totals["view"]
+    assert set(counts) <= {"click", "view"}  # default fraction 0 drops others
+
+
+def test_mix_corpora_weights_and_schema(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1).select("text", "doc_id")  # reordered
+    mixed = mix_corpora([(a, 1.0), (b, 0.25)], "doc_id")
+    na, nb = a.count(), b.count()
+    got = mixed.count()
+    assert na + 0.05 * nb <= got <= na + 0.6 * nb
+    assert set(mixed.columns) == {"doc_id", "text"}
+
+
+def test_sampling_plan_is_shuffle_free(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    plan = (
+        hash_sample(docs, "doc_id", 0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
