@@ -185,6 +185,71 @@ def blocked_all_pairs_cosine(
     )
 
 
+def srp_lsh_topk(
+    df: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nbits: int = 4,
+    dim: int | None = None,
+    probe_bits: int = 0,
+) -> DataFrame:
+    """SRP-LSH approximate top-k with multi-probe recall control.
+
+    ``probe_bits=0`` probes only the query's own bucket (fastest,
+    lowest recall); ``probe_bits=1`` additionally probes every bucket
+    at Hamming distance 1 (nbits extra probes — the vectors most
+    likely mis-bucketed by one marginal hyperplane sign). Probing
+    multiplies the QUERY side only (tiny, broadcast); the candidate
+    side is still hit by a bucket equi-join — recall rises from a
+    fraction ~1/2^nbits of the corpus scanned to ~(nbits+1)/2^nbits,
+    still far from brute force's 1.
+    """
+    if probe_bits not in (0, 1):
+        raise ValueError("probe_bits must be 0 or 1")
+    bk = srp_buckets(df, id_col, vec_col, nbits=nbits, dim=dim)
+    q = bk.join(query_ids.select(id_col), id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qv").alias("qv_q"),
+        F.col("nq").alias("nq_q"),
+        "bucket",
+    )
+    if probe_bits:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << s)).cast("bigint")
+                for s in range(nbits)
+            ],
+        )
+        q = q.select(
+            "query_id", "qv_q", "nq_q", F.explode(probes).alias("bucket")
+        )
+    c = bk.select(
+        F.col(id_col).alias("cand_id"),
+        F.col("qv").alias("qv_c"),
+        F.col("nq").alias("nq_c"),
+        "bucket",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            quantized_cosine(
+                int_dot(F.col("qv_q"), F.col("qv_c")), F.col("nq_q"), F.col("nq_c")
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= k
+    )
+
+
 def _nearest_cluster(qd: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     """Assign each row of qd(id, qv, nq) to the nearest centroid in
     cents(j, cqv, cnq) — exact int64 squared distance, ties to lowest j.
