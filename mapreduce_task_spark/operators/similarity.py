@@ -278,48 +278,11 @@ def _nearest_cluster(qd: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def kmeans_lite_clusters(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 8,
-    dim: int = 64,
-) -> DataFrame:
-    """Deterministic seeded k-means-lite coarse quantizer (IVF index build).
-
-    One Lloyd round, every step exact-integer so a SQL oracle replays it
-    bit-for-bit:
-      1. seeds: the k vectors with the smallest (md5-hash(id), id) — a
-         deterministic "random" draw (TakeOrderedAndProject, no full sort).
-      2. assign each vector to its nearest seed (exact int64 distance).
-      3. centroid update: element-wise integer floor-division mean
-         (sum - pmod(sum, n)) / n — exactly divisible, so the division
-         is exact in int64 and in any engine's double.
-      4. reassign to the updated centroids.
-
-    Returns (id, qv, nq, cluster). Scale: the only shuffles are the two
-    assignment groupBys (map-side combined) and the k x dim centroid agg;
-    centroids travel as a k-row broadcast. Component sums stay exact in
-    int64/double up to ~1e9 rows per cluster (1e6 quant x 1e9 < 2^53).
-    """
-    from ..functions.hashing import hash64
-
-    qd = with_quantized(df, vec_col).select(id_col, "qv", "nq")
-
-    seed_rows = qd.select(id_col, "qv", "nq", hash64(id_col).alias("__h")).orderBy(
-        "__h", id_col
-    ).limit(k)
-    # k rows: the single-partition window is fine
-    w = Window.orderBy("__h", id_col)
-    seeds = seed_rows.select(
-        F.row_number().over(w).alias("j"),
-        F.col("qv").alias("cqv"),
-        F.col("nq").alias("cnq"),
-    )
-
-    a1 = _nearest_cluster(qd, seeds, id_col)
-
-    sums = a1.groupBy("cluster").agg(
+def _update_centroids(assigned: DataFrame, dim: int) -> DataFrame:
+    """Lloyd update with exact-integer means: element-wise floor
+    division (sum - pmod(sum, n)) / n is exactly divisible, so the
+    result is identical in int64 and in any engine's double."""
+    sums = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(dim)],
     )
@@ -329,11 +292,60 @@ def kmeans_lite_clusters(
         )
         for i in range(dim)
     ]
-    cents2 = sums.select(
+    return sums.select(
         F.col("cluster").alias("j"), F.array(*comps).alias("cqv")
     ).select("j", "cqv", int_dot(F.col("cqv"), F.col("cqv")).alias("cnq"))
 
-    return _nearest_cluster(qd, cents2, id_col)
+
+def kmeans_lite_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    dim: int = 64,
+    rounds: int = 1,
+) -> DataFrame:
+    """Deterministic seeded k-means coarse quantizer (IVF index build).
+
+    ``rounds`` Lloyd rounds, every step exact-integer so a SQL oracle
+    replays it bit-for-bit:
+      1. seeds: the k vectors with the smallest (md5-hash(id), id) — a
+         deterministic "random" draw (TakeOrderedAndProject, no full sort).
+      2. assign each vector to its nearest centroid (exact int64
+         distance, ties to lowest cluster id).
+      3. centroid update: element-wise integer floor-division mean.
+      4. repeat 2-3 ``rounds`` times, then final assignment.
+
+    Returns (id, qv, nq, cluster). Scale: per round, one k x dim
+    centroid aggregation shuffle; assignments are shuffle-FREE
+    (packed-centroid broadcast + array_min projection, see
+    ``_nearest_cluster``). Component sums stay exact in int64/double
+    up to ~1e9 rows per cluster (1e6 quant x 1e9 < 2^53). The driver
+    query uses rounds=1 (its oracle unrolls the same CTE chain); more
+    rounds just repeat the same two stages.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    from ..functions.hashing import hash64
+
+    qd = with_quantized(df, vec_col).select(id_col, "qv", "nq")
+
+    seed_rows = qd.select(id_col, "qv", "nq", hash64(id_col).alias("__h")).orderBy(
+        "__h", id_col
+    ).limit(k)
+    # k rows: the single-partition window is fine
+    w = Window.orderBy("__h", id_col)
+    cents = seed_rows.select(
+        F.row_number().over(w).alias("j"),
+        F.col("qv").alias("cqv"),
+        F.col("nq").alias("cnq"),
+    )
+
+    for _ in range(rounds):
+        assigned = _nearest_cluster(qd, cents, id_col)
+        cents = _update_centroids(assigned, dim)
+
+    return _nearest_cluster(qd, cents, id_col)
 
 
 def srp_buckets(

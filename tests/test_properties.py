@@ -77,3 +77,34 @@ def test_quantized_cosine_bounded(spark, vecs):
     rows = blocked_all_pairs_cosine(df, threshold=-2.0, num_blocks=2).collect()
     assert len(rows) == len(vecs) * (len(vecs) - 1) // 2
     assert all(-1.0000001 <= r["cos"] <= 1.0000001 for r in rows)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(1, 40), min_size=1, max_size=4),  # doc word counts
+    st.integers(2, 12),  # chunk_words
+    st.integers(0, 6),   # overlap (clamped below chunk_words)
+)
+def test_chunking_covers_every_word_exactly_once_per_window(spark, sizes, cw, ov):
+    from mapreduce_task_spark.operators.chunking import chunk_documents
+
+    ov = min(ov, cw - 1)
+    step = cw - ov
+    docs = [
+        Row(doc_id=i, text=" ".join(f"d{i}w{j}" for j in range(n)))
+        for i, n in enumerate(sizes)
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = chunk_documents(df, chunk_words=cw, overlap=ov).collect()
+    by_doc: dict[int, dict[int, list[str]]] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk_text"].split(" ")
+    for i, n in enumerate(sizes):
+        words = [f"d{i}w{j}" for j in range(n)]
+        chunks = by_doc[i]
+        # chunk c must be exactly words[c*step : c*step+cw]
+        assert sorted(chunks) == list(range(len(chunks)))
+        for c, toks in chunks.items():
+            assert toks == words[c * step : c * step + cw]
+        # every word covered; starts advance while start < n
+        assert {w for t in chunks.values() for w in t} == set(words)

@@ -67,6 +67,32 @@ def test_kmeans_lite_deterministic(spark):
     assert r1 == r2
 
 
+def test_kmeans_multi_round_partitions_all_rows(spark):
+    df = _emb(spark, [[0.1 * i, -0.05 * i, 0.2, 0.3] for i in range(20)])
+    got = kmeans_lite_clusters(df, k=4, dim=4, rounds=3).collect()
+    assert len(got) == 20  # every vector assigned exactly once
+    assert {r["cluster"] for r in got} <= {1, 2, 3, 4}
+    again = kmeans_lite_clusters(df, k=4, dim=4, rounds=3).collect()
+    assert sorted(got) == sorted(again)
+
+
+def test_kmeans_assignment_stage_is_shuffle_free(spark):
+    """The per-round assignment must be a broadcast + projection: the
+    only shuffle exchanges in a whole kmeans build come from the k x dim
+    centroid aggregations (rounds of them), never from assignments."""
+    df = _emb(spark, [[0.1 * i, 0.2, -0.3, 0.05 * i] for i in range(12)])
+    plan = (
+        kmeans_lite_clusters(df, k=3, dim=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one Lloyd round = centroid agg (partial+final pair) + the tiny
+    # seed window; assignments add broadcast exchanges only
+    shuffles = plan.count("Exchange hashpartitioning")
+    assert shuffles <= 2, plan
+
+
 def test_srp_multiprobe_raises_recall_vs_brute_force(spark, sf_small):
     """ANN quality gate: recall@5 against the exact brute-force top-5,
     single-bucket vs Hamming-1 multi-probe (which scans ~(nbits+1)/2^nbits
