@@ -1,5 +1,6 @@
 from .tracing import Span, traced_action, get_recorded_spans, clear_recorded_spans
 from .metrics import TaskMetricsCollector, counted
+from .streaming import BatchRecord, StreamingMetricsCollector
 
 __all__ = [
     "Span",
@@ -8,4 +9,6 @@ __all__ = [
     "clear_recorded_spans",
     "TaskMetricsCollector",
     "counted",
+    "BatchRecord",
+    "StreamingMetricsCollector",
 ]

@@ -194,6 +194,46 @@ def test_streaming_chaos_reduce_side_invariance(spark, events_dir):
     assert got == expected and len(got) > 0
 
 
+def test_streaming_metrics_collector_records_batches(spark, events_dir):
+    """O1-O5 on streams: the StreamingQueryListener-based collector must
+    see every micro-batch's rows, per-phase durations, and the chaos
+    observe counters, and mirror each batch as a span."""
+    from mapreduce_task_spark.chaos import ChaosConfig, inject_map_chaos
+    from mapreduce_task_spark.obs import (
+        StreamingMetricsCollector,
+        get_recorded_spans,
+    )
+
+    cfg = ChaosConfig.from_conf(
+        {
+            "insertindex.slow.map.partitions": "0,1,2,3,4,5,6,7",
+            "insertindex.slow.map.sleep.ms": "1",
+            "insertindex.slow.map.eachN": "1000",
+        }
+    )
+    batch = spark.read.parquet(events_dir)
+    n_rows = batch.count()
+    stream = stream_from_directory(spark, events_dir, batch.schema)
+    chaotic = inject_map_chaos(stream, cfg, observation="obs_chaos")
+    with StreamingMetricsCollector(spark) as col:
+        _run_stream(tumbling_counts(chaotic), "t_obs_stream")
+        # listener events are delivered asynchronously — poll briefly
+        import time as _time
+
+        deadline = _time.time() + 30
+        while col.total_input_rows() < n_rows and _time.time() < deadline:
+            _time.sleep(0.2)
+        assert col.total_input_rows() == n_rows
+        assert len(col.records) >= 1
+        r = col.records[0]
+        assert r.batch_id >= 0 and "triggerExecution" in r.duration_ms
+        assert r.state_rows > 0  # windowed agg keeps state
+        assert col.observed_total("obs_chaos", "SLOW_INJECT_MAP_HITS") > 0
+    spans = [s for s in get_recorded_spans() if s.name == "stream.microbatch"]
+    assert len(spans) >= len(col.records)
+    assert any(s.attributes.get("stream.input_rows", 0) > 0 for s in spans)
+
+
 def test_stream_static_enrichment_join(spark, events_dir):
     """Stream-static join: each micro-batch enriched against a static dim."""
     batch = spark.read.parquet(events_dir)
