@@ -1,0 +1,40 @@
+"""Column-pruning plan assertions — a projection must reach the parquet
+reader (`ReadSchema`), or at 100 TB the scan reads whole rows for
+2-column queries. Complements the pushdown/broadcast plan tests in
+test_subqueries.py."""
+
+from mapreduce_task_spark.registry import all_queries
+
+
+def _read_schemas(df) -> list[str]:
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    return [l.split("ReadSchema:", 1)[1] for l in plan.splitlines() if "ReadSchema:" in l]
+
+
+def test_q1_scan_reads_only_needed_lineitem_columns(spark, sf_small):
+    df = all_queries()["q1_pricing_summary"].fn(spark, sf_small)
+    schemas = _read_schemas(df)
+    assert schemas
+    s = schemas[0]
+    for needed in ("l_returnflag", "l_linestatus", "l_quantity"):
+        assert needed in s, s
+    for unused in ("l_partkey", "l_suppkey", "l_orderkey"):
+        assert unused not in s, s
+
+
+def test_text_quality_scan_prunes_documents(spark, sf_small):
+    df = all_queries()["text_quality"].fn(spark, sf_small)
+    schemas = _read_schemas(df)
+    assert schemas
+    s = schemas[0]
+    assert "text" in s
+    for unused in ("lang", "source", "n_chars"):
+        assert unused not in s, s
+
+
+def test_embedding_norms_scan_prunes_label(spark, sf_small):
+    df = all_queries()["embedding_norms"].fn(spark, sf_small)
+    schemas = _read_schemas(df)
+    assert schemas and "label" not in schemas[0], schemas
