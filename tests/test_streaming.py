@@ -194,6 +194,32 @@ def test_streaming_chaos_reduce_side_invariance(spark, events_dir):
     assert got == expected and len(got) > 0
 
 
+def test_streaming_chaos_heavy_key_invariance(spark, events_dir):
+    """F4 on streams: delaying a hot key inside micro-batches (skew
+    simulation) must not change the windowed counts."""
+    from mapreduce_task_spark.chaos import ChaosConfig, inject_heavy_key
+
+    cfg = ChaosConfig.from_conf(
+        {
+            "insertindex.slow.reduce.heavy.key": "click",
+            "insertindex.slow.reduce.heavy.sleep.ms": "1",
+        }
+    )
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in tumbling_counts(batch).collect()
+    }
+    stream = stream_from_directory(spark, events_dir, batch.schema)
+    chaotic = inject_heavy_key(stream, "event_type", cfg)
+    q = _run_stream(tumbling_counts(chaotic), "t_chaos_heavy")
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("select * from t_chaos_heavy").collect()
+    }
+    assert got == expected and len(got) > 0
+
+
 def test_streaming_metrics_collector_records_batches(spark, events_dir):
     """O1-O5 on streams: the StreamingQueryListener-based collector must
     see every micro-batch's rows, per-phase durations, and the chaos
