@@ -277,50 +277,77 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_K = 8  # coarse clusters; the oracle replays the same seeded build
+_IVF_ROUNDS = 2  # Lloyd rounds; the oracle unrolls one CTE pair per round
 _EMB_DIM = 64  # testdata embedding dimensionality (oracle hardcodes range(64))
 
 
-@query(
-    "similarity_ivf",
-    f"""
-WITH {_QVEC_CTE},
-hs AS (SELECT vec_id, qv, nq, {hash64_duckdb_sql('vec_id')} AS h FROM nv),
+def _ivf_oracle(k: int, rounds: int) -> str:
+    """DuckDB replay of kmeans_lite_clusters(k, rounds): seeds, then per
+    round an assignment CTE (exact-integer argmin, ties to lowest j) and
+    a floor-division centroid-update CTE, then the final assignment and
+    the cluster-restricted top-k."""
+
+    def assign(src_cents: str, out: str) -> str:
+        return f"""
+a_{out} AS (SELECT nv.vec_id, nv.qv, nv.nq, c.j,
+            row_number() OVER (PARTITION BY nv.vec_id
+                ORDER BY nv.nq + c.cnq - 2 * list_dot_product(nv.qv, c.cqv), c.j) AS rn
+            FROM nv CROSS JOIN {src_cents} c),
+m_{out} AS (SELECT vec_id, qv, nq, j AS cluster FROM a_{out} WHERE rn = 1)"""
+
+    def update(src_assign: str, out: str) -> str:
+        return f"""
+comp_{out} AS (SELECT cluster, unnest(qv) AS val, unnest(range(len(qv))) AS idx
+               FROM m_{src_assign}),
+cs_{out} AS (SELECT cluster, idx, sum(val) AS s, count(*) AS n
+             FROM comp_{out} GROUP BY cluster, idx),
+cvec_{out} AS (SELECT cluster AS j, list((s - ((s % n) + n) % n) / n ORDER BY idx) AS cqv
+               FROM cs_{out} GROUP BY cluster),
+{out} AS (SELECT j, cqv, list_dot_product(cqv, cqv) AS cnq FROM cvec_{out})"""
+
+    ctes = [
+        f"""hs AS (SELECT vec_id, qv, nq, {hash64_duckdb_sql('vec_id')} AS h FROM nv),
 seeds AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS j, qv AS cqv, nq AS cnq
-          FROM (SELECT * FROM hs ORDER BY h, vec_id LIMIT {_IVF_K})),
-a1 AS (SELECT vec_id, qv, nq, j,
-              row_number() OVER (PARTITION BY vec_id
-                  ORDER BY nq + cnq - 2 * list_dot_product(qv, cqv), j) AS rn
-       FROM nv CROSS JOIN seeds),
-m1 AS (SELECT vec_id, qv, nq, j AS cluster FROM a1 WHERE rn = 1),
-comp AS (SELECT cluster, unnest(qv) AS val, unnest(range(len(qv))) AS idx FROM m1),
-cs AS (SELECT cluster, idx, sum(val) AS s, count(*) AS n FROM comp GROUP BY cluster, idx),
-cvec AS (SELECT cluster AS j, list((s - ((s % n) + n) % n) / n ORDER BY idx) AS cqv
-         FROM cs GROUP BY cluster),
-c2 AS (SELECT j, cqv, list_dot_product(cqv, cqv) AS cnq FROM cvec),
-a2 AS (SELECT nv.vec_id, nv.qv, nv.nq, c2.j,
-              row_number() OVER (PARTITION BY nv.vec_id
-                  ORDER BY nv.nq + c2.cnq - 2 * list_dot_product(nv.qv, c2.cqv), c2.j) AS rn
-       FROM nv CROSS JOIN c2),
-m2 AS (SELECT vec_id, qv, nq, j AS cluster FROM a2 WHERE rn = 1),
+          FROM (SELECT * FROM hs ORDER BY h, vec_id LIMIT {k}))"""
+    ]
+    cents = "seeds"
+    for r in range(1, rounds + 1):
+        ctes.append(assign(cents, f"r{r}"))
+        ctes.append(update(f"r{r}", f"cents_r{r}"))
+        cents = f"cents_r{r}"
+    ctes.append(assign(cents, "final"))
+    body = ",".join(ctes)
+    return f"""
+WITH {_QVEC_CTE},
+{body},
 scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                   list_dot_product(q.qv, c.qv) / (sqrt(q.nq) * sqrt(c.nq)) AS cos
-           FROM m2 q JOIN m2 c ON q.cluster = c.cluster AND c.vec_id != q.vec_id
+           FROM m_final q JOIN m_final c
+             ON q.cluster = c.cluster AND c.vec_id != q.vec_id
            WHERE q.vec_id < {_N_QUERIES})
 SELECT query_id, cand_id, cos, CAST(rank AS INTEGER) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
       FROM scored) r
 WHERE rank <= {_TOPK_K}
-""",
+"""
+
+
+@query(
+    "similarity_ivf",
+    _ivf_oracle(_IVF_K, _IVF_ROUNDS),
     doc=f"IVF top-{_TOPK_K}: a real computed coarse quantizer — seeded "
-    f"k-means-lite ({_IVF_K} clusters, one exact-integer Lloyd round; see "
-    "operators.similarity.kmeans_lite_clusters) — then candidates restricted "
-    "to the query's cluster. At scale the cluster id IS the shuffle/bucket "
-    "key; the oracle replays the identical deterministic index build.",
+    f"k-means ({_IVF_K} clusters, {_IVF_ROUNDS} exact-integer Lloyd rounds; "
+    "see operators.similarity.kmeans_lite_clusters) — then candidates "
+    "restricted to the query's cluster. At scale the cluster id IS the "
+    "shuffle/bucket key; the oracle replays the identical deterministic "
+    "index build, one generated CTE pair per round.",
 )
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     # persist: the built index (id, qv, nq, cluster) feeds both join sides
-    cl = _persist(kmeans_lite_clusters(emb, k=_IVF_K, dim=_EMB_DIM))
+    cl = _persist(
+        kmeans_lite_clusters(emb, k=_IVF_K, dim=_EMB_DIM, rounds=_IVF_ROUNDS)
+    )
     q = cl.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("qv_q"),
