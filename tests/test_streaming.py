@@ -194,6 +194,34 @@ def test_streaming_chaos_reduce_side_invariance(spark, events_dir):
     assert got == expected and len(got) > 0
 
 
+def test_streaming_chaos_input_path_gated_invariance(spark, events_dir):
+    """F2 on streams: input-path-substring gating works per micro-batch
+    (input_file_name is populated on file-source streams) and must not
+    change results."""
+    from mapreduce_task_spark.chaos import ChaosConfig, inject_map_chaos
+
+    cfg = ChaosConfig.from_conf(
+        {
+            "insertindex.slow.map.input.contains": "part-",
+            "insertindex.slow.map.sleep.ms": "1",
+            "insertindex.slow.map.eachN": "500",
+        }
+    )
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in tumbling_counts(batch).collect()
+    }
+    stream = stream_from_directory(spark, events_dir, batch.schema)
+    chaotic = inject_map_chaos(stream, cfg, observation="chaos_f2")
+    q = _run_stream(tumbling_counts(chaotic), "t_chaos_f2")
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("select * from t_chaos_f2").collect()
+    }
+    assert got == expected and len(got) > 0
+
+
 def test_streaming_chaos_heavy_key_invariance(spark, events_dir):
     """F4 on streams: delaying a hot key inside micro-batches (skew
     simulation) must not change the windowed counts."""
