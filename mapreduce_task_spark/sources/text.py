@@ -79,3 +79,34 @@ def write_kv_text(df: DataFrame, path: str, key_col: str, value_col: str, num_fi
     if num_files:
         out = out.repartition(num_files)
     out.write.mode("overwrite").text(path)
+
+
+def write_kv_text_stream(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    value_col: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """S4 on streams: append ``key\\tvalue`` text via the native text
+    sink, one subdirectory per micro-batch epoch handled by the sink's
+    own commit log (exactly-once under retries thanks to the
+    checkpoint + file-sink manifest).
+
+    Returns the started StreamingQuery; callers own awaitTermination.
+    """
+    out = df.select(
+        F.concat_ws(
+            "\t", F.col(key_col).cast("string"), F.col(value_col).cast("string")
+        ).alias("value")
+    )
+    writer = (
+        out.writeStream.format("text")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

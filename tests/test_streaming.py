@@ -288,6 +288,29 @@ def test_streaming_metrics_collector_records_batches(spark, events_dir):
     assert any(s.attributes.get("stream.input_rows", 0) > 0 for s in spans)
 
 
+def test_streaming_kv_text_sink_round_trip(spark, events_dir, tmp_path):
+    """S4 on streams: the key\\tvalue text sink written from a stream
+    must contain exactly the rows the batch path would write."""
+    from mapreduce_task_spark.sources.text import write_kv_text_stream
+
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        f"{r['event_id']}\t{r['event_type']}"
+        for r in batch.select("event_id", "event_type").collect()
+    }
+    stream = stream_from_directory(spark, events_dir, batch.schema)
+    q = write_kv_text_stream(
+        stream.select("event_id", "event_type"),
+        str(tmp_path / "out"),
+        "event_id",
+        "event_type",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {r["value"] for r in spark.read.text(str(tmp_path / "out")).collect()}
+    assert got == expected and len(got) > 0
+
+
 def test_stream_static_enrichment_join(spark, events_dir):
     """Stream-static join: each micro-batch enriched against a static dim."""
     batch = spark.read.parquet(events_dir)
