@@ -30,6 +30,18 @@ def test_hash_sample_fraction_and_determinism(spark, sf_small):
     assert ids4 != ids1
 
 
+def test_hash_sample_fractions_are_nested(spark, sf_small):
+    """Monotonicity: the f=0.1 sample is a subset of the f=0.3 sample
+    (bucket < threshold is monotone in the threshold) — growing a
+    sample never reshuffles previously selected rows, so incremental
+    corpus scale-ups only ADD documents."""
+    docs = load_table(spark, sf_small, "documents")
+    small = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.1).collect()}
+    big = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3).collect()}
+    assert small <= big
+    assert len(small) < len(big)
+
+
 def test_train_test_split_disjoint_exhaustive(spark, sf_small):
     docs = load_table(spark, sf_small, "documents")
     train, test = train_test_split(docs, "doc_id", test_fraction=0.2)
