@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame, functions as F
 from ..sources.tables import ensure_parallelism
 
 FEATURE_SCHEMA = (
-    "doc_id bigint, n_bytes bigint, byte_sum bigint, head_md5 string, modality string"
+    "doc_id bigint, n_bytes bigint, byte_sum bigint, head_md5 string, "
+    "payload_md5 string, modality string, width int, height int, duration_ms int"
 )
 
 
@@ -84,40 +85,44 @@ def decode_audio(payload: bytes):  # pragma: no cover - stub by design
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched byte-level feature extraction over the payload.
 
-    Deterministic features (length, byte sum, md5 of the first 16
-    bytes) stand in for the decode->embed step; swap the inner loop
-    for decode_image/decode_audio when the libs exist.
-    """
-    import hashlib
+    Deterministic features stand in for the decode->embed step; swap
+    the numpy pass for decode_image/decode_audio when the libs exist.
 
+    Everything expressible as a built-in stays JVM-side codegen —
+    byte length (``octet_length``), digests (``md5`` over binary and
+    over the 16-byte ``substring`` prefix; Spark's substring slices
+    byte arrays), and the metadata struct fields. The Python stage is
+    exactly one vectorized numpy pass computing ``byte_sum`` (the
+    stand-in for real decoding): per-payload sums by differencing a
+    cumulative sum over the concatenated bytes — one C-level pass per
+    Arrow batch, exact for empty payloads anywhere in the batch
+    (``reduceat`` over clamped offsets corrupted the payload before a
+    trailing empty one).
+    """
     import numpy as np
     import pandas as pd
 
+    pre = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5(F.substring(F.col("payload"), 1, 16)).alias("head_md5"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+        F.col("media_meta.modality").alias("modality"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.duration_ms").alias("duration_ms"),
+        F.col("payload"),
+    )
+
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
-            payloads = pdf["payload"]
-            # One concatenated uint8 view + np.add.reduceat over payload
-            # boundaries: the whole batch's byte sums in a single C-level
-            # pass (a per-payload Python sum() loop was ~100x slower and
-            # the bench's hottest spot).
-            lens = payloads.map(len).to_numpy(dtype="int64")
-            if lens.sum():
-                flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
-                offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-                # trailing empty payloads would index one past the end
-                offsets = np.minimum(offsets, len(flat) - 1)
-                sums = np.add.reduceat(flat.astype(np.int64), offsets)
-                sums[lens == 0] = 0  # reduceat folds the next range into empties
-            else:
-                sums = np.zeros(len(lens), dtype=np.int64)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": lens,
-                    "byte_sum": sums % (1 << 31),
-                    "head_md5": payloads.map(lambda b: hashlib.md5(b[:16]).hexdigest()),
-                    "modality": pdf["media_meta"].map(lambda m: m["modality"]),
-                }
-            )
+            lens = pdf["n_bytes"].to_numpy(dtype="int64")
+            flat = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8)
+            csum = np.concatenate(([0], np.cumsum(flat, dtype=np.int64)))
+            ends = np.cumsum(lens)
+            sums = csum[ends] - csum[ends - lens]
+            out = pdf.drop(columns=["payload"])
+            out["byte_sum"] = sums % (1 << 31)
+            yield out
 
-    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+    return pre.mapInPandas(batches, schema=FEATURE_SCHEMA)

@@ -120,10 +120,13 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "multimodal_meta",
+    "multimodal_features",
     """
 SELECT doc_id,
-  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(length(text) AS BIGINT) AS n_bytes,
+  CAST(coalesce(list_sum(list_transform(split(text, ''), c -> ascii(c))), 0)
+       % 2147483648 AS BIGINT) AS byte_sum,
+  md5(substring(text, 1, 16)) AS head_md5,
   md5(text) AS payload_md5,
   CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
        ELSE 'video' END AS modality,
@@ -131,38 +134,15 @@ SELECT doc_id,
   CAST(doc_id % 48 * 16 AS INTEGER) AS height,
   CAST((doc_id % 30 + 1) * 1000 AS INTEGER) AS duration_ms
 FROM documents
+WHERE octet_length(encode(text)) = length(text)
 """,
-    doc="Binary-payload metadata surface: byte length, digest, typed media struct.",
-)
-def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = with_binary_payload(t(spark, sf_dir, "documents"))
-    return df.select(
-        "doc_id",
-        F.octet_length("payload").cast("long").alias("n_bytes"),
-        F.md5("payload").alias("payload_md5"),
-        F.col("media_meta.modality").alias("modality"),
-        F.col("media_meta.width").alias("width"),
-        F.col("media_meta.height").alias("height"),
-        F.col("media_meta.duration_ms").alias("duration_ms"),
-    )
-
-
-@query(
-    "multimodal_features",
-    """
-SELECT doc_id,
-  CAST(length(text) AS BIGINT) AS n_bytes,
-  CAST(list_sum(list_transform(split(text, ''), c -> ascii(c))) % 2147483648
-       AS BIGINT) AS byte_sum,
-  md5(substring(text, 1, 16)) AS head_md5,
-  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-       ELSE 'video' END AS modality
-FROM documents
-""",
-    doc="Arrow-batched feature extraction over binary payloads (decode step "
-    "stubbed; see operators.multimodal). Oracle replays the byte stats "
-    "char-wise — valid because the synthetic corpus is pure ASCII "
-    "(byte == char), verified: 0 docs with octet_length != length.",
+    doc="Arrow-batched feature extraction over binary payloads plus the typed "
+    "metadata surface (decode step stubbed; see operators.multimodal). The "
+    "oracle replays the byte stats char-wise, valid only for pure-ASCII "
+    "text (byte == char); the WHERE octet_length = length guard makes a "
+    "non-ASCII corpus fail LOUDLY as a row-count mismatch instead of a "
+    "silent hash diff, and coalesce pins byte_sum = 0 for empty documents "
+    "(DuckDB's list_sum over [] is NULL; the operator returns 0).",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(with_binary_payload(t(spark, sf_dir, "documents")))

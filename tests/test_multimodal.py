@@ -34,7 +34,23 @@ def test_extract_features_deterministic(spark):
     assert r["n_bytes"] == 3
     assert r["byte_sum"] == ord("a") + ord("b") + ord("c")
     assert r["head_md5"] == hashlib.md5(b"abc").hexdigest()
+    assert r["payload_md5"] == hashlib.md5(b"abc").hexdigest()
     assert r["modality"] == "image"
+    assert (r["width"], r["height"], r["duration_ms"]) == (0, 0, 1000)
+
+
+def test_extract_features_empty_payloads_anywhere(spark):
+    # a trailing empty payload must not corrupt the byte sum of the
+    # payload before it (the reduceat-clamp formulation dropped its
+    # last byte: [b'ab', b''] -> 97), and empties in any slot are 0
+    texts = ["ab", "", "xyz", "", ""]
+    df = with_binary_payload(_docs(spark, texts)).coalesce(1)
+    rows = {r["doc_id"]: r for r in extract_features(df).collect()}
+    assert rows[0]["byte_sum"] == ord("a") + ord("b")
+    assert rows[1]["byte_sum"] == 0 and rows[1]["n_bytes"] == 0
+    assert rows[2]["byte_sum"] == sum(b"xyz")
+    assert rows[3]["byte_sum"] == 0 and rows[4]["byte_sum"] == 0
+    assert rows[1]["head_md5"] == hashlib.md5(b"").hexdigest()
 
 
 def test_decoders_are_stubbed():
