@@ -35,14 +35,19 @@ def chunk_documents(
 
     Output: (id_col, chunk_idx, n_words, chunk_text). Chunks start
     every ``chunk_words - overlap`` words; the final chunk may be
-    shorter. Empty documents produce no chunks.
+    shorter. Empty documents produce no chunks. The start sequence is
+    bounded at ``size - overlap - 1``: a chunk starting later would be
+    wholly contained in its predecessor (its tail is all overlap),
+    which would emit duplicated training sequences downstream.
     """
     if not 0 <= overlap < chunk_words:
         raise ValueError("need 0 <= overlap < chunk_words")
     step = chunk_words - overlap
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     starts = F.sequence(
-        F.lit(0), F.greatest(F.size("__toks") - 1, F.lit(0)), F.lit(step)
+        F.lit(0),
+        F.greatest(F.size("__toks") - overlap - 1, F.lit(0)),
+        F.lit(step),
     )
     out = (
         df.select(id_col, toks.alias("__toks"))
@@ -72,14 +77,26 @@ def pack_chunks(
 ) -> DataFrame:
     """Assign each chunk a (shard, bin) training-sequence id.
 
-    Per shard, rows are ordered deterministically by ``id_cols`` and
-    binned by ``floor(exclusive_prefix_sum / budget)``: every bin's
-    total is < budget + its last item (at most one overhang), matching
-    greedy packing to within one item. The window is per-shard, so
-    state and sort are shard-sized — choose ``n_shards`` ~ cluster
-    cores at scale.
+    Rows hash into ``n_shards`` independent shards on ALL of
+    ``id_cols`` (uniform sharding: a huge document's chunks spread
+    across shards instead of skewing one). Per shard, rows are ordered
+    deterministically by ``id_cols`` and binned by
+    ``floor(exclusive_prefix_sum / budget)``: every bin's total is
+    < budget + its last item (at most one overhang), matching greedy
+    packing to within one item per bin; across shards the extra bins
+    vs one sequential greedy pack are bounded by the shard count
+    (property-tested in tests/test_chunking.py). The window is
+    per-shard, so state and sort are shard-sized — choose ``n_shards``
+    ~ cluster cores at scale.
+
+    The shard hash is the engine-portable md5-derived ``hash64``
+    (functions/hashing.py), so a SQL oracle replays the exact (shard,
+    bin) assignment.
     """
-    shard = F.pmod(F.hash(*[F.col(c) for c in id_cols[:1]]), F.lit(n_shards))
+    from ..functions.hashing import hash64
+
+    key = F.concat_ws("|", F.lit("pack"), *[F.col(c).cast("string") for c in id_cols])
+    shard = F.pmod(hash64(key), F.lit(n_shards))
     w = (
         Window.partitionBy("__shard")
         .orderBy(*id_cols)
