@@ -10,4 +10,5 @@ from . import llm_dedup  # noqa: F401
 from . import llm_text  # noqa: F401
 from . import advanced  # noqa: F401
 from . import subqueries  # noqa: F401
+from . import llm_prep  # noqa: F401
 from . import pipeline_e2e  # noqa: F401

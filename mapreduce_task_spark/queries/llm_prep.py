@@ -1,0 +1,151 @@
+"""Training-data prep queries: chunking, packing, deterministic sampling.
+
+Driver-verifiable twins of operators/chunking.py and operators/sampling.py
+(round-2 verdict: these were pytest-only). Every step is deterministic
+and md5-replayable, so the DuckDB oracles reproduce the exact chunk
+windows, (shard, bin) assignments, and sample selections:
+
+- chunk windows: DuckDB ``range`` generates the same start sequence as
+  Spark ``sequence`` (stop made exclusive-inclusive-equivalent), then
+  ``list_slice``/``array_to_string`` replay the slices;
+- pack sharding: the engine-portable ``hash64`` (functions/hashing.py)
+  over the same 'pack|doc|chunk' key, then the identical
+  exclusive-prefix-sum window;
+- sampling: the md5 ppm-bucket replayed literally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import hash64_duckdb_sql
+from ..operators.chunking import chunk_documents, pack_chunks
+from ..operators.sampling import hash_sample, stratified_sample
+from ..registry import query, t
+
+_CHUNK_WORDS = 64
+_OVERLAP = 16
+_STEP = _CHUNK_WORDS - _OVERLAP
+_BUDGET = 256
+_N_SHARDS = 8
+
+# DuckDB replay of chunk_documents(chunk_words=64, overlap=16): tokenize,
+# generate starts 0, 48, ... bounded at n-overlap-1 (range stop is
+# exclusive, hence +1), slice inclusively.
+_CHUNKS_CTE = rf"""
+toks AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '\s+'), w -> w != '') AS t
+         FROM documents),
+nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+st AS (SELECT doc_id, t, n,
+              unnest(range(0, greatest(n - {_OVERLAP} - 1, 0) + 1, {_STEP})) AS s
+       FROM nz),
+ch AS (SELECT doc_id, CAST(s // {_STEP} AS INTEGER) AS chunk_idx,
+              list_slice(t, s + 1, least(s + {_CHUNK_WORDS}, n)) AS c
+       FROM st)
+"""
+
+_PACK_KEY = hash64_duckdb_sql(
+    "concat_ws('|', 'pack', CAST(doc_id AS VARCHAR), CAST(chunk_idx AS VARCHAR))"
+)
+
+
+@query(
+    "chunk_documents",
+    f"""
+WITH {_CHUNKS_CTE}
+SELECT doc_id, chunk_idx, CAST(len(c) AS BIGINT) AS n_words,
+       array_to_string(c, ' ') AS chunk_text
+FROM ch
+""",
+    doc=f"Overlapping word-window chunking (chunk={_CHUNK_WORDS}, "
+    f"overlap={_OVERLAP}): pure codegen split/sequence/posexplode/slice, "
+    "shuffle-free (plan-asserted in tests); the oracle regenerates the "
+    "identical start sequence and slices.",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = chunk_documents(
+        t(spark, sf_dir, "documents"), chunk_words=_CHUNK_WORDS, overlap=_OVERLAP
+    )
+    return out.select(
+        "doc_id", "chunk_idx", F.col("n_words").cast("long").alias("n_words"), "chunk_text"
+    )
+
+
+@query(
+    "pack_chunks",
+    f"""
+WITH {_CHUNKS_CTE},
+sized AS (SELECT doc_id, chunk_idx, CAST(len(c) AS BIGINT) AS n_words FROM ch),
+sh AS (SELECT *, {_PACK_KEY} % {_N_SHARDS} AS shard FROM sized),
+p AS (SELECT *, coalesce(sum(n_words) OVER (
+          PARTITION BY shard ORDER BY doc_id, chunk_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      FROM sh)
+SELECT doc_id, chunk_idx, n_words, shard,
+       CAST(floor(prefix / {_BUDGET}) AS BIGINT) AS bin
+FROM p
+""",
+    doc=f"Shard-local sequence packing (budget={_BUDGET}, "
+    f"shards={_N_SHARDS}): md5-hash sharding + per-shard exclusive-"
+    "prefix-sum binning — shard-sized window state, within one item of "
+    "greedy per bin (waste bound property-tested); the oracle replays "
+    "the hash and the window bit-for-bit.",
+)
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = chunk_documents(
+        t(spark, sf_dir, "documents"), chunk_words=_CHUNK_WORDS, overlap=_OVERLAP
+    ).select("doc_id", "chunk_idx", F.col("n_words").cast("long").alias("n_words"))
+    return pack_chunks(chunks, budget=_BUDGET, n_shards=_N_SHARDS)
+
+
+_SAMPLE_FRACTION = 0.25
+
+
+@query(
+    "hash_sample",
+    f"""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE {hash64_duckdb_sql("concat('sample:', CAST(doc_id AS VARCHAR))")}
+      % 1000000 < {int(_SAMPLE_FRACTION * 1_000_000)}
+""",
+    doc=f"Content-hash Bernoulli sample (fraction={_SAMPLE_FRACTION}): "
+    "reproducible across reruns/partitionings, shuffle-free codegen "
+    "filter; the oracle replays the md5 ppm bucket.",
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hash_sample(t(spark, sf_dir, "documents"), "doc_id", _SAMPLE_FRACTION)
+
+
+_STRATA = {"en": 1.0, "de": 0.5, "fr": 0.25, "zh": 0.1}
+_STRATA_DEFAULT = 0.05  # es
+
+_STRATA_CASE = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{k}' THEN {int(v * 1_000_000)}" for k, v in sorted(_STRATA.items())
+    )
+    + f" ELSE {int(_STRATA_DEFAULT * 1_000_000)} END"
+)
+
+
+@query(
+    "stratified_sample",
+    f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {hash64_duckdb_sql("concat('strata:', CAST(doc_id AS VARCHAR))")}
+      % 1000000 < {_STRATA_CASE}
+""",
+    doc="Per-stratum deterministic sampling over documents.lang (the "
+    "corpus-mixing primitive: keep all en, half de, ...); the fraction "
+    "map travels as a CASE literal — no join, no shuffle.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = stratified_sample(
+        t(spark, sf_dir, "documents"),
+        strata_col="lang",
+        id_col="doc_id",
+        fractions=_STRATA,
+        default_fraction=_STRATA_DEFAULT,
+    )
+    return out.select("doc_id", "lang", "source")

@@ -139,37 +139,30 @@ def q_join_topk_orders(spark: SparkSession, sf_dir: str):
 
 
 @query(
-    "join_semi",
+    "join_semi_anti",
     oracle="""
-    SELECT c_custkey, c_name FROM customer
+    SELECT 'semi' AS op, c_custkey, c_name FROM customer
     WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    """,
-    doc="Left-semi join (EXISTS): only the key column of orders shuffles.",
-)
-def q_join_semi(spark: SparkSession, sf_dir: str):
-    cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
-    return semi_join(cust, orders, cust.c_custkey == orders.o_custkey).select(
-        "c_custkey", "c_name"
-    )
-
-
-@query(
-    "join_anti",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer
+    UNION ALL
+    SELECT 'anti' AS op, c_custkey, c_name FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND o_totalprice > 400000)
     """,
-    doc="Left-anti join (NOT EXISTS) against a filtered build side — "
-    "customers with no large order (non-empty at every sf).",
+    doc="Left-semi (EXISTS) and left-anti (NOT EXISTS vs a filtered build "
+    "side) joins in one tagged inventory query: only the key column of "
+    "orders shuffles for either branch.",
 )
-def q_join_anti(spark: SparkSession, sf_dir: str):
+def q_join_semi_anti(spark: SparkSession, sf_dir: str):
     cust = t(spark, sf_dir, "customer")
-    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
-    return anti_join(cust, big, cust.c_custkey == big.o_custkey).select(
-        "c_custkey", "c_name"
+    orders = t(spark, sf_dir, "orders")
+    semi = semi_join(cust, orders, cust.c_custkey == orders.o_custkey).select(
+        F.lit("semi").alias("op"), "c_custkey", "c_name"
     )
+    big = orders.filter(F.col("o_totalprice") > 400000)
+    anti = anti_join(cust, big, cust.c_custkey == big.o_custkey).select(
+        F.lit("anti").alias("op"), "c_custkey", "c_name"
+    )
+    return semi.unionByName(anti)
 
 
 @query(
@@ -259,42 +252,62 @@ def q_sessionize(spark: SparkSession, sf_dir: str):
 # grouping sets / rollup / cube
 # --------------------------------------------------------------------------
 @query(
-    "rollup_agg",
+    "rollup_cube_agg",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
+    SELECT 'rollup' AS op, l_returnflag AS k1, l_linestatus AS k2,
            CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-    doc="ROLLUP with grouping_id (same bitmask semantics in both engines).",
-)
-def q_rollup_agg(spark: SparkSession, sf_dir: str):
-    li = t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.grouping_id().cast("bigint").alias("gid"),
-        _dsum("l_quantity").alias("sum_qty"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@query(
-    "cube_agg",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
+    UNION ALL
+    SELECT 'cube' AS op, o_orderstatus AS k1, o_orderpriority AS k2,
            CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
            count(*) AS n
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
-    doc="CUBE over two dimensions.",
+    doc="ROLLUP (lineitem) and CUBE (orders) with grouping_id in one tagged "
+    "inventory query (same bitmask semantics in both engines); GROUPING "
+    "SETS' general form is covered by the grouping_sets query.",
 )
-def q_cube_agg(spark: SparkSession, sf_dir: str):
-    return t(spark, sf_dir, "orders").cube("o_orderstatus", "o_orderpriority").agg(
-        F.grouping_id().cast("bigint").alias("gid"),
-        F.count(F.lit(1)).alias("n"),
+def q_rollup_cube_agg(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    roll = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            _dsum("l_quantity").alias("sum_val"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.lit("rollup").alias("op"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "gid",
+            "sum_val",
+            "n",
+        )
     )
+    cube = (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            _dsum("o_totalprice").alias("sum_val"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.lit("cube").alias("op"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            "gid",
+            "sum_val",
+            "n",
+        )
+    )
+    return roll.unionByName(cube)
 
 
 # --------------------------------------------------------------------------
@@ -330,62 +343,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str):
 # scalar function breadth: date / JSON / string+math / array
 # --------------------------------------------------------------------------
 @query(
-    "date_funcs",
-    oracle="""
-    SELECT CAST(year(o_orderdate) AS INT) AS y,
-           CAST(month(o_orderdate) AS INT) AS m,
-           CAST(quarter(o_orderdate) AS INT) AS q,
-           count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-    FROM orders
-    GROUP BY 1, 2, 3
-    """,
-    doc="year/month/quarter extraction on TIMESTAMP_NTZ (timezone-free).",
-)
-def q_date_funcs(spark: SparkSession, sf_dir: str):
-    o = t(spark, sf_dir, "orders")
-    return (
-        o.groupBy(
-            F.year("o_orderdate").cast("int").alias("y"),
-            F.month("o_orderdate").cast("int").alias("m"),
-            F.quarter("o_orderdate").cast("int").alias("q"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            _dsum("o_totalprice").alias("sum_price"),
-        )
-    )
-
-
-@query(
-    "json_funcs",
-    oracle="""
-    SELECT event_type,
-           count(*) AS n,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
-    FROM events
-    GROUP BY event_type
-    ORDER BY event_type
-    """,
-    doc="JSON extraction from the events.props string column.",
-)
-def q_json_funcs(spark: SparkSession, sf_dir: str):
-    ev = t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(k).alias("sum_k"),
-            F.countDistinct(k).alias("n_k"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@query(
-    "string_math_funcs",
+    "scalar_funcs",
     oracle="""
     SELECT p_partkey,
            upper(p_brand) AS brand_u,
@@ -394,15 +352,27 @@ def q_json_funcs(spark: SparkSession, sf_dir: str):
            concat(p_brand, '#', p_type) AS brand_type,
            CAST(abs(p_size - 25) AS INT) AS size_dist,
            CAST(p_size % 7 AS INT) AS size_mod,
-           CAST(round(CAST(p_retailprice AS DECIMAL(18,2)) * 110 / 100, 2) AS DOUBLE) AS price_plus_10pct
-    FROM part
+           CAST(round(CAST(p_retailprice AS DECIMAL(18,2)) * 110 / 100, 2) AS DOUBLE) AS price_plus_10pct,
+           CAST(year(ship_ts) AS INT) AS ship_y,
+           CAST(month(ship_ts) AS INT) AS ship_m,
+           CAST(quarter(ship_ts) AS INT) AS ship_q
+    FROM (SELECT p.*, TIMESTAMP '1995-01-01' + to_days(CAST(p_partkey % 1461 AS INTEGER)) AS ship_ts
+          FROM part p)
     """,
-    doc="Scalar breadth: string (upper/substring/length/concat) and math "
-    "(abs/mod/round) — exact decimal arithmetic, engine-portable.",
+    doc="Scalar-function breadth in one projection: string (upper/substring/"
+    "length/concat), math (abs/mod/round — exact decimal arithmetic), and "
+    "date-part extraction (year/month/quarter on a derived TIMESTAMP_NTZ, "
+    "timezone-free). Merges the former date_funcs/string_math_funcs rows "
+    "to keep the registry inside the driver's 50-entry record cap.",
 )
-def q_string_math_funcs(spark: SparkSession, sf_dir: str):
+def q_scalar_funcs(spark: SparkSession, sf_dir: str):
     p = t(spark, sf_dir, "part")
-    return p.select(
+    ship_ts = F.timestamp_add(
+        "DAY",
+        (F.col("p_partkey") % 1461).cast("int"),
+        F.lit("1995-01-01").cast("timestamp_ntz"),
+    )
+    return p.withColumn("ship_ts", ship_ts).select(
         "p_partkey",
         F.upper("p_brand").alias("brand_u"),
         F.substring("p_name", 1, 8).alias("name8"),
@@ -413,6 +383,9 @@ def q_string_math_funcs(spark: SparkSession, sf_dir: str):
         F.round(_dec("p_retailprice") * 110 / 100, 2)
         .cast("double")
         .alias("price_plus_10pct"),
+        F.year("ship_ts").cast("int").alias("ship_y"),
+        F.month("ship_ts").cast("int").alias("ship_m"),
+        F.quarter("ship_ts").cast("int").alias("ship_q"),
     )
 
 

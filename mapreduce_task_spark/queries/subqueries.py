@@ -177,9 +177,10 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str):
 
 
 @query(
-    "map_funcs",
+    "json_map_funcs",
     oracle="""
     SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_json,
            event_type AS type_from_map,
            json_extract_string(props, '$.k') AS k_from_map,
            CAST(2 AS INT) AS n_entries,
@@ -187,12 +188,15 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str):
            'marker' AS concat_probe
     FROM events
     """,
-    doc="Map-type scalar coverage: map_from_arrays / element_at / size / "
-    "map_keys / map_concat. The map is built and consumed inside the plan "
-    "(maps never cross the engine boundary -- the oracle checks the "
-    "extracted scalars), so Catalyst folds it to pure columnar exprs.",
+    doc="JSON + map-type scalar coverage in one projection: "
+    "get_json_object over the events.props string column, then "
+    "map_from_arrays / element_at / size / map_keys / map_concat. The "
+    "map is built and consumed inside the plan (maps never cross the "
+    "engine boundary -- the oracle checks the extracted scalars), so "
+    "Catalyst folds it to pure columnar exprs. Merges the former "
+    "json_funcs/map_funcs rows for the driver's 50-entry record cap.",
 )
-def q_map_funcs(spark: SparkSession, sf_dir: str):
+def q_json_map_funcs(spark: SparkSession, sf_dir: str):
     ev = t(spark, sf_dir, "events")
     m = F.map_from_arrays(
         F.array(F.lit("type"), F.lit("k")),
@@ -201,6 +205,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str):
     merged = F.map_concat(m, F.create_map(F.lit("probe"), F.lit("marker")))
     return ev.select(
         "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_json"),
         F.element_at(m, "type").alias("type_from_map"),
         F.element_at(m, "k").alias("k_from_map"),
         F.size(m).cast("int").alias("n_entries"),

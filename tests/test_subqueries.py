@@ -51,11 +51,13 @@ def test_q10_broadcasts_nation_dim(spark, sf_small):
     assert df.count() <= 20
 
 
-def test_map_funcs_row_semantics(spark, sf_small):
-    q = all_queries()["map_funcs"]
+def test_json_map_funcs_row_semantics(spark, sf_small):
+    q = all_queries()["json_map_funcs"]
     rows = q.fn(spark, sf_small).collect()
     assert rows
     for r in rows[:50]:
         assert r["n_entries"] == 2
         assert r["keys_sorted_csv"] == "k,type"
         assert r["concat_probe"] == "marker"
+        # json scalar and map lookup extract the same key
+        assert r["k_from_map"] is None or int(r["k_from_map"]) == r["k_json"]
