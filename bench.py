@@ -59,13 +59,32 @@ def main() -> int:
             .mode("overwrite")
             .save()
         )
+        # ... and the Python/Arrow worker pool: the first pandas-UDF stage
+        # of a session pays worker spawn + Arrow import (~1.5-2 s) that
+        # otherwise lands on whichever pandas query runs first
+        import pandas as _pd
+
+        def _wu(it):
+            for pdf in it:
+                yield _pd.DataFrame({"x": pdf["id"]})
+
+        spark.range(0, 3_200, 1, 32).mapInPandas(
+            _wu, schema="x long"
+        ).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
+
+    from mapreduce_task_spark.queries.llm_dedup import release_persists
 
     def run_once(name) -> float:
         t0 = time.perf_counter()
         qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t0, 3)
+        dt = round(time.perf_counter() - t0, 3)
+        # release any cached intermediates the query build persisted, so
+        # the NEXT query never runs with stale storage-memory pressure
+        # (the round-2 dedup_embedding_cosine regression)
+        release_persists()
+        return dt
 
     timings: dict[str, float] = {}
     for name in qs:

@@ -134,6 +134,13 @@ def blocked_all_pairs_cosine(
     At cluster scale: num_blocks ~ sqrt(2 x cores) keeps every core on
     one GEMM; the quantized int64 arithmetic keeps results bitwise
     equal to the scalar-expression and DuckDB-oracle formulations.
+
+    Fan-out is a pure explode projection: each row emits its
+    num_blocks (ba, bb) block-pair memberships as a literal struct
+    array — {(min(blk,j), max(blk,j)) : j} is exactly the pair set
+    containing blk. The previous broadcast-nested-loop join against a
+    pair table evaluated an OR predicate per (row x pair) outside
+    codegen and benched ~1.5x slower.
     """
     import pandas as pd
 
@@ -143,13 +150,18 @@ def blocked_all_pairs_cosine(
         "nq",
         (F.col(id_col) % num_blocks).cast("int").alias("blk"),
     )
-    spark = df.sparkSession
-    bp = spark.createDataFrame(
-        [(a, b) for a in range(num_blocks) for b in range(a, num_blocks)], "ba int, bb int"
+    pair_set = F.array(
+        *[
+            F.struct(
+                F.least(F.col("blk"), F.lit(j)).alias("ba"),
+                F.greatest(F.col("blk"), F.lit(j)).alias("bb"),
+            )
+            for j in range(num_blocks)
+        ]
     )
-    rows = F.broadcast(bp).join(
-        qd, (F.col("blk") == F.col("ba")) | (F.col("blk") == F.col("bb"))
-    )
+    rows = qd.select(
+        "vid", "qv", "nq", "blk", F.explode(pair_set).alias("__p")
+    ).select("vid", "qv", "nq", "blk", F.col("__p.ba").alias("ba"), F.col("__p.bb").alias("bb"))
 
     def gemm(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
@@ -362,12 +374,15 @@ def srp_buckets(
     nbits sizes the bucket count (2^nbits) — tune to data volume so
     each bucket holds ~candidates-per-probe.
 
-    Pass ``dim`` (the embedding dimensionality) so building the plan
-    stays lazy; the ``.first()`` fallback launches a Spark job at
-    build time, which a production pipeline should avoid.
+    ``dim`` (the embedding dimensionality) is required: deriving it
+    from the data would launch a hidden Spark job at plan-build time
+    (a ``.first()``), which a production pipeline must never do.
     """
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "srp_buckets requires dim= (embedding dimensionality); deriving "
+            "it from data would launch a Spark job at plan-build time"
+        )
     hps = hyperplanes(nbits, dim)
     qd = with_quantized(df, vec_col)
     bucket = None

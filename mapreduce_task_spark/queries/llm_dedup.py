@@ -104,13 +104,26 @@ nv AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nq FROM n)
 _LIVE_PERSISTS: list[DataFrame] = []
 
 
-def _persist(df: DataFrame) -> DataFrame:
+def release_persists() -> None:
+    """Eagerly release all cached intermediates from the last build.
+
+    The implicit release-on-next-build left the PREVIOUS query's cache
+    resident while a non-persisting query (e.g. the GEMM stage of
+    dedup_embedding_cosine) ran — starving its executors of storage
+    memory (the round-2 bench regression). bench.py calls this after
+    every query action; library users composing builders sequentially
+    should too.
+    """
     for d in _LIVE_PERSISTS:
         try:
             d.unpersist()
         except Exception:
             pass
     _LIVE_PERSISTS.clear()
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    release_persists()
     _LIVE_PERSISTS.append(df.persist())
     return df
 

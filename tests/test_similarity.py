@@ -2,6 +2,7 @@
 
 import math
 
+import pytest
 from pyspark.sql import Row, functions as F
 
 from mapreduce_task_spark.operators.similarity import (
@@ -128,7 +129,14 @@ def test_srp_multiprobe_raises_recall_vs_brute_force(spark, sf_small):
 
 def test_srp_same_vector_same_bucket(spark):
     df = _emb(spark, [[0.3, -0.1, 0.7, 0.2], [0.3, -0.1, 0.7, 0.2], [-0.3, 0.1, -0.7, -0.2]])
-    got = {r["vec_id"]: r["bucket"] for r in srp_buckets(df, nbits=4).collect()}
+    got = {r["vec_id"]: r["bucket"] for r in srp_buckets(df, nbits=4, dim=4).collect()}
     assert got[0] == got[1]
     # the antipodal vector flips every projection sign -> complementary bucket
     assert got[2] == (~got[0]) & 0xF
+
+
+def test_srp_requires_dim_no_hidden_job(spark):
+    # deriving dim from data would launch a Spark job at plan-build time
+    df = _emb(spark, [[0.1, 0.2]])
+    with pytest.raises(ValueError, match="dim"):
+        srp_buckets(df, nbits=2)
