@@ -262,6 +262,40 @@ def srp_lsh_topk(
     )
 
 
+def probe_clusters(
+    qd: DataFrame, cents: DataFrame, id_col: str = "vec_id", nprobe: int = 1
+) -> DataFrame:
+    """One row per (vector, probed cluster): the ``nprobe`` nearest
+    centroids by exact int64 squared distance, ties to lowest j.
+
+    The multi-probe side of IVF search: a query vector near a cluster
+    boundary scans its ``nprobe`` closest inverted lists instead of
+    only its home list — recall rises with nprobe at linear candidate
+    cost. Same packed-centroid broadcast as assignment; ``array_sort``
+    over (distance, j) structs is the lexicographic ranking with the
+    tie-break built in, so a SQL oracle replays the probe set as
+    ``row_number() <= nprobe`` over the identical ordering.
+    """
+    if nprobe < 1:
+        raise ValueError("nprobe must be >= 1")
+    packed = cents.agg(F.collect_list(F.struct("j", "cqv", "cnq")).alias("__cents"))
+    ranked = F.array_sort(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                (F.col("nq") + c["cnq"] - 2 * int_dot(F.col("qv"), c["cqv"])).alias(
+                    "d"
+                ),
+                c["j"].alias("j"),
+            ),
+        )
+    )
+    probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["j"])
+    return qd.crossJoin(F.broadcast(packed)).select(
+        id_col, "qv", "nq", F.explode(probes).alias("cluster")
+    )
+
+
 def _nearest_cluster(qd: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     """Assign each row of qd(id, qv, nq) to the nearest centroid in
     cents(j, cqv, cnq) — exact int64 squared distance, ties to lowest j.
@@ -309,6 +343,54 @@ def _update_centroids(assigned: DataFrame, dim: int) -> DataFrame:
     ).select("j", "cqv", int_dot(F.col("cqv"), F.col("cqv")).alias("cnq"))
 
 
+def kmeans_lite_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    dim: int = 64,
+    rounds: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the seeded-k-means build and return (quantized corpus,
+    final centroids) — the pieces an IVF search composes: assign the
+    corpus with ``assign_clusters`` (home lists) and rank query probes
+    with ``probe_clusters`` (nprobe nearest lists). Persist the k-row
+    centroid frame when both sides consume it, so the Lloyd rounds run
+    once. See ``kmeans_lite_clusters`` for the algorithm contract.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    from ..functions.hashing import hash64
+
+    qd = with_quantized(df, vec_col).select(id_col, "qv", "nq")
+
+    seed_rows = qd.select(id_col, "qv", "nq", hash64(id_col).alias("__h")).orderBy(
+        "__h", id_col
+    ).limit(k)
+    # k rows: the single-partition window is fine
+    w = Window.orderBy("__h", id_col)
+    cents = seed_rows.select(
+        F.row_number().over(w).alias("j"),
+        F.col("qv").alias("cqv"),
+        F.col("nq").alias("cnq"),
+    )
+
+    for _ in range(rounds):
+        assigned = _nearest_cluster(qd, cents, id_col)
+        cents = _update_centroids(assigned, dim)
+
+    return qd, cents
+
+
+def assign_clusters(
+    qd: DataFrame, cents: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Home-cluster assignment (shuffle-free broadcast argmin) over a
+    quantized (id, qv, nq) frame — the public face of the per-round
+    assignment step, for search-time use with ``kmeans_lite_fit``."""
+    return _nearest_cluster(qd, cents, id_col)
+
+
 def kmeans_lite_clusters(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -336,28 +418,62 @@ def kmeans_lite_clusters(
     query uses rounds=1 (its oracle unrolls the same CTE chain); more
     rounds just repeat the same two stages.
     """
-    if rounds < 1:
-        raise ValueError("rounds must be >= 1")
-    from ..functions.hashing import hash64
-
-    qd = with_quantized(df, vec_col).select(id_col, "qv", "nq")
-
-    seed_rows = qd.select(id_col, "qv", "nq", hash64(id_col).alias("__h")).orderBy(
-        "__h", id_col
-    ).limit(k)
-    # k rows: the single-partition window is fine
-    w = Window.orderBy("__h", id_col)
-    cents = seed_rows.select(
-        F.row_number().over(w).alias("j"),
-        F.col("qv").alias("cqv"),
-        F.col("nq").alias("cnq"),
-    )
-
-    for _ in range(rounds):
-        assigned = _nearest_cluster(qd, cents, id_col)
-        cents = _update_centroids(assigned, dim)
-
+    qd, cents = kmeans_lite_fit(df, id_col, vec_col, k, dim, rounds)
     return _nearest_cluster(qd, cents, id_col)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 8,
+    dim: int = 64,
+    rounds: int = 1,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF approximate top-k: k-means index + cluster-restricted scan.
+
+    Candidates live in their home cluster (the inverted list / shuffle
+    bucket at scale); each query probes its ``nprobe`` nearest
+    clusters. Returns (query_id, cand_id, cos, rank). At nprobe =
+    n_clusters this degenerates to exact brute force — the recall
+    dial a pipeline turns. Operators never persist; callers reusing
+    the centroid frame across both sides should persist it (the
+    driver query does).
+    """
+    qd, cents = kmeans_lite_fit(df, id_col, vec_col, n_clusters, dim, rounds)
+    cand = _nearest_cluster(qd, cents, id_col).select(
+        F.col(id_col).alias("cand_id"),
+        F.col("qv").alias("qv_c"),
+        F.col("nq").alias("nq_c"),
+        "cluster",
+    )
+    probes = probe_clusters(
+        qd.join(query_ids.select(id_col), id_col), cents, id_col, nprobe=nprobe
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qv").alias("qv_q"),
+        F.col("nq").alias("nq_q"),
+        "cluster",
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cand, "cluster")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            quantized_cosine(
+                int_dot(F.col("qv_q"), F.col("qv_c")), F.col("nq_q"), F.col("nq_c")
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= k
+    )
 
 
 def srp_buckets(

@@ -34,7 +34,6 @@ from ..operators.similarity import (
     blocked_all_pairs_cosine,
     brute_force_topk,
     int_dot,
-    kmeans_lite_clusters,
     quantized_cosine,
     srp_buckets,
 )
@@ -291,14 +290,17 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_K = 8  # coarse clusters; the oracle replays the same seeded build
 _IVF_ROUNDS = 2  # Lloyd rounds; the oracle unrolls one CTE pair per round
+_IVF_NPROBE = 2  # probed clusters per query; oracle takes rn <= nprobe
 _EMB_DIM = 64  # testdata embedding dimensionality (oracle hardcodes range(64))
 
 
-def _ivf_oracle(k: int, rounds: int) -> str:
-    """DuckDB replay of kmeans_lite_clusters(k, rounds): seeds, then per
-    round an assignment CTE (exact-integer argmin, ties to lowest j) and
-    a floor-division centroid-update CTE, then the final assignment and
-    the cluster-restricted top-k."""
+def _ivf_oracle(k: int, rounds: int, nprobe: int = 1) -> str:
+    """DuckDB replay of the kmeans_lite build + multi-probe search:
+    seeds, then per round an assignment CTE (exact-integer argmin, ties
+    to lowest j) and a floor-division centroid-update CTE, then the
+    final assignment — where candidates keep rank 1 (home list) and
+    queries keep rank <= nprobe (probe set) over the SAME (distance, j)
+    ordering — and the cluster-restricted top-k."""
 
     def assign(src_cents: str, out: str) -> str:
         return f"""
@@ -333,11 +335,12 @@ seeds AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS j, qv AS cqv, nq AS c
     return f"""
 WITH {_QVEC_CTE},
 {body},
+probes AS (SELECT vec_id, qv, nq, j AS cluster FROM a_final
+           WHERE rn <= {nprobe} AND vec_id < {_N_QUERIES}),
 scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                   list_dot_product(q.qv, c.qv) / (sqrt(q.nq) * sqrt(c.nq)) AS cos
-           FROM m_final q JOIN m_final c
-             ON q.cluster = c.cluster AND c.vec_id != q.vec_id
-           WHERE q.vec_id < {_N_QUERIES})
+           FROM probes q JOIN m_final c
+             ON q.cluster = c.cluster AND c.vec_id != q.vec_id)
 SELECT query_id, cand_id, cos, CAST(rank AS INTEGER) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
       FROM scored) r
@@ -347,30 +350,38 @@ WHERE rank <= {_TOPK_K}
 
 @query(
     "similarity_ivf",
-    _ivf_oracle(_IVF_K, _IVF_ROUNDS),
+    _ivf_oracle(_IVF_K, _IVF_ROUNDS, _IVF_NPROBE),
     doc=f"IVF top-{_TOPK_K}: a real computed coarse quantizer — seeded "
     f"k-means ({_IVF_K} clusters, {_IVF_ROUNDS} exact-integer Lloyd rounds; "
-    "see operators.similarity.kmeans_lite_clusters) — then candidates "
-    "restricted to the query's cluster. At scale the cluster id IS the "
-    "shuffle/bucket key; the oracle replays the identical deterministic "
-    "index build, one generated CTE pair per round.",
+    "see operators.similarity.kmeans_lite_fit) — then multi-probe search: "
+    f"each query scans its {_IVF_NPROBE} nearest inverted lists "
+    "(recall-gated vs brute force in tests/test_similarity.py). At scale "
+    "the cluster id IS the shuffle/bucket key; the oracle replays the "
+    "identical deterministic build and probe ranking, one generated CTE "
+    "pair per round.",
 )
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import assign_clusters, kmeans_lite_fit, probe_clusters
+
     emb = t(spark, sf_dir, "embeddings")
-    # persist: the built index (id, qv, nq, cluster) feeds both join sides
-    cl = _persist(
-        kmeans_lite_clusters(emb, k=_IVF_K, dim=_EMB_DIM, rounds=_IVF_ROUNDS)
-    )
-    q = cl.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qv").alias("qv_q"),
-        F.col("nq").alias("nq_q"),
-        "cluster",
-    )
-    c = cl.select(
+    qd, cents = kmeans_lite_fit(emb, k=_IVF_K, dim=_EMB_DIM, rounds=_IVF_ROUNDS)
+    # persist: the k-row centroid frame feeds BOTH the candidate
+    # assignment and the query probe ranking — materializing it runs the
+    # Lloyd rounds once (the previous formulation persisted the full
+    # corpus assignment instead; k rows is the cheaper reuse point)
+    cents = _persist(cents)
+    c = assign_clusters(qd, cents).select(
         F.col("vec_id").alias("cand_id"),
         F.col("qv").alias("qv_c"),
         F.col("nq").alias("nq_c"),
+        "cluster",
+    )
+    q = probe_clusters(
+        qd.filter(F.col("vec_id") < _N_QUERIES), cents, nprobe=_IVF_NPROBE
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qv_q"),
+        F.col("nq").alias("nq_q"),
         "cluster",
     )
     scored = (

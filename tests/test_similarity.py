@@ -94,6 +94,37 @@ def test_kmeans_assignment_stage_is_shuffle_free(spark):
     assert shuffles <= 2, plan
 
 
+def test_ivf_multiprobe_raises_recall_vs_brute_force(spark, sf_small):
+    """IVF quality gate, mirroring the SRP one: recall@5 against exact
+    brute force must not fall when probing more inverted lists, and at
+    nprobe = n_clusters the search IS brute force (recall exactly 1.0
+    — every cluster scanned, same exact arithmetic)."""
+    from mapreduce_task_spark.operators.similarity import ivf_topk
+    from mapreduce_task_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+
+    def topsets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["cand_id"])
+        return out
+
+    bf = topsets(brute_force_topk(emb, qids, k=5))
+
+    def recall(nprobe):
+        t = topsets(
+            ivf_topk(emb, qids, k=5, n_clusters=4, dim=64, rounds=1, nprobe=nprobe)
+        )
+        return sum(len(bf[q] & t.get(q, set())) / 5 for q in bf) / len(bf)
+
+    r1, r2, r_all = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r_all
+    assert r_all == 1.0  # probing every list == exact brute force
+    assert r2 >= 0.3  # half the lists recovers a solid share on this data
+
+
 def test_srp_multiprobe_raises_recall_vs_brute_force(spark, sf_small):
     """ANN quality gate: recall@5 against the exact brute-force top-5,
     single-bucket vs Hamming-1 multi-probe (which scans ~(nbits+1)/2^nbits
