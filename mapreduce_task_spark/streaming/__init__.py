@@ -7,6 +7,7 @@ operators a production event pipeline needs.
 
 from .windows import (
     running_dedupe,
+    stream_stream_interval_join,
     session_counts,
     sliding_counts,
     stateful_running_count,
@@ -16,6 +17,7 @@ from .windows import (
 
 __all__ = [
     "running_dedupe",
+    "stream_stream_interval_join",
     "session_counts",
     "sliding_counts",
     "stateful_running_count",

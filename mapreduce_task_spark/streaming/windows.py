@@ -138,6 +138,46 @@ def running_dedupe(
     return src.dropDuplicatesWithinWatermark(keys)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join (impressions x conversions
+    shape): pairs rows with equal ``key_col`` where ``right_ts`` falls
+    in [left_ts, left_ts + within].
+
+    Both inputs carry event-time watermarks AND the join carries the
+    closed time-range condition — exactly the two ingredients that let
+    Structured Streaming bound BOTH join states: a buffered left row
+    is evictable once the right watermark passes left_ts + within, a
+    right row once the left watermark passes right_ts - within. The
+    analyzer rejects an append-mode stream-stream join without them
+    (unbounded state — the 100 TB/day failure mode), so merely running
+    in append mode proves the state bound. The same function joins
+    batch frames identically (watermarks no-op), which is the
+    equivalence oracle in tests.
+
+    Column contract: ``left`` and ``right`` share only ``key_col``;
+    timestamp columns are pre-renamed by the caller so the output
+    carries both sides' times unambiguously.
+    """
+    lw = _with_watermark(left, left_ts, watermark)
+    rw = _with_watermark(right, right_ts, watermark).withColumnRenamed(
+        key_col, "__rkey"
+    )
+    cond = (
+        (F.col(key_col) == F.col("__rkey"))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond).drop("__rkey")
+
+
 _STATE_SCHEMA = "n bigint"
 _OUT_SCHEMA = "event_type string, n bigint"
 

