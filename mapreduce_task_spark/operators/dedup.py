@@ -261,6 +261,89 @@ def simhash(
     return agg.select(id_col, out.cast("bigint").alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, component),
+    component = smallest doc id reachable through any chain of pairs.
+
+    Near-dup similarity is NOT transitive (a~b and b~c do not imply
+    a~c), so production dedup groups pairs into components and keeps
+    one representative per component — dropping only id_b per pair
+    both over- and under-deletes on chains. This is the step between
+    LSH pair generation and the delete-list.
+
+    Algorithm: iterative min-label propagation. Each round every
+    vertex takes the min of its own label and its neighbors' labels —
+    one edges-to-labels join + one min-aggregate per round, converging
+    in O(component diameter) rounds. Convergence is detected by the
+    strictly-decreasing sum of labels reaching a fixpoint (one cheap
+    1-row aggregate per round; labels are non-negative, so equal sum
+    <=> no label moved). Near-dup components are tiny and shallow in
+    practice; for adversarial diameters the alternating large-star/
+    small-star variant (Kiveris et al., O(log n) rounds) drops in with
+    the same join shape. Each round persists its labels and releases
+    the previous round's (bounded lineage, bounded storage).
+
+    A driver action per round is inherent to iterative convergence —
+    this operator is the documented exception to the no-driver-action
+    rule, and ``max_rounds`` hard-bounds it.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.v)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.v == nbr_min.src, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    # truncate the r-round join lineage so the caller's action reads the
+    # materialized labels instead of replaying every round (at cluster
+    # scale use reliable checkpoint() instead: localCheckpoint blocks
+    # don't survive executor loss)
+    final = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    return final.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
+
+
+def duplicate_delete_list(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_rounds: int = 25
+) -> DataFrame:
+    """The dedup delete-list: every component member except its min-id
+    representative. ``df.join(delete_list, "doc_id", "left_anti")`` is
+    the corpus-cleaning step."""
+    comp = connected_components(pairs, id_a, id_b, max_rounds)
+    return comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+
+
 def exact_dedup_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -2,6 +2,7 @@
 
 import hashlib
 
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import Row, functions as F
 
 from mapreduce_task_spark.operators.dedup import (
@@ -97,3 +98,61 @@ def test_exact_dedup_groups(spark):
     same_md5 = hashlib.md5(b"same text").hexdigest()
     assert got[same_md5] == (0, 2)
     assert len(got) == 2
+
+
+def _cc(spark, edges, **kw):
+    from mapreduce_task_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [{"id_a": a, "id_b": b} for a, b in edges], "id_a bigint, id_b bigint"
+    )
+    return {r["doc_id"]: r["component"] for r in connected_components(df, **kw).collect()}
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 0-1-2-3-4 (diameter 4: needs multiple propagation rounds),
+    # a 2-cycle island, and a pair — component = min reachable id
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (7, 8), (8, 7), (10, 11)]
+    got = _cc(spark, edges)
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 7: 7, 8: 7, 10: 10, 11: 10}
+
+
+def test_duplicate_delete_list_keeps_representatives(spark):
+    from mapreduce_task_spark.operators.dedup import duplicate_delete_list
+
+    edges = [(0, 1), (1, 2), (5, 6)]
+    df = spark.createDataFrame(
+        [{"id_a": a, "id_b": b} for a, b in edges], "id_a bigint, id_b bigint"
+    )
+    dels = sorted(r["doc_id"] for r in duplicate_delete_list(df).collect())
+    assert dels == [1, 2, 6]  # 0 and 5 survive as representatives
+
+
+def _uf_components(edges):
+    """Pure-python union-find oracle."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    assert _cc(spark, edges) == _uf_components(edges)
