@@ -146,10 +146,18 @@ def stream_stream_interval_join(
     right_ts: str = "r_ts",
     within: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join (impressions x conversions
+    """Watermarked stream-stream join (impressions x conversions
     shape): pairs rows with equal ``key_col`` where ``right_ts`` falls
     in [left_ts, left_ts + within].
+
+    ``how="left_outer"`` additionally emits each unmatched left row
+    once — with null right columns — after the watermark passes its
+    match horizon (the funnel question: which impressions never
+    converted). Outer results are inherently watermark-delayed: a left
+    row can only be declared unmatched once no in-range right row can
+    still arrive.
 
     Both inputs carry event-time watermarks AND the join carries the
     closed time-range condition — exactly the two ingredients that let
@@ -166,6 +174,8 @@ def stream_stream_interval_join(
     timestamp columns are pre-renamed by the caller so the output
     carries both sides' times unambiguously.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError("how must be 'inner' or 'left_outer'")
     lw = _with_watermark(left, left_ts, watermark)
     rw = _with_watermark(right, right_ts, watermark).withColumnRenamed(
         key_col, "__rkey"
@@ -175,7 +185,7 @@ def stream_stream_interval_join(
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, cond).drop("__rkey")
+    return lw.join(rw, cond, how).drop("__rkey")
 
 
 _STATE_SCHEMA = "n bigint"

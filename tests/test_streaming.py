@@ -389,6 +389,83 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     assert state_ops and all(op["numRowsTotal"] > 0 for op in state_ops)
 
 
+def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """Left-outer stream-stream join: the unmatched impression emits
+    with null conversion columns once the watermark passes its match
+    horizon. A far-future sentinel file in a later micro-batch pushes
+    the watermark; the sentinel itself stays in state (its horizon is
+    never passed) and must NOT emit."""
+    import datetime as dt
+    import time as _time
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, ts, etype):
+        return {"event_id": eid, "user_id": uid, "ts": ts, "event_type": etype}
+
+    main_rows = [
+        ev(1, 1, t0, "click"),                                # converts
+        ev(2, 1, t0 + dt.timedelta(minutes=10), "purchase"),  # the conversion
+        ev(3, 2, t0, "click"),                                # never converts
+    ]
+    # the join's watermark is the MIN over both inputs, so the sentinel
+    # batch must advance BOTH sides (a far-future click alone leaves the
+    # purchases watermark at t0+10min - 1h and nothing ever evicts);
+    # distinct users + a >30min gap keep the sentinels from matching
+    sentinel = [
+        ev(99, 99, t0 + dt.timedelta(days=10), "click"),
+        ev(98, 98, t0 + dt.timedelta(days=10, hours=5), "purchase"),
+    ]
+    d = str(tmp_path / "funnel_src")
+    schema = "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    spark.createDataFrame(main_rows, schema).coalesce(1).write.mode("append").parquet(d)
+    _time.sleep(1.1)  # file stream orders batches by modification time
+    spark.createDataFrame(sentinel, schema).coalesce(1).write.mode("append").parquet(d)
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("click_id")
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("purchase_id")
+        )
+        return clicks, purchases
+
+    src = spark.read.parquet(d)
+    cs, ps = sides(stream_from_directory(spark, d, src.schema, maxFilesPerTrigger=1))
+    joined = stream_stream_interval_join(cs, ps, how="left_outer", watermark="1 hour")
+    # outer-null emission happens in a micro-batch AFTER the one that
+    # advanced the watermark (state eviction), so availableNow — which
+    # stops at the last data batch — would miss it; run continuous
+    # micro-batches (no-data batches progress the state) and poll.
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ss_louter")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        expected = {(1, 2), (3, None)}
+        got = set()
+        deadline = _time.time() + 90
+        while got != expected and _time.time() < deadline:
+            _time.sleep(0.5)
+            got = {
+                (r["click_id"], r["purchase_id"])
+                for r in spark.sql(
+                    "select click_id, purchase_id from t_ss_louter"
+                ).collect()
+            }
+    finally:
+        q.stop()
+    # matched pair emitted; unmatched click 3 emitted with null purchase
+    # once the sentinel advanced the watermark; sentinel click 99 still
+    # inside its horizon -> withheld
+    assert got == expected
+
+
 def test_stateful_running_count_totals(spark, events_dir):
     batch = spark.read.parquet(events_dir)
     expected = {
