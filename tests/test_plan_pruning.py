@@ -38,3 +38,24 @@ def test_embedding_norms_scan_prunes_label(spark, sf_small):
     df = all_queries()["embedding_norms"].fn(spark, sf_small)
     schemas = _read_schemas(df)
     assert schemas and "label" not in schemas[0], schemas
+
+
+def test_chunk_documents_scan_reads_only_id_and_text(spark, sf_small):
+    df = all_queries()["chunk_documents"].fn(spark, sf_small)
+    schemas = _read_schemas(df)
+    assert schemas
+    s = schemas[0]
+    assert "doc_id" in s and "text" in s
+    for unused in ("lang", "source", "n_chars"):
+        assert unused not in s, s
+
+
+def test_stratified_sample_scan_prunes_unused_columns(spark, sf_small):
+    # the query projects (doc_id, lang, source); text — the wide column
+    # — must never be read just to apply a hash filter on doc_id
+    df = all_queries()["stratified_sample"].fn(spark, sf_small)
+    schemas = _read_schemas(df)
+    assert schemas
+    s = schemas[0]
+    assert "doc_id" in s and "lang" in s
+    assert "text" not in s, s

@@ -312,6 +312,49 @@ def test_streaming_kv_text_sink_round_trip(spark, events_dir, tmp_path):
     assert got == expected and len(got) > 0
 
 
+def test_streaming_kv_sink_restart_is_exactly_once(spark, tmp_path):
+    """The checkpoint + file-sink manifest make restarts exactly-once:
+    re-running over already-committed input adds nothing, and new input
+    files land exactly once."""
+    from mapreduce_task_spark.sources.text import write_kv_text_stream
+
+    src_dir = tmp_path / "kv_src"
+    src_dir.mkdir()
+    schema = "k bigint, v string"
+    spark.createDataFrame([(1, "a"), (2, "b")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src_dir))
+
+    def run():
+        q = write_kv_text_stream(
+            stream_from_directory(spark, str(src_dir), schema),
+            str(tmp_path / "kv_out"),
+            "k",
+            "v",
+            checkpoint=str(tmp_path / "kv_ckpt"),
+        )
+        q.awaitTermination(120)
+
+    def out():
+        return sorted(
+            r["value"] for r in spark.read.text(str(tmp_path / "kv_out")).collect()
+        )
+
+    run()
+    first = out()
+    assert first == ["1\ta", "2\tb"]
+    run()  # restart over the same committed input: no duplicates
+    assert out() == first
+    import time as _time
+
+    _time.sleep(1.1)
+    spark.createDataFrame([(3, "c")], schema).coalesce(1).write.mode("append").parquet(
+        str(src_dir)
+    )
+    run()  # only the new file is processed, exactly once
+    assert out() == ["1\ta", "2\tb", "3\tc"]
+
+
 def test_stream_static_enrichment_join(spark, events_dir):
     """Stream-static join: each micro-batch enriched against a static dim."""
     batch = spark.read.parquet(events_dir)
