@@ -293,9 +293,12 @@ def connected_components(
     rule, and ``max_rounds`` hard-bounds it.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # persist the symmetric edge set: every round joins it, and its
+    # lineage is typically a whole LSH pair pipeline — without this,
+    # each round would replay that pipeline from the scan
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).persist()
     labels = (
         edges.select(F.col("src").alias("v"))
         .distinct()
@@ -331,6 +334,7 @@ def connected_components(
     # don't survive executor loss)
     final = labels.localCheckpoint(eager=True)
     labels.unpersist()
+    edges.unpersist()
     return final.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
 
 

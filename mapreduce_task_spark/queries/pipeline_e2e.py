@@ -85,6 +85,31 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clean_corpus_by_components(docs: DataFrame) -> DataFrame:
+    """Component-based corpus cleaning: LSH near-dup pairs -> connected
+    components -> keep the min-id representative of every component.
+
+    The principled upgrade over ``pipeline_clean_corpus``'s per-pair
+    id_b removal: transitively CHAINED near-dups (a~b, b~c with a!~c)
+    collapse to one representative instead of depending on pair
+    orientation. Not driver-registered (the 50-entry record cap binds;
+    see tests/test_registry.py) — pytest-verified against a pure-python
+    union-find oracle over the exact verified pair set in
+    tests/test_pipeline_e2e.py.
+    """
+    from ..operators.dedup import duplicate_delete_list
+
+    sh = shingles(docs).persist()
+    pairs = jaccard_verify(
+        lsh_candidate_pairs(lsh_bands(minhash_signature(sh))), sh
+    ).filter(F.col("jaccard") >= 0.5)
+    # duplicate_delete_list materializes internally (iterative label
+    # propagation), so the shingle persist is released right after
+    dels = duplicate_delete_list(pairs)
+    sh.unpersist()
+    return docs.join(dels, "doc_id", "left_anti")
+
+
 @query(
     "embedding_norms",
     """

@@ -22,3 +22,52 @@ def test_embedding_norms_positive_and_bounded(spark, sf_small):
     rows = q_embedding_norms(spark, sf_small).collect()
     assert len(rows) == 500
     assert all(0.0 < r["qnorm"] < 100.0 for r in rows)
+
+
+def test_clean_corpus_by_components_matches_union_find(spark, sf_small):
+    """Component-based cleaning must keep exactly the min-id
+    representative of every connected component of the verified pair
+    graph (union-find replay over the same pairs), and all isolated
+    docs."""
+    from mapreduce_task_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signature,
+        shingles,
+    )
+    from mapreduce_task_spark.queries.pipeline_e2e import clean_corpus_by_components
+    from mapreduce_task_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_small, "documents")
+    sh = shingles(docs)
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in jaccard_verify(
+            lsh_candidate_pairs(lsh_bands(minhash_signature(sh))), sh
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    ]
+    assert pairs  # the fixture plants near-dups
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drop = {v for v in parent if find(v) != v}
+
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    expected = all_ids - drop
+    got = {r["doc_id"] for r in clean_corpus_by_components(docs).collect()}
+    assert got == expected
