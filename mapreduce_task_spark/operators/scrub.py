@@ -1,0 +1,108 @@
+"""Corpus scrubbing operators: PII redaction + boilerplate-line removal.
+
+Two cleaning steps every large-scale training-data pipeline runs
+between raw ingest and dedup (the reference has no analogue; these
+extend the LLM-pipeline surface like operators/textstats.py):
+
+- ``redact_pii``: regex redaction of emails / phone numbers / URLs /
+  IPv4s as chained ``regexp_replace`` — per-row codegen at scan speed,
+  no UDF; per-category hit counts surface via ``observe`` (O5-style
+  counters) with no extra action.
+- ``remove_boilerplate_lines``: drop lines that repeat across many
+  documents (headers, footers, nav text — the CCNet-style step).
+  Line-level document frequency over a line-hash groupBy, then the
+  surviving lines are re-assembled per document in original order.
+
+Scale notes: redaction shuffles nothing. Boilerplate removal is one
+explode + one count shuffle on the line hash (uniform md5 keys) + one
+re-aggregation partitioned by doc — the same two-shuffle shape as
+wordcount, at any corpus size; the df threshold bounds nothing by
+corpus size (hot lines are exactly what it removes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Observation, functions as F
+
+from ..functions.hashing import hash64
+
+# deliberately simple, ASCII-safe patterns: the point is the operator
+# shape (chained codegen regexes + counters), not regex completeness
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?\d[\d\s().-]{7,}\d",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+_REDACTION_ORDER = ("email", "url", "ipv4", "phone")  # url before phone: digits in urls
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    observation: Observation | None = None,
+) -> DataFrame:
+    """Replace each PII match with ``<CATEGORY>``; count hits per
+    category (pre-redaction, on the original text) via ``observe``."""
+    if observation is not None:
+        counters = [
+            F.sum(
+                F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).cast(
+                    "long"
+                )
+            ).alias(f"PII_{name.upper()}_HITS")
+            for name, pat in PII_PATTERNS.items()
+        ]
+        df = df.observe(observation, *counters)
+    out: Column = F.col(text_col)
+    for name in _REDACTION_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[name], f"<{name.upper()}>")
+    return df.withColumn(text_col, out)
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_max: int = 2,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Drop every line whose trimmed form appears in more than
+    ``df_max`` distinct documents; re-assemble the remaining lines per
+    document in their original order.
+
+    Document frequency is computed on the md5-derived line hash, not
+    the line text: the count shuffle moves 8-byte keys instead of full
+    lines (and any SQL engine replays the same hash). Documents whose
+    lines are all boilerplate survive with empty text — downstream
+    quality filters own that decision.
+    """
+    lines = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__ln", "__line"),
+    ).withColumn("__t", F.trim(F.col("__line")))
+    kept_lines = lines.filter(F.length("__t") >= min_line_chars).withColumn(
+        "__h", hash64(F.col("__t"))
+    )
+    hot = (
+        kept_lines.groupBy("__h")
+        .agg(F.count_distinct(id_col).alias("__df"))
+        .filter(F.col("__df") > df_max)
+        .select("__h")
+    )
+    survivors = kept_lines.join(hot, "__h", "left_anti")
+    return (
+        survivors.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__ln"), F.col("__line")))
+                    ),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias(text_col)
+        )
+    )

@@ -1,0 +1,93 @@
+"""PII redaction + boilerplate-line removal semantics."""
+
+from pyspark.sql import Observation, Row
+
+from mapreduce_task_spark.operators.scrub import (
+    redact_pii,
+    remove_boilerplate_lines,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id bigint, text string",
+    )
+
+
+def test_redact_pii_all_categories(spark):
+    df = _docs(
+        spark,
+        [
+            "mail bob@example.com now",
+            "see https://example.com/x?q=1 and 10.0.0.1",
+            "call +1 (555) 123-4567 today",
+            "clean text stays clean",
+        ],
+    )
+    obs = Observation("pii")
+    got = {r["doc_id"]: r["text"] for r in redact_pii(df, observation=obs).collect()}
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "see <URL> and <IPV4>"
+    assert got[2] == "call <PHONE> today"
+    assert got[3] == "clean text stays clean"
+    m = obs.get
+    assert m["PII_EMAIL_HITS"] == 1
+    assert m["PII_URL_HITS"] == 1
+    assert m["PII_PHONE_HITS"] >= 1
+    assert m["PII_IPV4_HITS"] == 1
+
+
+def test_redact_pii_is_pure_codegen(spark):
+    plan = (
+        redact_pii(_docs(spark, ["x"]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_remove_boilerplate_lines_by_document_frequency(spark):
+    footer = "subscribe to our newsletter"
+    texts = [
+        f"unique alpha\n{footer}",
+        f"unique beta\n{footer}\nmore beta",
+        f"{footer}\nunique gamma",
+        "only unique delta",
+    ]
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(_docs(spark, texts), df_max=2).collect()
+    }
+    # footer appears in 3 docs > df_max=2 -> dropped everywhere,
+    # order of surviving lines preserved
+    assert got[0] == "unique alpha"
+    assert got[1] == "unique beta\nmore beta"
+    assert got[2] == "unique gamma"
+    assert got[3] == "only unique delta"
+
+
+def test_remove_boilerplate_keeps_lines_at_or_below_threshold(spark):
+    shared = "appears twice only"
+    texts = [f"{shared}\na", f"{shared}\nb", "c"]
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(_docs(spark, texts), df_max=2).collect()
+    }
+    assert got[0] == f"{shared}\na"  # df=2 == df_max -> kept
+    assert got[1] == f"{shared}\nb"
+    assert got[2] == "c"
+
+
+def test_remove_boilerplate_repeated_within_one_doc_not_hot(spark):
+    # document frequency is DISTINCT docs: a line repeated 5x inside one
+    # doc is not boilerplate
+    texts = ["echo\necho\necho\necho\necho", "other"]
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(_docs(spark, texts), df_max=1).collect()
+    }
+    assert got[0] == "echo\necho\necho\necho\necho"
+    assert got[1] == "other"
