@@ -73,6 +73,30 @@ def stratified_sample(
     return df.filter(_bucket(id_col, salt) < thr)
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of size ``n``
+    (Efraimidis-Spirakis A-Res): rank every row by ``u^(1/w)`` where
+    ``u`` is its salted content hash mapped into (0, 1], keep the top
+    ``n``. Inclusion probability rises with weight; the whole draw is
+    one TakeOrderedAndProject (per-partition n-row heaps, no shuffle of
+    the data, no RNG state) and — like every sampler here — replayable
+    from the salt by any engine. Rows with weight <= 0 never selected.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    u = (_bucket(id_col, salt) + 1).cast("double") / float(_BUCKETS)
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    ranked = df.filter(F.col(weight_col) > 0).withColumn("__ares", key)
+    out = ranked.orderBy(F.desc("__ares"), F.col(id_col)).limit(n)
+    return out.drop("__ares")
+
+
 def mix_corpora(
     sources: list[tuple[DataFrame, float]], id_col: str, salt: str = "mix"
 ) -> DataFrame:

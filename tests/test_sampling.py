@@ -89,3 +89,49 @@ def test_sampling_plan_is_shuffle_free(spark, sf_small):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_weighted_sample_matches_python_replay(spark):
+    """A-Res selection is md5-replayable: an independent python
+    implementation of u^(1/w) ranking picks the identical sample."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from mapreduce_task_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(30)]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, w=w) for i, w in rows], "doc_id bigint, w double"
+    ).repartition(4)
+
+    def key(i, w):
+        b = int(hashlib.md5(f"wsample:{i}".encode()).hexdigest()[:15], 16) % 1_000_000
+        return ((b + 1) / 1_000_000.0) ** (1.0 / w)
+
+    expected = {i for i, w in sorted(rows, key=lambda r: (-key(*r), r[0]))[:10]}
+    got = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 10).collect()}
+    assert got == expected
+    # deterministic under a different partitioning
+    again = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(9), "doc_id", "w", 10).collect()
+    }
+    assert again == got
+
+
+def test_weighted_sample_prefers_heavy_weights_drops_nonpositive(spark):
+    from pyspark.sql import Row
+
+    from mapreduce_task_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, w=10_000.0)]
+        + [Row(doc_id=i, w=0.05) for i in range(1, 40)]
+        + [Row(doc_id=99, w=0.0), Row(doc_id=100, w=-1.0)],
+        "doc_id bigint, w double",
+    )
+    got = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 5).collect()}
+    assert 0 in got          # u^(1/10000) ~ 1: effectively always drawn
+    assert 99 not in got and 100 not in got
+    assert len(got) == 5

@@ -432,6 +432,53 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     assert state_ops and all(op["numRowsTotal"] > 0 for op in state_ops)
 
 
+def test_stream_stream_join_chaos_invariance(spark, events_dir):
+    """F1 chaos injected into ONE side of a watermarked stream-stream
+    join must not change the joined result (stragglers reorder work,
+    never data)."""
+    from mapreduce_task_spark.chaos import ChaosConfig, inject_map_chaos
+
+    cfg = ChaosConfig.from_conf(
+        {
+            "insertindex.slow.map.partitions": "0,1,2,3",
+            "insertindex.slow.map.sleep.ms": "1",
+            "insertindex.slow.map.eachN": "500",
+        }
+    )
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("click_id")
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("purchase_id")
+        )
+        return clicks, purchases
+
+    batch = spark.read.parquet(events_dir)
+    cb, pb = sides(batch)
+    expected = {
+        (r["click_id"], r["purchase_id"])
+        for r in stream_stream_interval_join(cb, pb).collect()
+    }
+    stream = stream_from_directory(spark, events_dir, batch.schema)
+    cs, ps = sides(inject_map_chaos(stream, cfg, observation="ss_chaos"))
+    q = (
+        stream_stream_interval_join(cs, ps)
+        .writeStream.format("memory")
+        .queryName("t_ss_chaos")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("select click_id, purchase_id from t_ss_chaos").collect()
+    }
+    assert got == expected and len(got) > 0
+
+
 def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(
     spark, tmp_path
 ):
