@@ -39,3 +39,38 @@ def test_partitioned_write_prune_and_dynamic_overwrite(spark, sf_small):
         assert after.count() == total_before - day0_count + 5
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_write_sorted_ranges_disjoint_and_internally_sorted(spark, sf_small):
+    """Each output file must hold an internally-sorted, pairwise-disjoint
+    event_id range (zone-map layout), and a point predicate must prune
+    file reads via parquet min/max stats."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_task_spark.sources.partitioned import write_sorted_ranges
+
+    d = tempfile.mkdtemp(prefix="events_sorted_")
+    try:
+        ev = load_table(spark, sf_small, "events").select(
+            "event_id", "user_id", "event_type"
+        )
+        write_sorted_ranges(ev, d, ["event_id"], num_files=8)
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert 2 <= len(files) <= 8
+        ranges = []
+        for f in files:
+            ids = pq.read_table(os.path.join(d, f), columns=["event_id"])[
+                "event_id"
+            ].to_pylist()
+            assert ids == sorted(ids)  # internally sorted
+            ranges.append((min(ids), max(ids)))
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2  # disjoint key ranges across files
+        # nothing lost, nothing duplicated
+        back = spark.read.parquet(d)
+        assert back.count() == ev.count()
+        assert back.select(F.sum("event_id")).collect()[0][0] == \
+            ev.select(F.sum("event_id")).collect()[0][0]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -45,3 +45,26 @@ def test_sessionize_gap_splits(spark):
     out = sessionize(df, "user_id", "ts", gap_seconds=1800, tiebreak_col="event_id")
     got = {r["event_id"]: r["session_idx"] for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_pivot_matches_conditional_agg(spark, sf_small):
+    """groupBy().pivot() (Spark's pivot surface) must agree with the
+    explicit CASE-WHEN conditional aggregation shape used by the
+    conditional_agg driver query."""
+    from mapreduce_task_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    types = ["click", "view", "purchase"]
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+    manual = ev.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(t)
+            for t in types
+        ]
+    )
+    assert sorted(map(tuple, pivoted.collect())) == sorted(map(tuple, manual.collect()))
