@@ -108,3 +108,31 @@ def pack_chunks(
         .withColumn("bin", F.floor(prefix / F.lit(budget)).cast("long"))
         .withColumnRenamed("__shard", "shard")
     )
+
+
+def assemble_sequences(
+    packed: DataFrame,
+    id_cols: tuple[str, ...] = ("doc_id", "chunk_idx"),
+    text_col: str = "chunk_text",
+    size_col: str = "n_words",
+    sep: str = " ",
+) -> DataFrame:
+    """(shard, bin) -> one assembled training sequence.
+
+    The final step of chunk -> pack -> assemble: every bin's chunks
+    concatenated in pack order (the same ``id_cols`` ordering
+    ``pack_chunks`` binned by), with token accounting. One groupBy on
+    the (shard, bin) key — already the packing partitioning — and the
+    in-group ordering is a local ``array_sort`` over collected
+    structs, so no window or secondary shuffle. Output:
+    (shard, bin, n_chunks, n_words, sequence_text).
+    """
+    key_struct = F.struct(*[F.col(c) for c in id_cols], F.col(text_col).alias("__t"))
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(size_col).alias(size_col),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(key_struct)), lambda s: s["__t"]),
+            sep,
+        ).alias("sequence_text"),
+    )

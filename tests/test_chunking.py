@@ -126,3 +126,27 @@ def test_pack_cross_shard_waste_bound(spark, sizes, n_shards):
     nonempty_shards = {r["shard"] for r in rows}
     seq = _seq_greedy_bins(sizes, budget)
     assert len(bins) <= seq + len(nonempty_shards)
+
+
+def test_assemble_sequences_concatenates_in_pack_order(spark):
+    from mapreduce_task_spark.operators.chunking import assemble_sequences
+
+    texts = [" ".join(f"d{d}w{i}" for i in range(20)) for d in range(6)]
+    chunks = chunk_documents(_docs(spark, texts), chunk_words=8, overlap=0)
+    packed = pack_chunks(chunks, budget=12, n_shards=3)
+    seqs = assemble_sequences(packed).collect()
+
+    by_bin: dict[tuple, list] = {}
+    for r in packed.collect():
+        by_bin.setdefault((r["shard"], r["bin"]), []).append(
+            (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_words"])
+        )
+    assert len(seqs) == len(by_bin)
+    for r in seqs:
+        items = sorted(by_bin[(r["shard"], r["bin"])])
+        assert r["sequence_text"] == " ".join(t for _, _, t, _ in items)
+        assert r["n_chunks"] == len(items)
+        assert r["n_words"] == sum(n for _, _, _, n in items)
+    # every chunk's words appear in exactly one sequence
+    all_words = " ".join(r["sequence_text"] for r in seqs).split()
+    assert sorted(all_words) == sorted(w for t in texts for w in t.split())

@@ -312,6 +312,47 @@ def test_streaming_kv_text_sink_round_trip(spark, events_dir, tmp_path):
     assert got == expected and len(got) > 0
 
 
+def test_streaming_content_dedupe_by_digest(spark, tmp_path):
+    """Streaming ingestion dedup: documents arriving across micro-batches
+    deduped on their content digest (md5 of text) within the watermark —
+    the streaming face of dedup_exact. A re-ingested duplicate in a
+    LATER micro-batch must also be dropped (state spans batches)."""
+    import datetime as dt
+    import time as _time
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "doc_id bigint, ts timestamp, text string"
+    d = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        [(0, t0, "alpha text"), (1, t0, "alpha text"), (2, t0, "beta text")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(d)
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(3, t0 + dt.timedelta(minutes=5), "alpha text"),
+         (4, t0 + dt.timedelta(minutes=5), "gamma text")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    src = spark.read.parquet(d)
+    stream = stream_from_directory(spark, d, src.schema, maxFilesPerTrigger=1)
+    deduped = running_dedupe(
+        stream.withColumn("text_md5", F.md5("text")), ["text_md5"], watermark="1 hour"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_content_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["text"] for r in spark.sql("select text from t_content_dedup").collect()
+    )
+    assert got == ["alpha text", "beta text", "gamma text"]
+
+
 def test_streaming_kv_sink_restart_is_exactly_once(spark, tmp_path):
     """The checkpoint + file-sink manifest make restarts exactly-once:
     re-running over already-committed input adds nothing, and new input
