@@ -25,7 +25,7 @@ them bit-for-bit; pass fast=True to swap in xxhash64 at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.hashing import affine_minhash_cols, hash64
 from ..functions.text import normalize_token, normalized_tokens, tokenize
@@ -362,3 +362,44 @@ def exact_dedup_groups(
         .groupBy("text_md5")
         .agg(F.min(id_col).alias(f"rep_{id_col}"), F.count("*").alias("n_copies"))
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    known_digests: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest-batch dedup against an existing corpus: the append-only
+    production shape ("dedupe this week's crawl against everything we
+    already kept") that never rescans the historical corpus — only its
+    digest table.
+
+    Returns ``(fresh_docs, digests)``:
+    - ``fresh_docs``: rows of ``new_docs`` that are neither duplicated
+      within the batch (min-``id_col`` representative kept) nor present
+      in ``known_digests``;
+    - ``digests``: the updated digest table (``text_md5``) to persist
+      for the next ingest — old digests unioned with the survivors'.
+
+    ``known_digests`` is a 1-column (``text_md5``) frame, typically
+    read from the digest table written by the previous ingest; pass
+    None for the first batch. Scale shape: one digest groupBy within
+    the batch + one anti-join against the digest table — both keyed on
+    uniform md5 values, and the digest table is a fraction of corpus
+    bytes (16 bytes/doc), so the anti-join build side stays small
+    relative to the data it guards.
+    """
+    spark = new_docs.sparkSession
+    if known_digests is None:
+        known_digests = spark.createDataFrame([], "text_md5 string")
+    hashed = new_docs.withColumn("text_md5", F.md5(F.col(text_col)))
+    rep = Window.partitionBy("text_md5").orderBy(id_col)
+    in_batch = (
+        hashed.withColumn("__rn", F.row_number().over(rep))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    fresh = in_batch.join(known_digests, "text_md5", "left_anti")
+    digests = known_digests.unionByName(fresh.select("text_md5")).distinct()
+    return fresh.drop("text_md5"), digests

@@ -156,3 +156,31 @@ def _uf_components(edges):
 )
 def test_connected_components_matches_union_find(spark, edges):
     assert _cc(spark, edges) == _uf_components(edges)
+
+
+def test_incremental_exact_dedup_across_ingest_batches(spark):
+    from mapreduce_task_spark.operators.dedup import incremental_exact_dedup
+
+    batch1 = _docs(spark, ["alpha", "alpha", "beta"])  # in-batch dup
+    fresh1, dig1 = incremental_exact_dedup(batch1)
+    assert sorted((r["doc_id"], r["text"]) for r in fresh1.collect()) == [
+        (0, "alpha"),
+        (2, "beta"),
+    ]
+    assert dig1.count() == 2
+
+    # batch 2: one doc dup of batch 1, one in-batch dup pair, one new
+    batch2 = spark.createDataFrame(
+        [Row(doc_id=i + 10, text=t) for i, t in enumerate(["beta", "gamma", "gamma", "delta"])],
+        "doc_id bigint, text string",
+    )
+    fresh2, dig2 = incremental_exact_dedup(batch2, dig1)
+    assert sorted((r["doc_id"], r["text"]) for r in fresh2.collect()) == [
+        (11, "gamma"),
+        (13, "delta"),
+    ]
+    assert dig2.count() == 4  # alpha, beta, gamma, delta
+
+    # idempotent re-ingest: replaying batch 2 yields nothing new
+    fresh3, dig3 = incremental_exact_dedup(batch2, dig2)
+    assert fresh3.count() == 0 and dig3.count() == 4

@@ -171,3 +171,33 @@ def test_srp_requires_dim_no_hidden_job(spark):
     df = _emb(spark, [[0.1, 0.2]])
     with pytest.raises(ValueError, match="dim"):
         srp_buckets(df, nbits=2)
+
+
+def test_ivf_index_partitioned_layout_prunes_search(spark, sf_small, tmp_path):
+    """The 100 TB IVF claim made concrete: persist the index partitioned
+    by cluster id, and a cluster-restricted search must (a) prune the
+    scan to the probed clusters' directories at planning time
+    (PartitionFilters) and (b) return exactly the same candidates as
+    searching the unpartitioned index."""
+    from mapreduce_task_spark.operators.similarity import kmeans_lite_clusters
+    from mapreduce_task_spark.sources.partitioned import partition_filters
+    from mapreduce_task_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    idx = kmeans_lite_clusters(emb, k=4, dim=64, rounds=1)
+    d = str(tmp_path / "ivf_index")
+    idx.write.mode("overwrite").partitionBy("cluster").parquet(d)
+
+    back = spark.read.parquet(d)
+    # the index round-trips losslessly
+    assert back.count() == emb.count()
+
+    probed = back.filter(F.col("cluster").isin(1, 2))
+    pf = partition_filters(probed)
+    assert "cluster" in pf  # metadata-only pruning, not per-file filters
+
+    expected = {
+        r["vec_id"] for r in idx.filter(F.col("cluster").isin(1, 2)).collect()
+    }
+    got = {r["vec_id"] for r in probed.collect()}
+    assert got == expected and got
