@@ -55,6 +55,39 @@ def write_sorted_ranges(
     out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
 
 
+def dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` via the Hadoop FileSystem API — a
+    metadata listing (works for file:/hdfs:/s3a:), never a data scan."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(p).getLength()
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ~``target_file_bytes`` files; returns the file count written.
+
+    The standing ops task of every streaming/incremental pipeline: a
+    micro-batch sink or per-task writer accumulates thousands of tiny
+    files, and scan planning cost grows with file count (listing +
+    footer reads + one task minimum each). File count is sized from
+    the INPUT listing (metadata only, no data scan) — an approximation
+    that intentionally ignores recompression, which is the standard
+    trade. Writes to a NEW directory; swapping it over the source is
+    the caller's (atomic-rename or table-metadata) move.
+    """
+    n_files = max(1, -(-dir_bytes(spark, src_path) // target_file_bytes))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
 def partition_filters(df: DataFrame) -> str:
     """The PartitionFilters clause of the scan (test/diagnostic helper)."""
     plan = df._jdf.queryExecution().executedPlan().toString()

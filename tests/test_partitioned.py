@@ -74,3 +74,32 @@ def test_write_sorted_ranges_disjoint_and_internally_sorted(spark, sf_small):
             ev.select(F.sum("event_id")).collect()[0][0]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_parquet_reduces_file_count_losslessly(spark, sf_small):
+    from mapreduce_task_spark.sources.partitioned import compact_parquet, dir_bytes
+
+    src = tempfile.mkdtemp(prefix="tiny_files_")
+    out = tempfile.mkdtemp(prefix="compacted_")
+    try:
+        ev = load_table(spark, sf_small, "events")
+        ev.repartition(64).write.mode("overwrite").parquet(src)  # tiny-file mess
+        n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+        assert n_src == 64
+
+        total = dir_bytes(spark, src)
+        assert total > 0
+        # target ~ a third of the data -> ~3 output files
+        n = compact_parquet(spark, src, out, target_file_bytes=total // 3 + 1)
+        n_out = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+        assert n_out == n <= 4 and n_out < n_src
+
+        back = spark.read.parquet(out)
+        assert back.count() == ev.count()
+        assert (
+            back.select(F.sum("event_id")).collect()[0][0]
+            == ev.select(F.sum("event_id")).collect()[0][0]
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
