@@ -476,6 +476,52 @@ def ivf_topk(
     )
 
 
+def cluster_pairs_cosine(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Within-cluster all-pairs cosine >= threshold — the scale path
+    for embedding near-dup detection (SemDeDup-style semantic dedup).
+
+    Input is a k-means assignment frame (id, qv, nq, cluster) from
+    ``assign_clusters``/``kmeans_lite_clusters``. Each cluster's rows
+    become ONE Arrow batch turned into a numpy int64 GEMM over the
+    upper triangle — exact quantized arithmetic, identical to
+    ``blocked_all_pairs_cosine`` on the pairs it scores.
+
+    Scale contract: pair work drops from O(n^2) to O(sum n_c^2); with
+    k proportional to corpus size the per-cluster GEMM stays
+    constant-sized, so total work is LINEAR in n. The cluster id is
+    the shuffle key (same bucketing the IVF index uses). The
+    approximation: pairs straddling a cluster boundary are missed —
+    recall vs the exact O(n^2) twin is gated in
+    tests/test_similarity.py; precision is exactly 1.0 (every emitted
+    pair is a true >= threshold pair with the identical cosine).
+    """
+    import pandas as pd
+
+    def gemm(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        q = np.stack(pdf.qv.to_numpy()).astype(np.int64)
+        nrm = np.sqrt(pdf.nq.to_numpy().astype(np.float64))
+        cos = (q @ q.T).astype(np.float64) / (nrm[:, None] * nrm[None, :])
+        ids = pdf[id_col].to_numpy()
+        mask = (cos >= threshold) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(mask)
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi], "cos": cos[ai, bi]})
+
+    gemm.__annotations__ = {"key": tuple, "pdf": pd.DataFrame, "return": pd.DataFrame}
+    return assigned.groupBy("cluster").applyInPandas(
+        gemm, schema="id_a long, id_b long, cos double"
+    )
+
+
 def srp_buckets(
     df: DataFrame,
     id_col: str = "vec_id",

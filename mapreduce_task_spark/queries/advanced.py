@@ -100,38 +100,6 @@ def q_join_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "grouping_sets",
-    """
-SELECT coalesce(n.n_name, '(all)') AS nation,
-       coalesce(o.o_orderpriority, '(all)') AS priority,
-       count(*) AS n,
-       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-FROM orders o
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-GROUP BY GROUPING SETS ((n.n_name), (o.o_orderpriority), ())
-""",
-    doc="GROUPING SETS over orders x customer x nation (rollup/cube's "
-    "general form; SQL-API surface).",
-)
-def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    for name in ("orders", "customer", "nation"):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"__gs_{name}")
-    return spark.sql(
-        """
-SELECT coalesce(n.n_name, '(all)') AS nation,
-       coalesce(o.o_orderpriority, '(all)') AS priority,
-       count(*) AS n,
-       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-FROM __gs_orders o
-JOIN __gs_customer c ON o.o_custkey = c.c_custkey
-JOIN __gs_nation n ON c.c_nationkey = n.n_nationkey
-GROUP BY GROUPING SETS ((n.n_name), (o.o_orderpriority), ())
-"""
-    )
-
-
-@query(
     "q3_shipping_priority",
     """
 SELECT l.l_orderkey,

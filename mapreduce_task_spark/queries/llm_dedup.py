@@ -294,13 +294,12 @@ _IVF_NPROBE = 2  # probed clusters per query; oracle takes rn <= nprobe
 _EMB_DIM = 64  # testdata embedding dimensionality (oracle hardcodes range(64))
 
 
-def _ivf_oracle(k: int, rounds: int, nprobe: int = 1) -> str:
-    """DuckDB replay of the kmeans_lite build + multi-probe search:
-    seeds, then per round an assignment CTE (exact-integer argmin, ties
-    to lowest j) and a floor-division centroid-update CTE, then the
-    final assignment — where candidates keep rank 1 (home list) and
-    queries keep rank <= nprobe (probe set) over the SAME (distance, j)
-    ordering — and the cluster-restricted top-k."""
+def _kmeans_ctes(k: int, rounds: int) -> str:
+    """DuckDB CTE chain replaying the kmeans_lite build: seeds, then
+    per round an assignment CTE (exact-integer argmin, ties to lowest
+    j) and a floor-division centroid-update CTE, then the final
+    assignment ``a_final`` (ranked) / ``m_final`` (home cluster).
+    Shared by the IVF search oracle and the semantic-dedup oracle."""
 
     def assign(src_cents: str, out: str) -> str:
         return f"""
@@ -331,10 +330,17 @@ seeds AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS j, qv AS cqv, nq AS c
         ctes.append(update(f"r{r}", f"cents_r{r}"))
         cents = f"cents_r{r}"
     ctes.append(assign(cents, "final"))
-    body = ",".join(ctes)
+    return ",".join(ctes)
+
+
+def _ivf_oracle(k: int, rounds: int, nprobe: int = 1) -> str:
+    """Multi-probe IVF search over the replayed k-means build:
+    candidates keep rank 1 (home list), queries keep rank <= nprobe
+    (probe set) over the SAME (distance, j) ordering, then the
+    cluster-restricted top-k."""
     return f"""
 WITH {_QVEC_CTE},
-{body},
+{_kmeans_ctes(k, rounds)},
 probes AS (SELECT vec_id, qv, nq, j AS cluster FROM a_final
            WHERE rn <= {nprobe} AND vec_id < {_N_QUERIES}),
 scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -400,6 +406,34 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("*", F.row_number().over(w).alias("rank")).filter(
         F.col("rank") <= _TOPK_K
     )
+
+
+@query(
+    "dedup_semantic",
+    f"""
+WITH {_QVEC_CTE},
+{_kmeans_ctes(_IVF_K, _IVF_ROUNDS)}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.qv, b.qv) / (sqrt(a.nq) * sqrt(b.nq)) AS cos
+FROM m_final a JOIN m_final b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.qv, b.qv) / (sqrt(a.nq) * sqrt(b.nq)) >= 0.35
+""",
+    doc="Semantic dedup, the SCALE path for embedding near-dup detection "
+    f"(SemDeDup-style): k-means coarse clusters ({_IVF_K} clusters, "
+    f"{_IVF_ROUNDS} Lloyd rounds, the same deterministic build the IVF "
+    "index uses), then within-cluster-only exact cosine pairs via one "
+    "numpy GEMM per cluster — O(sum n_c^2), linear in corpus size when "
+    "k grows with n, vs dedup_embedding_cosine's O(n^2) exactness twin. "
+    "Boundary-pair recall is gated vs the exact twin in "
+    "tests/test_similarity.py; the oracle replays the identical build "
+    "and within-cluster pair join.",
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cluster_pairs_cosine, kmeans_lite_clusters
+
+    emb = t(spark, sf_dir, "embeddings")
+    assigned = kmeans_lite_clusters(emb, k=_IVF_K, dim=_EMB_DIM, rounds=_IVF_ROUNDS)
+    return cluster_pairs_cosine(assigned, threshold=0.35)
 
 
 _SRP_BITS = 4

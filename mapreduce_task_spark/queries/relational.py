@@ -267,10 +267,20 @@ def q_sessionize(spark: SparkSession, sf_dir: str):
            count(*) AS n
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'gsets' AS op, n.n_name AS k1, o.o_orderpriority AS k2,
+           CAST(grouping_id(n.n_name, o.o_orderpriority) AS BIGINT) AS gid,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+           count(*) AS n
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_name), (o.o_orderpriority), ())
     """,
-    doc="ROLLUP (lineitem) and CUBE (orders) with grouping_id in one tagged "
-    "inventory query (same bitmask semantics in both engines); GROUPING "
-    "SETS' general form is covered by the grouping_sets query.",
+    doc="ROLLUP (lineitem), CUBE (orders), and explicit GROUPING SETS "
+    "(orders x customer x nation, the general form via the SQL API) with "
+    "grouping_id in one tagged inventory query (same bitmask semantics in "
+    "both engines).",
 )
 def q_rollup_cube_agg(spark: SparkSession, sf_dir: str):
     li = t(spark, sf_dir, "lineitem")
@@ -307,7 +317,21 @@ def q_rollup_cube_agg(spark: SparkSession, sf_dir: str):
             "n",
         )
     )
-    return roll.unionByName(cube)
+    for name in ("orders", "customer", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"__gs_{name}")
+    gsets = spark.sql(
+        """
+SELECT 'gsets' AS op, n.n_name AS k1, o.o_orderpriority AS k2,
+       CAST(grouping_id(n.n_name, o.o_orderpriority) AS BIGINT) AS gid,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+       count(*) AS n
+FROM __gs_orders o
+JOIN __gs_customer c ON o.o_custkey = c.c_custkey
+JOIN __gs_nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY GROUPING SETS ((n.n_name), (o.o_orderpriority), ())
+"""
+    )
+    return roll.unionByName(cube).unionByName(gsets)
 
 
 # --------------------------------------------------------------------------

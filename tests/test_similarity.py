@@ -158,6 +158,45 @@ def test_srp_multiprobe_raises_recall_vs_brute_force(spark, sf_small):
     assert r0 >= 0.04  # above random-candidate recall
 
 
+def test_semantic_dedup_exact_precision_gated_recall(spark, sf_small):
+    """Cluster-bounded semantic dedup (the 100 TB path) vs its exact
+    O(n^2) twin: every emitted pair must be a true pair with the
+    IDENTICAL cosine (precision 1.0 — within-cluster arithmetic is the
+    same quantized GEMM), recall is floor-gated (boundary pairs can be
+    missed), and at k=1 (one cluster) the operator IS the exact twin."""
+    from mapreduce_task_spark.operators.similarity import (
+        blocked_all_pairs_cosine,
+        cluster_pairs_cosine,
+    )
+    from mapreduce_task_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    thr = 0.3
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in blocked_all_pairs_cosine(emb, threshold=thr).collect()
+    }
+    assert exact, "fixture must contain pairs at this threshold"
+
+    sem = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cluster_pairs_cosine(
+            kmeans_lite_clusters(emb, k=4, dim=64, rounds=2), threshold=thr
+        ).collect()
+    }
+    for pair, cos in sem.items():
+        assert pair in exact and cos == exact[pair]  # precision 1.0, bitwise
+    assert len(sem) / len(exact) >= 0.25  # recall floor on this fixture
+
+    one = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cluster_pairs_cosine(
+            kmeans_lite_clusters(emb, k=1, dim=64, rounds=1), threshold=thr
+        ).collect()
+    }
+    assert one == exact  # single cluster degenerates to exact all-pairs
+
+
 def test_srp_same_vector_same_bucket(spark):
     df = _emb(spark, [[0.3, -0.1, 0.7, 0.2], [0.3, -0.1, 0.7, 0.2], [-0.3, 0.1, -0.7, -0.2]])
     got = {r["vec_id"]: r["bucket"] for r in srp_buckets(df, nbits=4, dim=4).collect()}
