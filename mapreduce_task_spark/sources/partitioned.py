@@ -55,6 +55,114 @@ def write_sorted_ranges(
     out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
 
 
+def _spread_bits(x, gap_masks=(
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)):
+    """Spread a 32-bit int's bits to the even bit positions of a long —
+    the magic-mask interleave, five shift+mask steps, all codegen."""
+    for shift, mask in gap_masks:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zvalue(
+    specs: list[tuple[str, int, int]], bits: int = 16
+) -> F.Column:
+    """Z-order (Morton) key over 2+ columns: quantize each column to
+    ``bits`` bits against its [lo, hi) domain, then bit-interleave.
+
+    ``specs`` is [(col, lo, hi), ...] — the domain bounds come from
+    table-level metadata/stats (a constant, NOT a data scan; at scale
+    the catalog already has them, and a stale-but-covering bound only
+    costs resolution, never correctness). Quantization is linear:
+    clamp((col - lo) * 2^bits / (hi - lo)).
+
+    Interleaving gives every column locality in the SAME sort order:
+    sorting by the z-value clusters rows so each output file covers a
+    small hyper-rectangle of the key space, so parquet min/max stats
+    prune on ANY of the columns — the multi-dimensional generalization
+    of ``write_sorted_ranges`` (which is optimal for its first column
+    and useless for the rest). Pure shift/mask expressions, no UDF.
+    """
+    k = len(specs)
+    if k < 2:
+        raise ValueError("zvalue needs >= 2 columns; use write_sorted_ranges for 1")
+    if bits * k > 63:
+        raise ValueError(f"{k} cols x {bits} bits exceeds the 63-bit key")
+    quantized = []
+    for col, lo, hi in specs:
+        c = F.col(col).cast("double")
+        q = F.floor((c - F.lit(lo)) / F.lit(hi - lo) * F.lit(1 << bits))
+        quantized.append(
+            F.greatest(F.lit(0), F.least(F.lit((1 << bits) - 1), q)).cast("long")
+        )
+    if k == 2:
+        # stride-2 magic-mask spread: 5 shift+mask steps per column
+        parts = [F.shiftleft(_spread_bits(q), i) for i, q in enumerate(quantized)]
+    else:
+        # generic stride-k interleave: bit j of column i lands at j*k+i
+        parts = []
+        for i, q in enumerate(quantized):
+            acc = None
+            for j in range(bits):
+                bit = F.shiftleft(
+                    F.shiftright(q, j).bitwiseAND(F.lit(1)), j * k + i
+                )
+                acc = bit if acc is None else acc.bitwiseOR(bit)
+            parts.append(acc)
+    z = parts[0]
+    for p in parts[1:]:
+        z = z.bitwiseOR(p)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    specs: list[tuple[str, int, int]],
+    num_files: int,
+    bits: int = 16,
+) -> None:
+    """Write parquet Z-order-clustered on ``specs``: range-partition by
+    the z-value (disjoint file ranges, one shuffle) and sort within
+    each file, so every file's min/max stats cover a compact region of
+    every clustered column. The z column itself is dropped — it exists
+    only to drive the layout."""
+    z = df.withColumn("__z", zvalue(specs, bits))
+    (
+        z.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def files_touched_by_range(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> tuple[int, int]:
+    """(files whose [min,max] stats intersect [lo, hi], total files) —
+    replays exactly the zone-map decision parquet/scan planning makes
+    from footer stats. Diagnostic: one aggregate over the dataset
+    grouped by ``input_file_name`` stands in for reading footers."""
+    stats = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+    )
+    agg = stats.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(
+            ((F.col("mx") >= F.lit(lo)) & (F.col("mn") <= F.lit(hi))).cast("int")
+        ).alias("touched"),
+    ).collect()[0]
+    return int(agg["touched"]), int(agg["total"])
+
+
 def dir_bytes(spark: SparkSession, path: str) -> int:
     """Total bytes under ``path`` via the Hadoop FileSystem API — a
     metadata listing (works for file:/hdfs:/s3a:), never a data scan."""
