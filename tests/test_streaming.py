@@ -623,3 +623,62 @@ def test_stateful_running_count_totals(spark, events_dir):
         ).collect()
     }
     assert final == expected and len(final) > 0
+
+
+def test_foreach_batch_upsert_converges_and_is_idempotent(spark, tmp_path):
+    """foreachBatch upsert sink: keyed updates across micro-batches
+    converge to latest-per-key; replaying a batch (crash-before-
+    checkpoint) leaves the target unchanged; only touched buckets are
+    rewritten."""
+    import time as _time
+
+    from mapreduce_task_spark.streaming.upsert import (
+        read_snapshot,
+        streaming_upsert,
+        upsert_batch,
+    )
+
+    schema = "k bigint, seq bigint, v string"
+    src = tmp_path / "up_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 1, "a1"), (2, 1, "b1"), (3, 1, "c1")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(1, 2, "a2"), (4, 1, "d1")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    tgt, ckpt = str(tmp_path / "up_tgt"), str(tmp_path / "up_ckpt")
+
+    def run():
+        q = streaming_upsert(
+            stream_from_directory(spark, str(src), schema, maxFilesPerTrigger=1),
+            tgt,
+            ckpt,
+            key_col="k",
+            order_cols=["seq", "v"],
+            num_buckets=4,
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = {r["k"]: (r["seq"], r["v"]) for r in read_snapshot(spark, tgt).collect()}
+    assert got == {1: (2, "a2"), 2: (1, "b1"), 3: (1, "c1"), 4: (1, "d1")}
+
+    # replaying the last batch's rows is a no-op (idempotent merge)
+    replay = spark.createDataFrame([(1, 2, "a2"), (4, 1, "d1")], schema)
+    upsert_batch(replay, tgt, "k", ["seq", "v"], num_buckets=4)
+    got2 = {r["k"]: (r["seq"], r["v"]) for r in read_snapshot(spark, tgt).collect()}
+    assert got2 == got
+
+    # stale update (lower seq) loses to the target's newer row
+    upsert_batch(
+        spark.createDataFrame([(1, 1, "a1-late")], schema),
+        tgt,
+        "k",
+        ["seq", "v"],
+        num_buckets=4,
+    )
+    got3 = {r["k"]: (r["seq"], r["v"]) for r in read_snapshot(spark, tgt).collect()}
+    assert got3[1] == (2, "a2")
