@@ -86,7 +86,54 @@ def quality_features(
         alpha_ratio.alias("alpha_ratio"),
         stop_ratio.alias("stopword_ratio"),
         score.alias("quality_score"),
+        dup_word_frac(text_col).alias("dup_word_frac"),
+        top_ngram_frac(text_col, 2).alias("top_bigram_frac"),
+        top_ngram_frac(text_col, 3).alias("top_trigram_frac"),
     )
+
+
+def dup_word_frac(text_col: str) -> Column:
+    """Fraction of word occurrences that repeat an earlier word:
+    1 - distinct/total. The word-level repetition signal from the
+    Gopher-style quality rules — high values flag boilerplate and
+    degenerate generations."""
+    toks = _toks(text_col)
+    n = F.size(toks)
+    return F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.nullif(
+        n, F.lit(0)
+    ).cast("double")
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as joined strings, expression-only. Short documents
+    get an empty array — the guard matters because sequence(1, m)
+    DESCENDS for m < 1 and ANSI element_at rejects index 0."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def top_ngram_frac(text_col: str, n: int) -> Column:
+    """Fraction of all word n-grams taken by the single most frequent
+    one (Gopher's top-n-gram coverage): counted per distinct n-gram
+    with a nested array comprehension — per-row codegen, no shuffle,
+    no explode. O(d * g) per row for d distinct among g n-grams, which
+    is document-bounded, not corpus-bounded."""
+    toks = _toks(text_col)
+    grams = _ngrams(toks, n)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda x: F.size(F.filter(grams, lambda y: y == x)),
+        )
+    )
+    return top.cast("double") / F.nullif(F.size(grams), F.lit(0)).cast("double")
 
 
 def language_id(

@@ -41,6 +41,26 @@ def _hits(lang: str) -> str:
     return f"CAST(len(list_filter(toks, w -> w IN ({_in_list(lang)}))) AS BIGINT)"
 
 
+def _ngram_sql(n: int) -> str:
+    """DuckDB word-n-gram list over ``toks`` (empty when too short),
+    mirroring operators.textstats._ngrams."""
+    join = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(n))
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(range(1, len(toks) - {n - 1} + 1), i -> {join}) "
+        f"ELSE [] END"
+    )
+
+
+def _top_ngram_frac_sql(n: int) -> str:
+    g = f"g{n}"
+    return (
+        f"CAST(list_max(list_transform(list_distinct({g}), "
+        f"x -> len(list_filter({g}, y -> y = x)))) AS DOUBLE) "
+        f"/ CAST(nullif(len({g}), 0) AS DOUBLE)"
+    )
+
+
 @query(
     "text_quality",
     f"""
@@ -58,10 +78,17 @@ SELECT doc_id,
          / CAST(nullif(length(text), 0) AS DOUBLE))
   + 0.3 * (CAST(len(list_filter(toks, w -> w IN ({_in_list('en')}))) AS DOUBLE)
            / CAST(nullif(len(toks), 0) AS DOUBLE))
-  + 0.2 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS quality_score
-FROM tk
+  + 0.2 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS quality_score,
+  1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+    / CAST(nullif(len(toks), 0) AS DOUBLE) AS dup_word_frac,
+  {_top_ngram_frac_sql(2)} AS top_bigram_frac,
+  {_top_ngram_frac_sql(3)} AS top_trigram_frac
+FROM (SELECT *, {_ngram_sql(2)} AS g2, {_ngram_sql(3)} AS g3 FROM tk)
 """,
-    doc="Per-doc quality features + composite score (alpha/stopword/length mix).",
+    doc="Per-doc quality features + composite score (alpha/stopword/length "
+    "mix) + Gopher-style repetition signals: duplicate-word fraction and "
+    "top bi-/tri-gram coverage — all per-row codegen array expressions, "
+    "no shuffle, no UDF.",
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_features(t(spark, sf_dir, "documents"))

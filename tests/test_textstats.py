@@ -47,3 +47,30 @@ def test_fingerprints_subset_of_shingle_hashes(spark):
     fp = fingerprints(sh, mod=2).collect()
     assert len(fp) > 0
     assert all(r["fp"] % 2 == 0 for r in fp)
+
+
+def test_repetition_signals_exact_and_short_doc_safe(spark):
+    """Gopher-style repetition: hand-computed fractions on a crafted
+    doc, NULL-free zeros absent on sub-n-gram docs (the sequence()
+    descent / ANSI element_at hazard)."""
+    from pyspark.sql import Row
+
+    from mapreduce_task_spark.operators.textstats import quality_features
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="spam ham spam ham spam"),
+            Row(doc_id=1, text="one"),
+            Row(doc_id=2, text=""),
+        ]
+    )
+    got = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    r0 = got[0]
+    # 5 words, 2 distinct -> dup 3/5; bigrams: [spam ham, ham spam]x2 -> top 2/4
+    assert r0["dup_word_frac"] == 1.0 - 2.0 / 5.0
+    assert r0["top_bigram_frac"] == 2.0 / 4.0
+    # trigrams: 'spam ham spam' x2, 'ham spam ham' x1 -> top 2/3
+    assert r0["top_trigram_frac"] == 2.0 / 3.0
+    # one-word / empty docs: no n-grams, no crash, NULL fractions
+    assert got[1]["top_bigram_frac"] is None and got[1]["dup_word_frac"] == 0.0
+    assert got[2]["dup_word_frac"] is None and got[2]["top_trigram_frac"] is None
