@@ -1,0 +1,234 @@
+"""Product quantization (PQ): compressed-vector ANN for corpus-scale
+similarity search.
+
+A 100 TB embedding corpus cannot keep float vectors hot: PQ splits
+each vector into ``m`` subspaces, learns ``ksub`` centroids per
+subspace (independent k-means), and stores each vector as ``m`` small
+codes — 8 bytes instead of 256 for a 64-dim float vector. Search uses
+ADC (asymmetric distance computation): the QUERY keeps its exact
+subvectors, builds an m x ksub table of exact subspace distances once,
+and every candidate's approximate L2^2 is m table lookups summed —
+no per-candidate vector arithmetic at all.
+
+Everything is exact int64 arithmetic on the quantized vectors (see
+operators.similarity.with_quantized), deterministic seeding via
+md5-hash order, and integer floor-division centroid means — the same
+determinism contract as kmeans_lite, so every stage is replayable.
+
+Scale shape: the build is two groupBy((sub, j)) aggregations per Lloyd
+round over m x ksub groups (tiny reduce side); assignment and ADC are
+broadcast projections (the centroid table is m*ksub rows; a query's
+distance table is m*ksub doubles). The candidate scan reads only the
+``codes`` column — the point of PQ. No pandas, no Python rows: pure
+codegen expressions end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.hashing import hash64
+from .similarity import with_quantized
+
+
+def _subvectors(qd: DataFrame, id_col: str, m: int, dsub: int) -> DataFrame:
+    """(id, sub, sqv): explode each quantized vector into its m
+    subvectors — a map-side projection, m rows per vector."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(F.col("qv"), s * dsub + 1, dsub).alias("sqv"),
+            )
+            for s in range(m)
+        ]
+    )
+    return qd.select(id_col, F.explode(subs).alias("__s")).select(
+        id_col, F.col("__s.sub").alias("sub"), F.col("__s.sqv").alias("sqv")
+    )
+
+
+def _sub_dist(a, b):
+    """Exact int64 squared L2 between two dsub-length int arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, d: acc + d,
+    )
+
+
+def _assign_codes(subs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Nearest centroid per (vector, subspace): pack ALL m x ksub
+    centroids into one broadcast row, argmin via array_min over the
+    row's own subspace — shuffle-free, ties to lowest code."""
+    packed = cents.agg(F.collect_list(F.struct("sub", "j", "cqv")).alias("__c"))
+    mine = F.filter(F.col("__c"), lambda c: c["sub"] == F.col("sub"))
+    best = F.array_min(
+        F.transform(
+            mine,
+            lambda c: F.struct(
+                _sub_dist(F.col("sqv"), c["cqv"]).alias("d"), c["j"].alias("j")
+            ),
+        )
+    )
+    return subs.crossJoin(F.broadcast(packed)).select(
+        id_col, "sub", "sqv", best["j"].alias("code")
+    )
+
+
+def pq_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    rounds: int = 2,
+) -> DataFrame:
+    """Learn the codebook: (sub, j, cqv) — ksub centroids per subspace.
+
+    Seeds are the ksub vectors with smallest (md5(id), id) — the same
+    deterministic draw kmeans_lite uses — projected into each
+    subspace; then ``rounds`` Lloyd rounds with exact integer
+    floor-division means, all m subspaces trained in the SAME two
+    aggregations per round (grouped by (sub, cluster))."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    qd = with_quantized(df, vec_col).select(id_col, "qv")
+    subs = _subvectors(qd, id_col, m, dsub)
+
+    seed_rank = (
+        qd.select(id_col, hash64(id_col).alias("__h"))
+        .orderBy("__h", id_col)
+        .limit(ksub)
+    )
+    w = Window.orderBy("__h", id_col)  # ksub rows: single-partition window is fine
+    seeds = seed_rank.select(F.col(id_col), F.row_number().over(w).alias("j"))
+    cents = subs.join(F.broadcast(seeds), id_col).select(
+        "sub", "j", F.col("sqv").alias("cqv")
+    )
+
+    for _ in range(rounds):
+        assigned = _assign_codes(subs, cents, id_col)
+        sums = assigned.groupBy("sub", "code").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("sqv", i + 1)).alias(f"s{i}")
+                for i in range(dsub)
+            ],
+        )
+        comps = [
+            (
+                (F.col(f"s{i}") - F.pmod(F.col(f"s{i}"), F.col("n"))) / F.col("n")
+            ).cast("bigint")
+            for i in range(dsub)
+        ]
+        updated = sums.select(
+            "sub", F.col("code").alias("j"), F.array(*comps).alias("cqv")
+        )
+        # retain centroids whose cluster emptied: the codebook must stay
+        # dense (all m x ksub entries) for positional ADC table lookups
+        dead = cents.join(updated.select("sub", "j"), ["sub", "j"], "left_anti")
+        cents = updated.unionByName(dead)
+    return cents
+
+
+def pq_encode(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, codes): each vector as its m nearest-centroid codes —
+    the compressed representation a PQ index persists (m small ints
+    per vector; at rest these pack to m bytes for ksub <= 256)."""
+    dsub = dim // m
+    qd = with_quantized(df, vec_col).select(id_col, "qv")
+    assigned = _assign_codes(_subvectors(qd, id_col, m, dsub), cents, id_col)
+    return (
+        assigned.groupBy(id_col)
+        .agg(F.collect_list(F.struct("sub", "code")).alias("__sc"))
+        .select(
+            id_col,
+            F.transform(F.array_sort("__sc"), lambda s: s["code"]).alias("codes"),
+        )
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    rounds: int = 2,
+) -> DataFrame:
+    """ADC top-k: exact query subvectors against candidate codes.
+
+    Per query the m x ksub distance table is computed exactly once
+    (against the broadcast codebook), flattened ordered by (sub, j) so
+    a candidate's approximate distance is
+    ``sum_s dtable[s*ksub + code_s]`` — m array lookups per candidate,
+    summed in one aggregate expression. Returns
+    (query_id, cand_id, approx_d, rank); rank 1 = nearest. The
+    codes-only scan is the PQ payoff: candidate vectors are never
+    read at search time."""
+    dsub = dim // m
+    cents = pq_fit(df, id_col, vec_col, m, ksub, dim, rounds)
+    # persist-free: codebook is m*ksub rows, recomputed lineage is two
+    # tiny aggs; callers indexing repeatedly should persist it
+    codes = pq_encode(df, cents, id_col, vec_col, m, dim)
+
+    qd = with_quantized(df, vec_col).select(id_col, "qv")
+    q_subs = _subvectors(
+        qd.join(query_ids.select(id_col), id_col), id_col, m, dsub
+    )
+    # exact subspace distances query x (sub, j), packed per query
+    # ordered by (sub, j) for positional lookup
+    qdist = (
+        q_subs.join(F.broadcast(cents), "sub")
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.struct("sub", "j", _sub_dist(F.col("sqv"), F.col("cqv")).alias("d")).alias(
+                "__e"
+            ),
+        )
+        .groupBy("query_id")
+        .agg(F.collect_list("__e").alias("__es"))
+        .select(
+            "query_id",
+            F.transform(F.array_sort("__es"), lambda e: e["d"]).alias("dtable"),
+        )
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "cand_id")
+        .crossJoin(F.broadcast(qdist))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0).cast("bigint"),
+                lambda acc, s: acc
+                + F.element_at(
+                    "dtable",
+                    # 1-based: sub block s holds positions s*ksub+1..s*ksub+ksub
+                    # for codes j=1..ksub, so (s, j) sits at s*ksub + j
+                    (s * ksub + F.element_at("codes", (s + 1).cast("int"))).cast(
+                        "int"
+                    ),
+                ),
+            ).alias("approx_d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d"), F.asc("cand_id"))
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= k
+    )

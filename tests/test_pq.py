@@ -1,0 +1,78 @@
+"""Product-quantization ANN: codebook shape, code compression,
+ADC recall against the exact L2 ranking."""
+
+from pyspark.sql import Window, functions as F
+
+from mapreduce_task_spark.operators.pq import pq_adc_topk, pq_encode, pq_fit
+from mapreduce_task_spark.operators.similarity import int_dot, with_quantized
+from mapreduce_task_spark.sources.tables import load_table
+
+M, KSUB, DIM, K = 8, 16, 64, 10
+
+
+def _exact_l2_topsets(emb, qids, k):
+    """Exact int64 L2^2 brute-force top-k: d = nq_q + nq_c - 2*dot."""
+    qd = with_quantized(emb)
+    q = qd.join(qids, "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qv_q"),
+        F.col("nq").alias("nq_q"),
+    )
+    c = qd.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("qv").alias("qv_c"),
+        F.col("nq").alias("nq_c"),
+    )
+    d = F.col("nq_q") + F.col("nq_c") - 2 * int_dot(F.col("qv_q"), F.col("qv_c"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cand_id"))
+    top = (
+        F.broadcast(q)
+        .join(c, F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", d.alias("d"))
+        .select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+    out = {}
+    for r in top.collect():
+        out.setdefault(r["query_id"], set()).add(r["cand_id"])
+    return out
+
+
+def test_pq_codebook_dense_and_codes_compress(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = pq_fit(emb, m=M, ksub=KSUB, dim=DIM, rounds=2)
+    rows = cents.collect()
+    assert len(rows) == M * KSUB  # dense: every (sub, j) present
+    assert all(len(r["cqv"]) == DIM // M for r in rows)
+    codes = pq_encode(emb, cents, m=M, dim=DIM)
+    got = codes.collect()
+    assert len(got) == emb.count()
+    for r in got:
+        assert len(r["codes"]) == M  # 8 codes stand in for 64 floats
+        assert all(1 <= c <= KSUB for c in r["codes"])
+
+
+def test_pq_adc_recall_vs_exact_l2(spark, sf_small):
+    """ADC is approximate (codebook quantization error), so gate
+    recall@10 against the exact L2 top-10 — and require it to beat the
+    random-candidates floor by a wide margin."""
+    emb = load_table(spark, sf_small, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    exact = _exact_l2_topsets(emb, qids, K)
+
+    adc = pq_adc_topk(emb, qids, k=K, m=M, ksub=KSUB, dim=DIM, rounds=2)
+    got = {}
+    for r in adc.collect():
+        got.setdefault(r["query_id"], set()).add(r["cand_id"])
+
+    assert set(got) == set(exact)
+    assert all(len(s) == K for s in got.values())
+    recall = sum(len(exact[q] & got[q]) / K for q in exact) / len(exact)
+    n = emb.count()
+    random_floor = K / (n - 1)  # expected recall of a random top-k
+    # the synthetic embeddings are near-uniform (no cluster structure),
+    # the hard case for PQ — measured ~0.18 here, ~9x the random floor.
+    # On real embedding manifolds PQ recall runs far higher; the gates
+    # pin "far better than chance" plus a regression floor.
+    assert recall >= 0.15, f"ADC recall@{K} too low: {recall}"
+    assert recall > 5 * random_floor, f"recall {recall} vs random {random_floor}"
