@@ -1,0 +1,65 @@
+"""Degree-oriented triangle counting vs a brute-force reference."""
+
+from itertools import combinations
+
+from pyspark.sql import Row
+
+from mapreduce_task_spark.operators.graph import canonical_edges, triangle_count
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in pairs], "id_a bigint, id_b bigint"
+    )
+
+
+def _py_triangles(pairs):
+    es = set()
+    for a, b in pairs:
+        if a != b:
+            es.add((min(a, b), max(a, b)))
+    verts = sorted({x for e in es for x in e})
+    return {
+        (a, b, c)
+        for a, b, c in combinations(verts, 3)
+        if (a, b) in es and (b, c) in es and (a, c) in es
+    }
+
+
+def test_triangles_known_graphs(spark):
+    # K4: 4 triangles; a 5-cycle: 0; K4 plus a pendant edge: still 4
+    k4 = [(i, j) for i, j in combinations(range(4), 2)]
+    got = {tuple(r) for r in triangle_count(_edges_df(spark, k4)).collect()}
+    assert got == _py_triangles(k4) and len(got) == 4
+
+    cyc = [(i, (i + 1) % 5) for i in range(5)]
+    assert triangle_count(_edges_df(spark, cyc)).count() == 0
+
+    pend = k4 + [(3, 9)]
+    assert triangle_count(_edges_df(spark, pend)).count() == 4
+
+
+def test_triangles_each_emitted_once_hub_graph(spark):
+    """Star hub + rim edges (the skew case the degree orientation
+    exists for): every triangle once, duplicates in the input pair
+    table ignored, direction ignored."""
+    # hub 0 connected to 1..8; rim edges (1,2),(3,4),(5,6) -> 3 triangles
+    pairs = [(0, i) for i in range(1, 9)] + [(1, 2), (3, 4), (5, 6)]
+    noisy = pairs + [(b, a) for a, b in pairs] + pairs  # dup + reversed
+    df = _edges_df(spark, noisy)
+    got = sorted(tuple(r) for r in triangle_count(df).collect())
+    assert got == [(0, 1, 2), (0, 3, 4), (0, 5, 6)]
+    assert canonical_edges(df).count() == len(pairs)
+
+
+def test_triangles_random_graph_vs_reference(spark):
+    """Deterministic pseudo-random graph, exhaustively checked."""
+    pairs = []
+    x = 7
+    for _ in range(120):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        a, b = (x >> 3) % 20, (x >> 9) % 20
+        pairs.append((a, b))
+    got = {tuple(r) for r in triangle_count(_edges_df(spark, pairs)).collect()}
+    want = _py_triangles(pairs)
+    assert got == want and len(want) > 10
