@@ -1,0 +1,65 @@
+"""Benchmark decontamination: drop training documents that overlap an
+evaluation set.
+
+The standard pipeline rule (n-gram collision decontamination): a
+training document is contaminated if it shares any word n-gram of
+length >= n with any benchmark document. Built from the same shingle
+machinery the dedup ladder uses — tokenize/normalize/k-gram as narrow
+map-only stages — plus one semi-join on the shingle string.
+
+Scale shape: the benchmark side is tiny relative to the corpus (a few
+thousand eval documents vs billions of training docs), so its distinct
+shingle set is BROADCAST and the corpus-side check is a map-side
+semi-join: one pass over the training shingles, no corpus shuffle.
+With ``broadcast_bench=False`` it degrades to a shuffle semi-join for
+pathological benchmark sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import shingles
+
+
+def benchmark_shingles(
+    bench: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Distinct word n-grams of the eval set: one column ``shingle``."""
+    b = bench.select(
+        F.monotonically_increasing_id().alias("__bid"), F.col(text_col)
+    )
+    return shingles(b, "__bid", text_col, k=n).select("shingle").distinct()
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Training doc ids sharing >= 1 word n-gram with the benchmark."""
+    bs = benchmark_shingles(bench, bench_text_col, n)
+    if broadcast_bench:
+        bs = F.broadcast(bs)
+    ds = shingles(docs, id_col, text_col, k=n)
+    return ds.join(bs, "shingle", "left_semi").select(id_col).distinct()
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """The cleaned corpus: ``docs`` minus contaminated documents."""
+    bad = contaminated_ids(
+        docs, bench, id_col, text_col, bench_text_col, n, broadcast_bench
+    )
+    return docs.join(bad, id_col, "left_anti")

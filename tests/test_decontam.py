@@ -1,0 +1,61 @@
+"""N-gram benchmark decontamination: planted-contamination recovery."""
+
+from pyspark.sql import Row
+
+from mapreduce_task_spark.operators.decontam import contaminated_ids, decontaminate
+
+BENCH_SENTENCE = "the quick brown fox jumps over the lazy sleeping dog tonight"
+
+
+def _fixture(spark):
+    docs = spark.createDataFrame(
+        [
+            # doc 0 embeds the full benchmark sentence mid-text
+            Row(doc_id=0, text="intro words here " + BENCH_SENTENCE + " outro words"),
+            # doc 1 shares only a 4-word prefix (< n) — clean
+            Row(doc_id=1, text="the quick brown fox went home early and slept well"),
+            # doc 2 totally unrelated
+            Row(doc_id=2, text="completely different content about spark engines"),
+            # doc 3 contains the sentence with different CASE/punct
+            # (normalization must still catch it)
+            Row(doc_id=3, text="The QUICK, brown fox JUMPS over the lazy sleeping dog tonight!"),
+        ]
+    )
+    bench = spark.createDataFrame(
+        [Row(text=BENCH_SENTENCE), Row(text="another benchmark prompt nobody copied")]
+    )
+    return docs, bench
+
+
+def test_planted_contamination_flagged_exactly(spark):
+    docs, bench = _fixture(spark)
+    bad = sorted(r["doc_id"] for r in contaminated_ids(docs, bench, n=8).collect())
+    assert bad == [0, 3]  # full-sentence carriers only, case/punct-insensitive
+    clean = sorted(r["doc_id"] for r in decontaminate(docs, bench, n=8).collect())
+    assert clean == [1, 2]
+
+
+def test_short_overlap_not_flagged_and_threshold_dials(spark):
+    docs, bench = _fixture(spark)
+    # at n=4 the shared 4-gram prefix of doc 1 becomes contamination
+    bad4 = sorted(r["doc_id"] for r in contaminated_ids(docs, bench, n=4).collect())
+    assert bad4 == [0, 1, 3]
+    # shuffle-join variant agrees with the broadcast one
+    bad_shuffle = sorted(
+        r["doc_id"]
+        for r in contaminated_ids(docs, bench, n=8, broadcast_bench=False).collect()
+    )
+    assert bad_shuffle == [0, 3]
+
+
+def test_corpus_side_check_is_broadcast_semi_join(spark):
+    """The 100 TB contract: the corpus side must NOT shuffle — the
+    benchmark shingle set broadcasts into a map-side semi-join."""
+    docs, bench = _fixture(spark)
+    plan = (
+        contaminated_ids(docs, bench, n=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
