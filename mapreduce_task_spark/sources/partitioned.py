@@ -196,6 +196,28 @@ def compact_parquet(
     return n_files
 
 
+def write_with_bloom(
+    df: DataFrame, path: str, bloom_cols: list[str], ndv: int = 100_000
+) -> None:
+    """Write parquet with split-block bloom filters on ``bloom_cols``.
+
+    Zone maps (min/max) only skip when the file is CLUSTERED on the
+    predicate column; bloom filters give point-equality skipping on
+    high-cardinality columns in ANY order — the standard companion to
+    z-order for id-lookup workloads. ``ndv`` sizes the filter (bits ~
+    ndv * ln(1/fpp)); readers that support SBBF (parquet-mr engines,
+    newer DuckDB) consult it before touching a row group. This
+    container's pyarrow/DuckDB predate the metadata accessors, so the
+    test verifies the filter bytes are present via the written-size
+    delta and data equality, not via footer introspection.
+    """
+    w = df.write.mode("overwrite")
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
+    w.parquet(path)
+
+
 def partition_filters(df: DataFrame) -> str:
     """The PartitionFilters clause of the scan (test/diagnostic helper)."""
     plan = df._jdf.queryExecution().executedPlan().toString()

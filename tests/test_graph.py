@@ -63,3 +63,39 @@ def test_triangles_random_graph_vs_reference(spark):
     got = {tuple(r) for r in triangle_count(_edges_df(spark, pairs)).collect()}
     want = _py_triangles(pairs)
     assert got == want and len(want) > 10
+
+
+def _py_pagerank(pairs, n_iters=10, d=0.85):
+    nodes = sorted({x for e in pairs for x in e})
+    n = len(nodes)
+    out = {}
+    for a, b in pairs:
+        out.setdefault(a, []).append(b)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iters):
+        dangling = sum(r[v] for v in nodes if v not in out)
+        contrib = {v: 0.0 for v in nodes}
+        for a, outs in out.items():
+            for b in outs:
+                contrib[b] += r[a] / len(outs)
+        base = (1.0 - d) / n + d * dangling / n
+        r = {v: base + d * contrib[v] for v in nodes}
+    return r
+
+
+def test_pagerank_matches_reference_with_dangling(spark):
+    from mapreduce_task_spark.operators.graph import pagerank
+
+    # 3 -> hub 0; 0 -> 1 -> 2; 2 is dangling
+    pairs = [(3, 0), (1, 0), (0, 1), (1, 2), (3, 1)]
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in pairs], "src bigint, dst bigint"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=10).collect()}
+    want = _py_pagerank(pairs, 10)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+    # the hub receiving two in-links outranks the dangling sink's source
+    assert got[0] > got[3]

@@ -172,3 +172,28 @@ def test_zvalue_three_column_interleave_exact(spark):
 
     for (a, b, c), z in got.items():
         assert z == ref([a, b, c])
+
+
+def test_bloom_filter_write_adds_filter_bytes_losslessly(spark, sf_small):
+    """SBBF bytes must be present in the bloom-enabled file (observed
+    as a stable size delta on identical data — this container's
+    pyarrow/duckdb predate bloom metadata accessors) with contents
+    unchanged."""
+    from mapreduce_task_spark.sources.partitioned import dir_bytes, write_with_bloom
+
+    ev = load_table(spark, sf_small, "events").select("event_id", "user_id").coalesce(1)
+    d_plain = tempfile.mkdtemp(prefix="ev_plain_")
+    d_bloom = tempfile.mkdtemp(prefix="ev_bloom_")
+    try:
+        ev.write.mode("overwrite").parquet(d_plain)
+        write_with_bloom(ev, d_bloom, ["event_id"], ndv=1000)
+        plain_b = dir_bytes(spark, d_plain)
+        bloom_b = dir_bytes(spark, d_bloom)
+        assert bloom_b > plain_b  # the filter bytes
+        assert bloom_b - plain_b < 512 * 1024  # sized by ndv, not data
+        a = sorted(r["event_id"] for r in spark.read.parquet(d_bloom).collect())
+        b = sorted(r["event_id"] for r in spark.read.parquet(d_plain).collect())
+        assert a == b
+    finally:
+        shutil.rmtree(d_plain, ignore_errors=True)
+        shutil.rmtree(d_bloom, ignore_errors=True)
