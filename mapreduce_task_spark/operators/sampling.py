@@ -97,6 +97,49 @@ def weighted_sample(
     return out.drop("__ares")
 
 
+def quality_bins(
+    df: DataFrame,
+    score_col: str = "quality_score",
+    n_bins: int = 4,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Assign each row a quality bin 0..n_bins-1 by score quantile.
+
+    Cut points come from ONE percentile_approx aggregate (a 1-row
+    driver collect of n_bins-1 doubles — metadata-sized, the same
+    contract as the BPE argmax / k-means fixpoint collects); binning
+    is then a literal CASE projection at scan speed. This is the
+    curriculum primitive: compose with ``stratified_sample`` on the
+    bin column to up/down-weight quality tiers in the training mix.
+    No global sort, no window — ntile() over an unpartitioned window
+    is the anti-pattern this replaces.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cuts = df.agg(
+        F.percentile_approx(score_col, qs, accuracy).alias("c")
+    ).collect()[0]["c"]
+    bin_expr = F.lit(0)
+    for c in cuts:
+        bin_expr = bin_expr + (F.col(score_col) > F.lit(float(c))).cast("int")
+    return df.withColumn("quality_bin", bin_expr)
+
+
+def curriculum_mix(
+    df: DataFrame,
+    id_col: str,
+    bin_fractions: dict[int, float],
+    score_col: str = "quality_score",
+    salt: str = "curriculum",
+) -> DataFrame:
+    """Quality-curriculum sampling: bin by score quantile, then keep a
+    per-bin deterministic hash fraction — e.g. {0: 0.1, 3: 1.0} keeps
+    10% of the worst quartile and all of the best."""
+    binned = quality_bins(df, score_col, n_bins=max(bin_fractions) + 1)
+    return stratified_sample(binned, "quality_bin", id_col, bin_fractions, salt=salt)
+
+
 def mix_corpora(
     sources: list[tuple[DataFrame, float]], id_col: str, salt: str = "mix"
 ) -> DataFrame:

@@ -135,3 +135,49 @@ def test_weighted_sample_prefers_heavy_weights_drops_nonpositive(spark):
     assert 0 in got          # u^(1/10000) ~ 1: effectively always drawn
     assert 99 not in got and 100 not in got
     assert len(got) == 5
+
+
+def test_quality_bins_balanced_monotone_deterministic(spark, sf_small):
+    from mapreduce_task_spark.operators.sampling import quality_bins
+    from mapreduce_task_spark.operators.textstats import quality_features
+    from mapreduce_task_spark.sources.tables import load_table
+
+    qf = quality_features(load_table(spark, sf_small, "documents"))
+    binned = quality_bins(qf, n_bins=4)
+    rows = binned.select("doc_id", "quality_score", "quality_bin").collect()
+    n = len(rows)
+    counts = {}
+    for r in rows:
+        counts[r["quality_bin"]] = counts.get(r["quality_bin"], 0) + 1
+    assert set(counts) == {0, 1, 2, 3}
+    for b, c in counts.items():
+        assert 0.1 * n <= c <= 0.45 * n, (b, c, n)  # roughly quartile-sized
+    # monotone: every bin-3 score >= every bin-0 score
+    lo = max(r["quality_score"] for r in rows if r["quality_bin"] == 0)
+    hi = min(r["quality_score"] for r in rows if r["quality_bin"] == 3)
+    assert hi >= lo
+    # deterministic across recomputation
+    again = {r["doc_id"]: r["quality_bin"] for r in
+             quality_bins(qf, n_bins=4).collect()}
+    assert all(again[r["doc_id"]] == r["quality_bin"] for r in rows)
+
+
+def test_curriculum_mix_tiers_and_reproducibility(spark, sf_small):
+    from mapreduce_task_spark.operators.sampling import curriculum_mix, quality_bins
+    from mapreduce_task_spark.operators.textstats import quality_features
+    from mapreduce_task_spark.sources.tables import load_table
+
+    qf = quality_features(load_table(spark, sf_small, "documents"))
+    fr = {0: 0.1, 1: 0.3, 2: 0.7, 3: 1.0}
+    mixed = curriculum_mix(qf, "doc_id", fr)
+    binned = quality_bins(qf, n_bins=4)
+    tot = {r["quality_bin"]: r["n"] for r in
+           binned.groupBy("quality_bin").count().withColumnRenamed("count", "n").collect()}
+    kept = {r["quality_bin"]: r["n"] for r in
+            mixed.groupBy("quality_bin").count().withColumnRenamed("count", "n").collect()}
+    # best tier fully kept; kept fraction non-decreasing in tier
+    assert kept[3] == tot[3]
+    rates = [kept.get(b, 0) / tot[b] for b in range(4)]
+    assert all(a <= b + 1e-9 for a, b in zip(rates, rates[1:])), rates
+    # reproducible
+    assert mixed.count() == curriculum_mix(qf, "doc_id", fr).count()
