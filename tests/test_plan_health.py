@@ -37,3 +37,48 @@ def test_no_query_plan_uses_rowwise_python_or_cartesian(spark, sf_small):
     finally:
         release_persists()
     assert not offenders, offenders
+
+
+def test_new_operator_plans_stay_jvm_side(spark, sf_small):
+    """The r3 operator additions claim pure-codegen (or Arrow-batched)
+    plans — hold them to the same smells as driver queries, plus NO
+    Python at all for the expression-only ones."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_task_spark.operators.bpe import bpe_segment
+    from mapreduce_task_spark.operators.decontam import contaminated_ids
+    from mapreduce_task_spark.operators.graph import triangle_count
+    from mapreduce_task_spark.operators.pq import pq_adc_topk
+    from mapreduce_task_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    emb = load_table(spark, sf_small, "embeddings")
+    bench = docs.filter(F.col("doc_id") < 3).select("text")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 5)
+    pairs = emb.select(
+        F.col("vec_id").alias("id_a"), (F.col("vec_id") + 1).alias("id_b")
+    )
+
+    plans = {
+        "bpe_segment": bpe_segment(docs, [("t", "h"), ("th", "e")]),
+        "decontam": contaminated_ids(docs, bench, n=6),
+        "triangles": triangle_count(pairs),
+        "pq_adc": pq_adc_topk(emb, qids, k=3, m=8, ksub=4, dim=64, rounds=1),
+    }
+    offenders = {}
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = [
+            s
+            for s in (
+                "BatchEvalPython",
+                "CartesianProduct",
+                "ArrowEvalPython",
+                "MapInPandas",
+                "FlatMapGroupsInPandas",
+            )
+            if s in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
