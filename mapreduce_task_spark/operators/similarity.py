@@ -480,6 +480,7 @@ def cluster_pairs_cosine(
     assigned: DataFrame,
     id_col: str = "vec_id",
     threshold: float = 0.35,
+    num_blocks: int = 1,
 ) -> DataFrame:
     """Within-cluster all-pairs cosine >= threshold — the scale path
     for embedding near-dup detection (SemDeDup-style semantic dedup).
@@ -498,26 +499,78 @@ def cluster_pairs_cosine(
     recall vs the exact O(n^2) twin is gated in
     tests/test_similarity.py; precision is exactly 1.0 (every emitted
     pair is a true >= threshold pair with the identical cosine).
+
+    ``num_blocks`` is the mega-cluster skew valve: k-means on real
+    data can emit one oversized cluster whose single GEMM task would
+    dominate (or OOM). With num_blocks > 1 each cluster's pair work
+    additionally fans out over block PAIRS (the blocked_all_pairs
+    shape, here keyed by (cluster, ba, bb)) — identical result set,
+    per-task memory bounded by (cluster_rows / num_blocks)^2, at the
+    cost of rows x num_blocks shuffle fan-out. Pick num_blocks from
+    the largest expected cluster size; 1 keeps the single-task-per-
+    cluster plan.
     """
     import pandas as pd
 
     def gemm(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
-        if len(pdf) < 2:
+        if num_blocks == 1:
+            a = b = pdf
+            same = True
+        else:
+            ba, bb = key[-2], key[-1]
+            a = pdf[pdf.blk == ba]
+            b = pdf[pdf.blk == bb]
+            same = ba == bb
+        if len(a) == 0 or len(b) == 0 or (same and len(a) < 2):
             return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cos": "float64"}
             )
-        q = np.stack(pdf.qv.to_numpy()).astype(np.int64)
-        nrm = np.sqrt(pdf.nq.to_numpy().astype(np.float64))
-        cos = (q @ q.T).astype(np.float64) / (nrm[:, None] * nrm[None, :])
-        ids = pdf[id_col].to_numpy()
-        mask = (cos >= threshold) & (ids[:, None] < ids[None, :])
+        qa = np.stack(a.qv.to_numpy()).astype(np.int64)
+        qb = np.stack(b.qv.to_numpy()).astype(np.int64)
+        na = np.sqrt(a.nq.to_numpy().astype(np.float64))
+        nb = np.sqrt(b.nq.to_numpy().astype(np.float64))
+        cos = (qa @ qb.T).astype(np.float64) / (na[:, None] * nb[None, :])
+        ia = a[id_col].to_numpy()
+        ib = b[id_col].to_numpy()
+        mask = (cos >= threshold) & (ia[:, None] < ib[None, :])
         ai, bi = np.nonzero(mask)
-        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi], "cos": cos[ai, bi]})
+        ida, idb = ia[ai], ib[bi]
+        lo = np.minimum(ida, idb)
+        hi = np.maximum(ida, idb)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cos[ai, bi]})
 
     gemm.__annotations__ = {"key": tuple, "pdf": pd.DataFrame, "return": pd.DataFrame}
-    return assigned.groupBy("cluster").applyInPandas(
+    if num_blocks == 1:
+        return assigned.groupBy("cluster").applyInPandas(
+            gemm, schema="id_a long, id_b long, cos double"
+        )
+    pair_set = F.array(
+        *[
+            F.struct(
+                F.least(F.col("blk"), F.lit(j)).alias("ba"),
+                F.greatest(F.col("blk"), F.lit(j)).alias("bb"),
+            )
+            for j in range(num_blocks)
+        ]
+    )
+    rows = (
+        assigned.withColumn(
+            "blk", (F.col(id_col) % num_blocks).cast("int")
+        )
+        .select("*", F.explode(pair_set).alias("__p"))
+        .select(
+            id_col,
+            "qv",
+            "nq",
+            "cluster",
+            "blk",
+            F.col("__p.ba").alias("ba"),
+            F.col("__p.bb").alias("bb"),
+        )
+    )
+    return rows.groupBy("cluster", "ba", "bb").applyInPandas(
         gemm, schema="id_a long, id_b long, cos double"
     )
 
