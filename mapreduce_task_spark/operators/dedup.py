@@ -306,6 +306,7 @@ def connected_components(
         .persist()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_rounds):
         nbr_min = (
             edges.join(labels, edges.dst == labels.v)
@@ -326,8 +327,24 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # Unconverged labels split one true component into several —
+        # duplicate_delete_list would then silently under-delete. The
+        # label-sum fixpoint check already detects this for free; make
+        # exhaustion loud instead of returning wrong components quietly.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixpoint within max_rounds={max_rounds} "
+            "(component diameter exceeds the round budget); labels are "
+            "partially propagated and downstream dedup will under-delete. "
+            "Raise max_rounds (convergence needs O(diameter) rounds).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # truncate the r-round join lineage so the caller's action reads the
     # materialized labels instead of replaying every round (at cluster
     # scale use reliable checkpoint() instead: localCheckpoint blocks

@@ -91,7 +91,15 @@ def pq_fit(
     deterministic draw kmeans_lite uses — projected into each
     subspace; then ``rounds`` Lloyd rounds with exact integer
     floor-division means, all m subspaces trained in the SAME two
-    aggregations per round (grouped by (sub, cluster))."""
+    aggregations per round (grouped by (sub, cluster)).
+
+    If the corpus holds fewer than ksub vectors the codebook simply has
+    one centroid per vector in every subspace (PQ degenerates to exact
+    storage). Every subspace always carries the SAME entry count, and
+    consumers must size positional lookups from the codebook itself
+    (``pq_adc_topk`` derives it as size(dtable)/m) — never assume ksub
+    entries. Checking the seed count here would need a driver action at
+    plan-build time, which this package bans."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
@@ -206,6 +214,11 @@ def pq_adc_topk(
             F.transform(F.array_sort("__es"), lambda e: e["d"]).alias("dtable"),
         )
     )
+    # Per-subspace entry count, read off the table itself: equals ksub
+    # normally, but a corpus smaller than ksub yields a smaller (still
+    # dense, still uniform-per-subspace) codebook — hard-coding ksub
+    # here would silently misalign every sub >= 1 lookup.
+    nsub = (F.size("dtable") / F.lit(m)).cast("int")
     scored = (
         codes.withColumnRenamed(id_col, "cand_id")
         .crossJoin(F.broadcast(qdist))
@@ -219,9 +232,9 @@ def pq_adc_topk(
                 lambda acc, s: acc
                 + F.element_at(
                     "dtable",
-                    # 1-based: sub block s holds positions s*ksub+1..s*ksub+ksub
-                    # for codes j=1..ksub, so (s, j) sits at s*ksub + j
-                    (s * ksub + F.element_at("codes", (s + 1).cast("int"))).cast(
+                    # 1-based: sub block s holds positions s*nsub+1..s*nsub+nsub
+                    # for codes j=1..nsub, so (s, j) sits at s*nsub + j
+                    (s * nsub + F.element_at("codes", (s + 1).cast("int"))).cast(
                         "int"
                     ),
                 ),

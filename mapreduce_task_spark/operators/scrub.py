@@ -92,7 +92,7 @@ def remove_boilerplate_lines(
         .select("__h")
     )
     survivors = kept_lines.join(hot, "__h", "left_anti")
-    return (
+    reassembled = (
         survivors.groupBy(id_col)
         .agg(
             F.array_join(
@@ -105,4 +105,12 @@ def remove_boilerplate_lines(
                 "\n",
             ).alias(text_col)
         )
+    )
+    # Re-anchor on the full doc-id set: a document whose every line was
+    # boilerplate has no surviving rows, and a groupBy over survivors
+    # alone would silently drop it from the corpus. The left join keeps
+    # the row with empty text so downstream quality filters — not this
+    # operator — decide its fate.
+    return df.select(id_col).join(reassembled, id_col, "left").select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )

@@ -534,7 +534,15 @@ def cluster_pairs_cosine(
         cos = (qa @ qb.T).astype(np.float64) / (na[:, None] * nb[None, :])
         ia = a[id_col].to_numpy()
         ib = b[id_col].to_numpy()
-        mask = (cos >= threshold) & (ia[:, None] < ib[None, :])
+        mask = cos >= threshold
+        if same:
+            # Same-block (and num_blocks == 1): a == b, so the upper
+            # triangle dedupes the symmetric product. Cross-block groups
+            # (ba < bb) see each unordered pair exactly once already —
+            # ids interleave across blocks (blk = id % num_blocks), so an
+            # id-order mask there would silently drop every pair whose
+            # a-side id exceeds its b-side id.
+            mask &= ia[:, None] < ib[None, :]
         ai, bi = np.nonzero(mask)
         ida, idb = ia[ai], ib[bi]
         lo = np.minimum(ida, idb)

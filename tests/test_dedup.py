@@ -184,3 +184,23 @@ def test_incremental_exact_dedup_across_ingest_batches(spark):
     # idempotent re-ingest: replaying batch 2 yields nothing new
     fresh3, dig3 = incremental_exact_dedup(batch2, dig2)
     assert fresh3.count() == 0 and dig3.count() == 4
+
+
+def test_connected_components_warns_on_round_exhaustion(spark):
+    import warnings
+
+    # diameter-5 chain cannot reach fixpoint in 1 round
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _cc(spark, edges, max_rounds=1)
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "max_rounds" in str(w.message)
+        for w in caught
+    )
+    # and a converged run stays silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = _cc(spark, edges, max_rounds=25)
+    assert not [w for w in caught if "max_rounds" in str(w.message)]
+    assert got == {i: 0 for i in range(6)}

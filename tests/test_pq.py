@@ -76,3 +76,42 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_small):
     # pin "far better than chance" plus a regression floor.
     assert recall >= 0.15, f"ADC recall@{K} too low: {recall}"
     assert recall > 5 * random_floor, f"recall {recall} vs random {random_floor}"
+
+
+def test_pq_degenerates_to_exact_when_corpus_smaller_than_ksub(spark, sf_small):
+    """With fewer vectors than ksub every vector seeds its own centroid
+    in every subspace, so ADC must equal the exact int64 L2^2 —
+    regression for the positional dtable lookup that assumed ksub
+    entries per subspace and misaligned sub >= 1 when the codebook was
+    smaller."""
+    emb = load_table(spark, sf_small, "embeddings").filter(F.col("vec_id") < 10)
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["cand_id"]): r["d"]
+        for r in _exact_l2_rows(emb, qids)
+    }
+    got = pq_adc_topk(emb, qids, k=9, m=M, ksub=KSUB, dim=DIM, rounds=1).collect()
+    assert len(got) == 3 * 9
+    for r in got:
+        assert r["approx_d"] == exact[(r["query_id"], r["cand_id"])]
+
+
+def _exact_l2_rows(emb, qids):
+    qd = with_quantized(emb)
+    q = qd.join(qids, "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qv_q"),
+        F.col("nq").alias("nq_q"),
+    )
+    c = qd.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("qv").alias("qv_c"),
+        F.col("nq").alias("nq_c"),
+    )
+    d = F.col("nq_q") + F.col("nq_c") - 2 * int_dot(F.col("qv_q"), F.col("qv_c"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", d.alias("d"))
+        .collect()
+    )

@@ -91,3 +91,18 @@ def test_remove_boilerplate_repeated_within_one_doc_not_hot(spark):
     }
     assert got[0] == "echo\necho\necho\necho\necho"
     assert got[1] == "other"
+
+
+def test_remove_boilerplate_keeps_fully_boilerplate_docs_empty(spark):
+    """A document whose every line is boilerplate must survive as an
+    empty-text row — dropping it would silently shrink corpus row
+    counts before any quality filter gets to decide."""
+    footer = "all rights reserved"
+    texts = [f"a\n{footer}", f"b\n{footer}", f"c\n{footer}", footer]
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(_docs(spark, texts), df_max=2).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}  # all four docs present
+    assert got[3] == ""  # all-footer doc survives, emptied
+    assert got[0] == "a" and got[1] == "b" and got[2] == "c"

@@ -240,3 +240,34 @@ def test_ivf_index_partitioned_layout_prunes_search(spark, sf_small, tmp_path):
     }
     got = {r["vec_id"] for r in probed.collect()}
     assert got == expected and got
+
+
+def test_cluster_pairs_blocked_equals_unblocked(spark, sf_small):
+    """The num_blocks skew valve must be a pure physical re-plan: the
+    (cluster, ba, bb) fan-out changes per-task memory, never the result
+    set. Regression for the cross-block id-order mask that silently
+    dropped every pair whose a-side id exceeded its b-side id."""
+    from mapreduce_task_spark.operators.similarity import (
+        cluster_pairs_cosine,
+        kmeans_lite_clusters,
+    )
+    from mapreduce_task_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    assigned = kmeans_lite_clusters(emb, k=4, dim=64, rounds=2).persist()
+    try:
+        base = {
+            (r["id_a"], r["id_b"]): r["cos"]
+            for r in cluster_pairs_cosine(assigned, threshold=0.3).collect()
+        }
+        assert base, "fixture must contain pairs at this threshold"
+        for nb in (2, 3):
+            blocked = {
+                (r["id_a"], r["id_b"]): r["cos"]
+                for r in cluster_pairs_cosine(
+                    assigned, threshold=0.3, num_blocks=nb
+                ).collect()
+            }
+            assert blocked == base, f"num_blocks={nb} diverged"
+    finally:
+        assigned.unpersist()
