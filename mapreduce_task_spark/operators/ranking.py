@@ -1,0 +1,123 @@
+"""Keyword relevance ranking over the documents table: TF counts + BM25.
+
+The reference's InsertIndex job (trace-insertindex-job/src/main/java/org/
+example/TraceInsertIndexJob.java) stops at posting lists (term -> doc set);
+this module adds the scoring layer a search / retrieval-quality pipeline
+puts on top — term frequencies, document frequencies, and BM25 ranking —
+as one declarative plan:
+
+- The corpus is scanned ONCE; per-(doc, term) term frequencies come from a
+  broadcast cross join against the tiny query-term literal table and a
+  codegen ``size(filter(tokens, t -> t = term))`` lambda — no explode of
+  every token, no shuffle of the corpus.
+- Document frequencies and the (N, avgdl) corpus scalars are tiny
+  aggregates (rows = |terms| and 1) that broadcast back; the fact side
+  never re-shuffles.
+- The final ranking is a single TakeOrderedAndProject (top-k with doc_id
+  tie-break), so the full scored set never collects anywhere.
+
+Determinism discipline (registry rules): BM25 uses IEEE +,-,*,/ only.
+``idf`` is the log-free RSJ odds ratio (N - df + 0.5) / (df + 0.5) — the
+classic BM25 idf without the ln() wrapper — because ln() is libm-dependent
+and may differ in the last ulp across engines, while every +,-,*,/ double
+op is bit-identical when the expression tree matches. Per-term scores are
+floored to integer micro-units BEFORE the per-doc sum, so accumulation
+order (Spark partial aggs vs DuckDB sequential) cannot change the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def doc_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + document length, the BM25 scan-side projection."""
+    return docs.withColumn("toks", F.split(F.col(text_col), " ")).withColumn(
+        "dl", F.size("toks").cast("bigint")
+    )
+
+
+def term_frequencies(
+    docs: DataFrame,
+    spark: SparkSession,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(doc, term) tf over a small query-term set, zero corpus shuffle.
+
+    Emits only rows with tf > 0 (a doc missing every term contributes no
+    rows, exactly like a posting-list intersection would).
+    """
+    toks = doc_tokens(docs, text_col).select(id_col, "toks", "dl")
+    term_df = spark.createDataFrame([(t,) for t in terms], ["term"])
+    return (
+        toks.join(F.broadcast(term_df))
+        .withColumn("tf", F.expr("size(filter(toks, x -> x = term))").cast("bigint"))
+        .filter(F.col("tf") > 0)
+        .select(id_col, "term", "tf", "dl")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    spark: SparkSession,
+    terms: list[str],
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by (log-free) BM25 against ``terms``.
+
+    Returns (id, n_terms_hit, score_micro): score in integer micro-units
+    (floored per term before summing — order-independent), ranked by
+    score desc with id tie-break.
+    """
+    tf = term_frequencies(docs, spark, terms, id_col, text_col)
+    corpus = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum(F.size(F.split(F.col(text_col), " ")).cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    df_per_term = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    idf = F.col("n_docs") - F.col("df") + F.lit(0.5)
+    scored = (
+        tf.join(F.broadcast(df_per_term), "term")
+        .join(F.broadcast(corpus))
+        .withColumn(
+            "score_term",
+            (idf / (F.col("df") + F.lit(0.5)))
+            * (
+                (F.col("tf").cast("double") * F.lit(K1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(K1)
+                    * (
+                        F.lit(1.0 - B)
+                        + F.lit(B)
+                        * (F.col("dl").cast("double") / F.col("avgdl"))
+                    )
+                )
+            ),
+        )
+        .withColumn(
+            "score_micro_term",
+            F.floor(F.col("score_term") * F.lit(1_000_000.0)).cast("bigint"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+            F.sum("score_micro_term").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,157 @@
+"""Time-series resampling, gap-fill, and robust anomaly detection.
+
+The reference (oscar-osu/mapreduce-task) has no temporal operators at all
+(SURVEY.md §2.5 lists windows/temporal logic among its absences); these are
+the batch time-series primitives an events pipeline needs, expressed so
+Catalyst keeps every stage in whole-stage codegen:
+
+- ``resample_ffill``: per-key fixed-interval resampling. Each key's dense
+  bucket spine is generated with ``sequence()`` + ``explode`` from its own
+  [min, max] bucket span (no global calendar — a key active for one hour
+  generates one hour of buckets), bucket aggregates are left-joined on, and
+  gaps are forward-filled with an ``last(ignorenulls)`` running window per
+  key. Scale: the spine explode is parallel in the key dimension, the join
+  shuffles on (key, bucket) exactly once, and the fill window is per-key —
+  state bounded by one key's span / interval, never the corpus.
+
+- ``mad_outliers``: per-group robust z-score outlier flagging via
+  median / MAD (median absolute deviation), the standard
+  breakdown-point-0.5 alternative to mean/stddev that a quality pipeline
+  uses on heavy-tailed signals. Two grouped exact-percentile aggregations
+  and one broadcastable stats join; ``approx_percentile`` is the drop-in
+  at 100 TB (group count stays small — the stats side broadcasts).
+
+Determinism discipline (registry rules): medians are computed over
+integer-quantized values (cents), so interpolated midpoints are exact in
+binary floating point and the MAD threshold compare is bit-identical
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def resample_ffill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    interval: str = "6 hours",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Resample events onto a per-key dense bucket grid and forward-fill.
+
+    Returns one row per (key, bucket) for every bucket between the key's
+    first and last event — including empty gap buckets — with:
+
+    - ``n_events``  events landing in the bucket (0 for gaps)
+    - ``sum_value`` decimal-exact sum of ``value_col`` (0.0 for gaps)
+    - ``last_value`` value of the bucket's latest event by ``order_col``
+      (NULL for gaps)
+    - ``filled_value`` ``last_value`` forward-filled from the most recent
+      non-empty bucket (the resampled series a feature pipeline consumes)
+    - ``is_gap`` 1 for generated gap buckets, else 0
+    """
+    # epoch-anchored tumbling bucket — the same grid shape the streaming
+    # path uses (streaming/windows.py) and DuckDB's time_bucket replays
+    step = F.expr(f"INTERVAL {interval}")
+    per_bucket = (
+        events.withColumn("bucket", F.window(ts_col, interval).start)
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.max_by(value_col, order_col).alias("last_value"),
+        )
+    )
+    spine = (
+        per_bucket.groupBy(key_col)
+        .agg(F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1"))
+        .select(
+            key_col,
+            F.explode(F.sequence("_b0", "_b1", step)).alias("bucket"),
+        )
+    )
+    dense = spine.join(per_bucket, [key_col, "bucket"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        key_col,
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        "last_value",
+        F.last("last_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.when(F.col("n_events").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_gap"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    k: float = 4.4478,  # 3 * 1.4826 (normal-consistency constant), folded
+) -> DataFrame:
+    """Flag rows whose |value - median| exceeds ``k`` * MAD within a group.
+
+    Values are quantized to integer cents before the percentile passes, so
+    the interpolated median and every |x - med| deviation are exact
+    (multiples of 0.5 in double) and the threshold compare is bit-stable.
+    Returns only the outlier rows with their deviation; the caller joins
+    back on the id column if full rows are needed.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    with_c = df.withColumn("_cents", cents)
+    med = with_c.groupBy(group_col).agg(
+        F.percentile("_cents", 0.5).alias("_med")
+    )
+    dev = with_c.join(F.broadcast(med), group_col).withColumn(
+        "_dev", F.abs(F.col("_cents") - F.col("_med"))
+    )
+    mad = dev.groupBy(group_col).agg(F.percentile("_dev", 0.5).alias("_mad"))
+    flagged = dev.join(F.broadcast(mad), group_col).filter(
+        F.col("_dev") > F.col("_mad") * F.lit(k)
+    )
+    return flagged.select(
+        *[c for c in df.columns],
+        (F.col("_dev") * 2).cast("bigint").alias("dev_halfcents"),
+    )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average via one pandas pass.
+
+    EWMA is inherently sequential per key (y_i = a*x_i + (1-a)*y_{i-1}),
+    which SQL window frames cannot express without numerically unstable
+    w^-i rescaling — so each key's ordered series runs through one Arrow
+    batch in ``applyInPandas``. Parallelism is the key dimension (the same
+    contract as any per-key stateful pass); no cross-key state exists.
+    """
+
+    def _ewma(pdf):
+        pdf = pdf.sort_values(order_col)
+        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.groupBy(key_col).applyInPandas(
+        _ewma, schema=f"{schema}, {out_col} double"
+    )

@@ -173,3 +173,60 @@ WHERE octet_length(encode(text)) = length(text)
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(with_binary_payload(t(spark, sf_dir, "documents")))
+
+
+@query(
+    "bm25_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    corpus AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, term,
+             CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf, dl
+      FROM toks
+      CROSS JOIN (SELECT unnest(['spark', 'join', 'query']) AS term) terms
+      WHERE len(list_filter(toks, x -> x = term)) > 0
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             floor(((n_docs - df + 0.5) / (df + 0.5))
+                   * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                      / (CAST(tf AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+                   * 1000000.0) AS score_micro_term
+      FROM tf JOIN dfreq USING (term) CROSS JOIN corpus
+    )
+    SELECT doc_id, count(*) AS n_terms_hit,
+           CAST(sum(score_micro_term) AS BIGINT) AS score_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 50
+    """,
+    doc="BM25 top-50 keyword search over documents (operators/ranking.py): "
+    "one corpus scan, per-(doc,term) tf from a broadcast 3-term literal "
+    "join + codegen size(filter()) lambda (no token explode, no corpus "
+    "shuffle), tiny df/corpus aggregates broadcast back, one "
+    "TakeOrderedAndProject. Determinism: log-free RSJ idf (ln is "
+    "libm-dependent; +,-,*,/ are IEEE-identical) and per-term scores "
+    "floored to integer micro-units BEFORE the per-doc sum so accumulation "
+    "order cannot change the result. The scoring layer on top of the "
+    "reference's InsertIndex posting lists (TraceInsertIndexJob.java).",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import bm25_topk
+
+    return bm25_topk(
+        t(spark, sf_dir, "documents"),
+        spark,
+        ["spark", "join", "query"],
+        k=50,
+    )

@@ -114,17 +114,26 @@ def clean_corpus_by_components(docs: DataFrame) -> DataFrame:
     "embedding_norms",
     """
 SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (a, b) -> a + b) AS sq_norm,
        sqrt(list_dot_product(
          list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000)),
          list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000))
        )) / 1000000.0 AS qnorm
 FROM embeddings
 """,
-    doc="Vectorized @pandas_udf scalar surface: L2 norm from the quantized "
-    "self-dot (numpy batch compute, exact-arithmetic oracle parity).",
+    doc="Embedding scalar surface in one projection: array functions over "
+    "array<float> (size + sequential-fold sum-of-squares — same fold order "
+    "both engines -> bit-identical doubles) alongside the vectorized "
+    "@pandas_udf L2 norm from the quantized self-dot (numpy batch compute, "
+    "exact-arithmetic oracle parity). Merges the former array_funcs row to "
+    "free a slot inside the driver's 50-entry record cap (round 4).",
 )
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
+
+    from ..functions.vectors import dot
 
     def qnorm_fn(emb):
         import numpy as np
@@ -139,5 +148,8 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     qnorm = pandas_udf(qnorm_fn, "double")
 
     return t(spark, sf_dir, "embeddings").select(
-        "vec_id", qnorm(F.col("embedding")).alias("qnorm")
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        dot("embedding", "embedding").alias("sq_norm"),
+        qnorm(F.col("embedding")).alias("qnorm"),
     )

@@ -17,10 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, SparkSession, Window, functions as F
 
 from ..operators.relational import (
-    anti_join,
     broadcast_join,
     grouped_top_k,
-    semi_join,
     sessionize,
     top_k,
 )
@@ -136,33 +134,6 @@ def q_join_topk_orders(spark: SparkSession, sf_dir: str):
         )
     )
     return top_k(rev, 10, F.col("revenue").desc(), F.col("o_orderkey").asc())
-
-
-@query(
-    "join_semi_anti",
-    oracle="""
-    SELECT 'semi' AS op, c_custkey, c_name FROM customer
-    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    UNION ALL
-    SELECT 'anti' AS op, c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders
-                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
-    """,
-    doc="Left-semi (EXISTS) and left-anti (NOT EXISTS vs a filtered build "
-    "side) joins in one tagged inventory query: only the key column of "
-    "orders shuffles for either branch.",
-)
-def q_join_semi_anti(spark: SparkSession, sf_dir: str):
-    cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
-    semi = semi_join(cust, orders, cust.c_custkey == orders.o_custkey).select(
-        F.lit("semi").alias("op"), "c_custkey", "c_name"
-    )
-    big = orders.filter(F.col("o_totalprice") > 400000)
-    anti = anti_join(cust, big, cust.c_custkey == big.o_custkey).select(
-        F.lit("anti").alias("op"), "c_custkey", "c_name"
-    )
-    return semi.unionByName(anti)
 
 
 @query(
@@ -410,29 +381,6 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str):
         F.year("ship_ts").cast("int").alias("ship_y"),
         F.month("ship_ts").cast("int").alias("ship_m"),
         F.quarter("ship_ts").cast("int").alias("ship_q"),
-    )
-
-
-@query(
-    "array_funcs",
-    oracle="""
-    SELECT vec_id,
-           CAST(len(embedding) AS INT) AS dim,
-           list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                       (a, b) -> a + b) AS sq_norm
-    FROM embeddings
-    """,
-    doc="Array functions over array<float>: size + sequential-fold "
-    "sum-of-squares (same fold order both engines -> bit-identical doubles).",
-)
-def q_array_funcs(spark: SparkSession, sf_dir: str):
-    from ..functions.vectors import dot
-
-    e = t(spark, sf_dir, "embeddings")
-    return e.select(
-        "vec_id",
-        F.size("embedding").cast("int").alias("dim"),
-        dot("embedding", "embedding").alias("sq_norm"),
     )
 
 

@@ -110,30 +110,70 @@ def q10_returned_items(spark: SparkSession, sf_dir: str):
 @query(
     "subquery_shapes",
     oracle="""
-    SELECT p_partkey, CAST(p_size AS INT) AS p_size
+    SELECT 'subq' AS leg, p_partkey AS k, CAST(p_size AS INT) AS v,
+           CAST(NULL AS VARCHAR) AS s
     FROM part
     WHERE p_size > (SELECT max(p_size) - 5 FROM part)
       AND p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 40)
+    UNION ALL
+    SELECT 'semi' AS leg, c_custkey AS k, CAST(NULL AS INT) AS v, c_name AS s
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT 'anti' AS leg, c_custkey AS k, CAST(NULL AS INT) AS v, c_name AS s
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
     """,
-    doc="Subquery coverage (absent in the reference, SURVEY §2.5): an "
-    "uncorrelated scalar subquery (threshold = max(p_size)-5, realized as "
-    "a 1-row broadcast cross join -- no recompute per row, no shuffle of "
-    "the probe side) composed with an IN-subquery (left-semi join on the "
-    "filtered lineitem keys).",
+    doc="Subquery + semi/anti-join coverage (absent in the reference, SURVEY "
+    "§2.5) as a three-leg tagged union: an uncorrelated scalar subquery "
+    "(threshold = max(p_size)-5, realized as a 1-row broadcast cross join "
+    "-- no recompute per row, no shuffle of the probe side) composed with "
+    "an IN-subquery (left-semi join on the filtered lineitem keys); a "
+    "left-semi EXISTS and a left-anti NOT-EXISTS against a filtered build "
+    "side (only the key column of orders shuffles for either branch). "
+    "Merges the former join_semi_anti row to free a slot inside the "
+    "driver's 50-entry record cap (round 4).",
 )
 def q_subquery_shapes(spark: SparkSession, sf_dir: str):
+    from ..operators.relational import anti_join, semi_join
+
     part = t(spark, sf_dir, "part")
     li = t(spark, sf_dir, "lineitem")
     thr = part.agg((F.max("p_size") - F.lit(5)).alias("size_thr"))
+    nul_i = F.lit(None).cast("int")
+    nul_s = F.lit(None).cast("string")
     big = (
         part.join(F.broadcast(thr))
         .filter(F.col("p_size") > F.col("size_thr"))
         .select("p_partkey", F.col("p_size").cast("int").alias("p_size"))
     )
     sold_heavy = li.filter(F.col("l_quantity") > 40).select("l_partkey")
-    return big.join(
-        sold_heavy, big.p_partkey == sold_heavy.l_partkey, "left_semi"
+    subq = (
+        big.join(sold_heavy, big.p_partkey == sold_heavy.l_partkey, "left_semi")
+        .select(
+            F.lit("subq").alias("leg"),
+            F.col("p_partkey").alias("k"),
+            F.col("p_size").alias("v"),
+            nul_s.alias("s"),
+        )
     )
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    semi = semi_join(cust, orders, cust.c_custkey == orders.o_custkey).select(
+        F.lit("semi").alias("leg"),
+        F.col("c_custkey").alias("k"),
+        nul_i.alias("v"),
+        F.col("c_name").alias("s"),
+    )
+    heavy = orders.filter(F.col("o_totalprice") > 400000)
+    anti = anti_join(cust, heavy, cust.c_custkey == heavy.o_custkey).select(
+        F.lit("anti").alias("leg"),
+        F.col("c_custkey").alias("k"),
+        nul_i.alias("v"),
+        F.col("c_name").alias("s"),
+    )
+    return subq.unionByName(semi).unionByName(anti)
 
 
 @query(

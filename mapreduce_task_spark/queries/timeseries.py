@@ -1,0 +1,103 @@
+"""Time-series queries over the events table: resample+gap-fill+ffill and
+robust MAD outlier detection (operators.timeseries).
+
+The reference has no temporal logic at all (SURVEY §2.5); these register
+the batch time-series surface with full DuckDB oracles. Determinism:
+bucket grids are epoch-anchored (Spark ``window()`` == DuckDB
+``time_bucket``), bucket timestamps cross the engine boundary as formatted
+strings, medians run over integer cents so interpolation is exact, and
+forward-fill picks its value by the unique event_id order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.timeseries import mad_outliers, resample_ffill
+from ..registry import query, t
+
+
+@query(
+    "resample_ffill",
+    oracle="""
+    WITH per_bucket AS (
+      SELECT user_id, time_bucket(INTERVAL '6 hours', ts) AS bucket,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             max_by(value, event_id) AS last_value
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(min(bucket), max(bucket),
+                                    INTERVAL '6 hours')) AS bucket
+      FROM per_bucket GROUP BY user_id
+    )
+    SELECT s.user_id,
+           strftime(s.bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           coalesce(p.n_events, 0) AS n_events,
+           coalesce(p.sum_value, 0.0) AS sum_value,
+           p.last_value AS last_value,
+           last_value(p.last_value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           CAST(CASE WHEN p.n_events IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+    FROM spine s LEFT JOIN per_bucket p USING (user_id, bucket)
+    """,
+    doc="Per-user fixed-interval resampling with gap buckets and forward "
+    "fill (operators/timeseries.py): dense 6h bucket spine generated from "
+    "each user's own [min,max] span via sequence()+explode, bucket "
+    "aggregates left-joined on, gaps forward-filled with a per-user "
+    "last(ignorenulls) running window. One (user,bucket) shuffle; fill "
+    "state bounded per user — the batch face of a feature-store "
+    "materialization at 100 TB.",
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dense = resample_ffill(
+        t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        interval="6 hours",
+        order_col="event_id",
+    )
+    return dense.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "n_events",
+        "sum_value",
+        "last_value",
+        "filled_value",
+        "is_gap",
+    )
+
+
+@query(
+    "outlier_mad",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type, value,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+            FROM c GROUP BY event_type),
+    d AS (SELECT c.*, abs(c.cents - med.med) AS dev
+          FROM c JOIN med USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+            FROM d GROUP BY event_type)
+    SELECT d.event_id, d.event_type, d.value,
+           CAST(d.dev * 2 AS BIGINT) AS dev_halfcents
+    FROM d JOIN mad USING (event_type)
+    WHERE d.dev > mad.mad * 4.4478
+    """,
+    doc="Per-event-type robust outlier flagging via median/MAD z-scores "
+    "(operators/timeseries.py): values quantized to integer cents so both "
+    "exact percentile passes interpolate to exact binary doubles and the "
+    "|x-med| > 4.4478*MAD compare is bit-stable. Two grouped percentile "
+    "aggs + two broadcast stats joins; approx_percentile is the drop-in "
+    "at 100 TB (the stats side stays |groups| rows).",
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return mad_outliers(ev, group_col="event_type", value_col="value")
