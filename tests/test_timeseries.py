@@ -1,0 +1,117 @@
+"""operators.timeseries: resample+gap-fill+ffill, MAD outliers, EWMA."""
+
+import math
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from mapreduce_task_spark.operators.timeseries import (
+    ewma,
+    mad_outliers,
+    resample_ffill,
+)
+from mapreduce_task_spark.sources.tables import load_table
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                user_id=u,
+                ts=datetime.fromisoformat(ts),
+                value=float(v),
+            )
+            for i, (u, ts, v) in enumerate(rows)
+        ]
+    )
+
+
+def test_resample_dense_spine_and_gap_flags(spark):
+    # user 1: events at 00:xx and 13:xx -> 6h grid buckets 00,06,12 (12 covers 13:xx)
+    ev = _mk_events(
+        spark,
+        [
+            (1, "2024-01-01 00:10:00", 1.0),
+            (1, "2024-01-01 00:50:00", 2.0),
+            (1, "2024-01-01 13:00:00", 7.0),
+            (2, "2024-01-01 05:00:00", 9.0),
+        ],
+    )
+    out = resample_ffill(ev, interval="6 hours").orderBy("user_id", "bucket")
+    rows = out.collect()
+    u1 = [r for r in rows if r.user_id == 1]
+    # spine: 00:00, 06:00, 12:00 — the 06:00 bucket is a generated gap
+    assert [r.bucket.hour for r in u1] == [0, 6, 12]
+    assert [r.is_gap for r in u1] == [0, 1, 0]
+    assert [r.n_events for r in u1] == [2, 0, 1]
+    # bucket 0: last event by event_id is value 2.0; gap forward-fills it
+    assert [r.filled_value for r in u1] == [2.0, 2.0, 7.0]
+    assert u1[1].last_value is None and u1[1].sum_value == 0.0
+    # single-bucket user: spine of exactly one row, no gaps
+    u2 = [r for r in rows if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].is_gap == 0 and u2[0].filled_value == 9.0
+
+
+def test_resample_real_events_spine_is_exact(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    out = resample_ffill(ev, interval="6 hours")
+    # total events are conserved by the left join
+    assert (
+        out.agg(F.sum("n_events")).first()[0] == ev.count()
+    )
+    # every user's spine length == (max-min)/6h + 1, with min/max on the grid
+    spine = out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("bucket").alias("b0"),
+        F.max("bucket").alias("b1"),
+    )
+    bad = spine.filter(
+        F.expr("timestampdiff(HOUR, b0, b1)") != (F.col("n") - 1) * 6
+    )
+    assert bad.count() == 0
+    # forward fill: after the first bucket (never a gap — it holds the
+    # user's first event), filled_value is never null
+    assert out.filter(F.col("filled_value").isNull()).count() == 0
+
+
+def test_mad_outliers_flags_the_planted_point(spark):
+    base = [(1, "2024-01-01 00:00:00", 10.0 + (i % 5) / 100) for i in range(40)]
+    planted = [(1, "2024-01-01 01:00:00", 99.0)]
+    ev = _mk_events(spark, base + planted).select(
+        "event_id", F.lit("click").alias("event_type"), "value"
+    )
+    out = mad_outliers(ev, group_col="event_type", value_col="value").collect()
+    assert len(out) == 1
+    assert out[0].value == 99.0
+    # deviation is |9900 - median_cents| in half-cents (exact integer)
+    assert out[0].dev_halfcents == 2 * abs(9900 - 1002)
+
+
+def test_mad_outliers_oracle_parity_columns(spark, sf_small):
+    ev = load_table(spark, sf_small, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = mad_outliers(ev)
+    assert out.columns == ["event_id", "event_type", "value", "dev_halfcents"]
+    # outliers are a strict subset
+    n = out.count()
+    assert 0 < n < ev.count()
+
+
+def test_ewma_matches_pandas_reference(spark):
+    rows = [(1, f"2024-01-01 00:{m:02d}:00", float(v)) for m, v in
+            [(0, 10), (1, 12), (2, 8), (3, 30), (4, 9)]]
+    rows += [(2, "2024-01-01 00:00:00", 5.0), (2, "2024-01-01 00:01:00", 7.0)]
+    ev = _mk_events(spark, rows)
+    got = {
+        (r.user_id, r.event_id): r.ewma
+        for r in ewma(ev, "user_id", "event_id", "value", alpha=0.3).collect()
+    }
+    pdf = ev.toPandas()
+    for uid, grp in pdf.groupby("user_id"):
+        grp = grp.sort_values("event_id")
+        ref = grp["value"].ewm(alpha=0.3, adjust=False).mean()
+        for eid, want in zip(grp["event_id"], ref):
+            assert math.isclose(got[(uid, eid)], want, rel_tol=1e-12)
