@@ -31,9 +31,13 @@ from ..functions.hashing import hash64
 from .similarity import with_quantized
 
 
-def _subvectors(qd: DataFrame, id_col: str, m: int, dsub: int) -> DataFrame:
-    """(id, sub, sqv): explode each quantized vector into its m
-    subvectors — a map-side projection, m rows per vector."""
+def _subvectors(
+    qd: DataFrame, id_col: str | list[str], m: int, dsub: int
+) -> DataFrame:
+    """(keys..., sub, sqv): explode each quantized vector into its m
+    subvectors — a map-side projection, m rows per vector. ``id_col``
+    may be a composite key (ivfpq uses (query_id, cluster))."""
+    keys = [id_col] if isinstance(id_col, str) else list(id_col)
     subs = F.array(
         *[
             F.struct(
@@ -43,8 +47,8 @@ def _subvectors(qd: DataFrame, id_col: str, m: int, dsub: int) -> DataFrame:
             for s in range(m)
         ]
     )
-    return qd.select(id_col, F.explode(subs).alias("__s")).select(
-        id_col, F.col("__s.sub").alias("sub"), F.col("__s.sqv").alias("sqv")
+    return qd.select(*keys, F.explode(subs).alias("__s")).select(
+        *keys, F.col("__s.sub").alias("sub"), F.col("__s.sqv").alias("sqv")
     )
 
 
@@ -76,34 +80,12 @@ def _assign_codes(subs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def pq_fit(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    m: int = 8,
-    ksub: int = 16,
-    dim: int = 64,
-    rounds: int = 2,
+def _fit_codebook(
+    qd: DataFrame, id_col: str, m: int, ksub: int, dsub: int, rounds: int
 ) -> DataFrame:
-    """Learn the codebook: (sub, j, cqv) — ksub centroids per subspace.
-
-    Seeds are the ksub vectors with smallest (md5(id), id) — the same
-    deterministic draw kmeans_lite uses — projected into each
-    subspace; then ``rounds`` Lloyd rounds with exact integer
-    floor-division means, all m subspaces trained in the SAME two
-    aggregations per round (grouped by (sub, cluster)).
-
-    If the corpus holds fewer than ksub vectors the codebook simply has
-    one centroid per vector in every subspace (PQ degenerates to exact
-    storage). Every subspace always carries the SAME entry count, and
-    consumers must size positional lookups from the codebook itself
-    (``pq_adc_topk`` derives it as size(dtable)/m) — never assume ksub
-    entries. Checking the seed count here would need a driver action at
-    plan-build time, which this package bans."""
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
-    dsub = dim // m
-    qd = with_quantized(df, vec_col).select(id_col, "qv")
+    """Codebook fit over an already-quantized (id, qv) frame — the
+    shared core of ``pq_fit`` (raw vectors) and ``ivfpq_topk``
+    (coarse-centroid residuals)."""
     subs = _subvectors(qd, id_col, m, dsub)
 
     seed_rank = (
@@ -142,6 +124,51 @@ def pq_fit(
     return cents
 
 
+def pq_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    rounds: int = 2,
+) -> DataFrame:
+    """Learn the codebook: (sub, j, cqv) — ksub centroids per subspace.
+
+    Seeds are the ksub vectors with smallest (md5(id), id) — the same
+    deterministic draw kmeans_lite uses — projected into each
+    subspace; then ``rounds`` Lloyd rounds with exact integer
+    floor-division means, all m subspaces trained in the SAME two
+    aggregations per round (grouped by (sub, cluster)).
+
+    If the corpus holds fewer than ksub vectors the codebook simply has
+    one centroid per vector in every subspace (PQ degenerates to exact
+    storage). Every subspace always carries the SAME entry count, and
+    consumers must size positional lookups from the codebook itself
+    (``pq_adc_topk`` derives it as size(dtable)/m) — never assume ksub
+    entries. Checking the seed count here would need a driver action at
+    plan-build time, which this package bans."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    qd = with_quantized(df, vec_col).select(id_col, "qv")
+    return _fit_codebook(qd, id_col, m, ksub, dim // m, rounds)
+
+
+def _encode_codes(
+    qd: DataFrame, cents: DataFrame, id_col: str, m: int, dsub: int
+) -> DataFrame:
+    """Code assignment over an already-quantized (id, qv) frame."""
+    assigned = _assign_codes(_subvectors(qd, id_col, m, dsub), cents, id_col)
+    return (
+        assigned.groupBy(id_col)
+        .agg(F.collect_list(F.struct("sub", "code")).alias("__sc"))
+        .select(
+            id_col,
+            F.transform(F.array_sort("__sc"), lambda s: s["code"]).alias("codes"),
+        )
+    )
+
+
 def pq_encode(
     df: DataFrame,
     cents: DataFrame,
@@ -153,17 +180,8 @@ def pq_encode(
     """(id, codes): each vector as its m nearest-centroid codes —
     the compressed representation a PQ index persists (m small ints
     per vector; at rest these pack to m bytes for ksub <= 256)."""
-    dsub = dim // m
     qd = with_quantized(df, vec_col).select(id_col, "qv")
-    assigned = _assign_codes(_subvectors(qd, id_col, m, dsub), cents, id_col)
-    return (
-        assigned.groupBy(id_col)
-        .agg(F.collect_list(F.struct("sub", "code")).alias("__sc"))
-        .select(
-            id_col,
-            F.transform(F.array_sort("__sc"), lambda s: s["code"]).alias("codes"),
-        )
-    )
+    return _encode_codes(qd, cents, id_col, m, dim // m)
 
 
 def pq_adc_topk(
@@ -234,6 +252,116 @@ def pq_adc_topk(
                     "dtable",
                     # 1-based: sub block s holds positions s*nsub+1..s*nsub+nsub
                     # for codes j=1..nsub, so (s, j) sits at s*nsub + j
+                    (s * nsub + F.element_at("codes", (s + 1).cast("int"))).cast(
+                        "int"
+                    ),
+                ),
+            ).alias("approx_d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d"), F.asc("cand_id"))
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    coarse_rounds: int = 1,
+    pq_rounds: int = 2,
+) -> DataFrame:
+    """IVF-PQ: coarse k-means quantizer + PQ over residuals — the
+    composition production ANN indexes ship (an inverted list bounds the
+    scan, residual codes bound the bytes touched per candidate).
+
+    Build: (1) kmeans_lite coarse quantizer assigns every vector a home
+    cluster; (2) the residual (vector - home centroid, exact int64) is
+    PQ-encoded against ONE global residual codebook (m subspaces x ksub
+    centroids — the standard shared-codebook IVF-PQ layout, so the
+    codebook broadcast stays m*ksub rows regardless of n_clusters).
+
+    Search: each query probes its ``nprobe`` nearest clusters; per
+    (query, probed cluster) the query residual against THAT centroid
+    yields one m x ksub ADC table; every candidate in the probed list
+    scores as m positional lookups over its codes. Candidates belong to
+    exactly one home list, so probe fan-out never duplicates a
+    candidate. Returns (query_id, cand_id, approx_d, rank).
+
+    Scale: candidate side reads (id, cluster, codes) only — never the
+    vectors; the ADC-table side is |queries| * nprobe rows, broadcast.
+    Cluster id is the shuffle/bucket key at 100 TB, exactly like
+    ``similarity.ivf_topk``, with PQ shrinking the per-candidate payload
+    from dim floats to m codes.
+    """
+    from .similarity import assign_clusters, kmeans_lite_fit, probe_clusters
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    qd, coarse = kmeans_lite_fit(df, id_col, vec_col, n_clusters, dim, coarse_rounds)
+    cj = coarse.select(F.col("j").alias("cluster"), "cqv")
+
+    homed = assign_clusters(qd, coarse, id_col)
+    resid = homed.join(F.broadcast(cj), "cluster").select(
+        id_col,
+        "cluster",
+        F.zip_with("qv", "cqv", lambda a, b: a - b).alias("qv"),
+    )
+    cents = _fit_codebook(resid.select(id_col, "qv"), id_col, m, ksub, dsub, pq_rounds)
+    codes = _encode_codes(resid.select(id_col, "qv"), cents, id_col, m, dsub)
+    cand = (
+        resid.select(F.col(id_col).alias("cand_id"), "cluster")
+        .join(codes.withColumnRenamed(id_col, "cand_id"), "cand_id")
+    )
+
+    probes = probe_clusters(
+        qd.join(query_ids.select(id_col), id_col), coarse, id_col, nprobe=nprobe
+    )
+    rq = probes.join(F.broadcast(cj), "cluster").select(
+        F.col(id_col).alias("query_id"),
+        "cluster",
+        F.zip_with("qv", "cqv", lambda a, b: a - b).alias("qv"),
+    )
+    q_subs = _subvectors(rq, ["query_id", "cluster"], m, dsub)
+    qdist = (
+        q_subs.join(F.broadcast(cents), "sub")
+        .select(
+            "query_id",
+            "cluster",
+            F.struct(
+                "sub", "j", _sub_dist(F.col("sqv"), F.col("cqv")).alias("d")
+            ).alias("__e"),
+        )
+        .groupBy("query_id", "cluster")
+        .agg(F.collect_list("__e").alias("__es"))
+        .select(
+            "query_id",
+            "cluster",
+            F.transform(F.array_sort("__es"), lambda e: e["d"]).alias("dtable"),
+        )
+    )
+    nsub = (F.size("dtable") / F.lit(m)).cast("int")
+    scored = (
+        cand.join(F.broadcast(qdist), "cluster")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0).cast("bigint"),
+                lambda acc, s: acc
+                + F.element_at(
+                    "dtable",
                     (s * nsub + F.element_at("codes", (s + 1).cast("int"))).cast(
                         "int"
                     ),

@@ -115,3 +115,57 @@ def _exact_l2_rows(emb, qids):
         .select("query_id", "cand_id", d.alias("d"))
         .collect()
     )
+
+
+def test_ivfpq_recall_and_no_duplicate_candidates(spark, sf_small):
+    """IVF-PQ (coarse k-means + residual PQ): recall@10 vs exact L2 must
+    beat the random floor by a wide margin (the synthetic corpus is
+    near-uniform — the hard case, same ~0.18 regime as flat PQ above),
+    and probe fan-out must never score a candidate twice (each candidate
+    lives in exactly one home list)."""
+    from mapreduce_task_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_small, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    exact = _exact_l2_topsets(emb, qids, K)
+
+    res = ivfpq_topk(
+        emb, qids, k=K, n_clusters=8, nprobe=2, m=M, ksub=KSUB, dim=DIM
+    )
+    rows = res.collect()
+    pairs = [(r["query_id"], r["cand_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs))  # no duplicate candidate per query
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["cand_id"])
+    assert set(got) == set(exact)
+    assert all(len(s) == K for s in got.values())
+    recall = sum(len(exact[q] & got[q]) / K for q in exact) / len(exact)
+    n = emb.count()
+    random_floor = K / (n - 1)
+    # measured 0.19 on this fixture — deterministic build, so a drop
+    # below 0.15 means a code change broke the index, not noise
+    assert recall >= 0.15, f"IVF-PQ recall@{K} too low: {recall}"
+    assert recall > 5 * random_floor, f"recall {recall} vs random {random_floor}"
+
+
+def test_ivfpq_exact_when_corpus_smaller_than_ksub(spark, sf_small):
+    """Corpus <= ksub: every residual is its own codebook entry, so ADC
+    over residuals is EXACT — with nprobe = n_clusters the result must
+    equal the exact int64 L2^2 distances, regardless of how the coarse
+    quantizer split the vectors (||q-c||^2 decomposes identically in
+    any shared cluster's residual frame)."""
+    from mapreduce_task_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_small, "embeddings").filter(F.col("vec_id") < 10)
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["cand_id"]): r["d"]
+        for r in _exact_l2_rows(emb, qids)
+    }
+    got = ivfpq_topk(
+        emb, qids, k=9, n_clusters=4, nprobe=4, m=M, ksub=KSUB, dim=DIM
+    ).collect()
+    assert len(got) == 3 * 9
+    for r in got:
+        assert r["approx_d"] == exact[(r["query_id"], r["cand_id"])]
