@@ -63,3 +63,86 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
     return summaries.groupBy("key").agg(F.sum("mg_count").alias("est_count")).select(
         F.col("key").alias(key_col), "est_count"
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: the overestimate-only dual of Misra-Gries above.
+# MG answers "which keys dominate" with k rows/partition; CM answers
+# "how often does THIS key occur" for any key, from a fixed depth x width
+# counter grid that merges by plain addition — the point-query sketch a
+# pipeline broadcasts to score arbitrary keys without a corpus shuffle.
+
+
+def cm_sketch(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Build a count-min sketch: (row, bucket, cnt), depth x width cells.
+
+    Each record lands in one bucket per hash row (seeded md5 family —
+    deterministic, engine-portable, see functions.hashing); cells are
+    exact sums, so two sketches of disjoint data MERGE by adding cells
+    — the 100 TB contract (one depth*width-cell grid per corpus shard,
+    added together, instead of a distinct-key shuffle).
+
+    Guarantees for ``cm_estimate``: est >= true (overestimate only),
+    and P[est - true > (e/width) * N] < e^-depth for each key.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("depth must be >= 1, width >= 2")
+    from ..functions.hashing import minhash_seed_hash
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                (minhash_seed_hash(F.col(key_col), r) % width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("__c"))
+        .groupBy(F.col("__c.row").alias("row"), F.col("__c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-query the sketch for each key: (key_col, est_count).
+
+    The sketch is at most depth*width rows — packed into one broadcast
+    row so the lookup is a shuffle-free projection (min over the key's
+    depth cells; a missing cell means count 0).
+    """
+    from ..functions.hashing import minhash_seed_hash
+
+    packed = sketch.agg(
+        F.collect_list(F.struct("row", "bucket", "cnt")).alias("__s")
+    )
+
+    def _cell(r: int):
+        # NOTE: the inner lambda must stay single-parameter — pyspark
+        # treats a two-arg lambda as (element, index) and would shadow r
+        bucket = minhash_seed_hash(F.col(key_col), r) % width
+        return F.coalesce(
+            # try_element_at: an absent cell (empty filter result)
+            # means no record ever hashed there -> count 0
+            F.try_element_at(
+                F.transform(
+                    F.filter(
+                        F.col("__s"),
+                        lambda c: (c["row"] == F.lit(r)) & (c["bucket"] == bucket),
+                    ),
+                    lambda c: c["cnt"],
+                ),
+                F.lit(1),
+            ),
+            F.lit(0).cast("bigint"),
+        )
+
+    ests = F.array(*[_cell(r) for r in range(depth)])
+    return keys.crossJoin(F.broadcast(packed)).select(
+        key_col, F.array_min(ests).alias("est_count")
+    )
