@@ -10,6 +10,7 @@ from .windows import (
     stream_stream_interval_join,
     session_counts,
     sliding_counts,
+    stateful_key_stats,
     stateful_running_count,
     stream_from_directory,
     tumbling_counts,
@@ -20,6 +21,7 @@ __all__ = [
     "stream_stream_interval_join",
     "session_counts",
     "sliding_counts",
+    "stateful_key_stats",
     "stateful_running_count",
     "stream_from_directory",
     "tumbling_counts",

@@ -218,3 +218,62 @@ def stateful_running_count(df: DataFrame, key_col: str = "event_type") -> DataFr
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_key_stats(
+    df: DataFrame, key_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """Per-key running (count, exact cent sum, max) across micro-batches
+    via ``transformWithStateInPandas`` — the Spark 4 arbitrary-state API
+    that supersedes ``applyInPandasWithState`` (typed state handles,
+    TTL, timers; requires the RocksDB state store provider).
+
+    Kept alongside ``stateful_running_count`` so both stateful APIs stay
+    covered. Values are summed as per-row-rounded integer cents, so the
+    running sum is exact regardless of batch slicing — the same
+    quantization discipline the batch operators use.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class KeyStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "agg", "n bigint, cents bigint, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, cents, mx = 0, 0, None
+            if self._st.exists():
+                prev = self._st.get()
+                n, cents, mx = int(prev[0]), int(prev[1]), float(prev[2])
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    pdf[value_col].mul(100).round().astype("int64").sum()
+                )
+                m = float(pdf[value_col].max())
+                mx = m if mx is None else max(mx, m)
+            self._st.update((n, cents, mx))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n": [n],
+                    "sum_cents": [cents],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        KeyStats(),
+        outputStructType=f"{key_col} string, n bigint, sum_cents bigint, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -682,3 +682,82 @@ def test_foreach_batch_upsert_converges_and_is_idempotent(spark, tmp_path):
     )
     got3 = {r["k"]: (r["seq"], r["v"]) for r in read_snapshot(spark, tgt).collect()}
     assert got3[1] == (2, "a2")
+
+
+def test_transform_with_state_key_stats(spark, events_dir):
+    """transformWithStateInPandas (Spark 4 typed-state API): running
+    per-key (count, exact cent sum, max) converges to the batch
+    aggregate. Needs the RocksDB state store provider — set for this
+    query only and restored after (other streams keep the default).
+
+    The TWS python runner needs google.protobuf, which this container
+    lacks — skip (not xfail) there, exactly like the multimodal decoder
+    stubs; the operator itself builds its plan without it."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas runner requires protobuf",
+    )
+    from mapreduce_task_spark.streaming import stateful_key_stats
+
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        r["event_type"]: (r["n"], r["cents"], r["mx"])
+        for r in batch.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stream_from_directory(
+            spark, events_dir, batch.schema, maxFilesPerTrigger=1
+        )
+        q = (
+            stateful_key_stats(stream)
+            .writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    # all three stats are monotone across updates: max() per key is final
+    final = {
+        r["event_type"]: (r["n"], r["cents"], r["mx"])
+        for r in spark.sql(
+            "select event_type, max(n) as n, max(sum_cents) as cents, "
+            "max(max_value) as mx from t_tws group by event_type"
+        ).collect()
+    }
+    assert final == expected and len(final) > 0
+
+
+def test_transform_with_state_plan_builds_without_runtime(spark, events_dir):
+    """Plan construction for the TWS operator must not need protobuf or
+    RocksDB — those are start()-time dependencies. Guards the API wiring
+    (schema string, output mode, time mode) on any container."""
+    from mapreduce_task_spark.streaming import stateful_key_stats
+
+    batch = spark.read.parquet(events_dir)
+    stream = stream_from_directory(spark, events_dir, batch.schema)
+    out = stateful_key_stats(stream)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "event_type",
+        "n",
+        "sum_cents",
+        "max_value",
+    ]
