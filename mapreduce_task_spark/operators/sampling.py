@@ -153,3 +153,31 @@ def mix_corpora(
     for s in sampled[1:]:
         out = out.unionByName(s)
     return out
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, best-first by ``order_col``
+    (desc) with the unique ``id_col`` as tie-break.
+
+    The per-domain / per-source cap every crawl pipeline applies so one
+    prolific host cannot dominate the training mix. A window-per-group
+    row_number — parallelism scales with group count, never a global
+    sort (operators/relational.py:grouped_top_k contract). Compose with
+    ``quality_bins``/``curriculum_mix``: cap by quality score, then mix.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(order_col), F.asc(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

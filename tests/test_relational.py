@@ -68,3 +68,28 @@ def test_pivot_matches_conditional_agg(spark, sf_small):
         ]
     )
     assert sorted(map(tuple, pivoted.collect())) == sorted(map(tuple, manual.collect()))
+
+
+def test_unpivot_inverts_pivot(spark, sf_small):
+    """unpivot/melt (the wide->long inverse of groupBy().pivot()):
+    melting the pivoted per-type counts reproduces the original
+    (user, type, n) aggregate exactly, nulls dropped."""
+    from mapreduce_task_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    long_truth = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    wide = ev.groupBy("user_id").pivot("event_type", sorted(types)).count()
+    melted = wide.unpivot(
+        ids=["user_id"],
+        values=sorted(types),
+        variableColumnName="event_type",
+        valueColumnName="n",
+    ).filter(F.col("n").isNotNull())
+    got = {(r["user_id"], r["event_type"]): r["n"] for r in melted.collect()}
+    assert got == long_truth and len(got) > 0

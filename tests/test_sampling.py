@@ -181,3 +181,35 @@ def test_curriculum_mix_tiers_and_reproducibility(spark, sf_small):
     assert all(a <= b + 1e-9 for a, b in zip(rates, rates[1:])), rates
     # reproducible
     assert mixed.count() == curriculum_mix(qf, "doc_id", fr).count()
+
+
+def test_cap_per_group_keeps_best_n_per_source(spark, sf_small):
+    from mapreduce_task_spark.operators.sampling import cap_per_group
+    from mapreduce_task_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_small, "documents")
+    capped = cap_per_group(docs, "source", "n_chars", 5)
+    sizes = {
+        r["source"]: r["n"]
+        for r in capped.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes and all(n <= 5 for n in sizes.values())
+    # kept rows are exactly the top-5 by (n_chars desc, doc_id) per source
+    from pyspark.sql import Window
+
+    best = {
+        (r["source"], r["doc_id"])
+        for r in docs.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.desc("n_chars"), F.asc("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+        .collect()
+    }
+    got = {(r["source"], r["doc_id"]) for r in capped.collect()}
+    assert got == best
