@@ -35,11 +35,15 @@ def test_subquery_shapes_broadcasts_threshold(spark, sf_small):
     assert "LeftSemi" in plan
     rows = df.collect()
     assert len(rows) > 0
-    sizes = {r["p_size"] for r in rows}
-    assert all(isinstance(r["p_size"], int) for r in rows)
+    # r4: three-leg tagged union — p_size lives in column v on the
+    # 'subq' leg (null on the semi/anti legs)
+    sizes = {r["v"] for r in rows if r["leg"] == "subq"}
+    assert sizes and all(isinstance(s, int) for s in sizes)
     # every surviving size exceeds max-5 by construction
     mx = max(sizes)
     assert all(s > mx - 6 for s in sizes)
+    legs = {r["leg"] for r in rows}
+    assert legs == {"subq", "semi", "anti"}
 
 
 def test_q10_broadcasts_nation_dim(spark, sf_small):
