@@ -208,3 +208,64 @@ def fingerprints(
         .filter(F.col("fp") % mod == 0)
         .distinct()
     )
+
+
+def collocations_pmi(
+    df: DataFrame, text_col: str = "text", top_k: int = 50, min_count: int = 5
+) -> DataFrame:
+    """Top-k adjacent-word collocations by count, with PMI and NPMI.
+
+    Counts are exact integers from two aggregations (bigrams via one
+    posexplode-free adjacent zip — transform over 1..n-1 — then
+    groupBy; unigrams likewise); PMI/NPMI are computed from those
+    integers at the end, so the floating step never feeds a
+    comparison. The classic phrase-mining signal (new-term discovery,
+    tokenizer-vocabulary candidates) over the documents table.
+
+    Scale: two shuffles (bigram counts, unigram counts), both partial-
+    aggregated map-side; the unigram table joins back twice via
+    broadcast when small or shuffle otherwise — Catalyst picks. Top-k
+    is TakeOrderedAndProject.
+    """
+    toks = _toks(text_col)
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i.cast("int")).alias("w1"),
+                F.element_at(toks, (i + 1).cast("int")).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    tok_rows = df.select(F.explode(toks).alias("w"))
+    uni = tok_rows.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    n_tokens = tok_rows.agg(F.count(F.lit(1)).alias("n_total"))
+
+    bi = (
+        df.select(F.explode(grams).alias("g"))
+        .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    joined = bi.join(u1, "w1").join(u2, "w2").join(F.broadcast(n_tokens))
+    # PMI over token-frequency probabilities: p(ab) uses the bigram
+    # count over (n_total - 1 per doc ~ n_total at corpus scale); we
+    # use n_total for both to keep the formula the textbook one
+    p_ab = F.col("n_pair").cast("double") / F.col("n_total").cast("double")
+    p_a = F.col("n_w1").cast("double") / F.col("n_total").cast("double")
+    p_b = F.col("n_w2").cast("double") / F.col("n_total").cast("double")
+    pmi = F.log(p_ab / (p_a * p_b))
+    npmi = pmi / -F.log(p_ab)
+    return (
+        joined.select(
+            "w1", "w2", "n_pair", "n_w1", "n_w2",
+            pmi.alias("pmi"), npmi.alias("npmi"),
+        )
+        .orderBy(F.col("n_pair").desc(), "w1", "w2")
+        .limit(top_k)
+    )

@@ -74,3 +74,37 @@ def test_repetition_signals_exact_and_short_doc_safe(spark):
     # one-word / empty docs: no n-grams, no crash, NULL fractions
     assert got[1]["top_bigram_frac"] is None and got[1]["dup_word_frac"] == 0.0
     assert got[2]["dup_word_frac"] is None and got[2]["top_trigram_frac"] is None
+
+
+def test_collocations_pmi_matches_python_replay(spark, sf_small):
+    """Counts exact vs a python replay; PMI/NPMI close (both engines
+    compute from the same exact integers)."""
+    import math
+
+    from mapreduce_task_spark.operators.textstats import collocations_pmi
+    from mapreduce_task_spark.functions.text import normalized_tokens
+    from mapreduce_task_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    tok_lists = [
+        r["t"] for r in docs.select(normalized_tokens("text").alias("t")).collect()
+    ]
+    uni, bi, total = {}, {}, 0
+    for toks in tok_lists:
+        total += len(toks)
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    eligible = {p: n for p, n in bi.items() if n >= 5}
+    want_top = sorted(eligible.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    got = collocations_pmi(docs, top_k=20, min_count=5).collect()
+    assert [((r["w1"], r["w2"]), r["n_pair"]) for r in got] == want_top
+    for r in got:
+        assert r["n_w1"] == uni[r["w1"]] and r["n_w2"] == uni[r["w2"]]
+        p_ab = r["n_pair"] / total
+        p_a, p_b = r["n_w1"] / total, r["n_w2"] / total
+        want_pmi = math.log(p_ab / (p_a * p_b))
+        assert math.isclose(r["pmi"], want_pmi, rel_tol=1e-12)
+        assert math.isclose(r["npmi"], want_pmi / -math.log(p_ab), rel_tol=1e-12)
