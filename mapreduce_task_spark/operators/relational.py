@@ -79,3 +79,65 @@ def sessionize(
         session_col,
         F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Ordered-funnel conversion: how many keys reached step 1, then
+    step 2 AFTER step 1, and so on (classic product-analytics funnel).
+
+    One plan: filter to the step types only (everything else is dead
+    weight — the filter pushes to the scan), ONE groupBy(key) collecting
+    (ts, order, type) structs, array_sort for the per-key timeline, then
+    a codegen fold that advances a step cursor whenever the next
+    expected step appears. Emits (step, step_idx, n_keys) with n_keys
+    non-increasing by construction.
+
+    Scale: the only shuffle carries step-typed events (usually a small
+    slice of the log); per-key state is that key's step-typed events.
+    A pathological key's timeline is one array — cap upstream with a
+    per-key limit if a bot key could hold millions of step events.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = events.filter(F.col(type_col).isin(*steps)).select(
+        key_col,
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(order_col).alias("o"),
+            F.col(type_col).alias("t"),
+        ).alias("__e"),
+    )
+    timeline = ev.groupBy(key_col).agg(
+        F.array_sort(F.collect_list("__e")).alias("__tl")
+    )
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    reached = F.aggregate(
+        F.col("__tl"),
+        F.lit(0),
+        lambda acc, e: F.when(
+            (acc < F.lit(len(steps)))
+            & (e["t"] == F.element_at(step_arr, (acc + 1).cast("int"))),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    per_key = timeline.select(reached.alias("reached"))
+    counts = per_key.groupBy("reached").agg(F.count(F.lit(1)).alias("n"))
+    # users reaching step i = sum of counts with reached >= i; the
+    # counts frame is <= len(steps)+1 rows — broadcast the literal steps
+    steps_df = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], ["step_idx", "step"]
+    )
+    return (
+        F.broadcast(steps_df)
+        .join(counts, counts.reached >= steps_df.step_idx, "left")
+        .groupBy("step_idx", "step")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_keys"))
+        .orderBy("step_idx")
+    )

@@ -146,3 +146,33 @@ def cm_estimate(
     return keys.crossJoin(F.broadcast(packed)).select(
         key_col, F.array_min(ests).alias("est_count")
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable HLL sketch COLUMNS (Spark's Apache DataSketches binding).
+# approx_count_distinct collapses to a number at aggregation time;
+# hll_sketch_agg keeps the sketch itself as a binary column, so
+# per-partition/per-day sketches can be stored, unioned across
+# arbitrary group rollups, and only then estimated — the pattern a
+# 100 TB metrics store uses (build once per shard, merge many ways).
+
+
+def hll_group_sketches(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """(group, sketch): one DataSketches HLL per group over key_col."""
+    return df.groupBy(group_col).agg(
+        F.hll_sketch_agg(key_col).alias("sketch")
+    )
+
+
+def hll_rollup_estimate(sketches: DataFrame, group_col: str) -> DataFrame:
+    """Estimate per group AND the all-groups union WITHOUT rescanning
+    the source: per-group estimates from the stored sketches, plus a
+    'TOTAL' row from hll_union_agg over the same sketch column."""
+    per = sketches.select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.hll_sketch_estimate("sketch").alias("approx_distinct"),
+    )
+    total = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct")
+    ).select(F.lit("TOTAL").alias(group_col), "approx_distinct")
+    return per.unionByName(total)

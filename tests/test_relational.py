@@ -93,3 +93,46 @@ def test_unpivot_inverts_pivot(spark, sf_small):
     ).filter(F.col("n").isNotNull())
     got = {(r["user_id"], r["event_type"]): r["n"] for r in melted.collect()}
     assert got == long_truth and len(got) > 0
+
+
+def test_funnel_counts_match_python_replay(spark, sf_small):
+    """Ordered funnel vs an exact python replay over the real events
+    (per-user timeline sorted by (ts, event_id), cursor advance)."""
+    from mapreduce_task_spark.operators.relational import funnel_counts
+    from mapreduce_task_spark.sources.tables import load_table
+
+    steps = ["view", "click", "purchase"]
+    ev = load_table(spark, sf_small, "events")
+    rows = ev.select("user_id", "ts", "event_id", "event_type").collect()
+    by_user = {}
+    for r in rows:
+        if r["event_type"] in steps:
+            by_user.setdefault(r["user_id"], []).append(
+                (r["ts"], r["event_id"], r["event_type"])
+            )
+    want = {i + 1: 0 for i in range(len(steps))}
+    for tl in by_user.values():
+        cur = 0
+        for _, _, t in sorted(tl):
+            if cur < len(steps) and t == steps[cur]:
+                cur += 1
+        for i in range(1, cur + 1):
+            want[i] += 1
+
+    got = {
+        r["step_idx"]: (r["step"], r["n_keys"])
+        for r in funnel_counts(ev, steps).collect()
+    }
+    assert got == {i: (steps[i - 1], want[i]) for i in want}
+    # monotone non-increasing
+    ns = [got[i][1] for i in sorted(got)]
+    assert ns == sorted(ns, reverse=True) and ns[0] > 0
+
+
+def test_funnel_counts_zero_step_rows_present(spark, sf_small):
+    from mapreduce_task_spark.operators.relational import funnel_counts
+    from mapreduce_task_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    got = funnel_counts(ev, ["view", "click", "signup", "error"]).collect()
+    assert [r["step_idx"] for r in got] == [1, 2, 3, 4]

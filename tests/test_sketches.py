@@ -51,3 +51,34 @@ def test_approx_sketches_within_error_bounds(spark, sf_med):
             e["p45"],
             e["p55"],
         )
+
+
+def test_hll_sketch_columns_merge_without_rescan(spark, sf_small):
+    """DataSketches HLL columns: per-group estimates within 5% of exact,
+    and the union of stored sketches estimates the GLOBAL distinct count
+    without touching the source again — the store-once/merge-many
+    contract approx_count_distinct cannot provide."""
+    from mapreduce_task_spark.operators.sketches import (
+        hll_group_sketches,
+        hll_rollup_estimate,
+    )
+    from mapreduce_task_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    exact_per = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_total = ev.select("user_id").distinct().count()
+
+    sk = hll_group_sketches(ev, "event_type", "user_id")
+    got = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_rollup_estimate(sk, "event_type").collect()
+    }
+    assert set(got) == set(exact_per) | {"TOTAL"}
+    for k, exact in exact_per.items():
+        assert abs(got[k] - exact) <= max(2, 0.05 * exact), (k, got[k], exact)
+    assert abs(got["TOTAL"] - exact_total) <= max(2, 0.05 * exact_total)
