@@ -82,3 +82,54 @@ def test_new_operator_plans_stay_jvm_side(spark, sf_small):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_r4_operator_plans_stay_jvm_side(spark, sf_small):
+    """Round-4 expression-only operators: no Python stage of ANY kind
+    and no Cartesian product in their physical plans."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_task_spark.operators.fuzzy import symdelete_pairs
+    from mapreduce_task_spark.operators.ranking import bm25_topk
+    from mapreduce_task_spark.operators.relational import funnel_counts
+    from mapreduce_task_spark.operators.sketches import cm_estimate, cm_sketch
+    from mapreduce_task_spark.operators.textstats import collocations_pmi
+    from mapreduce_task_spark.operators.timeseries import (
+        mad_outliers,
+        resample_ffill,
+    )
+    from mapreduce_task_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    ev = load_table(spark, sf_small, "events")
+    vocab = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).distinct()
+    sk = cm_sketch(ev, "event_type")
+
+    plans = {
+        "bm25": bm25_topk(docs, spark, ["spark"], k=5),
+        "resample": resample_ffill(ev),
+        "mad": mad_outliers(ev.select("event_id", "event_type", "value")),
+        "symdelete": symdelete_pairs(vocab, "word"),
+        "collocations": collocations_pmi(docs, top_k=5),
+        "funnel": funnel_counts(ev, ["view", "click"]),
+        "cm": cm_estimate(sk, ev.select("event_type").distinct(), "event_type"),
+    }
+    offenders = {}
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = [
+            s
+            for s in (
+                "BatchEvalPython",
+                "CartesianProduct",
+                "ArrowEvalPython",
+                "MapInPandas",
+                "FlatMapGroupsInPandas",
+            )
+            if s in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
