@@ -308,32 +308,6 @@ GROUP BY GROUPING SETS ((n.n_name), (o.o_orderpriority), ())
 # --------------------------------------------------------------------------
 # set operations
 # --------------------------------------------------------------------------
-@query(
-    "set_ops",
-    oracle="""
-    SELECT 'both' AS op, n_nationkey AS nationkey FROM (
-      SELECT n_nationkey FROM nation WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
-      INTERSECT
-      SELECT n_nationkey FROM nation WHERE EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
-    )
-    UNION ALL
-    SELECT 'customer_only' AS op, n_nationkey FROM (
-      SELECT c_nationkey AS n_nationkey FROM customer
-      EXCEPT
-      SELECT s_nationkey FROM supplier
-    )
-    """,
-    doc="INTERSECT / EXCEPT / UNION ALL composed in one inventory query.",
-)
-def q_set_ops(spark: SparkSession, sf_dir: str):
-    cust = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    supp = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    both = cust.intersect(supp).select(F.lit("both").alias("op"), "nationkey")
-    # subtract = EXCEPT DISTINCT (exceptAll would keep per-copy multiplicity)
-    conly = cust.subtract(supp).select(F.lit("customer_only").alias("op"), "nationkey")
-    return both.unionAll(conly)
-
-
 # --------------------------------------------------------------------------
 # scalar function breadth: date / JSON / string+math / array
 # --------------------------------------------------------------------------

@@ -124,16 +124,34 @@ def q10_returned_items(spark: SparkSession, sf_dir: str):
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    UNION ALL
+    SELECT 'set_both' AS leg, n_nationkey AS k, CAST(NULL AS INT) AS v,
+           CAST(NULL AS VARCHAR) AS s
+    FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'set_customer_only' AS leg, n_nationkey AS k, CAST(NULL AS INT) AS v,
+           CAST(NULL AS VARCHAR) AS s
+    FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier
+    )
     """,
-    doc="Subquery + semi/anti-join coverage (absent in the reference, SURVEY "
-    "§2.5) as a three-leg tagged union: an uncorrelated scalar subquery "
-    "(threshold = max(p_size)-5, realized as a 1-row broadcast cross join "
-    "-- no recompute per row, no shuffle of the probe side) composed with "
-    "an IN-subquery (left-semi join on the filtered lineitem keys); a "
-    "left-semi EXISTS and a left-anti NOT-EXISTS against a filtered build "
-    "side (only the key column of orders shuffles for either branch). "
-    "Merges the former join_semi_anti row to free a slot inside the "
-    "driver's 50-entry record cap (round 4).",
+    doc="Subquery + semi/anti-join + set-operation coverage (absent in the "
+    "reference, SURVEY §2.5) as a five-leg tagged union: an uncorrelated "
+    "scalar subquery (threshold = max(p_size)-5, realized as a 1-row "
+    "broadcast cross join -- no recompute per row, no shuffle of the probe "
+    "side) composed with an IN-subquery (left-semi join on the filtered "
+    "lineitem keys); a left-semi EXISTS and a left-anti NOT-EXISTS against "
+    "a filtered build side (only the key column of orders shuffles for "
+    "either branch); INTERSECT and EXCEPT DISTINCT legs over the "
+    "customer/supplier nation keys. Merges the former join_semi_anti (r4) "
+    "and set_ops (r4) rows to free slots inside the driver's 50-entry "
+    "record cap.",
 )
 def q_subquery_shapes(spark: SparkSession, sf_dir: str):
     from ..operators.relational import anti_join, semi_join
@@ -173,7 +191,24 @@ def q_subquery_shapes(spark: SparkSession, sf_dir: str):
         nul_i.alias("v"),
         F.col("c_name").alias("s"),
     )
-    return subq.unionByName(semi).unionByName(anti)
+    c_nat = cust.select(F.col("c_nationkey").alias("k"))
+    s_nat = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    set_both = c_nat.intersect(s_nat).select(
+        F.lit("set_both").alias("leg"), "k", nul_i.alias("v"), nul_s.alias("s")
+    )
+    # subtract = EXCEPT DISTINCT (exceptAll would keep per-copy multiplicity)
+    set_conly = c_nat.subtract(s_nat).select(
+        F.lit("set_customer_only").alias("leg"),
+        "k",
+        nul_i.alias("v"),
+        nul_s.alias("s"),
+    )
+    return (
+        subq.unionByName(semi)
+        .unionByName(anti)
+        .unionByName(set_both)
+        .unionByName(set_conly)
+    )
 
 
 @query(

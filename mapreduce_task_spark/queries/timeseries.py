@@ -101,3 +101,47 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     return mad_outliers(ev, group_col="event_type", value_col="value")
+
+
+@query(
+    "funnel_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(row(ts, event_id)) AS m1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(row(e.ts, e.event_id)) AS m2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND row(e.ts, e.event_id) > s1.m1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND row(e.ts, e.event_id) > s2.m2
+      GROUP BY e.user_id
+    )
+    SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+           CAST(n_keys AS BIGINT) AS n_keys
+    FROM (VALUES
+      (1, 'view',     (SELECT count(*) FROM s1)),
+      (2, 'click',    (SELECT count(*) FROM s2)),
+      (3, 'purchase', (SELECT count(*) FROM s3))
+    ) t(step_idx, step, n_keys)
+    """,
+    doc="Ordered view->click->purchase funnel (operators/relational.py "
+    "funnel_counts): one groupBy over step-typed events, sorted per-user "
+    "timeline + codegen cursor fold. The oracle replays it as cascaded "
+    "first-match CTEs — the cursor's 'first step-k event strictly after "
+    "the step-(k-1) match' is exactly min(row(ts, event_id)) with a "
+    "row-tuple comparison, so both formulations are equivalent for any "
+    "tie pattern. The only shuffle carries step-typed events; per-user "
+    "state is that user's step events — the product-analytics shape at "
+    "any log size.",
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import funnel_counts
+
+    return funnel_counts(
+        t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
