@@ -1,0 +1,76 @@
+"""operators.quality: one-pass constraint checks + referential integrity."""
+
+from pyspark.sql import Row, functions as F
+
+from mapreduce_task_spark.operators.quality import (
+    completeness,
+    in_range,
+    is_in,
+    matches,
+    referential_integrity,
+    run_checks,
+    uniqueness,
+)
+from mapreduce_task_spark.sources.tables import load_table
+
+
+def test_run_checks_single_pass_on_real_tables(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    checks = [
+        completeness("event_id"),
+        uniqueness("event_id"),
+        completeness("event_type"),
+        is_in("event_type", ["view", "click", "purchase", "signup", "error"]),
+        in_range("value", 0.0, 1e6),
+        matches("props", r"\{.*\}"),
+    ]
+    out = run_checks(ev, checks)
+    rows = {(r["check"], r["column"]): r for r in out.collect()}
+    assert len(rows) == len(checks)
+    # the synthetic events table is clean: everything passes at 1.0
+    for r in rows.values():
+        assert r["passed"] and abs(r["metric"] - 1.0) < 1e-12
+    # exactly ONE scan of the fact side (an executed AQE plan prints
+    # Final AND Initial sections — count inside the final plan only)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
+
+
+def test_checks_fail_on_planted_violations(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k=1, v=10.0, tag="a"),
+            Row(k=1, v=999.0, tag="b"),  # dup key + out-of-range
+            Row(k=2, v=None, tag="zzz"),  # null v + disallowed tag
+        ]
+    )
+    out = {
+        (r["check"], r["column"]): r
+        for r in run_checks(
+            df,
+            [
+                uniqueness("k"),
+                completeness("v", min_fraction=0.9),
+                in_range("v", 0.0, 100.0),
+                is_in("tag", ["a", "b"]),
+            ],
+        ).collect()
+    }
+    assert not out[("uniqueness", "k")]["passed"]
+    assert abs(out[("uniqueness", "k")]["metric"] - 2 / 3) < 1e-12
+    assert not out[("completeness", "v")]["passed"]
+    assert not out[("in_range", "v")]["passed"]  # 999 out of [0, 100]
+    assert abs(out[("in_range", "v")]["metric"] - 0.5) < 1e-12
+    assert abs(out[("is_in", "tag")]["metric"] - 2 / 3) < 1e-12
+
+
+def test_referential_integrity_counts_orphans(spark, sf_small):
+    orders = load_table(spark, sf_small, "orders")
+    cust = load_table(spark, sf_small, "customer")
+    [r] = referential_integrity(orders, "o_custkey", cust, "c_custkey").collect()
+    assert r["passed"] and r["metric"] == 1.0
+    # plant orphans: drop half the customers
+    half = cust.filter(F.col("c_custkey") % 2 == 0)
+    [r2] = referential_integrity(orders, "o_custkey", half, "c_custkey").collect()
+    assert not r2["passed"] and 0.0 < r2["metric"] < 1.0
