@@ -420,3 +420,93 @@ def incremental_exact_dedup(
     fresh = in_batch.join(known_digests, "text_md5", "left_anti")
     digests = known_digests.unionByName(fresh.select("text_md5")).distinct()
     return fresh.drop("text_md5"), digests
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    known_sigs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup ingest dedup: the LSH extension of
+    ``incremental_exact_dedup`` — dedupe a new crawl batch against
+    everything already kept WITHOUT rescanning the historical corpus.
+
+    The persisted state is the historical MINHASH SIGNATURE table
+    (id + num_hashes int64 columns — tens of bytes per doc, not the
+    corpus): band buckets are derived from it on the fly each ingest.
+
+    Two-stage plan:
+    1. WITHIN the batch: full-fidelity LSH — band-bucket candidates,
+       exact shingle-Jaccard verify >= threshold, drop each verified
+       pair's ``id_b`` (the pipeline_clean_corpus orientation).
+    2. ACROSS batches: batch bands equi-join historical bands; cross
+       candidates verify by SIGNATURE AGREEMENT (fraction of matching
+       minhashes >= threshold — the unbiased Jaccard estimator), since
+       historical shingle sets are exactly what we refuse to keep.
+
+    Returns ``(fresh_docs, signatures)`` — survivors of both stages,
+    and the updated signature table (old sigs + survivors') to persist
+    for the next ingest. Pass ``known_sigs=None`` for the first batch.
+
+    Scale shape: batch-side shingle/signature work is proportional to
+    the BATCH; the historical side contributes one band equi-join
+    (uniform md5-derived keys) and one signature join on the candidate
+    pairs only. Replay-idempotent: re-ingesting an already-kept batch
+    yields zero fresh docs and an unchanged signature table.
+    """
+    spark = new_docs.sparkSession
+    if known_sigs is None:
+        schema = f"{id_col} bigint, " + ", ".join(
+            f"mh{i} bigint" for i in range(num_hashes)
+        )
+        known_sigs = spark.createDataFrame([], schema)
+
+    sh = shingles(new_docs, id_col, text_col)
+    sig = minhash_signature(sh, id_col, num_hashes)
+
+    # stage 1: within-batch near-dups at full fidelity
+    pairs = jaccard_verify(
+        lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, bands), id_col),
+        sh,
+        id_col,
+    ).filter(F.col("jaccard") >= threshold)
+    dels = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    batch_kept_ids = new_docs.select(id_col).join(dels, id_col, "left_anti")
+    kept_sig = sig.join(batch_kept_ids, id_col)
+
+    # stage 2: cross-batch candidates via band buckets of BOTH sides
+    nb = lsh_bands(kept_sig, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("__new_id"), "band", "band_sig"
+    )
+    kb = lsh_bands(known_sigs, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("__old_id"), "band", "band_sig"
+    )
+    cross = nb.join(kb, ["band", "band_sig"]).select("__new_id", "__old_id").distinct()
+    ns = kept_sig.select(
+        F.col(id_col).alias("__new_id"),
+        *[F.col(f"mh{i}").alias(f"na{i}") for i in range(num_hashes)],
+    )
+    os_ = known_sigs.select(
+        F.col(id_col).alias("__old_id"),
+        *[F.col(f"mh{i}").alias(f"ob{i}") for i in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"na{i}") == F.col(f"ob{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    dup_new = (
+        cross.join(ns, "__new_id")
+        .join(os_, "__old_id")
+        .withColumn("__agree", agree / F.lit(float(num_hashes)))
+        .filter(F.col("__agree") >= threshold)
+        .select(F.col("__new_id").alias(id_col))
+        .distinct()
+    )
+    fresh_ids = batch_kept_ids.join(dup_new, id_col, "left_anti")
+    fresh = new_docs.join(fresh_ids, id_col)
+    sigs_out = known_sigs.unionByName(sig.join(fresh_ids, id_col))
+    return fresh, sigs_out

@@ -204,3 +204,64 @@ def test_connected_components_warns_on_round_exhaustion(spark):
         got = _cc(spark, edges, max_rounds=25)
     assert not [w for w in caught if "max_rounds" in str(w.message)]
     assert got == {i: 0 for i in range(6)}
+
+
+class TestIncrementalMinhash:
+    def test_first_batch_dedups_within_batch(self, spark, sf_small):
+        from mapreduce_task_spark.operators.dedup import (
+            incremental_minhash_dedup,
+        )
+        from mapreduce_task_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_small, "documents")
+        fresh, sigs = incremental_minhash_dedup(docs)
+        n_fresh, n_docs = fresh.count(), docs.count()
+        assert 0 < n_fresh < n_docs  # fixture contains near-dups
+        assert sigs.count() == n_fresh  # one signature per kept doc
+
+    def test_replaying_same_batch_yields_nothing_new(self, spark, sf_small):
+        from mapreduce_task_spark.operators.dedup import (
+            incremental_minhash_dedup,
+        )
+        from mapreduce_task_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_small, "documents")
+        fresh1, sigs1 = incremental_minhash_dedup(docs)
+        sigs1 = sigs1.localCheckpoint()
+        fresh2, sigs2 = incremental_minhash_dedup(docs, known_sigs=sigs1)
+        # an already-ingested batch: every within-batch survivor has an
+        # IDENTICAL historical signature (agreement 1.0) -> zero fresh
+        assert fresh2.count() == 0
+        assert sigs2.count() == sigs1.count()
+
+    def test_genuinely_new_docs_survive(self, spark, sf_small):
+        from pyspark.sql import functions as F
+
+        from mapreduce_task_spark.operators.dedup import (
+            incremental_minhash_dedup,
+        )
+        from mapreduce_task_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_small, "documents")
+        first = docs.filter(F.col("doc_id") < 250)
+        fresh1, sigs1 = incremental_minhash_dedup(first)
+        sigs1 = sigs1.localCheckpoint()
+        # second batch: disjoint ids with UNRELATED text (reverse the
+        # token stream and tag each token -> near-zero shingle overlap)
+        second = docs.filter(F.col("doc_id") >= 250).withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.reverse(F.split("text", " ")),
+                    lambda t: F.concat(t, F.lit("zq")),
+                ),
+            ),
+        )
+        fresh2, sigs2 = incremental_minhash_dedup(second, known_sigs=sigs1)
+        n2 = fresh2.count()
+        # cross-batch stage must not flag any of the unrelated docs:
+        # survivors equal the batch's own within-batch survivor count
+        solo, _ = incremental_minhash_dedup(second)
+        assert n2 == solo.count() > 0
+        assert sigs2.count() == sigs1.count() + n2
