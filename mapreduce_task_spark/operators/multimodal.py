@@ -126,3 +126,64 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield out
 
     return pre.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frames_per_doc: int = 4,
+    frame_bytes: int = 32,
+) -> DataFrame:
+    """Frame-sampling fan-out for video rows: one input row -> N frame
+    rows, via mapInPandas (the 1->N Arrow contract a real decoder
+    uses; a scalar pandas_udf cannot change row count).
+
+    The decode step is STUBBED deterministically — frame i is the
+    ``frame_bytes``-byte payload slice starting at
+    ``i * len(payload) // frames_per_doc`` (replayable from the
+    payload alone; swap in a real keyframe extractor when a video
+    library exists — the schema, batch shape, and timestamps are the
+    production contract). ``ts_ms`` spaces frames uniformly across the
+    duration in ``media_meta``.
+
+    Scale: the Python stage fans out rows but touches only the payload
+    and two metadata fields (Arrow-projected); output rows carry small
+    frame slices, never the full payload. Partition count is inherited
+    — a decoder needing more parallelism repartitions upstream on id.
+    """
+    import pandas as pd
+
+    video = df.filter(F.col("media_meta.modality") == "video").select(
+        id_col,
+        F.col("payload"),
+        F.col("media_meta.duration_ms").alias("__dur"),
+    )
+
+    def fan_out(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids, idxs, buf, ts = [], [], [], []
+            for did, payload, dur in zip(
+                pdf[id_col], pdf["payload"], pdf["__dur"]
+            ):
+                n = len(payload)
+                for i in range(frames_per_doc):
+                    start = i * n // frames_per_doc
+                    ids.append(did)
+                    idxs.append(i)
+                    buf.append(bytes(payload[start : start + frame_bytes]))
+                    ts.append(i * int(dur) // frames_per_doc)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": buf,
+                    "ts_ms": pd.Series(ts, dtype="int64"),
+                }
+            )
+
+    return video.mapInPandas(
+        fan_out,
+        schema=f"{id_col} bigint, frame_idx int, frame_bytes binary, ts_ms bigint",
+    )

@@ -58,3 +58,37 @@ def test_decoders_are_stubbed():
         decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         decode_audio(b"RIFF")
+
+
+def test_sample_frames_fan_out_contract(spark, sf_small):
+    """1->N Arrow fan-out: every video doc yields exactly
+    frames_per_doc rows with deterministic payload-slice frames and
+    uniformly spaced timestamps; non-video rows contribute nothing."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_task_spark.operators.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
+    from mapreduce_task_spark.sources.tables import load_table
+
+    docs = with_binary_payload(load_table(spark, sf_small, "documents"))
+    n_video = docs.filter(F.col("media_meta.modality") == "video").count()
+    frames = sample_frames(docs, frames_per_doc=4, frame_bytes=16)
+    rows = frames.collect()
+    assert len(rows) == 4 * n_video > 0
+    assert frames.columns == ["doc_id", "frame_idx", "frame_bytes", "ts_ms"]
+
+    # deterministic replay for one doc
+    src = {
+        r["doc_id"]: (bytes(r["payload"]), r["media_meta"]["duration_ms"])
+        for r in docs.filter(F.col("media_meta.modality") == "video")
+        .limit(3)
+        .collect()
+    }
+    for r in rows:
+        if r["doc_id"] in src:
+            payload, dur = src[r["doc_id"]]
+            start = r["frame_idx"] * len(payload) // 4
+            assert bytes(r["frame_bytes"]) == payload[start : start + 16]
+            assert r["ts_ms"] == r["frame_idx"] * dur // 4
