@@ -133,3 +133,25 @@ def test_r4_operator_plans_stay_jvm_side(spark, sf_small):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_join_strategy_hints_are_honored(spark, sf_small):
+    """The engine's physical-strategy control surface: per-join hints
+    route the same logical join to broadcast-hash, shuffle-hash, or
+    sort-merge — the knobs a 100 TB tuning pass turns when Catalyst's
+    size estimates are wrong."""
+    from mapreduce_task_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_small, "orders")
+    cust = load_table(spark, sf_small, "customer")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    cond = orders.o_custkey == cust.c_custkey
+    p_b = plan(orders.join(cust.hint("broadcast"), cond))
+    assert "BroadcastHashJoin" in p_b
+    p_sh = plan(orders.join(cust.hint("shuffle_hash"), cond))
+    assert "ShuffledHashJoin" in p_sh
+    p_m = plan(orders.join(cust.hint("merge"), cond))
+    assert "SortMergeJoin" in p_m
