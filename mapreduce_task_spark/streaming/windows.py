@@ -155,9 +155,10 @@ def stream_stream_interval_join(
     ``how="left_outer"`` additionally emits each unmatched left row
     once — with null right columns — after the watermark passes its
     match horizon (the funnel question: which impressions never
-    converted). Outer results are inherently watermark-delayed: a left
-    row can only be declared unmatched once no in-range right row can
-    still arrive.
+    converted). ``how="full_outer"`` does the same for BOTH sides
+    (unmatched conversions surface too — attribution debugging).
+    Outer results are inherently watermark-delayed: a row can only be
+    declared unmatched once no in-range partner can still arrive.
 
     Both inputs carry event-time watermarks AND the join carries the
     closed time-range condition — exactly the two ingredients that let
@@ -174,8 +175,8 @@ def stream_stream_interval_join(
     timestamp columns are pre-renamed by the caller so the output
     carries both sides' times unambiguously.
     """
-    if how not in ("inner", "left_outer"):
-        raise ValueError("how must be 'inner' or 'left_outer'")
+    if how not in ("inner", "left_outer", "full_outer"):
+        raise ValueError("how must be 'inner', 'left_outer', or 'full_outer'")
     lw = _with_watermark(left, left_ts, watermark)
     rw = _with_watermark(right, right_ts, watermark).withColumnRenamed(
         key_col, "__rkey"

@@ -761,3 +761,67 @@ def test_transform_with_state_plan_builds_without_runtime(spark, events_dir):
         "sum_cents",
         "max_value",
     ]
+
+
+def test_stream_stream_full_outer_join_emits_both_unmatched(spark, tmp_path):
+    """Full-outer stream-stream join: unmatched rows from BOTH sides
+    emit with nulls once the watermark passes their horizons (same
+    sentinel mechanics as the left-outer test — sentinels advance the
+    watermark but stay in state and never emit)."""
+    import datetime as dt
+    import time as _time
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, ts, etype):
+        return {"event_id": eid, "user_id": uid, "ts": ts, "event_type": etype}
+
+    main_rows = [
+        ev(1, 1, t0, "click"),                                # converts
+        ev(2, 1, t0 + dt.timedelta(minutes=10), "purchase"),  # the conversion
+        ev(3, 2, t0, "click"),                                # never converts
+        ev(4, 3, t0 + dt.timedelta(minutes=5), "purchase"),   # orphan purchase
+    ]
+    sentinel = [
+        ev(99, 99, t0 + dt.timedelta(days=10), "click"),
+        ev(98, 98, t0 + dt.timedelta(days=10, hours=5), "purchase"),
+    ]
+    d = str(tmp_path / "fo_src")
+    schema = "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    spark.createDataFrame(main_rows, schema).coalesce(1).write.mode("append").parquet(d)
+    _time.sleep(1.1)
+    spark.createDataFrame(sentinel, schema).coalesce(1).write.mode("append").parquet(d)
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("click_id")
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("purchase_id")
+        )
+        return clicks, purchases
+
+    src = spark.read.parquet(d)
+    cs, ps = sides(stream_from_directory(spark, d, src.schema, maxFilesPerTrigger=1))
+    joined = stream_stream_interval_join(cs, ps, how="full_outer", watermark="1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ss_fouter")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        expected = {(1, 2), (3, None), (None, 4)}
+        got = set()
+        deadline = _time.time() + 90
+        while got != expected and _time.time() < deadline:
+            _time.sleep(0.5)
+            got = {
+                (r["click_id"], r["purchase_id"])
+                for r in spark.sql(
+                    "select click_id, purchase_id from t_ss_fouter"
+                ).collect()
+            }
+    finally:
+        q.stop()
+    assert got == expected
