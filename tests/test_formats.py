@@ -103,3 +103,27 @@ def test_orc_scan_pushes_filters_and_prunes_columns(spark, sf_small, tmp_path):
 def test_csv_reader_requires_schema(spark, tmp_path):
     with pytest.raises(TypeError):
         read_csv(spark, str(tmp_path))  # no schema -> hard error
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution on the lake path: a later batch adds a column;
+    mergeSchema reads the union schema with nulls for early files, and
+    the default read (no merge) still serves the footer-sampled schema
+    — the operational contract for additive evolution at 100 TB (no
+    rewrite of historical files)."""
+    from pyspark.sql import Row, functions as F
+
+    d = str(tmp_path / "evolve")
+    spark.createDataFrame(
+        [Row(doc_id=1, text="alpha"), Row(doc_id=2, text="beta")]
+    ).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [Row(doc_id=3, text="gamma", lang="en")]
+    ).write.mode("append").parquet(d)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r["lang"] for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: "en"}
+    # filters on the evolved column behave (null-safe)
+    assert merged.filter(F.col("lang").isNull()).count() == 2
