@@ -88,9 +88,15 @@ def funnel_counts(
     type_col: str = "event_type",
     ts_col: str = "ts",
     order_col: str = "event_id",
+    within: str | None = None,
 ) -> DataFrame:
     """Ordered-funnel conversion: how many keys reached step 1, then
     step 2 AFTER step 1, and so on (classic product-analytics funnel).
+
+    ``within`` (e.g. "1 hour") bounds the CONVERSION WINDOW: steps
+    beyond the first only count if they occur no later than
+    ``within`` after the key's step-1 match — the standard
+    attribution-window semantics. None = unbounded.
 
     One plan: filter to the step types only (everything else is dead
     weight — the filter pushes to the scan), ONE groupBy(key) collecting
@@ -118,15 +124,53 @@ def funnel_counts(
         F.array_sort(F.collect_list("__e")).alias("__tl")
     )
     step_arr = F.array(*[F.lit(s) for s in steps])
-    reached = F.aggregate(
-        F.col("__tl"),
-        F.lit(0),
-        lambda acc, e: F.when(
-            (acc < F.lit(len(steps)))
-            & (e["t"] == F.element_at(step_arr, (acc + 1).cast("int"))),
-            acc + 1,
-        ).otherwise(acc),
-    )
+    if within is None:
+        reached = F.aggregate(
+            F.col("__tl"),
+            F.lit(0),
+            lambda acc, e: F.when(
+                (acc < F.lit(len(steps)))
+                & (e["t"] == F.element_at(step_arr, (acc + 1).cast("int"))),
+                acc + 1,
+            ).otherwise(acc),
+        )
+    else:
+        # windowed cursor: carry (reached, step-1 ts); later steps only
+        # count inside [start, start + within]
+        ts_type = dict(events.dtypes)[ts_col]
+        horizon = F.expr(f"INTERVAL {within}")
+        init = F.struct(
+            F.lit(0).alias("reached"),
+            F.lit(None).cast(ts_type).alias("start"),
+        )
+
+        def step_fn(acc, e):
+            starts = (acc["reached"] == 0) & (
+                e["t"] == F.element_at(step_arr, 1)
+            )
+            advances = (
+                (acc["reached"] > 0)
+                & (acc["reached"] < F.lit(len(steps)))
+                & (
+                    e["t"]
+                    == F.element_at(step_arr, (acc["reached"] + 1).cast("int"))
+                )
+                & (e["ts"] <= acc["start"] + horizon)
+            )
+            return F.when(
+                starts,
+                F.struct(F.lit(1).alias("reached"), e["ts"].alias("start")),
+            ).otherwise(
+                F.when(
+                    advances,
+                    F.struct(
+                        (acc["reached"] + 1).alias("reached"),
+                        acc["start"].alias("start"),
+                    ),
+                ).otherwise(acc)
+            )
+
+        reached = F.aggregate(F.col("__tl"), init, step_fn)["reached"]
     per_key = timeline.select(reached.alias("reached"))
     counts = per_key.groupBy("reached").agg(F.count(F.lit(1)).alias("n"))
     # users reaching step i = sum of counts with reached >= i; the

@@ -136,3 +136,45 @@ def test_funnel_counts_zero_step_rows_present(spark, sf_small):
     ev = load_table(spark, sf_small, "events")
     got = funnel_counts(ev, ["view", "click", "signup", "error"]).collect()
     assert [r["step_idx"] for r in got] == [1, 2, 3, 4]
+
+
+def test_funnel_counts_conversion_window(spark, sf_small):
+    """within='1 hour': steps beyond the first only count inside the
+    attribution window from the step-1 match — python-replay verified;
+    windowed counts are <= unbounded counts step-by-step."""
+    from datetime import timedelta
+
+    from mapreduce_task_spark.operators.relational import funnel_counts
+    from mapreduce_task_spark.sources.tables import load_table
+
+    steps = ["view", "click", "purchase"]
+    ev = load_table(spark, sf_small, "events")
+    rows = ev.select("user_id", "ts", "event_id", "event_type").collect()
+    by_user = {}
+    for r in rows:
+        if r["event_type"] in steps:
+            by_user.setdefault(r["user_id"], []).append(
+                (r["ts"], r["event_id"], r["event_type"])
+            )
+    want = {i + 1: 0 for i in range(len(steps))}
+    horizon = timedelta(hours=1)
+    for tl in by_user.values():
+        cur, start = 0, None
+        for ts, _, t in sorted(tl):
+            if cur == 0 and t == steps[0]:
+                cur, start = 1, ts
+            elif 0 < cur < len(steps) and t == steps[cur] and ts <= start + horizon:
+                cur += 1
+        for i in range(1, cur + 1):
+            want[i] += 1
+
+    got = {
+        r["step_idx"]: r["n_keys"]
+        for r in funnel_counts(ev, steps, within="1 hour").collect()
+    }
+    assert got == want
+    unbounded = {
+        r["step_idx"]: r["n_keys"] for r in funnel_counts(ev, steps).collect()
+    }
+    assert all(got[i] <= unbounded[i] for i in got)
+    assert got[1] == unbounded[1]  # step 1 has no window constraint

@@ -43,7 +43,7 @@ def test_subquery_shapes_broadcasts_threshold(spark, sf_small):
     mx = max(sizes)
     assert all(s > mx - 6 for s in sizes)
     legs = {r["leg"] for r in rows}
-    assert legs == {"subq", "semi", "anti"}
+    assert legs == {"subq", "semi", "anti", "set_both", "set_customer_only"}
 
 
 def test_q10_broadcasts_nation_dim(spark, sf_small):
