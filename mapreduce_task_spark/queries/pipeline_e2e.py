@@ -153,3 +153,61 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot("embedding", "embedding").alias("sq_norm"),
         qnorm(F.col("embedding")).alias("qnorm"),
     )
+
+
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """One-stop corpus health report: the metrics frame a data-prep run
+    logs before and after cleaning. Composes the engine's pieces —
+    the one-pass constraint gate (operators.quality), exact-dup rate,
+    per-language mix, and token totals — into a tidy
+    (metric, key, value) frame.
+
+    Not driver-registered (the 50-row record cap binds; every
+    constituent is verified elsewhere) — pytest drives the composition
+    end-to-end in tests/test_pipeline_e2e.py.
+    """
+    from ..operators.quality import completeness, run_checks, uniqueness
+    from ..operators.textstats import token_counts
+
+    checks = run_checks(
+        docs,
+        [
+            completeness("doc_id"),
+            uniqueness("doc_id"),
+            completeness("text"),
+            completeness("lang"),
+        ],
+    ).select(
+        F.concat(F.lit("check:"), "check").alias("metric"),
+        F.col("column").alias("key"),
+        F.col("metric").cast("double").alias("value"),
+    )
+    dup_rate = (
+        docs.agg(
+            (
+                1.0
+                - F.count_distinct(F.md5("text")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("value")
+        )
+        .select(
+            F.lit("exact_dup_rate").alias("metric"),
+            F.lit("text").alias("key"),
+            "value",
+        )
+    )
+    lang_mix = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .select(F.lit("lang_docs").alias("metric"), F.col("lang").alias("key"), "value")
+    )
+    tokens = (
+        token_counts(docs)
+        .agg(F.sum("n_ws_tokens").cast("double").alias("value"))
+        .select(
+            F.lit("total_ws_tokens").alias("metric"),
+            F.lit("text").alias("key"),
+            "value",
+        )
+    )
+    return checks.unionByName(dup_rate).unionByName(lang_mix).unionByName(tokens)

@@ -71,3 +71,24 @@ def test_clean_corpus_by_components_matches_union_find(spark, sf_small):
     expected = all_ids - drop
     got = {r["doc_id"] for r in clean_corpus_by_components(docs).collect()}
     assert got == expected
+
+
+def test_corpus_report_composes_engine_pieces(spark, sf_small):
+    from mapreduce_task_spark.queries.pipeline_e2e import corpus_report
+    from mapreduce_task_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_small, "documents")
+    rows = {(r["metric"], r["key"]): r["value"] for r in corpus_report(docs).collect()}
+    # constraint gate: clean synthetic table passes at 1.0
+    for col in ("doc_id", "text", "lang"):
+        assert rows[("check:completeness", col)] == 1.0
+    assert rows[("check:uniqueness", "doc_id")] == 1.0
+    # exact-dup rate matches an independent computation
+    n = docs.count()
+    n_distinct = docs.select(F.md5("text")).distinct().count()
+    assert abs(rows[("exact_dup_rate", "text")] - (1.0 - n_distinct / n)) < 1e-12
+    # language mix sums to the doc count
+    langs = {k: v for (m, k), v in rows.items() if m == "lang_docs"}
+    assert sum(langs.values()) == n and len(langs) >= 1
+    assert rows[("total_ws_tokens", "text")] > 0
