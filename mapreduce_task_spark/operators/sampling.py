@@ -181,3 +181,30 @@ def cap_per_group(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def stratified_fixed_n(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    n_per_stratum: int,
+    salt: str = "fixedn",
+) -> DataFrame:
+    """Exactly ``n`` rows per stratum (fewer if the stratum is smaller),
+    chosen by deterministic content-hash order — the eval-set builder
+    (``stratified_sample`` keeps a FRACTION; this keeps a COUNT).
+
+    Reproducible across reruns and repartitionings (the hash order is a
+    property of the data, not the execution), and a window-per-stratum
+    row_number, so parallelism scales with stratum count exactly like
+    ``cap_per_group`` — no global sort.
+    """
+    from pyspark.sql import Window
+
+    h = _bucket(id_col, salt)
+    w = Window.partitionBy(stratum_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

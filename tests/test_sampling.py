@@ -213,3 +213,30 @@ def test_cap_per_group_keeps_best_n_per_source(spark, sf_small):
     }
     got = {(r["source"], r["doc_id"]) for r in capped.collect()}
     assert got == best
+
+
+def test_stratified_fixed_n_exact_counts_and_reproducible(spark, sf_small):
+    from mapreduce_task_spark.operators.sampling import stratified_fixed_n
+    from mapreduce_task_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_small, "documents")
+    take = stratified_fixed_n(docs, "lang", "doc_id", 20)
+    sizes = {
+        r["lang"]: r["n"]
+        for r in take.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    avail = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes == {k: min(20, v) for k, v in avail.items()}
+    # partitioning-invariant: same ids under a different layout
+    a = {r["doc_id"] for r in take.collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_fixed_n(
+            docs.repartition(13), "lang", "doc_id", 20
+        ).collect()
+    }
+    assert a == b
