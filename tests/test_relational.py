@@ -178,3 +178,39 @@ def test_funnel_counts_conversion_window(spark, sf_small):
     }
     assert all(got[i] <= unbounded[i] for i in got)
     assert got[1] == unbounded[1]  # step 1 has no window constraint
+
+
+def test_sql_frontend_parity_with_dataframe_plan(spark, sf_small):
+    """The engine's SQL face: the same logical query written as a SQL
+    string over registered views returns exactly the DataFrame API's
+    result (Catalyst compiles both to one plan family) — a user can
+    drive this engine from pure SQL."""
+    from mapreduce_task_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_small, "lineitem")
+    li.createOrReplaceTempView("v_lineitem")
+    sql_rows = spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS n
+        FROM v_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        GROUP BY l_returnflag
+        """
+    ).collect()
+    df_rows = (
+        li.filter(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    key = lambda r: r["l_returnflag"]  # noqa: E731
+    assert sorted(map(tuple, sql_rows), key=lambda t: t[0]) == sorted(
+        map(tuple, df_rows), key=lambda t: t[0]
+    )
