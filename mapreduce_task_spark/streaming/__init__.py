@@ -11,6 +11,7 @@ from .windows import (
     session_counts,
     sliding_counts,
     stateful_key_stats,
+    streaming_funnel,
     stateful_running_count,
     stream_from_directory,
     tumbling_counts,
@@ -22,6 +23,7 @@ __all__ = [
     "session_counts",
     "sliding_counts",
     "stateful_key_stats",
+    "streaming_funnel",
     "stateful_running_count",
     "stream_from_directory",
     "tumbling_counts",

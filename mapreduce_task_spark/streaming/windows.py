@@ -278,3 +278,49 @@ def stateful_key_stats(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_funnel(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Real-time ordered-funnel tracking: per-key step cursor carried
+    across micro-batches via applyInPandasWithState, emitting each
+    key's current furthest step on every update — the streaming face of
+    ``operators.relational.funnel_counts`` (same cursor semantics).
+
+    Contract: cursor order is (ts, order) WITHIN a batch (the group's
+    rows are sorted before folding) and batch arrival order ACROSS
+    batches — correct under per-key in-order delivery (e.g. a
+    time-partitioned ingest); a late step-1 event cannot rewind an
+    already-advanced cursor, exactly like any streaming funnel built on
+    at-least-once logs. State per key is two small ints — bounded by
+    key cardinality, never by event volume.
+    """
+    import pandas as pd
+
+    n_steps = len(steps)
+    if n_steps == 0:
+        raise ValueError("steps must be non-empty")
+
+    def update(key, pdfs, state: GroupState):
+        reached = state.get[0] if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values([ts_col, order_col])
+        for t in batch[type_col]:
+            if reached < n_steps and t == steps[reached]:
+                reached += 1
+        state.update((reached,))
+        yield pd.DataFrame({key_col: [key[0]], "reached": [reached]})
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} bigint, reached int",
+        stateStructType="reached int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

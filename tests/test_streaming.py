@@ -825,3 +825,52 @@ def test_stream_stream_full_outer_join_emits_both_unmatched(spark, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_streaming_funnel_converges_to_batch_funnel(spark, tmp_path):
+    """Streaming funnel cursor across micro-batches: feed the events in
+    two time-ordered file batches (per-key in-order delivery — the
+    operator's documented contract); the final per-step reach counts
+    equal the batch funnel_counts output."""
+    import time as _time
+
+    from mapreduce_task_spark.operators.relational import funnel_counts
+    from mapreduce_task_spark.streaming import streaming_funnel
+
+    steps = ["view", "click", "purchase"]
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    expected = {
+        r["step_idx"]: r["n_keys"] for r in funnel_counts(ev, steps).collect()
+    }
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    d = str(tmp_path / "funnel_stream")
+    ev.filter(F.col("ts") <= mid).coalesce(1).write.mode("append").parquet(d)
+    _time.sleep(1.1)  # file order = batch order
+    ev.filter(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(d)
+
+    stream = stream_from_directory(
+        spark, d, ev.schema, maxFilesPerTrigger=1
+    )
+    q = (
+        streaming_funnel(stream, steps)
+        .writeStream.format("memory")
+        .queryName("t_sfunnel")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per key = final cursor; recompute step counts
+    final = spark.sql(
+        "select user_id, max(reached) as reached from t_sfunnel group by user_id"
+    ).collect()
+    got = {
+        i: sum(1 for r in final if r["reached"] >= i)
+        for i in range(1, len(steps) + 1)
+    }
+    assert got == expected and got[1] > 0
