@@ -269,3 +269,84 @@ def collocations_pmi(
         .orderBy(F.col("n_pair").desc(), "w1", "w2")
         .limit(top_k)
     )
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Per-doc zlib compression ratio (compressed/raw bytes) — the
+    classic redundancy quality signal (highly repetitive or degenerate
+    text compresses far below prose; see the repetition filters this
+    complements in quality_features).
+
+    zlib is stdlib, so unlike the image/audio decoders this Python
+    stage runs everywhere; it is Arrow-batched ``mapInPandas`` with
+    one C-level ``zlib.compress`` call per doc (no per-byte Python),
+    the same batching contract as multimodal feature extraction.
+    Empty docs get ratio NULL (nothing to measure).
+    """
+    import pandas as pd
+
+    src = ensure_parallelism(df).select(id_col, text_col)
+
+    def ratios(it):
+        import zlib
+
+        for pdf in it:
+            raw = pdf[text_col].str.encode("utf-8")
+            n = raw.str.len().astype("int64")
+            comp = raw.map(lambda b: len(zlib.compress(b, level)))
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_bytes": n,
+                    "compressed_bytes": comp.astype("int64"),
+                }
+            )
+            out["compression_ratio"] = out["compressed_bytes"] / out[
+                "raw_bytes"
+            ].where(out["raw_bytes"] > 0)
+            yield out
+
+    return src.mapInPandas(
+        ratios,
+        schema=f"{id_col} bigint, raw_bytes bigint, compressed_bytes bigint, "
+        "compression_ratio double",
+    )
+
+
+def unigram_logprob_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Average per-token unigram log-probability under the corpus's OWN
+    unigram distribution — the LM-free stand-in for perplexity-based
+    quality filtering (docs of rare/garbled tokens score low; docs of
+    common words score high).
+
+    Train + score in one plan: token counts (one shuffle), total via a
+    1-row broadcast, then tokens join their log-prob and average per
+    doc (second shuffle). The vocabulary rides a JOIN, not a broadcast
+    map — at 100 TB the vocab can be huge, and the join keys are
+    uniform words. All floats are derived per token then averaged in
+    double; use the python-replay test tolerance, not bit equality
+    (log is libm-dependent — same reason bm25 is log-free).
+    """
+    toks = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(_toks(text_col)).alias("w")
+    )
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    logp = counts.join(F.broadcast(total)).select(
+        "w",
+        (F.log(F.col("n_w").cast("double")) - F.log(F.col("n_total").cast("double"))).alias(
+            "logp"
+        ),
+    )
+    return (
+        toks.join(logp, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("logp").alias("avg_logprob"),
+        )
+    )

@@ -108,3 +108,65 @@ def test_collocations_pmi_matches_python_replay(spark, sf_small):
         want_pmi = math.log(p_ab / (p_a * p_b))
         assert math.isclose(r["pmi"], want_pmi, rel_tol=1e-12)
         assert math.isclose(r["npmi"], want_pmi / -math.log(p_ab), rel_tol=1e-12)
+
+
+def test_compression_ratio_matches_zlib_replay(spark, sf_small):
+    import zlib
+
+    from mapreduce_task_spark.operators.textstats import compression_ratio
+    from mapreduce_task_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    got = {
+        r["doc_id"]: (r["raw_bytes"], r["compressed_bytes"], r["compression_ratio"])
+        for r in compression_ratio(docs).collect()
+    }
+    sample = docs.limit(20).collect()
+    for r in sample:
+        raw = r["text"].encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        rb, cb, ratio = got[r["doc_id"]]
+        assert rb == len(raw) and cb == comp
+        assert abs(ratio - comp / len(raw)) < 1e-12
+    # repetitive text compresses deeper than the corpus norm
+    from pyspark.sql import Row
+
+    rep = spark.createDataFrame(
+        [Row(doc_id=0, text="spam " * 500), Row(doc_id=1, text=sample[0]["text"])]
+    )
+    rr = {r["doc_id"]: r["compression_ratio"] for r in compression_ratio(rep).collect()}
+    assert rr[0] < rr[1]
+
+
+def test_unigram_logprob_matches_python_replay(spark, sf_small):
+    import math
+
+    from mapreduce_task_spark.functions.text import normalized_tokens
+    from mapreduce_task_spark.operators.textstats import unigram_logprob_score
+    from mapreduce_task_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_small, "documents")
+    tok_rows = docs.select("doc_id", normalized_tokens("text").alias("t")).collect()
+    counts, total = {}, 0
+    for r in tok_rows:
+        for w in r["t"]:
+            counts[w] = counts.get(w, 0) + 1
+            total += 1
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in unigram_logprob_score(docs).collect()
+    }
+    for r in tok_rows[:50]:
+        if not r["t"]:
+            continue
+        want = sum(
+            math.log(counts[w]) - math.log(total) for w in r["t"]
+        ) / len(r["t"])
+        n, avg = got[r["doc_id"]]
+        assert n == len(r["t"])
+        assert math.isclose(avg, want, rel_tol=1e-9)
+    # a doc of corpus-common words must outscore one of near-unique words
+    common = max(counts, key=counts.get)
+    rare_doc = docs.orderBy(F.length("text").desc()).first()
+    assert got[rare_doc["doc_id"]][1] < math.log(counts[common]) - math.log(total)
