@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.text import words
+from ..functions.text import normalized_tokens, words
 
 
 def inverted_index(
@@ -62,3 +62,70 @@ def inverted_index_from_text(
     """
     pairs = words(docs, text_col=text_col, keep=(id_col,))
     return inverted_index(pairs, word_col="word", doc_col=id_col, sort=sort)
+
+
+def positional_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted index: (word, doc, sorted positions array) —
+    the phrase-query upgrade of the reference's doc-set index
+    (TraceInsertIndexReducer.java:132-145 keeps only WHICH docs; this
+    keeps WHERE, enabling adjacency queries).
+
+    One posexplode + one (word, doc) groupBy; positions are 0-based
+    normalized-token offsets, sorted for deterministic output. Shuffle
+    keys are (word, doc) — finer than the plain index's (word), so a
+    stopword's postings spread across reducers instead of hot-spotting
+    one.
+    """
+    toks = docs.select(
+        F.col(id_col), F.posexplode(normalized_tokens(text_col)).alias("pos", "word")
+    ).filter(F.col("word") != "")
+    return toks.groupBy("word", id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase query over the positional index: (doc, n_hits).
+
+    The classic intersect-with-offset plan: a doc contains the phrase
+    iff the per-word position sets, each shifted left by its phrase
+    offset, intersect — ``array_intersect`` folds the k word-position
+    arrays after a k-way per-doc alignment (inner joins on the doc id;
+    a doc missing any phrase word drops out at the join). Everything
+    after the index groupBy is pure codegen; the phrase length bounds
+    the join count, not the corpus.
+    """
+    terms = [
+        t
+        for t in phrase.lower().split()
+        if t
+    ]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    idx = positional_index(docs, id_col, text_col)
+
+    def shifted(off: int):
+        # single-param lambda closing over off — a two-param lambda
+        # would be read as (element, index) by pyspark's HOF binding
+        return F.transform(F.col("positions"), lambda p: p - F.lit(off))
+
+    aligned = None
+    for i, term in enumerate(terms):
+        side = idx.filter(F.col("word") == term).select(
+            F.col(id_col), shifted(i).alias(f"__p{i}")
+        )
+        aligned = side if aligned is None else aligned.join(side, id_col)
+    hits = F.col("__p0")
+    for i in range(1, len(terms)):
+        hits = F.array_intersect(hits, F.col(f"__p{i}"))
+    return (
+        aligned.select(F.col(id_col), F.size(hits).alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )
