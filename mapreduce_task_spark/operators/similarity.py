@@ -614,3 +614,46 @@ def srp_buckets(
         bit = F.when(proj >= 0, F.lit(1 << s)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return qd.select(id_col, "qv", "nq", bucket.cast("bigint").alias("bucket"))
+
+
+def ann_recall(
+    exact_topk: DataFrame,
+    approx_topk: DataFrame,
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+) -> DataFrame:
+    """Recall of an approximate top-k result against the exact one:
+    per-query |approx ∩ exact| / |exact|, plus a 'MACRO' row averaging
+    over queries — the evaluation every ANN index change gates on
+    (the pytest recall gates inline this; pipelines call it).
+
+    Pure join/aggregate: a left-semi join marks hits, the denominators
+    come from the exact side — nothing collects, so it scales to eval
+    sets of any size.
+    """
+    exact = exact_topk.select(query_col, cand_col)
+    hits = (
+        exact.join(
+            approx_topk.select(query_col, cand_col),
+            [query_col, cand_col],
+            "left_semi",
+        )
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    per_query = (
+        exact.groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .join(hits, query_col, "left")
+        .select(
+            F.col(query_col).cast("string").alias(query_col),
+            (
+                F.coalesce(F.col("__hits"), F.lit(0)).cast("double")
+                / F.col("__n").cast("double")
+            ).alias("recall"),
+        )
+    )
+    macro = per_query.agg(F.avg("recall").alias("recall")).select(
+        F.lit("MACRO").alias(query_col), "recall"
+    )
+    return per_query.unionByName(macro)

@@ -309,3 +309,35 @@ def test_kmeans_clusters_align_with_ground_truth_labels(spark, sf_small):
     )
     assert agg["tot"] == n
     assert purity > majority + 0.04, (purity, majority)
+
+
+def test_ann_recall_operator_matches_inline_computation(spark, sf_small):
+    """The reusable recall evaluator agrees with the hand-computed
+    set-intersection recall on real index output (SRP-LSH vs brute
+    force), including the MACRO average row and zero-hit queries."""
+    from mapreduce_task_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        srp_lsh_topk,
+    )
+    from mapreduce_task_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, qids, k=5)
+    approx = srp_lsh_topk(emb, qids, k=5, nbits=8, dim=64)
+
+    ex, ap = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["cand_id"])
+    for r in approx.collect():
+        ap.setdefault(r["query_id"], set()).add(r["cand_id"])
+    want = {
+        str(q): len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex
+    }
+    want["MACRO"] = sum(want.values()) / len(ex)
+
+    got = {r["query_id"]: r["recall"] for r in ann_recall(exact, approx).collect()}
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12, k
