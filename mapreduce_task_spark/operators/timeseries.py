@@ -155,3 +155,66 @@ def ewma(
     return df.groupBy(key_col).applyInPandas(
         _ewma, schema=f"{schema}, {out_col} double"
     )
+
+
+def group_trend(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    min_points: int = 2,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend: (key, n, slope, intercept,
+    r2) — the per-entity drift detector (user spend trend, source
+    quality drift) fitted at scale.
+
+    One groupBy + one numpy lstsq per key inside an Arrow batch
+    (applyInPandas): closed-form OLS is a reduction, but the per-key
+    pandas pass keeps the formula in one obvious place and the batch
+    contract identical to ewma's. Keys with fewer than ``min_points``
+    points or zero x-variance emit NULL slope/r2 (no fit exists).
+    Parallelism is the key dimension; state is one key's series.
+    """
+    import pandas as pd
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        key = pdf[key_col].iloc[0]
+        x = pdf[x_col].to_numpy(dtype="float64")
+        y = pdf[y_col].to_numpy(dtype="float64")
+        n = len(pdf)
+        if n < min_points or np.ptp(x) == 0.0:
+            return pd.DataFrame(
+                {
+                    key_col: [key],
+                    "n": [n],
+                    "slope": [None],
+                    "intercept": [None],
+                    "r2": [None],
+                }
+            )
+        xm, ym = x.mean(), y.mean()
+        sxx = ((x - xm) ** 2).sum()
+        sxy = ((x - xm) * (y - ym)).sum()
+        slope = sxy / sxx
+        intercept = ym - slope * xm
+        ss_res = ((y - (slope * x + intercept)) ** 2).sum()
+        ss_tot = ((y - ym) ** 2).sum()
+        r2 = 1.0 if ss_tot == 0.0 else 1.0 - ss_res / ss_tot
+        return pd.DataFrame(
+            {
+                key_col: [key],
+                "n": [n],
+                "slope": [slope],
+                "intercept": [intercept],
+                "r2": [r2],
+            }
+        )
+
+    ktype = dict(df.dtypes)[key_col]
+    return df.select(key_col, x_col, y_col).groupBy(key_col).applyInPandas(
+        fit,
+        schema=f"{key_col} {ktype}, n bigint, slope double, "
+        "intercept double, r2 double",
+    )

@@ -115,3 +115,51 @@ def test_ewma_matches_pandas_reference(spark):
         ref = grp["value"].ewm(alpha=0.3, adjust=False).mean()
         for eid, want in zip(grp["event_id"], ref):
             assert math.isclose(got[(uid, eid)], want, rel_tol=1e-12)
+
+
+def test_group_trend_matches_numpy_replay(spark, sf_small):
+    import numpy as np
+
+    from mapreduce_task_spark.operators.timeseries import group_trend
+    from mapreduce_task_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id", F.col("event_id").cast("double").alias("x"), "value"
+    )
+    got = {
+        r["user_id"]: (r["n"], r["slope"], r["intercept"], r["r2"])
+        for r in group_trend(ev, "user_id", "x", "value").collect()
+    }
+    rows = ev.collect()
+    series = {}
+    for r in rows:
+        series.setdefault(r["user_id"], []).append((r["x"], r["value"]))
+    for uid, pts in list(series.items())[:25]:
+        x = np.array([p[0] for p in pts])
+        y = np.array([p[1] for p in pts])
+        slope, intercept = np.polyfit(x, y, 1)
+        n, gs, gi, gr2 = got[uid]
+        assert n == len(pts)
+        assert math.isclose(gs, slope, rel_tol=1e-8)
+        assert math.isclose(gi, intercept, rel_tol=1e-8)
+        pred = slope * x + intercept
+        r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+        assert math.isclose(gr2, r2, rel_tol=1e-8)
+
+
+def test_group_trend_degenerate_groups_yield_nulls(spark):
+    from pyspark.sql import Row
+
+    from mapreduce_task_spark.operators.timeseries import group_trend
+
+    df = spark.createDataFrame(
+        [
+            Row(k=1, x=1.0, y=5.0),                     # single point
+            Row(k=2, x=3.0, y=1.0), Row(k=2, x=3.0, y=9.0),  # zero x-variance
+            Row(k=3, x=0.0, y=1.0), Row(k=3, x=1.0, y=3.0),  # exact line
+        ]
+    )
+    got = {r["k"]: r for r in group_trend(df, "k", "x", "y").collect()}
+    assert got[1]["slope"] is None and got[1]["n"] == 1
+    assert got[2]["slope"] is None
+    assert got[3]["slope"] == 2.0 and got[3]["r2"] == 1.0
