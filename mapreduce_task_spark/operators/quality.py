@@ -118,7 +118,12 @@ def referential_integrity(
     """Fraction of fact keys that resolve in the dimension — the join
     check that can't ride the single aggregation pass. Left-anti join
     counts orphans; the dim side ships only its key column (broadcast
-    by default — dims are small; disable for fact-fact containment)."""
+    by default — dims are small; disable for fact-fact containment).
+
+    EAGER by design: this runs two count() actions (total, orphans) —
+    both 1-number results — because a gate consumes the verdict
+    immediately. Same documented contract as quality_bins' cut-point
+    collect; nothing here hides a job inside plan construction."""
     keys = dim.select(F.col(dim_col).alias(fact_col)).distinct()
     if broadcast_dim:
         keys = F.broadcast(keys)
