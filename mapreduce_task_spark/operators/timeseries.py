@@ -108,6 +108,11 @@ def mad_outliers(
     (multiples of 0.5 in double) and the threshold compare is bit-stable.
     Returns only the outlier rows with their deviation; the caller joins
     back on the id column if full rows are needed.
+
+    Standard MAD caveat: if more than half a group's values are
+    identical, MAD is 0 and EVERY deviating row is flagged — the
+    correct robust-statistics behavior (the group genuinely has a
+    degenerate spread), deterministic on both engines.
     """
     cents = F.round(F.col(value_col) * 100).cast("bigint")
     with_c = df.withColumn("_cents", cents)
