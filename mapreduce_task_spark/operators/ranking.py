@@ -75,49 +75,73 @@ def bm25_topk(
     Returns (id, n_terms_hit, score_micro): score in integer micro-units
     (floored per term before summing — order-independent), ranked by
     score desc with id tie-break.
+
+    Column-oriented plan: per-term tf lives in k columns of a single
+    projection (the query-term set is small and static, so columns
+    beat term rows), the corpus scalars AND every per-term document
+    frequency come from ONE aggregate over that projection (1-row
+    broadcast back), and scoring + TakeOrderedAndProject reuse the
+    same projection. The term-row formulation (broadcast term join)
+    evaluated the corpus lineage three times — at 100 TB that is three
+    reads of the text column; this shape reads it twice (stats pass +
+    scoring pass, the projection's two consumers; callers for whom the
+    scan dominates persist the tiny (id, dl, k tf-int) projection and
+    it becomes one). ``spark`` stays in the signature for API
+    stability (term_frequencies still uses it).
     """
-    tf = term_frequencies(docs, spark, terms, id_col, text_col)
-    corpus = docs.agg(
+    def tf_col(t: str):
+        # single-param lambda closing over t (a two-param lambda would
+        # bind as (element, index) in pyspark's HOF translation)
+        return F.size(F.filter(F.col("toks"), lambda x: x == F.lit(t)))
+
+    base = doc_tokens(docs, text_col).select(
+        id_col,
+        "dl",
+        *[tf_col(t).cast("bigint").alias(f"__tf{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (
-            F.sum(F.size(F.split(F.col(text_col), " ")).cast("bigint")).cast("double")
-            / F.count(F.lit(1)).cast("double")
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"__tf{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
     )
-    df_per_term = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
-    )
-    idf = F.col("n_docs") - F.col("df") + F.lit(0.5)
-    scored = (
-        tf.join(F.broadcast(df_per_term), "term")
-        .join(F.broadcast(corpus))
-        .withColumn(
-            "score_term",
-            (idf / (F.col("df") + F.lit(0.5)))
-            * (
-                (F.col("tf").cast("double") * F.lit(K1 + 1.0))
-                / (
-                    F.col("tf").cast("double")
-                    + F.lit(K1)
-                    * (
-                        F.lit(1.0 - B)
-                        + F.lit(B)
-                        * (F.col("dl").cast("double") / F.col("avgdl"))
-                    )
-                )
-            ),
+
+    def term_micro(i: int):
+        tf = F.col(f"__tf{i}").cast("double")
+        idf = (F.col("n_docs") - F.col(f"__df{i}") + F.lit(0.5)) / (
+            F.col(f"__df{i}") + F.lit(0.5)
         )
-        .withColumn(
-            "score_micro_term",
-            F.floor(F.col("score_term") * F.lit(1_000_000.0)).cast("bigint"),
+        score = idf * (
+            (tf * F.lit(K1 + 1.0))
+            / (
+                tf
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * (F.col("dl").cast("double") / F.col("avgdl")))
+            )
         )
+        return F.when(
+            F.col(f"__tf{i}") > 0,
+            F.floor(score * F.lit(1_000_000.0)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    hits = sum(
+        (F.col(f"__tf{i}") > 0).cast("bigint") for i in range(len(terms))
     )
+    micro = sum(term_micro(i) for i in range(len(terms)))
     return (
-        scored.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
-            F.sum("score_micro_term").alias("score_micro"),
+        base.join(F.broadcast(stats))
+        .select(
+            id_col,
+            hits.alias("n_terms_hit"),
+            micro.alias("score_micro"),
         )
+        .filter(F.col("n_terms_hit") > 0)
         .orderBy(F.col("score_micro").desc(), F.col(id_col))
         .limit(k)
     )

@@ -54,7 +54,13 @@ def resample_ffill(
     - ``is_gap`` 1 for generated gap buckets, else 0
     """
     # epoch-anchored tumbling bucket — the same grid shape the streaming
-    # path uses (streaming/windows.py) and DuckDB's time_bucket replays
+    # path uses (streaming/windows.py) and DuckDB's time_bucket replays.
+    # ONE-SCAN plan: the dense spine does NOT join back to the bucket
+    # aggregates (that reused the per-bucket lineage and re-scanned the
+    # source); instead each key's bucket cells ride ONE (key) row as an
+    # array, the spine explodes from that row's own [min, max], and each
+    # spine slot looks its cell up in-row. Per-key state = that key's
+    # bucket count — exactly the bound the fill window already implies.
     step = F.expr(f"INTERVAL {interval}")
     per_bucket = (
         events.withColumn("bucket", F.window(ts_col, interval).start)
@@ -67,15 +73,37 @@ def resample_ffill(
             F.max_by(value_col, order_col).alias("last_value"),
         )
     )
-    spine = (
-        per_bucket.groupBy(key_col)
-        .agg(F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1"))
-        .select(
-            key_col,
-            F.explode(F.sequence("_b0", "_b1", step)).alias("bucket"),
-        )
+    packed = per_bucket.groupBy(key_col).agg(
+        F.collect_list(
+            F.struct("bucket", "n_events", "sum_value", "last_value")
+        ).alias("__cells"),
+        F.min("bucket").alias("_b0"),
+        F.max("bucket").alias("_b1"),
     )
-    dense = spine.join(per_bucket, [key_col, "bucket"], "left")
+    sparse = packed.select(
+        key_col,
+        "__cells",
+        F.explode(F.sequence("_b0", "_b1", step)).alias("bucket"),
+    )
+
+    def cell_field(name):
+        return F.try_element_at(
+            F.transform(
+                F.filter(
+                    F.col("__cells"), lambda c: c["bucket"] == F.col("bucket")
+                ),
+                lambda c: c[name],
+            ),
+            F.lit(1),
+        )
+
+    dense = sparse.select(
+        key_col,
+        "bucket",
+        cell_field("n_events").alias("n_events"),
+        cell_field("sum_value").alias("sum_value"),
+        cell_field("last_value").alias("last_value"),
+    )
     w = (
         Window.partitionBy(key_col)
         .orderBy("bucket")
