@@ -102,3 +102,32 @@ def test_input_path_contains_gate(spark, tmp_path):
     out = inject_map_chaos(df, cfg, observation=obs)
     assert out.count() == len(WORDCOUNT_LINES)
     assert obs.get["SLOW_INJECT_MAP_HITS"] >= 1
+
+
+def test_funnel_invariant_under_map_chaos(spark, sf_small):
+    """F1 straggler injection upstream of the funnel changes timing,
+    never conversion counts — the result-invariance contract extended
+    to the round-4 analytics surface."""
+    from mapreduce_task_spark.operators.relational import funnel_counts
+    from mapreduce_task_spark.sources.tables import load_table
+
+    steps = ["view", "click", "purchase"]
+    ev = load_table(spark, sf_small, "events")
+    baseline = {
+        (r["step_idx"], r["n_keys"]) for r in funnel_counts(ev, steps).collect()
+    }
+    cfg = ChaosConfig.from_conf(
+        {
+            "insertindex.slow.map.partitions": "0",
+            "insertindex.slow.map.sleep.ms": "20",
+            "insertindex.slow.map.eachN": "500",
+        }
+    )
+    obs = Observation("chaos_funnel")
+    slowed = inject_map_chaos(ev, cfg, observation=obs)
+    got = {
+        (r["step_idx"], r["n_keys"])
+        for r in funnel_counts(slowed, steps).collect()
+    }
+    assert got == baseline and len(got) == 3
+    assert obs.get["SLOW_INJECT_MAP_HITS"] >= 1
