@@ -80,29 +80,38 @@ def resample_ffill(
         F.min("bucket").alias("_b0"),
         F.max("bucket").alias("_b1"),
     )
-    sparse = packed.select(
-        key_col,
-        "__cells",
-        F.explode(F.sequence("_b0", "_b1", step)).alias("bucket"),
+    # linear in-row merge, NOT per-slot lookup (a filter() per spine
+    # slot is O(cells) each -> quadratic per key; a year of minutes
+    # would be 1e11 comparisons): gap slots = array_except(spine,
+    # cell buckets) — hash-set based, O(n) — wrapped in null-field
+    # structs, concatenated with the real cells and sorted once by
+    # bucket (array_sort on structs orders by the first field).
+    val_type = dict(events.dtypes)[value_col]
+    seq = F.sequence("_b0", "_b1", step)
+    cell_buckets = F.transform(F.col("__cells"), lambda c: c["bucket"])
+    gap_cells = F.transform(
+        F.array_except(seq, cell_buckets),
+        lambda b: F.struct(
+            b.alias("bucket"),
+            F.lit(None).cast("bigint").alias("n_events"),
+            F.lit(None).cast("double").alias("sum_value"),
+            F.lit(None).cast(val_type).alias("last_value"),
+        ),
     )
-
-    def cell_field(name):
-        return F.try_element_at(
-            F.transform(
-                F.filter(
-                    F.col("__cells"), lambda c: c["bucket"] == F.col("bucket")
-                ),
-                lambda c: c[name],
-            ),
-            F.lit(1),
+    dense = (
+        packed.select(
+            key_col,
+            F.explode(
+                F.array_sort(F.concat(F.col("__cells"), gap_cells))
+            ).alias("__c"),
         )
-
-    dense = sparse.select(
-        key_col,
-        "bucket",
-        cell_field("n_events").alias("n_events"),
-        cell_field("sum_value").alias("sum_value"),
-        cell_field("last_value").alias("last_value"),
+        .select(
+            key_col,
+            F.col("__c.bucket").alias("bucket"),
+            F.col("__c.n_events").alias("n_events"),
+            F.col("__c.sum_value").alias("sum_value"),
+            F.col("__c.last_value").alias("last_value"),
+        )
     )
     w = (
         Window.partitionBy(key_col)
