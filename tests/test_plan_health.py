@@ -155,3 +155,25 @@ def test_join_strategy_hints_are_honored(spark, sf_small):
     assert "ShuffledHashJoin" in p_sh
     p_m = plan(orders.join(cust.hint("merge"), cond))
     assert "SortMergeJoin" in p_m
+
+
+def test_audited_scan_counts_hold(spark, sf_small):
+    """Pins the round-4 scan-reduction audits: funnel and resample read
+    their source exactly once; bm25 reads the text projection twice
+    (stats + scoring passes — persisting the projection makes it one).
+    A regression here silently multiplies 100 TB read volume."""
+    from mapreduce_task_spark.registry import all_queries
+
+    qs = all_queries()
+    expect = {"funnel_steps": 1, "resample_ffill": 1, "bm25_search": 2}
+    got = {}
+    for name, cap in expect.items():
+        plan = (
+            qs[name]
+            .fn(spark, sf_small)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        got[name] = plan.count("FileScan parquet")
+    assert got == expect, got
