@@ -22,6 +22,41 @@ from mapreduce_task_spark.registry import all_queries  # noqa: E402
 from mapreduce_task_spark.session import get_spark  # noqa: E402
 
 
+def cpu_canary() -> dict:
+    """Machine-speed normalizer recorded alongside every bench pass.
+
+    The container's 32 vCPUs are host-shared: measured aggregate
+    throughput has ranged from ~9x to ~30x single-thread across rounds
+    (guest loadavg and steal stay near 0 — the contention is invisible
+    except through throughput). CPU-saturating queries inflate by
+    exactly the throughput deficit, so per-query comparisons are only
+    meaningful between passes with similar canary numbers. Fixed
+    deterministic workload: zlib level-6 over a 1 MiB repeating buffer,
+    single-thread and 32-thread (zlib releases the GIL).
+    """
+    import zlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    data = bytes(range(256)) * 4096
+
+    def work(n: int) -> None:
+        for _ in range(n):
+            zlib.compress(data, 6)
+
+    t0 = time.perf_counter()
+    work(100)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(32) as ex:
+        list(ex.map(lambda _: work(100), range(32)))
+    t32 = time.perf_counter() - t0
+    return {
+        "single_thread_sec": round(t1, 3),
+        "threads32_sec": round(t32, 3),
+        "effective_cores": round(32 * t1 / t32, 1) if t32 > 0 else None,
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -111,6 +146,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "cpu_canary": cpu_canary(),
             }
         )
     )

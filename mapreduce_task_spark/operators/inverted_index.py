@@ -101,10 +101,17 @@ def phrase_search(
     a doc missing any phrase word drops out at the join). Everything
     after the index groupBy is pure codegen; the phrase length bounds
     the join count, not the corpus.
+
+    Query terms pass through the SAME normalization as the index side
+    (lowercase + strip ``[^a-z]`` + drop empties, mirroring
+    ``normalized_tokens``) — a phrase like "don't stop" or "top 10"
+    matches the normalized index tokens instead of silently missing.
     """
+    import re
+
     terms = [
         t
-        for t in phrase.lower().split()
+        for t in (re.sub("[^a-z]", "", w) for w in phrase.lower().split())
         if t
     ]
     if not terms:

@@ -153,10 +153,13 @@ def sample_frames(
     """
     import pandas as pd
 
+    # NULL duration would TypeError inside the Arrow worker (int(None))
+    # and fail the whole stage — default it to 0 (all frames ts_ms=0)
+    # rather than poisoning the batch
     video = df.filter(F.col("media_meta.modality") == "video").select(
         id_col,
         F.col("payload"),
-        F.col("media_meta.duration_ms").alias("__dur"),
+        F.coalesce(F.col("media_meta.duration_ms"), F.lit(0)).alias("__dur"),
     )
 
     def fan_out(it):

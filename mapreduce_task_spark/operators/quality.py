@@ -44,36 +44,49 @@ def completeness(col: str, min_fraction: float = 1.0) -> Check:
 
 
 def uniqueness(col: str, min_fraction: float = 1.0) -> Check:
-    """Fraction of rows whose ``col`` value is globally unique —
-    approx-free exact form: distinct/total (1.0 == a true key)."""
+    """Distinct-to-total ratio of ``col`` (1.0 == a true key).
+
+    NOT "fraction of rows that are unique": a value occurring twice
+    contributes 0.5 to the ratio, not 0. NULL handling is asymmetric by
+    SQL semantics — count_distinct ignores NULLs while the denominator
+    counts every row, so NULLs depress the ratio; pair with
+    ``completeness`` when NULLs are possible."""
     m = F.count_distinct(col).cast("double") / F.count(F.lit(1)).cast("double")
     return Check("uniqueness", col, m, min_fraction)
+
+
+# in_range/is_in/matches measure the fraction of NON-NULL values
+# satisfying the rule. An all-NULL column has no evidence either way;
+# metric coalesces to 0.0 so the check FAILS LOUDLY (passed=false)
+# instead of emitting NULL passed that a `passed == false` gate filter
+# would silently skip. Pair with completeness() to distinguish
+# "all null" from "values out of range".
 
 
 def in_range(
     col: str, lo: float, hi: float, min_fraction: float = 1.0
 ) -> Check:
-    """Fraction of non-null values inside [lo, hi]."""
+    """Fraction of non-null values inside [lo, hi] (0.0 if all NULL)."""
     ok = F.sum(
         F.when(F.col(col).between(lo, hi), 1).otherwise(0)
     ).cast("double")
-    m = ok / F.nullif(F.count(col), F.lit(0)).cast("double")
+    m = F.coalesce(ok / F.nullif(F.count(col), F.lit(0)).cast("double"), F.lit(0.0))
     return Check("in_range", col, m, min_fraction)
 
 
 def is_in(col: str, allowed: list, min_fraction: float = 1.0) -> Check:
-    """Fraction of non-null values inside the allowed set."""
+    """Fraction of non-null values inside the allowed set (0.0 if all NULL)."""
     ok = F.sum(F.when(F.col(col).isin(*allowed), 1).otherwise(0)).cast("double")
-    m = ok / F.nullif(F.count(col), F.lit(0)).cast("double")
+    m = F.coalesce(ok / F.nullif(F.count(col), F.lit(0)).cast("double"), F.lit(0.0))
     return Check("is_in", col, m, min_fraction)
 
 
 def matches(col: str, pattern: str, min_fraction: float = 1.0) -> Check:
-    """Fraction of non-null values fully matching the regex."""
+    """Fraction of non-null values fully matching the regex (0.0 if all NULL)."""
     ok = F.sum(
         F.when(F.regexp_like(F.col(col), F.lit(pattern)), 1).otherwise(0)
     ).cast("double")
-    m = ok / F.nullif(F.count(col), F.lit(0)).cast("double")
+    m = F.coalesce(ok / F.nullif(F.count(col), F.lit(0)).cast("double"), F.lit(0.0))
     return Check("matches", col, m, min_fraction)
 
 

@@ -89,6 +89,7 @@ def funnel_counts(
     ts_col: str = "ts",
     order_col: str = "event_id",
     within: str | None = None,
+    max_events_per_key: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel conversion: how many keys reached step 1, then
     step 2 AFTER step 1, and so on (classic product-analytics funnel).
@@ -107,12 +108,28 @@ def funnel_counts(
 
     Scale: the only shuffle carries step-typed events (usually a small
     slice of the log); per-key state is that key's step-typed events.
-    A pathological key's timeline is one array — cap upstream with a
-    per-key limit if a bot key could hold millions of step events.
+    ``max_events_per_key`` bounds that state: when set, only each key's
+    FIRST N step events by (ts, order) enter the timeline (row_number
+    window BEFORE the collect, so a bot key never materializes an
+    unbounded array — the window's hash partitioning on key is reused
+    by the groupBy, no extra exchange). Default None keeps the
+    single-aggregation plan. Semantics note: a cap can only lower
+    reached counts (events past the Nth are invisible to the cursor),
+    which is the standard bot-guard trade.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
-    ev = events.filter(F.col(type_col).isin(*steps)).select(
+    if max_events_per_key is not None and max_events_per_key < 1:
+        raise ValueError("max_events_per_key must be >= 1")
+    filtered = events.filter(F.col(type_col).isin(*steps))
+    if max_events_per_key is not None:
+        w_cap = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+        filtered = (
+            filtered.withColumn("__rn", F.row_number().over(w_cap))
+            .filter(F.col("__rn") <= max_events_per_key)
+            .drop("__rn")
+        )
+    ev = filtered.select(
         key_col,
         F.struct(
             F.col(ts_col).alias("ts"),
@@ -173,14 +190,16 @@ def funnel_counts(
         reached = F.aggregate(F.col("__tl"), init, step_fn)["reached"]
     per_key = timeline.select(reached.alias("reached"))
     counts = per_key.groupBy("reached").agg(F.count(F.lit(1)).alias("n"))
-    # users reaching step i = sum of counts with reached >= i; the
-    # counts frame is <= len(steps)+1 rows — broadcast the literal steps
+    # users reaching step i = sum of counts with reached >= i; both
+    # sides are tiny, but only the non-preserved (right) side of a left
+    # outer join is broadcastable — hint the counts side (<= steps+1
+    # rows), never the outer-preserved steps side
     steps_df = events.sparkSession.createDataFrame(
         [(i + 1, s) for i, s in enumerate(steps)], ["step_idx", "step"]
     )
     return (
-        F.broadcast(steps_df)
-        .join(counts, counts.reached >= steps_df.step_idx, "left")
+        steps_df
+        .join(F.broadcast(counts), counts.reached >= steps_df.step_idx, "left")
         .groupBy("step_idx", "step")
         .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_keys"))
         .orderBy("step_idx")

@@ -184,7 +184,15 @@ def ewma(
     w^-i rescaling — so each key's ordered series runs through one Arrow
     batch in ``applyInPandas``. Parallelism is the key dimension (the same
     contract as any per-key stateful pass); no cross-key state exists.
+
+    Output schema is exactly (key, order, value, ewma) — the needed
+    columns are projected BEFORE the pandas stage (narrower Arrow
+    batches, and no re-serialization of arbitrary input schemas: a
+    carried struct/decimal column would break a simpleString round-trip
+    and bloat every batch). Callers wanting other columns join back on
+    (key, order).
     """
+    sel = df.select(key_col, order_col, value_col)
 
     def _ewma(pdf):
         pdf = pdf.sort_values(order_col)
@@ -192,9 +200,9 @@ def ewma(
         return pdf
 
     schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        f"{f.name} {f.dataType.simpleString()}" for f in sel.schema.fields
     )
-    return df.groupBy(key_col).applyInPandas(
+    return sel.groupBy(key_col).applyInPandas(
         _ewma, schema=f"{schema}, {out_col} double"
     )
 
@@ -210,12 +218,68 @@ def group_trend(
     r2) — the per-entity drift detector (user spend trend, source
     quality drift) fitted at scale.
 
-    One groupBy + one numpy lstsq per key inside an Arrow batch
-    (applyInPandas): closed-form OLS is a reduction, but the per-key
-    pandas pass keeps the formula in one obvious place and the batch
-    contract identical to ewma's. Keys with fewer than ``min_points``
-    points or zero x-variance emit NULL slope/r2 (no fit exists).
-    Parallelism is the key dimension; state is one key's series.
+    Closed-form OLS IS a reduction, so this is ONE groupBy with five
+    moment aggregates and zero Python — no Arrow batch, no per-key
+    pandas stage, partial-aggregated map-side like any sum:
+
+        slope     = covar_samp(x, y) / var_samp(x)
+        intercept = avg(y) - slope * avg(x)
+        r2        = covar_samp(x, y)^2 / (var_samp(x) * var_samp(y))
+                    (the corr^2 identity; 1.0 when var(y) == 0 — a
+                    constant series is fit exactly by its own mean line)
+
+    Keys with fewer than ``min_points`` points or zero x-variance emit
+    NULL slope/intercept/r2 (no fit exists). ``group_trend_pandas`` is
+    the per-key numpy twin kept as the parity oracle in tests.
+    """
+    agg = (
+        df.select(key_col, x_col, y_col)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.covar_samp(x_col, y_col).alias("_sxy"),
+            F.var_samp(x_col).alias("_sxx"),
+            F.var_samp(y_col).alias("_syy"),
+            F.avg(x_col).alias("_xm"),
+            F.avg(y_col).alias("_ym"),
+        )
+    )
+    # var_samp is NULL at n=1, 0.0 for a constant column — both mean
+    # "no fit"; min_points guards small-n fits the caller distrusts
+    fit_ok = (
+        (F.col("n") >= F.lit(int(min_points)))
+        & F.col("_sxx").isNotNull()
+        & (F.col("_sxx") > 0.0)
+    )
+    slope = F.when(fit_ok, F.col("_sxy") / F.col("_sxx"))
+    intercept = F.when(fit_ok, F.col("_ym") - slope * F.col("_xm"))
+    r2 = F.when(
+        fit_ok,
+        F.when(F.col("_syy") == 0.0, F.lit(1.0)).otherwise(
+            (F.col("_sxy") * F.col("_sxy")) / (F.col("_sxx") * F.col("_syy"))
+        ),
+    )
+    return agg.select(
+        key_col,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def group_trend_pandas(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    min_points: int = 2,
+) -> DataFrame:
+    """Per-key OLS via one numpy pass per key (applyInPandas) — the
+    independent-formula parity twin of ``group_trend``, kept so tests
+    can cross-check the aggregate form against an explicit
+    residual-sum computation. Not the production path (a Python stage
+    per key for a closed-form reduction is waste at 100 TB).
     """
     import pandas as pd
 

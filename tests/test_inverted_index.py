@@ -86,3 +86,25 @@ def test_phrase_search_no_false_positives_on_scattered_words(spark):
     )
     got = {r["doc_id"]: r["n_hits"] for r in phrase_search(docs, "alpha beta").collect()}
     assert got == {0: 1, 2: 2}
+
+
+def test_phrase_search_normalizes_query_like_index(spark):
+    """Query terms must pass the index's normalization (lowercase,
+    strip [^a-z], drop empties): 'Don't stop' and 'top 10' match text
+    whose index tokens are normalized — pre-fix these returned 0 rows."""
+    from pyspark.sql import Row
+
+    from mapreduce_task_spark.operators.inverted_index import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="please dont stop the music"),
+            Row(doc_id=2, text="stop dont please"),
+            Row(doc_id=3, text="the top hits right now"),
+        ]
+    )
+    hits = phrase_search(docs, "Don't STOP!").collect()
+    assert [r.doc_id for r in hits] == [1]
+    # digits strip to empty and drop out: "top 10" -> ["top"]
+    hits2 = {r.doc_id for r in phrase_search(docs, "top 10").collect()}
+    assert hits2 == {3}

@@ -92,3 +92,29 @@ def test_sample_frames_fan_out_contract(spark, sf_small):
             start = r["frame_idx"] * len(payload) // 4
             assert bytes(r["frame_bytes"]) == payload[start : start + 16]
             assert r["ts_ms"] == r["frame_idx"] * dur // 4
+
+
+def test_sample_frames_null_duration_survives(spark):
+    """A video row with NULL media_meta.duration_ms must not poison the
+    Arrow batch (int(None) TypeError pre-fix); it defaults to ts_ms=0."""
+    from pyspark.sql import Row
+
+    from mapreduce_task_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=bytes(range(64)),
+                media_meta=Row(modality="video", duration_ms=8000)),
+            Row(doc_id=2, payload=bytes(range(32)),
+                media_meta=Row(modality="video", duration_ms=None)),
+        ],
+        schema="doc_id bigint, payload binary, "
+        "media_meta struct<modality:string, duration_ms:bigint>",
+    )
+    out = sample_frames(df, frames_per_doc=2, frame_bytes=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 2 and len(by_doc[2]) == 2
+    assert all(r.ts_ms == 0 for r in by_doc[2])
+    assert {r.frame_idx for r in by_doc[2]} == {0, 1}

@@ -74,3 +74,33 @@ def test_referential_integrity_counts_orphans(spark, sf_small):
     half = cust.filter(F.col("c_custkey") % 2 == 0)
     [r2] = referential_integrity(orders, "o_custkey", half, "c_custkey").collect()
     assert not r2["passed"] and 0.0 < r2["metric"] < 1.0
+
+
+def test_value_checks_fail_loudly_on_all_null_column(spark):
+    """A column that is entirely NULL must FAIL in_range/is_in/matches
+    (metric 0.0, passed=false) — not emit NULL passed that a
+    `passed == false` gate filter would silently skip."""
+    from pyspark.sql import Row
+
+    from mapreduce_task_spark.operators.quality import (
+        in_range,
+        is_in,
+        matches,
+        run_checks,
+    )
+
+    df = spark.createDataFrame(
+        [Row(v=None), Row(v=None)], schema="v double"
+    ).withColumn("s", F.lit(None).cast("string"))
+    out = run_checks(
+        df,
+        [
+            in_range("v", 0.0, 1.0),
+            is_in("v", [0.0]),
+            matches("s", "^a+$"),
+        ],
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["metric"] == 0.0
+        assert r["passed"] is False

@@ -214,3 +214,44 @@ def test_sql_frontend_parity_with_dataframe_plan(spark, sf_small):
     assert sorted(map(tuple, sql_rows), key=lambda t: t[0]) == sorted(
         map(tuple, df_rows), key=lambda t: t[0]
     )
+
+
+def test_funnel_counts_max_events_per_key_caps_timeline(spark, sf_small):
+    """max_events_per_key=N must equal a python replay over each key's
+    FIRST N step events by (ts, event_id); a huge cap equals uncapped."""
+    from mapreduce_task_spark.operators.relational import funnel_counts
+    from mapreduce_task_spark.sources.tables import load_table
+
+    steps = ["view", "click", "purchase"]
+    cap = 5
+    ev = load_table(spark, sf_small, "events")
+    rows = ev.select("user_id", "ts", "event_id", "event_type").collect()
+    by_user = {}
+    for r in rows:
+        if r["event_type"] in steps:
+            by_user.setdefault(r["user_id"], []).append(
+                (r["ts"], r["event_id"], r["event_type"])
+            )
+    want = {i + 1: 0 for i in range(len(steps))}
+    for tl in by_user.values():
+        cur = 0
+        for _, _, t in sorted(tl)[:cap]:
+            if cur < len(steps) and t == steps[cur]:
+                cur += 1
+        for i in range(1, cur + 1):
+            want[i] += 1
+
+    got = {
+        r["step_idx"]: r["n_keys"]
+        for r in funnel_counts(ev, steps, max_events_per_key=cap).collect()
+    }
+    assert got == want
+    uncapped = {
+        r["step_idx"]: r["n_keys"] for r in funnel_counts(ev, steps).collect()
+    }
+    huge = {
+        r["step_idx"]: r["n_keys"]
+        for r in funnel_counts(ev, steps, max_events_per_key=10**6).collect()
+    }
+    assert huge == uncapped
+    assert all(got[i] <= uncapped[i] for i in got)

@@ -163,3 +163,66 @@ def test_group_trend_degenerate_groups_yield_nulls(spark):
     assert got[1]["slope"] is None and got[1]["n"] == 1
     assert got[2]["slope"] is None
     assert got[3]["slope"] == 2.0 and got[3]["r2"] == 1.0
+
+
+def test_group_trend_aggregate_matches_pandas_twin(spark, sf_small):
+    """The production aggregate form vs the independent per-key numpy
+    residual computation (group_trend_pandas) over the real events."""
+    from mapreduce_task_spark.operators.timeseries import (
+        group_trend,
+        group_trend_pandas,
+    )
+    from mapreduce_task_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id", F.col("event_id").cast("double").alias("x"), "value"
+    )
+    agg = {
+        r["user_id"]: r for r in group_trend(ev, "user_id", "x", "value").collect()
+    }
+    pnd = {
+        r["user_id"]: r
+        for r in group_trend_pandas(ev, "user_id", "x", "value").collect()
+    }
+    assert set(agg) == set(pnd) and len(agg) > 0
+    for uid in agg:
+        a, p = agg[uid], pnd[uid]
+        assert a["n"] == p["n"]
+        if p["slope"] is None:
+            assert a["slope"] is None and a["r2"] is None
+        else:
+            assert math.isclose(a["slope"], p["slope"], rel_tol=1e-9)
+            assert math.isclose(a["intercept"], p["intercept"], rel_tol=1e-9)
+            assert math.isclose(a["r2"], p["r2"], rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_group_trend_is_python_free(spark, sf_small):
+    """The aggregate form must contain no Python/Arrow stage."""
+    from mapreduce_task_spark.operators.timeseries import group_trend
+    from mapreduce_task_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id", F.col("event_id").cast("double").alias("x"), "value"
+    )
+    plan = group_trend(ev, "user_id", "x", "value")._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ewma_projects_needed_columns_and_survives_struct_input(spark):
+    """ewma output is exactly (key, order, value, ewma); a carried
+    struct column must not break the schema round-trip (pre-fix the
+    whole input schema was re-serialized via simpleString)."""
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, event_id=1, value=10.0,
+                extra=Row(a=1, b="x")),
+            Row(user_id=1, event_id=2, value=20.0,
+                extra=Row(a=2, b="y")),
+        ],
+        schema="user_id bigint, event_id bigint, value double, "
+        "extra struct<a:int, b:string>",
+    )
+    out = ewma(df, "user_id", "event_id", "value", alpha=0.5)
+    assert out.columns == ["user_id", "event_id", "value", "ewma"]
+    got = {r.event_id: r.ewma for r in out.collect()}
+    assert got[1] == 10.0 and got[2] == 15.0
