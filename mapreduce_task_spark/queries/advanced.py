@@ -20,7 +20,7 @@ from ..registry import query, t
 
 
 @query(
-    "join_asof",
+    "temporal_joins",
     """
 WITH purch AS (
   SELECT user_id, ts, max_by(event_id, event_id) AS p_id,
@@ -29,17 +29,56 @@ WITH purch AS (
 ),
 clicks AS (
   SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
-)
-SELECT c.user_id, c.ts, c.event_id,
-       p.p_id AS asof_p_id, p.p_value AS asof_p_value, p.ts AS asof_ts
+),
+bands(band, lo, hi) AS (VALUES
+  ('xs', 0.0, 10.0), ('s', 10.0, 20.0), ('m', 20.0, 30.0),
+  ('l', 30.0, 40.0), ('xl', 40.0, 51.0))
+SELECT 'asof' AS leg, c.user_id AS k, c.ts, c.event_id,
+       p.p_id, p.p_value, p.ts AS p_ts,
+       CAST(NULL AS VARCHAR) AS band, CAST(NULL AS BIGINT) AS n,
+       CAST(NULL AS DOUBLE) AS rev
 FROM clicks c ASOF LEFT JOIN purch p
   ON c.user_id = p.user_id AND c.ts >= p.ts
+UNION ALL
+SELECT 'band' AS leg, CAST(NULL AS BIGINT) AS k,
+       CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS BIGINT) AS event_id,
+       CAST(NULL AS BIGINT) AS p_id, CAST(NULL AS DOUBLE) AS p_value,
+       CAST(NULL AS TIMESTAMP) AS p_ts,
+       b.band, count(*) AS n,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+FROM lineitem l JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+GROUP BY b.band
+UNION ALL
+SELECT 'pairs' AS leg, a.user_id AS k,
+       CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS BIGINT) AS event_id,
+       CAST(NULL AS BIGINT) AS p_id, CAST(NULL AS DOUBLE) AS p_value,
+       CAST(NULL AS TIMESTAMP) AS p_ts,
+       CAST(NULL AS VARCHAR) AS band, count(*) AS n, CAST(NULL AS DOUBLE) AS rev
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts <= a.ts + INTERVAL 30 MINUTES
+ AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+GROUP BY a.user_id
 """,
-    doc="As-of join: each click gets the user's latest purchase at-or-before "
-    "it (union + window-scan plan; DuckDB native ASOF as oracle).",
+    doc="Temporal-join coverage as a three-leg tagged union (merges the "
+    "former join_asof / join_range_band / join_interval_pairs rows to "
+    "free two slots inside the driver's 50-entry record cap, round 5). "
+    "asof leg: each click gets the user's latest purchase at-or-before "
+    "it — union + per-key window scan, ONE shuffle, no pair blow-up "
+    "(DuckDB native ASOF as oracle). band leg: lineitem quantity banded "
+    "via derived-bucket equi-join (BroadcastHashJoin, not nested-loop). "
+    "pairs leg: same-user event pairs within 30 min via time-bucketed "
+    "equi-join — adjacent-bucket candidates only; oracle is the naive "
+    "theta join.",
 )
-def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
+    nul_b = F.lit(None).cast("bigint")
+    nul_d = F.lit(None).cast("double")
+    nul_s = F.lit(None).cast("string")
+    ts_type = dict(ev.dtypes)["ts"]
+    nul_ts = F.lit(None).cast(ts_type)
+
     purch = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", "ts")
@@ -49,24 +88,21 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
-    return asof_join(clicks, purch, on="user_id", ts="ts", right_cols=("p_id", "p_value"))
+    asof = asof_join(
+        clicks, purch, on="user_id", ts="ts", right_cols=("p_id", "p_value")
+    ).select(
+        F.lit("asof").alias("leg"),
+        F.col("user_id").alias("k"),
+        "ts",
+        "event_id",
+        F.col("asof_p_id").alias("p_id"),
+        F.col("asof_p_value").alias("p_value"),
+        F.col("asof_ts").alias("p_ts"),
+        nul_s.alias("band"),
+        nul_b.alias("n"),
+        nul_d.alias("rev"),
+    )
 
-
-@query(
-    "join_range_band",
-    """
-WITH bands(band, lo, hi) AS (VALUES
-  ('xs', 0.0, 10.0), ('s', 10.0, 20.0), ('m', 20.0, 30.0),
-  ('l', 30.0, 40.0), ('xl', 40.0, 51.0))
-SELECT b.band, count(*) AS n,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-FROM lineitem l JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
-GROUP BY b.band
-""",
-    doc="Range (band) join: lineitem quantity banded against a broadcast "
-    "interval dimension, then aggregated.",
-)
-def q_join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     bands = spark.createDataFrame(
         [("xs", 0.0, 10.0), ("s", 10.0, 20.0), ("m", 20.0, 30.0),
@@ -75,28 +111,42 @@ def q_join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # uniform 10-wide bands (the wider last band folds onto id 4):
     # equi-join on the derived bucket, not a nested-loop range join.
-    joined = uniform_band_join(li, bands, "l_quantity", width=10.0, num_bands=5)
-    return joined.groupBy("band").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    band = (
+        uniform_band_join(li, bands, "l_quantity", width=10.0, num_bands=5)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev"),
+        )
+        .select(
+            F.lit("band").alias("leg"),
+            nul_b.alias("k"),
+            nul_ts.alias("ts"),
+            nul_b.alias("event_id"),
+            nul_b.alias("p_id"),
+            nul_d.alias("p_value"),
+            nul_ts.alias("p_ts"),
+            "band",
+            "n",
+            "rev",
+        )
     )
 
-
-@query(
-    "join_interval_pairs",
-    """
-SELECT a.user_id, count(*) AS n_pairs
-FROM events a JOIN events b
-  ON a.user_id = b.user_id
- AND b.ts <= a.ts + INTERVAL 30 MINUTES
- AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
-GROUP BY a.user_id
-""",
-    doc="Interval self-join: same-user event pairs within 30 minutes, via "
-    "time-bucketed equi-join (oracle is the naive theta join).",
-)
-def q_join_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return interval_pairs_per_key(t(spark, sf_dir, "events"), gap_seconds=1800)
+    pairs = interval_pairs_per_key(ev, gap_seconds=1800).select(
+        F.lit("pairs").alias("leg"),
+        F.col("user_id").alias("k"),
+        nul_ts.alias("ts"),
+        nul_b.alias("event_id"),
+        nul_b.alias("p_id"),
+        nul_d.alias("p_value"),
+        nul_ts.alias("p_ts"),
+        nul_s.alias("band"),
+        F.col("n_pairs").alias("n"),
+        nul_d.alias("rev"),
+    )
+    return asof.unionByName(band).unionByName(pairs)
 
 
 @query(

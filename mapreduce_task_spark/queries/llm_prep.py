@@ -101,22 +101,6 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SAMPLE_FRACTION = 0.25
 
-
-@query(
-    "hash_sample",
-    f"""
-SELECT doc_id, text, lang, source, n_chars FROM documents
-WHERE {hash64_duckdb_sql("concat('sample:', CAST(doc_id AS VARCHAR))")}
-      % 1000000 < {int(_SAMPLE_FRACTION * 1_000_000)}
-""",
-    doc=f"Content-hash Bernoulli sample (fraction={_SAMPLE_FRACTION}): "
-    "reproducible across reruns/partitionings, shuffle-free codegen "
-    "filter; the oracle replays the md5 ppm bucket.",
-)
-def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return hash_sample(t(spark, sf_dir, "documents"), "doc_id", _SAMPLE_FRACTION)
-
-
 _STRATA = {"en": 1.0, "de": 0.5, "fr": 0.25, "zh": 0.1}
 _STRATA_DEFAULT = 0.05  # es
 
@@ -128,24 +112,91 @@ _STRATA_CASE = (
     + f" ELSE {int(_STRATA_DEFAULT * 1_000_000)} END"
 )
 
+_CAP_N = 50       # cap_per_group: best-50 docs per lang by n_chars
+_FIXED_N = 30     # stratified_fixed_n: exactly 30 docs per lang
+
 
 @query(
-    "stratified_sample",
+    "sampling_shapes",
     f"""
-SELECT doc_id, lang, source FROM documents
+SELECT 'hash' AS leg, doc_id, lang, source, n_chars FROM documents
+WHERE {hash64_duckdb_sql("concat('sample:', CAST(doc_id AS VARCHAR))")}
+      % 1000000 < {int(_SAMPLE_FRACTION * 1_000_000)}
+UNION ALL
+SELECT 'strata' AS leg, doc_id, lang, source, CAST(NULL AS BIGINT) AS n_chars
+FROM documents
 WHERE {hash64_duckdb_sql("concat('strata:', CAST(doc_id AS VARCHAR))")}
       % 1000000 < {_STRATA_CASE}
+UNION ALL
+SELECT 'cap' AS leg, doc_id, lang, CAST(NULL AS VARCHAR) AS source, n_chars
+FROM (SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+WHERE rn <= {_CAP_N}
+UNION ALL
+SELECT 'fixedn' AS leg, doc_id, lang, CAST(NULL AS VARCHAR) AS source,
+       CAST(NULL AS BIGINT) AS n_chars
+FROM (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                ORDER BY {hash64_duckdb_sql("concat('fixedn:', CAST(doc_id AS VARCHAR))")}
+                         % 1000000, doc_id) AS rn
+      FROM documents)
+WHERE rn <= {_FIXED_N}
 """,
-    doc="Per-stratum deterministic sampling over documents.lang (the "
-    "corpus-mixing primitive: keep all en, half de, ...); the fraction "
-    "map travels as a CASE literal — no join, no shuffle.",
+    doc="Deterministic-sampling coverage as a four-leg tagged union "
+    "(merges the former hash_sample / stratified_sample rows AND "
+    "driver-verifies the r4 pytest-only cap_per_group / "
+    "stratified_fixed_n, round 5). hash leg: content-hash Bernoulli "
+    f"sample (fraction={_SAMPLE_FRACTION}) — shuffle-free codegen "
+    "filter, md5 ppm bucket replayed by the oracle. strata leg: "
+    "per-stratum fractions over documents.lang as a CASE literal — no "
+    f"join. cap leg: best-{_CAP_N} docs per lang by n_chars "
+    "(window-per-group row_number — the per-domain crawl cap). fixedn "
+    f"leg: exactly {_FIXED_N} docs per lang in content-hash order — "
+    "the reproducible eval-set builder; every leg is replayable from "
+    "the salt by any engine.",
 )
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = stratified_sample(
-        t(spark, sf_dir, "documents"),
+def q_sampling_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import cap_per_group, stratified_fixed_n
+
+    docs = t(spark, sf_dir, "documents")
+    nul_b = F.lit(None).cast("bigint")
+    nul_s = F.lit(None).cast("string")
+    hash_leg = hash_sample(docs, "doc_id", _SAMPLE_FRACTION).select(
+        F.lit("hash").alias("leg"), "doc_id", "lang", "source", "n_chars"
+    )
+    strata_leg = stratified_sample(
+        docs,
         strata_col="lang",
         id_col="doc_id",
         fractions=_STRATA,
         default_fraction=_STRATA_DEFAULT,
+    ).select(
+        F.lit("strata").alias("leg"), "doc_id", "lang", "source",
+        nul_b.alias("n_chars"),
     )
-    return out.select("doc_id", "lang", "source")
+    cap_leg = cap_per_group(
+        docs.select("doc_id", "lang", "n_chars"),
+        group_col="lang",
+        order_col="n_chars",
+        n=_CAP_N,
+        id_col="doc_id",
+    ).select(
+        F.lit("cap").alias("leg"), "doc_id", "lang", nul_s.alias("source"),
+        "n_chars",
+    )
+    fixedn_leg = stratified_fixed_n(
+        docs.select("doc_id", "lang"),
+        stratum_col="lang",
+        id_col="doc_id",
+        n_per_stratum=_FIXED_N,
+    ).select(
+        F.lit("fixedn").alias("leg"), "doc_id", "lang", nul_s.alias("source"),
+        nul_b.alias("n_chars"),
+    )
+    return (
+        hash_leg.unionByName(strata_leg)
+        .unionByName(cap_leg)
+        .unionByName(fixedn_leg)
+    )

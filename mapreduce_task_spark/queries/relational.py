@@ -164,31 +164,78 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str):
 # window functions
 # --------------------------------------------------------------------------
 @query(
-    "window_funcs",
+    "window_ops",
     oracle="""
-    SELECT event_id, user_id,
+    SELECT 'funcs' AS leg, event_id, user_id,
            row_number() OVER w AS rn,
            lag(event_type) OVER w AS prev_type,
            CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+           CAST(NULL AS VARCHAR) AS window_start, CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS sum_value
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    UNION ALL
+    SELECT 'tumbling' AS leg, CAST(NULL AS BIGINT) AS event_id,
+           CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS rn,
+           CAST(NULL AS VARCHAR) AS prev_type, CAST(NULL AS DOUBLE) AS running_value,
+           strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
     """,
-    doc="row_number / lag / running sum over per-user event streams.",
+    doc="Window-function coverage as a two-leg tagged union (merges the "
+    "former window_funcs / window_tumbling rows to free a slot inside "
+    "the driver's 50-entry cap, round 5). funcs leg: row_number / lag / "
+    "running decimal sum over per-user event streams — every window "
+    "partitioned by user, parallelism scales with user count. tumbling "
+    "leg: 1h tumbling-window aggregation in batch — the same "
+    "groupBy(window()) shape Structured Streaming uses "
+    "(streaming/windows.py).",
 )
-def q_window_funcs(spark: SparkSession, sf_dir: str):
+def q_window_ops(spark: SparkSession, sf_dir: str):
     ev = t(spark, sf_dir, "events")
+    nul_b = F.lit(None).cast("bigint")
+    nul_d = F.lit(None).cast("double")
+    nul_s = F.lit(None).cast("string")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
+    funcs = ev.select(
+        F.lit("funcs").alias("leg"),
         "event_id",
         "user_id",
-        F.row_number().over(w).alias("rn"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
         F.lag("event_type").over(w).alias("prev_type"),
         F.sum(_dec("value"))
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .cast("double")
         .alias("running_value"),
+        nul_s.alias("window_start"),
+        nul_s.alias("event_type"),
+        nul_b.alias("n"),
+        nul_d.alias("sum_value"),
     )
+    tumbling = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.lit("tumbling").alias("leg"),
+            nul_b.alias("event_id"),
+            nul_b.alias("user_id"),
+            nul_b.alias("rn"),
+            nul_s.alias("prev_type"),
+            nul_d.alias("running_value"),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return funcs.unionByName(tumbling)
 
 
 @query(
@@ -358,34 +405,4 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str):
     )
 
 
-# --------------------------------------------------------------------------
-# time bucketing (the batch face of the streaming tumbling window)
-# --------------------------------------------------------------------------
-@query(
-    "window_tumbling",
-    oracle="""
-    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type,
-           count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-    doc="Tumbling 1h window aggregation in batch — same groupBy(window()) "
-    "shape Structured Streaming uses (streaming/windows.py).",
-)
-def q_window_tumbling(spark: SparkSession, sf_dir: str):
-    ev = t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            _dsum("value").alias("sum_value"),
-        )
-        .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
-            "n",
-            "sum_value",
-        )
-    )
+# (window_tumbling merged into window_ops above, round 5)
