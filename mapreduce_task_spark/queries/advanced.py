@@ -310,3 +310,52 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _cm_oracle(depth: int, width: int) -> str:
+    from ..functions.hashing import minhash_seed_hash_duckdb_sql
+
+    cells = ",\n".join(
+        f"c{r} AS (SELECT {minhash_seed_hash_duckdb_sql('user_id', r)} % {width} AS bucket,\n"
+        f"          count(*) AS cnt FROM events GROUP BY 1)"
+        for r in range(depth)
+    )
+    joins = "\n".join(
+        f"LEFT JOIN c{r} ON c{r}.bucket = "
+        f"{minhash_seed_hash_duckdb_sql('k.user_id', r)} % {width}"
+        for r in range(depth)
+    )
+    least = ", ".join(f"coalesce(c{r}.cnt, 0)" for r in range(depth))
+    return f"""
+WITH {cells},
+keys AS (SELECT DISTINCT user_id FROM events)
+SELECT k.user_id, least({least}) AS est_count
+FROM keys k
+{joins}
+"""
+
+
+_CM_DEPTH, _CM_WIDTH = 4, 256
+
+
+@query(
+    "cm_estimate",
+    _cm_oracle(_CM_DEPTH, _CM_WIDTH),
+    doc=f"Count-min sketch point queries, driver-verified "
+    "(operators/sketches.py:cm_sketch/cm_estimate — r4 pytest-only): "
+    f"a {_CM_DEPTH}x{_CM_WIDTH} counter grid built with the seeded md5 "
+    "family (one groupBy over exploded (row, bucket) cells — cells are "
+    "exact sums, so shard sketches MERGE by addition, the 100 TB "
+    "contract), then every distinct user_id estimated via min over its "
+    "depth cells from the broadcast packed grid — a shuffle-free "
+    "projection. Overestimate-only and merge==whole-corpus invariants "
+    "are pytest-gated; the oracle replays the identical hash family "
+    "and min-of-cells lookup.",
+)
+def q_cm_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cm_estimate, cm_sketch
+
+    ev = t(spark, sf_dir, "events")
+    sketch = cm_sketch(ev, "user_id", depth=_CM_DEPTH, width=_CM_WIDTH)
+    keys = ev.select("user_id").distinct()
+    return cm_estimate(sketch, keys, "user_id", depth=_CM_DEPTH, width=_CM_WIDTH)

@@ -230,3 +230,158 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["spark", "join", "query"],
         k=50,
     )
+
+
+_PHRASE = "Fast, scan!"  # normalizes to [fast, scan] — exercises the
+# query-side normalization contract (punctuation/case must not miss)
+
+@query(
+    "phrase_search",
+    r"""
+WITH norm AS (
+  SELECT doc_id, list_filter(list_transform(regexp_split_to_array(text, '\s+'),
+                 w -> regexp_replace(lower(w), '[^a-z]', '', 'g')), w -> w <> '') AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(t) AS word, unnest(range(len(t))) AS pos FROM norm
+)
+SELECT t0.doc_id, CAST(count(*) AS INT) AS n_hits
+FROM toks t0 JOIN toks t1
+  ON t1.doc_id = t0.doc_id AND t1.word = 'scan' AND t1.pos = t0.pos + 1
+WHERE t0.word = 'fast'
+GROUP BY t0.doc_id
+""",
+    doc="Exact phrase query over the positional inverted index "
+    "(operators/inverted_index.py:positional_index/phrase_search — the "
+    "WHERE upgrade of the reference's doc-set index, "
+    "TraceInsertIndexReducer.java:132-145): per-word position arrays "
+    "shifted by phrase offset and intersected; joins bounded by phrase "
+    "length, never the corpus. Query terms pass the index-side "
+    "normalization (the r5 advisor fix), pinned here with a punctuated "
+    "mixed-case phrase. The oracle replays tokenize+normalize+filter "
+    "with zipped unnest positions and an adjacency self-join.",
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.inverted_index import phrase_search
+
+    out = phrase_search(t(spark, sf_dir, "documents"), _PHRASE)
+    return out.select("doc_id", F.col("n_hits").cast("int").alias("n_hits"))
+
+
+_FUZZY_TOKS = (
+    r"list_filter(list_transform(regexp_split_to_array({col}, '\s+'), "
+    r"w -> regexp_replace(lower(w), '[^a-z]', '', 'g')), w -> w <> '')"
+)
+
+@query(
+    "fuzzy_match",
+    rf"""
+WITH words AS (
+  SELECT unnest({_FUZZY_TOKS.format(col='text')}) AS w FROM documents
+  UNION ALL
+  SELECT unnest({_FUZZY_TOKS.format(col='p_name')}) AS w FROM part
+),
+vocab AS (SELECT DISTINCT w FROM words),
+variants AS (
+  SELECT w, w AS v FROM vocab
+  UNION
+  SELECT w, substr(w, 1, CAST(i AS INT) - 1) || substr(w, CAST(i AS INT) + 1) AS v
+  FROM vocab, LATERAL unnest(range(1, len(w) + 1)) AS t(i)
+),
+pairs AS (
+  SELECT DISTINCT a.w AS a, b.w AS b
+  FROM variants a JOIN variants b ON a.v = b.v AND a.w < b.w
+),
+verified AS (SELECT a, b FROM pairs WHERE levenshtein(a, b) <= 1),
+counts AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+edges AS (SELECT a, b FROM verified UNION ALL SELECT b AS a, a AS b FROM verified),
+scored AS (
+  SELECT e.a, e.b, ca.n AS n_a, cb.n AS n_b
+  FROM edges e JOIN counts ca ON ca.w = e.a JOIN counts cb ON cb.w = e.b
+  WHERE cb.n >= 4 * ca.n
+),
+best AS (
+  SELECT a, b, n_a, n_b,
+         row_number() OVER (PARTITION BY a ORDER BY n_b DESC, b DESC) AS rn
+  FROM scored
+)
+SELECT 'pairs' AS leg, a, b, CAST(NULL AS BIGINT) AS n_a, CAST(NULL AS BIGINT) AS n_b
+FROM verified
+UNION ALL
+SELECT 'typo' AS leg, a, b, n_a, n_b FROM best WHERE rn = 1
+""",
+    doc="Edit-distance joins WITHOUT the O(n^2) scan, driver-verified "
+    "(operators/fuzzy.py — r4 pytest-only). pairs leg: symmetric-delete "
+    "(SymSpell) blocking over the documents+part vocabulary — every "
+    "string posts itself plus its single-char deletions, candidates "
+    "come from a linear-fan-out equi-join on the variant, JVM "
+    "levenshtein removes collisions. typo leg: rare->frequent "
+    "correction table (canonical neighbor with >= 4x the count; ties "
+    "to highest count then lexicographically greatest). The oracle "
+    "replays variant generation, blocking, and tie-breaks in DuckDB.",
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import normalized_tokens
+    from ..operators.fuzzy import symdelete_pairs, typo_clusters
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.explode(normalized_tokens("text")).alias("word")
+    )
+    partw = t(spark, sf_dir, "part").select(
+        F.explode(normalized_tokens("p_name")).alias("word")
+    )
+    words_df = docs.unionByName(partw)
+    nul_b = F.lit(None).cast("bigint")
+    pairs = symdelete_pairs(words_df, "word").select(
+        F.lit("pairs").alias("leg"), "a", "b",
+        nul_b.alias("n_a"), nul_b.alias("n_b"),
+    )
+    typos = typo_clusters(words_df, "word", min_count_ratio=4).select(
+        F.lit("typo").alias("leg"),
+        F.col("variant").alias("a"),
+        F.col("canonical").alias("b"),
+        F.col("n_variant").alias("n_a"),
+        F.col("n_canonical").alias("n_b"),
+    )
+    return pairs.unionByName(typos)
+
+
+@query(
+    "collocations",
+    r"""
+WITH norm AS (
+  SELECT list_filter(list_transform(regexp_split_to_array(text, '\s+'),
+         w -> regexp_replace(lower(w), '[^a-z]', '', 'g')), w -> w <> '') AS t
+  FROM documents
+),
+toks AS (SELECT unnest(t) AS w FROM norm),
+uni AS (SELECT w, count(*) AS n_w FROM toks GROUP BY w),
+big AS (
+  SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM norm WHERE len(t) >= 2
+),
+bc AS (SELECT w1, w2, count(*) AS n_pair FROM big GROUP BY w1, w2
+       HAVING count(*) >= 5)
+SELECT bc.w1, bc.w2, bc.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2
+FROM bc JOIN uni u1 ON u1.w = bc.w1 JOIN uni u2 ON u2.w = bc.w2
+ORDER BY bc.n_pair DESC, bc.w1, bc.w2
+LIMIT 50
+""",
+    doc="Adjacent-word collocation counts, driver-verified "
+    "(operators/textstats.py:collocations_pmi — r4 pytest-only): "
+    "bigrams via an in-row adjacent transform (no posexplode pair "
+    "blow-up), exact integer bigram/unigram counts from two partial-"
+    "aggregated shuffles, top-50 by count via TakeOrderedAndProject. "
+    "The PMI/NPMI floats are ln()-based (libm-dependent across "
+    "engines) so the driver row carries the exact integers they "
+    "derive from; the float step is pytest-gated "
+    "(tests/test_textstats.py).",
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import collocations_pmi
+
+    out = collocations_pmi(
+        t(spark, sf_dir, "documents"), text_col="text", top_k=50, min_count=5
+    )
+    return out.select("w1", "w2", "n_pair", "n_w1", "n_w2")
