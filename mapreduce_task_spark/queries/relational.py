@@ -358,51 +358,7 @@ GROUP BY GROUPING SETS ((n.n_name), (o.o_orderpriority), ())
 # --------------------------------------------------------------------------
 # scalar function breadth: date / JSON / string+math / array
 # --------------------------------------------------------------------------
-@query(
-    "scalar_funcs",
-    oracle="""
-    SELECT p_partkey,
-           upper(p_brand) AS brand_u,
-           substring(p_name, 1, 8) AS name8,
-           CAST(length(p_name) AS INT) AS name_len,
-           concat(p_brand, '#', p_type) AS brand_type,
-           CAST(abs(p_size - 25) AS INT) AS size_dist,
-           CAST(p_size % 7 AS INT) AS size_mod,
-           CAST(round(CAST(p_retailprice AS DECIMAL(18,2)) * 110 / 100, 2) AS DOUBLE) AS price_plus_10pct,
-           CAST(year(ship_ts) AS INT) AS ship_y,
-           CAST(month(ship_ts) AS INT) AS ship_m,
-           CAST(quarter(ship_ts) AS INT) AS ship_q
-    FROM (SELECT p.*, TIMESTAMP '1995-01-01' + to_days(CAST(p_partkey % 1461 AS INTEGER)) AS ship_ts
-          FROM part p)
-    """,
-    doc="Scalar-function breadth in one projection: string (upper/substring/"
-    "length/concat), math (abs/mod/round — exact decimal arithmetic), and "
-    "date-part extraction (year/month/quarter on a derived TIMESTAMP_NTZ, "
-    "timezone-free). Merges the former date_funcs/string_math_funcs rows "
-    "to keep the registry inside the driver's 50-entry record cap.",
-)
-def q_scalar_funcs(spark: SparkSession, sf_dir: str):
-    p = t(spark, sf_dir, "part")
-    ship_ts = F.timestamp_add(
-        "DAY",
-        (F.col("p_partkey") % 1461).cast("int"),
-        F.lit("1995-01-01").cast("timestamp_ntz"),
-    )
-    return p.withColumn("ship_ts", ship_ts).select(
-        "p_partkey",
-        F.upper("p_brand").alias("brand_u"),
-        F.substring("p_name", 1, 8).alias("name8"),
-        F.length("p_name").cast("int").alias("name_len"),
-        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
-        F.abs(F.col("p_size") - 25).cast("int").alias("size_dist"),
-        (F.col("p_size") % 7).cast("int").alias("size_mod"),
-        F.round(_dec("p_retailprice") * 110 / 100, 2)
-        .cast("double")
-        .alias("price_plus_10pct"),
-        F.year("ship_ts").cast("int").alias("ship_y"),
-        F.month("ship_ts").cast("int").alias("ship_m"),
-        F.quarter("ship_ts").cast("int").alias("ship_q"),
-    )
+# (scalar_funcs merged into subqueries.py scalar_json_map_funcs, round 5)
 
 
 # (window_tumbling merged into window_ops above, round 5)

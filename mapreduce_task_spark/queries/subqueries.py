@@ -252,9 +252,35 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str):
 
 
 @query(
-    "json_map_funcs",
+    "scalar_json_map_funcs",
     oracle="""
-    SELECT event_id,
+    SELECT 'scalar' AS leg, p_partkey AS k,
+           upper(p_brand) AS brand_u,
+           substring(p_name, 1, 8) AS name8,
+           CAST(length(p_name) AS INT) AS name_len,
+           concat(p_brand, '#', p_type) AS brand_type,
+           CAST(abs(p_size - 25) AS INT) AS size_dist,
+           CAST(p_size % 7 AS INT) AS size_mod,
+           CAST(round(CAST(p_retailprice AS DECIMAL(18,2)) * 110 / 100, 2) AS DOUBLE) AS price_plus_10pct,
+           CAST(year(ship_ts) AS INT) AS ship_y,
+           CAST(month(ship_ts) AS INT) AS ship_m,
+           CAST(quarter(ship_ts) AS INT) AS ship_q,
+           CAST(NULL AS BIGINT) AS k_json,
+           CAST(NULL AS VARCHAR) AS type_from_map,
+           CAST(NULL AS VARCHAR) AS k_from_map,
+           CAST(NULL AS INT) AS n_entries,
+           CAST(NULL AS VARCHAR) AS keys_sorted_csv,
+           CAST(NULL AS VARCHAR) AS concat_probe
+    FROM (SELECT p.*, TIMESTAMP '1995-01-01' + to_days(CAST(p_partkey % 1461 AS INTEGER)) AS ship_ts
+          FROM part p)
+    UNION ALL
+    SELECT 'jsonmap' AS leg, event_id AS k,
+           CAST(NULL AS VARCHAR) AS brand_u, CAST(NULL AS VARCHAR) AS name8,
+           CAST(NULL AS INT) AS name_len, CAST(NULL AS VARCHAR) AS brand_type,
+           CAST(NULL AS INT) AS size_dist, CAST(NULL AS INT) AS size_mod,
+           CAST(NULL AS DOUBLE) AS price_plus_10pct,
+           CAST(NULL AS INT) AS ship_y, CAST(NULL AS INT) AS ship_m,
+           CAST(NULL AS INT) AS ship_q,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_json,
            event_type AS type_from_map,
            json_extract_string(props, '$.k') AS k_from_map,
@@ -263,23 +289,71 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str):
            'marker' AS concat_probe
     FROM events
     """,
-    doc="JSON + map-type scalar coverage in one projection: "
-    "get_json_object over the events.props string column, then "
-    "map_from_arrays / element_at / size / map_keys / map_concat. The "
+    doc="Scalar-function breadth as a two-leg tagged union (merges the "
+    "former scalar_funcs / json_map_funcs rows to free a slot inside "
+    "the driver's 50-entry cap, round 5). scalar leg: string (upper/"
+    "substring/length/concat), math (abs/mod/round — exact decimal "
+    "arithmetic), date-part extraction on a derived TIMESTAMP_NTZ. "
+    "jsonmap leg: get_json_object over events.props, then "
+    "map_from_arrays / element_at / size / map_keys / map_concat — the "
     "map is built and consumed inside the plan (maps never cross the "
-    "engine boundary -- the oracle checks the extracted scalars), so "
-    "Catalyst folds it to pure columnar exprs. Merges the former "
-    "json_funcs/map_funcs rows for the driver's 50-entry record cap.",
+    "engine boundary; the oracle checks the extracted scalars), so "
+    "Catalyst folds it to pure columnar exprs.",
 )
-def q_json_map_funcs(spark: SparkSession, sf_dir: str):
+def q_scalar_json_map_funcs(spark: SparkSession, sf_dir: str):
+    nul_i = F.lit(None).cast("int")
+    nul_b = F.lit(None).cast("bigint")
+    nul_d = F.lit(None).cast("double")
+    nul_s = F.lit(None).cast("string")
+
+    p = t(spark, sf_dir, "part")
+    ship_ts = F.timestamp_add(
+        "DAY",
+        (F.col("p_partkey") % 1461).cast("int"),
+        F.lit("1995-01-01").cast("timestamp_ntz"),
+    )
+    scalar = p.withColumn("ship_ts", ship_ts).select(
+        F.lit("scalar").alias("leg"),
+        F.col("p_partkey").alias("k"),
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.abs(F.col("p_size") - 25).cast("int").alias("size_dist"),
+        (F.col("p_size") % 7).cast("int").alias("size_mod"),
+        F.round(_dec("p_retailprice") * 110 / 100, 2)
+        .cast("double")
+        .alias("price_plus_10pct"),
+        F.year("ship_ts").cast("int").alias("ship_y"),
+        F.month("ship_ts").cast("int").alias("ship_m"),
+        F.quarter("ship_ts").cast("int").alias("ship_q"),
+        nul_b.alias("k_json"),
+        nul_s.alias("type_from_map"),
+        nul_s.alias("k_from_map"),
+        nul_i.alias("n_entries"),
+        nul_s.alias("keys_sorted_csv"),
+        nul_s.alias("concat_probe"),
+    )
+
     ev = t(spark, sf_dir, "events")
     m = F.map_from_arrays(
         F.array(F.lit("type"), F.lit("k")),
         F.array(F.col("event_type"), F.get_json_object("props", "$.k")),
     )
     merged = F.map_concat(m, F.create_map(F.lit("probe"), F.lit("marker")))
-    return ev.select(
-        "event_id",
+    jsonmap = ev.select(
+        F.lit("jsonmap").alias("leg"),
+        F.col("event_id").alias("k"),
+        nul_s.alias("brand_u"),
+        nul_s.alias("name8"),
+        nul_i.alias("name_len"),
+        nul_s.alias("brand_type"),
+        nul_i.alias("size_dist"),
+        nul_i.alias("size_mod"),
+        nul_d.alias("price_plus_10pct"),
+        nul_i.alias("ship_y"),
+        nul_i.alias("ship_m"),
+        nul_i.alias("ship_q"),
         F.get_json_object("props", "$.k").cast("bigint").alias("k_json"),
         F.element_at(m, "type").alias("type_from_map"),
         F.element_at(m, "k").alias("k_from_map"),
@@ -287,3 +361,4 @@ def q_json_map_funcs(spark: SparkSession, sf_dir: str):
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted_csv"),
         F.element_at(merged, "probe").alias("concat_probe"),
     )
+    return scalar.unionByName(jsonmap)

@@ -50,12 +50,13 @@ def test_chunk_documents_scan_reads_only_id_and_text(spark, sf_small):
         assert unused not in s, s
 
 
-def test_stratified_sample_scan_prunes_unused_columns(spark, sf_small):
-    # the query projects (doc_id, lang, source); text — the wide column
-    # — must never be read just to apply a hash filter on doc_id
-    df = all_queries()["stratified_sample"].fn(spark, sf_small)
+def test_sampling_shapes_scans_prune_text_column(spark, sf_small):
+    # every leg of the merged sampling union projects only
+    # (doc_id, lang, source, n_chars); text — the wide column — must
+    # never be read just to apply hash filters / window row caps
+    df = all_queries()["sampling_shapes"].fn(spark, sf_small)
     schemas = _read_schemas(df)
     assert schemas
-    s = schemas[0]
-    assert "doc_id" in s and "lang" in s
-    assert "text" not in s, s
+    for s in schemas:
+        assert "doc_id" in s
+        assert "text" not in s, s

@@ -56,8 +56,10 @@ def test_q10_broadcasts_nation_dim(spark, sf_small):
 
 
 def test_json_map_funcs_row_semantics(spark, sf_small):
-    q = all_queries()["json_map_funcs"]
-    rows = q.fn(spark, sf_small).collect()
+    q = all_queries()["scalar_json_map_funcs"]
+    rows = [
+        r for r in q.fn(spark, sf_small).collect() if r["leg"] == "jsonmap"
+    ]
     assert rows
     for r in rows[:50]:
         assert r["n_entries"] == 2
