@@ -341,3 +341,48 @@ def test_ann_recall_operator_matches_inline_computation(spark, sf_small):
     assert set(got) == set(want)
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-12, k
+
+
+def test_ivf_index_build_search_split_matches_inline(spark, sf_small, tmp_path):
+    """ivf_build_index + ivf_search_index must reproduce ivf_topk
+    bit-for-bit (same quantizer, scoring, tie-breaks) — the build-once/
+    search-many deployment split."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_task_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_search_index,
+        ivf_topk,
+    )
+    from mapreduce_task_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    queries = emb.join(qids, "vec_id")
+    path = str(tmp_path / "ivf_index")
+
+    ivf_build_index(emb, path, n_clusters=8, dim=64, rounds=2)
+    split = ivf_search_index(spark, path, queries, k=5, nprobe=2)
+    inline = ivf_topk(emb, qids, k=5, n_clusters=8, dim=64, rounds=2, nprobe=2)
+
+    key = lambda r: (r["query_id"], r["rank"])
+    got = {key(r): (r["cand_id"], r["cos"]) for r in split.collect()}
+    want = {key(r): (r["cand_id"], r["cos"]) for r in inline.collect()}
+    assert got == want and len(got) > 0
+
+    # search-many: a second search with different nprobe reuses the same
+    # index files (no rebuild) and can only widen the candidate pool
+    wide = ivf_search_index(spark, path, queries, k=5, nprobe=4)
+    by_q = {}
+    for r in wide.collect():
+        by_q.setdefault(r["query_id"], []).append(r["cos"])
+    for q, cs in by_q.items():
+        narrow_best = max(c for (qq, _), (_, c) in got.items() if qq == q)
+        assert max(cs) >= narrow_best
+
+    # the lists dataset is physically partitioned by cluster — the scan
+    # prunes to the probed lists (the inverted-list contract at scale)
+    import os
+
+    parts = [d for d in os.listdir(f"{path}/lists") if d.startswith("cluster=")]
+    assert len(parts) > 1
