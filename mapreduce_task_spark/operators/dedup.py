@@ -365,6 +365,91 @@ def duplicate_delete_list(
     return comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
 
 
+def quality_delete_list(
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Quality-aware delete list: per near-dup cluster keep the HIGHEST
+    scoring member (ties to smallest id), delete the rest.
+
+    ``duplicate_delete_list`` keeps the min-id representative — fine for
+    exact copies, wasteful for near-dups where one copy is cleaner (the
+    usual case: a page and its ad-injected mirror). This variant joins
+    the components against a (id, score) frame — e.g.
+    ``textstats.text_quality`` output — and keeps the argmax-score doc.
+
+    Scale: component labels come from the same bounded label
+    propagation; the scores join is an equi-join on id, and the winner
+    is one row_number window partitioned by component (cluster sizes
+    are small post-LSH; a pathological giant cluster is a data bug the
+    connected-components warning already surfaces)."""
+    comp = connected_components(pairs, max_rounds=max_rounds)
+    w = Window.partitionBy("component").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        comp.join(scores.select(id_col, score_col), id_col)
+        .select(id_col, "component", F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") > 1)
+        .select(id_col)
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Paragraph-level exact dedup (the Dolma/CCNet step between
+    document dedup and quality filtering): every distinct paragraph
+    survives exactly ONCE in the corpus — in its first occurrence by
+    (id, position) — and later copies are cut from their documents;
+    documents are reassembled from surviving paragraphs in original
+    order. A document whose every paragraph was seen earlier survives
+    with empty text (downstream quality filters own that decision, same
+    contract as ``scrub.remove_boilerplate_lines``).
+
+    Scale shape: one posexplode, one groupBy on the md5-derived
+    paragraph hash (uniform 8-byte keys, map-side partial min) keeping
+    min(struct(id, pos)) as the canonical occurrence, one equi-join
+    back on the hash, one per-document re-aggregation — the wordcount
+    shuffle pattern; paragraph text never rides a shuffle, only its
+    hash does."""
+    paras = (
+        df.select(
+            id_col,
+            F.posexplode(F.split(F.col(text_col), sep)).alias("__pn", "__para"),
+        )
+        .withColumn("__t", F.trim(F.col("__para")))
+        .filter(F.length("__t") >= min_chars)
+        .withColumn("__h", hash64(F.col("__t")))
+    )
+    first = paras.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col), F.col("__pn"))).alias("__first")
+    )
+    survivors = paras.join(first, "__h").filter(
+        (F.col("__first")[id_col] == F.col(id_col))
+        & (F.col("__first")["__pn"] == F.col("__pn"))
+    )
+    reassembled = survivors.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pn", "__para"))),
+                lambda s: s["__para"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    return df.select(id_col).join(reassembled, id_col, "left").select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )
+
+
 def exact_dedup_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

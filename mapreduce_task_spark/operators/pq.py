@@ -265,6 +265,68 @@ def pq_adc_topk(
     )
 
 
+def _ivfpq_adc_scored(
+    cand: DataFrame, rq: DataFrame, cents: DataFrame, m: int, dsub: int
+) -> DataFrame:
+    """Shared IVF-PQ search core: per-(query, probed cluster) ADC tables
+    against cluster-homed candidate codes.
+
+    ``cand`` is (cand_id, cluster, codes); ``rq`` is the query residual
+    (query_id, cluster, qv) against each probed cluster's centroid;
+    ``cents`` is the (sub, j, cqv) residual codebook. Returns
+    (query_id, cand_id, approx_d). Factored out of ``ivfpq_topk`` so the
+    persisted-index search path (``ivfpq_search_index``) reproduces the
+    inline operator bit-for-bit by construction — same expressions, same
+    int64 arithmetic, same positional table layout."""
+    q_subs = _subvectors(rq, ["query_id", "cluster"], m, dsub)
+    qdist = (
+        q_subs.join(F.broadcast(cents), "sub")
+        .select(
+            "query_id",
+            "cluster",
+            F.struct(
+                "sub", "j", _sub_dist(F.col("sqv"), F.col("cqv")).alias("d")
+            ).alias("__e"),
+        )
+        .groupBy("query_id", "cluster")
+        .agg(F.collect_list("__e").alias("__es"))
+        .select(
+            "query_id",
+            "cluster",
+            F.transform(F.array_sort("__es"), lambda e: e["d"]).alias("dtable"),
+        )
+    )
+    # per-subspace entry count read off the table itself (see pq_fit:
+    # a sub-ksub corpus yields a smaller, still-uniform codebook)
+    nsub = (F.size("dtable") / F.lit(m)).cast("int")
+    return (
+        cand.join(F.broadcast(qdist), "cluster")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0).cast("bigint"),
+                lambda acc, s: acc
+                + F.element_at(
+                    "dtable",
+                    (s * nsub + F.element_at("codes", (s + 1).cast("int"))).cast(
+                        "int"
+                    ),
+                ),
+            ).alias("approx_d"),
+        )
+    )
+
+
+def _rank_topk_by_distance(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d"), F.asc("cand_id"))
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= k
+    )
+
+
 def ivfpq_topk(
     df: DataFrame,
     query_ids: DataFrame,
@@ -331,45 +393,123 @@ def ivfpq_topk(
         "cluster",
         F.zip_with("qv", "cqv", lambda a, b: a - b).alias("qv"),
     )
-    q_subs = _subvectors(rq, ["query_id", "cluster"], m, dsub)
-    qdist = (
-        q_subs.join(F.broadcast(cents), "sub")
+    return _rank_topk_by_distance(_ivfpq_adc_scored(cand, rq, cents, m, dsub), k)
+
+
+def ivfpq_build_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    coarse_rounds: int = 1,
+    pq_rounds: int = 2,
+) -> None:
+    """Build the IVF-PQ index ONCE and persist it — the codes-at-rest
+    counterpart of ``similarity.ivf_build_index`` (r4 TODO: ``pq_encode``
+    output is the persistable artifact; this wires the build/search
+    pair around it).
+
+    Writes three parquet datasets under ``path``:
+      - ``coarse``: the n_clusters-row (j, cqv, cnq) coarse quantizer,
+      - ``codebook``: the dense (sub, j, cqv) residual PQ codebook, and
+      - ``codes``: (id, codes) partitioned BY CLUSTER — each home
+        cluster is a physical inverted list holding only the m-code
+        compressed payload, so a probe-bounded search scans a few small
+        list directories and never touches a vector.
+
+    The coarse quantizer and codebook are each written and read back
+    before their consumers, so the Lloyd rounds run exactly once; the
+    residual frame (one broadcast-argmin projection of the corpus) is
+    persisted across its two consumers (codebook fit, code encoding)
+    and released before returning. Search-side ``m``/``dim`` must match
+    the build (plan-time shape parameters; a driver-side metadata read
+    at plan build is banned by the package contract)."""
+    from pyspark import StorageLevel
+
+    from .similarity import assign_clusters, kmeans_lite_fit
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    spark = df.sparkSession
+    qd, coarse = kmeans_lite_fit(df, id_col, vec_col, n_clusters, dim, coarse_rounds)
+    coarse.write.mode("overwrite").parquet(f"{path}/coarse")
+    coarse_l = spark.read.parquet(f"{path}/coarse")
+
+    cj = coarse_l.select(F.col("j").alias("cluster"), "cqv")
+    resid = (
+        assign_clusters(qd, coarse_l, id_col)
+        .join(F.broadcast(cj), "cluster")
         .select(
-            "query_id",
+            id_col,
             "cluster",
-            F.struct(
-                "sub", "j", _sub_dist(F.col("sqv"), F.col("cqv")).alias("d")
-            ).alias("__e"),
+            F.zip_with("qv", "cqv", lambda a, b: a - b).alias("qv"),
         )
-        .groupBy("query_id", "cluster")
-        .agg(F.collect_list("__e").alias("__es"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        cents = _fit_codebook(
+            resid.select(id_col, "qv"), id_col, m, ksub, dsub, pq_rounds
+        )
+        cents.write.mode("overwrite").parquet(f"{path}/codebook")
+        cents_l = spark.read.parquet(f"{path}/codebook")
+        codes = _encode_codes(resid.select(id_col, "qv"), cents_l, id_col, m, dsub)
+        resid.select(id_col, "cluster").join(codes, id_col).write.mode(
+            "overwrite"
+        ).partitionBy("cluster").parquet(f"{path}/codes")
+    finally:
+        resid.unpersist()
+
+
+def ivfpq_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Search a persisted IVF-PQ index WITHOUT rebuilding anything:
+    probe each query's ``nprobe`` nearest coarse centroids (n_clusters
+    rows, broadcast), build one ADC table per (query, probed cluster)
+    against the persisted residual codebook, and score only the probed
+    inverted lists' code columns.
+
+    The candidate side reads (id, codes) from the cluster-partitioned
+    ``codes`` dataset — the broadcast probe join prunes the scan to the
+    probed list directories (same dynamic-partition-pruning contract as
+    ``similarity.ivf_search_index``), and each candidate costs m
+    positional lookups, never a vector read. Same arithmetic and
+    tie-breaks as ``ivfpq_topk`` (shared ``_ivfpq_adc_scored`` core), so
+    a rebuilt index reproduces the inline operator bit-for-bit.
+    ``m``/``dim`` must match the build."""
+    from .similarity import probe_clusters
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    coarse = spark.read.parquet(f"{path}/coarse")
+    cents = spark.read.parquet(f"{path}/codebook")
+    cand = spark.read.parquet(f"{path}/codes").select(
+        F.col(id_col).alias("cand_id"), "cluster", "codes"
+    )
+
+    qd = with_quantized(queries, vec_col).select(id_col, "qv", "nq")
+    cj = coarse.select(F.col("j").alias("cluster"), "cqv")
+    rq = (
+        probe_clusters(qd, coarse, id_col, nprobe=nprobe)
+        .join(F.broadcast(cj), "cluster")
         .select(
-            "query_id",
+            F.col(id_col).alias("query_id"),
             "cluster",
-            F.transform(F.array_sort("__es"), lambda e: e["d"]).alias("dtable"),
+            F.zip_with("qv", "cqv", lambda a, b: a - b).alias("qv"),
         )
     )
-    nsub = (F.size("dtable") / F.lit(m)).cast("int")
-    scored = (
-        cand.join(F.broadcast(qdist), "cluster")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                F.lit(0).cast("bigint"),
-                lambda acc, s: acc
-                + F.element_at(
-                    "dtable",
-                    (s * nsub + F.element_at("codes", (s + 1).cast("int"))).cast(
-                        "int"
-                    ),
-                ),
-            ).alias("approx_d"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d"), F.asc("cand_id"))
-    return scored.select("*", F.row_number().over(w).alias("rank")).filter(
-        F.col("rank") <= k
-    )
+    return _rank_topk_by_distance(_ivfpq_adc_scored(cand, rq, cents, m, dsub), k)

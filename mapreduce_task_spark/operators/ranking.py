@@ -27,7 +27,7 @@ order (Spark partial aggs vs DuckDB sequential) cannot change the result.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 K1 = 1.2
 B = 0.75
@@ -144,4 +144,59 @@ def bm25_topk(
         .filter(F.col("n_terms_hit") > 0)
         .orderBy(F.col("score_micro").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    k0: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "cand_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrieval outputs — the
+    standard hybrid-search combiner (lexical BM25 + ANN embedding
+    retrieval feed one fused list): score(q, d) = sum over lists that
+    returned d of 1 / (k0 + rank). Rank-based, so the input lists'
+    incomparable score scales never matter.
+
+    Inputs are (query_col, id_col, rank_col) frames — e.g.
+    ``similarity.ivf_topk`` output directly, or ``bm25_topk`` output
+    with a literal query id and a rank column. Returns
+    (query_id, cand_id, n_lists, rrf_micro, rank) — top-k per query by
+    fused score, ties to candidate id.
+
+    Determinism: each contribution is floored to integer nano-units
+    BEFORE summing (1e9 / (k0 + rank) is one IEEE division), so
+    accumulation order cannot change the fused score — the same
+    micro-unit discipline as ``bm25_topk``. Scale: a unionByName of
+    top-k lists (tiny relative to any corpus), one groupBy on
+    (query, candidate), one per-query window — no corpus access at all.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    contrib = F.floor(
+        F.lit(1_000_000_000.0)
+        / (F.lit(float(k0)) + F.col(rank_col).cast("double"))
+    ).cast("bigint")
+    tagged = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("cand_id"),
+            contrib.alias("__c"),
+        )
+        for r in rankings
+    ]
+    uni = tagged[0]
+    for t in tagged[1:]:
+        uni = uni.unionByName(t)
+    scored = uni.groupBy("query_id", "cand_id").agg(
+        F.count(F.lit(1)).alias("n_lists"), F.sum("__c").alias("rrf_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("cand_id")
+    )
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= k
     )

@@ -265,3 +265,63 @@ class TestIncrementalMinhash:
         solo, _ = incremental_minhash_dedup(second)
         assert n2 == solo.count() > 0
         assert sigs2.count() == sigs1.count() + n2
+
+
+def test_dedup_paragraphs_keeps_first_occurrence_only(spark):
+    """Every distinct paragraph survives exactly once — in its smallest
+    (doc_id, position) occurrence; documents reassemble in original
+    order; an all-duplicate document survives with empty text."""
+    from mapreduce_task_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\nshared para\n\ngamma"),
+            (2, "shared para\n\ndelta"),          # shared para cut (doc 1 pos 1 wins)
+            (3, "shared para"),                    # all-duplicate -> empty
+            (4, "epsilon\n\nepsilon"),             # within-doc dup: first pos kept
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup_paragraphs(docs).collect()}
+    assert out[1] == "alpha beta\n\nshared para\n\ngamma"
+    assert out[2] == "delta"
+    assert out[3] == ""
+    assert out[4] == "epsilon"
+    # corpus-wide: each distinct paragraph text appears exactly once
+    all_paras = [p for t in out.values() if t for p in t.split("\n\n")]
+    assert len(all_paras) == len(set(all_paras))
+
+
+def test_dedup_paragraphs_whitespace_only_paragraphs_dropped(spark):
+    from mapreduce_task_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, "a\n\n   \n\nb"), (2, "   ")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup_paragraphs(docs).collect()}
+    assert out[1] == "a\n\nb" and out[2] == ""
+
+
+def test_quality_delete_list_keeps_best_scored_member(spark):
+    """Per component the argmax-score member survives (ties to smallest
+    id); min-id is NOT the criterion — that's duplicate_delete_list."""
+    from mapreduce_task_spark.operators.dedup import (
+        duplicate_delete_list,
+        quality_delete_list,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (10, 0.4), (11, 0.4)],
+        ["doc_id", "score"],
+    )
+    deleted = {
+        r["doc_id"] for r in quality_delete_list(pairs, scores).collect()
+    }
+    # component {1,2,3}: keep 2 (best score); component {10,11}: tie -> keep 10
+    assert deleted == {1, 3, 11}
+    # contrast with the min-id rule
+    minid = {r["doc_id"] for r in duplicate_delete_list(pairs).collect()}
+    assert minid == {2, 3, 11}

@@ -169,3 +169,57 @@ def test_ivfpq_exact_when_corpus_smaller_than_ksub(spark, sf_small):
     assert len(got) == 3 * 9
     for r in got:
         assert r["approx_d"] == exact[(r["query_id"], r["cand_id"])]
+
+
+def test_ivfpq_index_build_search_split_matches_inline(spark, sf_small, tmp_path):
+    """ivfpq_build_index + ivfpq_search_index must reproduce ivfpq_topk
+    bit-for-bit (same coarse quantizer, residual codebook, ADC tables,
+    tie-breaks) — the build-once/search-many split for the compressed
+    index: at scale the codes dataset is the only thing a search reads."""
+    from mapreduce_task_spark.operators.pq import (
+        ivfpq_build_index,
+        ivfpq_search_index,
+        ivfpq_topk,
+    )
+    from mapreduce_task_spark.sources.partitioned import partition_filters
+
+    emb = load_table(spark, sf_small, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    queries = emb.join(qids, "vec_id")
+    path = str(tmp_path / "ivfpq_index")
+
+    ivfpq_build_index(
+        emb, path, n_clusters=8, m=M, ksub=KSUB, dim=DIM,
+        coarse_rounds=1, pq_rounds=2,
+    )
+    split = ivfpq_search_index(
+        spark, path, queries, k=K, nprobe=2, m=M, dim=DIM
+    )
+    inline = ivfpq_topk(
+        emb, qids, k=K, n_clusters=8, nprobe=2, m=M, ksub=KSUB, dim=DIM,
+        coarse_rounds=1, pq_rounds=2,
+    )
+
+    key = lambda r: (r["query_id"], r["rank"])
+    got = {key(r): (r["cand_id"], r["approx_d"]) for r in split.collect()}
+    want = {key(r): (r["cand_id"], r["approx_d"]) for r in inline.collect()}
+    assert got == want and len(got) > 0
+
+    # search-many: different nprobe reuses the same files, no rebuild,
+    # and widening the probe set can only improve (lower) the best
+    # approximate distance per query
+    wide = ivfpq_search_index(spark, path, queries, k=K, nprobe=4, m=M, dim=DIM)
+    best_wide = {}
+    for r in wide.collect():
+        q = r["query_id"]
+        best_wide[q] = min(best_wide.get(q, r["approx_d"]), r["approx_d"])
+    for (q, rank), (_, d) in got.items():
+        if rank == 1:
+            assert best_wide[q] <= d, q
+
+    # the codes dataset is physically partitioned by cluster: a probed
+    # search prunes the scan to the probed list directories
+    probed = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cluster").isin(1, 2)
+    )
+    assert "cluster" in partition_filters(probed)

@@ -82,3 +82,52 @@ def test_bm25_ranking_is_deterministic_and_bounded(spark, sf_small):
     # scores are non-increasing in rank order
     micros = [s for (_, _, s) in a]
     assert micros == sorted(micros, reverse=True)
+
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    """RRF against a hand-computed fusion: a candidate in BOTH lists
+    accumulates both reciprocal contributions; single-list candidates
+    get one; ties break to the smaller candidate id."""
+    from mapreduce_task_spark.operators.ranking import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3), ("q2", 20, 1)],
+        ["query_id", "cand_id", "rank"],
+    )
+    ann = spark.createDataFrame(
+        [("q1", 11, 1), ("q1", 13, 2), ("q2", 21, 1), ("q2", 20, 2)],
+        ["query_id", "cand_id", "rank"],
+    )
+    out = {
+        (r["query_id"], r["cand_id"]): (r["n_lists"], r["rrf_micro"], r["rank"])
+        for r in rrf_fuse([lex, ann], k=10, k0=60).collect()
+    }
+
+    c = lambda rank: int(1_000_000_000.0 // (60 + rank))
+    import collections
+
+    want = collections.defaultdict(lambda: [0, 0])
+    for df_rows in (
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3), ("q2", 20, 1)],
+        [("q1", 11, 1), ("q1", 13, 2), ("q2", 21, 1), ("q2", 20, 2)],
+    ):
+        for q, d, rk in df_rows:
+            want[(q, d)][0] += 1
+            want[(q, d)][1] += c(rk)
+    assert set(out) == set(want)
+    for key, (n, micro) in want.items():
+        assert out[key][0] == n and out[key][1] == micro, key
+
+    # cand 11 (in both lists) must outrank every single-list candidate
+    ranks_q1 = {d: out[("q1", d)][2] for _, d in out if _ == "q1"}
+    assert ranks_q1[11] == 1
+
+
+def test_rrf_fuse_topk_and_tiebreak(spark):
+    from mapreduce_task_spark.operators.ranking import rrf_fuse
+
+    # identical fused scores -> smaller cand_id wins the rank
+    a = spark.createDataFrame([("q", 5, 1), ("q", 3, 2)], ["query_id", "cand_id", "rank"])
+    b = spark.createDataFrame([("q", 3, 1), ("q", 5, 2)], ["query_id", "cand_id", "rank"])
+    rows = rrf_fuse([a, b], k=1).collect()
+    assert len(rows) == 1 and rows[0]["cand_id"] == 3 and rows[0]["rank"] == 1
