@@ -120,7 +120,14 @@ def _fit_codebook(
         # retain centroids whose cluster emptied: the codebook must stay
         # dense (all m x ksub entries) for positional ADC table lookups
         dead = cents.join(updated.select("sub", "j"), ["sub", "j"], "left_anti")
-        cents = updated.unionByName(dead)
+        # ``cents`` is referenced twice per round (assignment + the
+        # dead-centroid anti-join), so without truncation the lineage
+        # doubles every round and each consumer replays the full
+        # upstream corpus scan. The codebook is m x ksub rows — a lazy
+        # localCheckpoint (no job at plan-build time) pins it so every
+        # later round and every downstream consumer starts from a
+        # materialized leaf, not an exponentially-deep tree.
+        cents = updated.unionByName(dead).localCheckpoint(eager=False)
     return cents
 
 
@@ -206,9 +213,10 @@ def pq_adc_topk(
     codes-only scan is the PQ payoff: candidate vectors are never
     read at search time."""
     dsub = dim // m
+    # codebook lineage is truncated per Lloyd round inside _fit_codebook
+    # (lazy localCheckpoint), so both consumers below read the m*ksub-row
+    # leaf instead of replaying the fit
     cents = pq_fit(df, id_col, vec_col, m, ksub, dim, rounds)
-    # persist-free: codebook is m*ksub rows, recomputed lineage is two
-    # tiny aggs; callers indexing repeatedly should persist it
     codes = pq_encode(df, cents, id_col, vec_col, m, dim)
 
     qd = with_quantized(df, vec_col).select(id_col, "qv")
@@ -370,13 +378,25 @@ def ivfpq_topk(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
     qd, coarse = kmeans_lite_fit(df, id_col, vec_col, n_clusters, dim, coarse_rounds)
+    # the coarse quantizer feeds three consumers (residual projection,
+    # home assignment, query probes); pin its n_clusters rows so the
+    # coarse Lloyd rounds run once — the inline mirror of
+    # ivfpq_build_index's write+read-back of ``coarse``
+    coarse = coarse.localCheckpoint(eager=False)
     cj = coarse.select(F.col("j").alias("cluster"), "cqv")
 
     homed = assign_clusters(qd, coarse, id_col)
-    resid = homed.join(F.broadcast(cj), "cluster").select(
-        id_col,
-        "cluster",
-        F.zip_with("qv", "cqv", lambda a, b: a - b).alias("qv"),
+    resid = (
+        homed.join(F.broadcast(cj), "cluster")
+        .select(
+            id_col,
+            "cluster",
+            F.zip_with("qv", "cqv", lambda a, b: a - b).alias("qv"),
+        )
+        # three consumers (codebook fit, encoding, candidate frame):
+        # pin the residual corpus once, the inline mirror of
+        # ivfpq_build_index's persist(MEMORY_AND_DISK) on ``resid``
+        .localCheckpoint(eager=False)
     )
     cents = _fit_codebook(resid.select(id_col, "qv"), id_col, m, ksub, dsub, pq_rounds)
     codes = _encode_codes(resid.select(id_col, "qv"), cents, id_col, m, dsub)

@@ -112,38 +112,51 @@ def cm_estimate(
 ) -> DataFrame:
     """Point-query the sketch for each key: (key_col, est_count).
 
-    The sketch is at most depth*width rows — packed into one broadcast
-    row so the lookup is a shuffle-free projection (min over the key's
-    depth cells; a missing cell means count 0).
+    The sparse (row, bucket, cnt) sketch rows are scattered ONCE into a
+    dense depth*width grid indexed ``row*width + bucket`` (a single
+    one-row projection, broadcast), so each key costs ``depth``
+    positional ``element_at`` lookups — O(depth) per key, independent
+    of how many cells are occupied. Absent cells are materialized as 0
+    in the grid (no record ever hashed there). The grid build goes
+    through an intermediate map projection (NOT captured inside the
+    fill lambda: higher-order functions re-evaluate captured
+    non-attribute expressions per element, which would rebuild the map
+    depth*width times).
     """
     from ..functions.hashing import minhash_seed_hash
 
-    packed = sketch.agg(
-        F.collect_list(F.struct("row", "bucket", "cnt")).alias("__s")
+    grid = (
+        sketch.agg(F.collect_list(F.struct("row", "bucket", "cnt")).alias("__s"))
+        .select(
+            F.map_from_entries(
+                F.transform(
+                    "__s",
+                    lambda c: F.struct(
+                        (c["row"] * width + c["bucket"]).cast("bigint").alias("k"),
+                        c["cnt"].alias("v"),
+                    ),
+                )
+            ).alias("__m")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(depth * width - 1)),
+                lambda i: F.coalesce(
+                    F.try_element_at("__m", i.cast("bigint")),
+                    F.lit(0).cast("bigint"),
+                ),
+            ).alias("__grid")
+        )
     )
 
     def _cell(r: int):
-        # NOTE: the inner lambda must stay single-parameter — pyspark
-        # treats a two-arg lambda as (element, index) and would shadow r
+        # hash64 is non-negative (15 md5 hex digits), so bucket is in
+        # [0, width): the 1-based dense position is r*width + bucket + 1
         bucket = minhash_seed_hash(F.col(key_col), r) % width
-        return F.coalesce(
-            # try_element_at: an absent cell (empty filter result)
-            # means no record ever hashed there -> count 0
-            F.try_element_at(
-                F.transform(
-                    F.filter(
-                        F.col("__s"),
-                        lambda c: (c["row"] == F.lit(r)) & (c["bucket"] == bucket),
-                    ),
-                    lambda c: c["cnt"],
-                ),
-                F.lit(1),
-            ),
-            F.lit(0).cast("bigint"),
-        )
+        return F.element_at("__grid", (bucket + r * width + 1).cast("int"))
 
     ests = F.array(*[_cell(r) for r in range(depth)])
-    return keys.crossJoin(F.broadcast(packed)).select(
+    return keys.crossJoin(F.broadcast(grid)).select(
         key_col, F.array_min(ests).alias("est_count")
     )
 

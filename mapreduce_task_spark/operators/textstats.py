@@ -226,25 +226,34 @@ def collocations_pmi(
     aggregated map-side; the unigram table joins back twice via
     broadcast when small or shuffle otherwise — Catalyst picks. Top-k
     is TakeOrderedAndProject.
+
+    The token array is materialized in its own projection BEFORE the
+    bigram lambda touches it: higher-order functions re-evaluate
+    captured non-attribute expressions per element, so capturing the
+    raw tokenization expression (split + per-token regex) inside the
+    transform would re-tokenize the whole document once per bigram —
+    an in-row quadratic. ``element_at`` against the materialized
+    column attribute is O(1) per element instead.
     """
-    toks = _toks(text_col)
+    tokd = df.select(_toks(text_col).alias("t"))
+    t = F.col("t")
     grams = F.when(
-        F.size(toks) >= 2,
+        F.size(t) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
+            F.sequence(F.lit(1), F.size(t) - 1),
             lambda i: F.struct(
-                F.element_at(toks, i.cast("int")).alias("w1"),
-                F.element_at(toks, (i + 1).cast("int")).alias("w2"),
+                F.element_at(t, i.cast("int")).alias("w1"),
+                F.element_at(t, (i + 1).cast("int")).alias("w2"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
 
-    tok_rows = df.select(F.explode(toks).alias("w"))
+    tok_rows = tokd.select(F.explode(t).alias("w"))
     uni = tok_rows.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
     n_tokens = tok_rows.agg(F.count(F.lit(1)).alias("n_total"))
 
     bi = (
-        df.select(F.explode(grams).alias("g"))
+        tokd.select(F.explode(grams).alias("g"))
         .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_pair"))
