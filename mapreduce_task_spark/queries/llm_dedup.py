@@ -143,19 +143,66 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(t(spark, sf_dir, "documents"))
 
 
-@query(
-    "dedup_minhash",
-    f"WITH {_SIG_CTE} SELECT * FROM sig",
-    doc=f"MinHash signatures ({NUM_HASHES} md5-seeded hashes over 3-gram shingles).",
+_SIMHASH_BITS = 32
+_VOTE_EXPRS = ",\n  ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(_SIMHASH_BITS)
 )
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_signature(shingles(t(spark, sf_dir, "documents")))
+_BIT_SUM = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIMHASH_BITS)
+)
+
+_MH_COLS = ", ".join(f"mh{i}" for i in range(NUM_HASHES))
+_MH_NULLS = ", ".join(f"CAST(NULL AS BIGINT) AS mh{i}" for i in range(NUM_HASHES))
 
 
 @query(
-    "dedup_minhash_lsh",
+    "dedup_signatures",
     f"""
 WITH {_SIG_CTE},
+th AS (SELECT doc_id, {hash64_duckdb_sql('word')} AS h FROM wf),
+votes AS (SELECT doc_id, {_VOTE_EXPRS} FROM th GROUP BY doc_id)
+SELECT 'minhash' AS leg, doc_id, {_MH_COLS}, CAST(NULL AS BIGINT) AS simhash
+FROM sig
+UNION ALL
+SELECT 'simhash' AS leg, doc_id, {_MH_NULLS},
+       CAST({_BIT_SUM} AS BIGINT) AS simhash
+FROM votes
+""",
+    doc="Per-document dedup signatures as a two-leg tagged union (merges "
+    "the former dedup_minhash / dedup_simhash rows, round 6 — both emit "
+    f"one signature row per doc). minhash leg: {NUM_HASHES} md5-seeded "
+    "affine hashes minimized over 3-gram shingles (the LSH banding "
+    f"input). simhash leg: {_SIMHASH_BITS}-bit Charikar "
+    "sign-of-vote-sums fingerprint over normalized words (Hamming-"
+    "near-dup blocking). Both legs are one groupBy(doc) over an "
+    "exploded-token projection; the oracle replays the identical hash "
+    "families bit-for-bit.",
+)
+def q_dedup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import words
+
+    docs = t(spark, sf_dir, "documents")
+    nul = F.lit(None).cast("long")
+    mh = minhash_signature(shingles(docs)).select(
+        F.lit("minhash").alias("leg"),
+        "doc_id",
+        *[F.col(f"mh{i}").cast("long") for i in range(NUM_HASHES)],
+        nul.alias("simhash"),
+    )
+    sh = simhash(words(docs, keep=("doc_id",)), bits=_SIMHASH_BITS).select(
+        F.lit("simhash").alias("leg"),
+        "doc_id",
+        *[nul.alias(f"mh{i}") for i in range(NUM_HASHES)],
+        F.col("simhash").cast("long"),
+    )
+    return mh.unionByName(sh)
+
+
+# LSH candidate pairs verified at exact Jaccard >= 0.5, as a reusable
+# CTE chain ending in ``pairs`` (shared by dedup_minhash_lsh and the
+# quality_delete_list component replay).
+_LSH_PAIRS_CTE = f"""{_SIG_CTE},
 bands AS ({_BAND_SELECTS}),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b
@@ -165,13 +212,20 @@ inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
           FROM cand c
           JOIN sh sa ON sa.doc_id = c.id_a
           JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
-          GROUP BY c.id_a, c.id_b)
-SELECT i.id_a, i.id_b,
+          GROUP BY c.id_a, c.id_b),
+pairs AS (SELECT i.id_a, i.id_b,
        CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) AS jaccard
 FROM inter i
 JOIN sizes na ON na.doc_id = i.id_a
 JOIN sizes nb ON nb.doc_id = i.id_b
-WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5
+WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5)"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+WITH {_LSH_PAIRS_CTE}
+SELECT id_a, id_b, jaccard FROM pairs
 """,
     doc=f"MinHash-LSH near-dup: {BANDS} bands x {_ROWS_PER_BAND} rows bucket join, "
     "then exact-Jaccard verification at >= 0.5.",
@@ -183,32 +237,6 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _persist(shingles(t(spark, sf_dir, "documents")))
     cand = lsh_candidate_pairs(lsh_bands(minhash_signature(sh)))
     return jaccard_verify(cand, sh).filter(F.col("jaccard") >= 0.5)
-
-
-_SIMHASH_BITS = 32
-_VOTE_EXPRS = ",\n  ".join(
-    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
-    for i in range(_SIMHASH_BITS)
-)
-_BIT_SUM = " + ".join(
-    f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIMHASH_BITS)
-)
-
-
-@query(
-    "dedup_simhash",
-    f"""
-WITH {_WORDS_CTE},
-th AS (SELECT doc_id, {hash64_duckdb_sql('word')} AS h FROM wf),
-votes AS (SELECT doc_id, {_VOTE_EXPRS} FROM th GROUP BY doc_id)
-SELECT doc_id, CAST({_BIT_SUM} AS BIGINT) AS simhash FROM votes
-""",
-    doc=f"{_SIMHASH_BITS}-bit SimHash fingerprint (Charikar sign-of-vote-sums).",
-)
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import words
-
-    return simhash(words(t(spark, sf_dir, "documents"), keep=("doc_id",)), bits=_SIMHASH_BITS)
 
 
 _NGRAM_DF_MAX = 16
@@ -636,3 +664,113 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "cand_id", "approx_d", F.col("rank").cast("int").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup + quality-aware delete list (r5 operators,
+# driver-verified r6)
+
+_PARA_WORDS = 32  # non-overlapping word windows used as pseudo-paragraphs
+
+# The synthetic documents table is a single line of words (no \n), so the
+# query materializes the Dolma-style fallback for break-free corpora:
+# fixed 32-word windows joined by blank lines become the "paragraphs",
+# and dedup_paragraphs then splits, first-occurrence-dedups, and
+# reassembles them. The oracle exploits that round-trip being exact
+# (window text has no newlines, no edge spaces), so paragraphs == windows.
+_PARA_CTE = rf"""
+toks AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '\s+'), w -> w != '') AS t
+         FROM documents),
+nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+st AS (SELECT doc_id, t, n,
+              unnest(range(0, greatest(n - 1, 0) + 1, {_PARA_WORDS})) AS s
+       FROM nz),
+ch AS (SELECT doc_id, CAST(s // {_PARA_WORDS} AS INTEGER) AS pn,
+              array_to_string(list_slice(t, s + 1, least(s + {_PARA_WORDS}, n)), ' ') AS para
+       FROM st)
+"""
+
+
+@query(
+    "dedup_paragraphs",
+    f"""
+WITH {_PARA_CTE},
+r AS (SELECT doc_id, pn, para,
+             row_number() OVER (PARTITION BY {hash64_duckdb_sql('para')}
+                                ORDER BY doc_id, pn) AS rn
+      FROM ch),
+re AS (SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pn) AS text
+       FROM r WHERE rn = 1 GROUP BY doc_id)
+SELECT nz.doc_id, coalesce(re.text, '') AS text
+FROM nz LEFT JOIN re USING (doc_id)
+""",
+    doc="Paragraph-level exact dedup (operators/dedup.py:dedup_paragraphs "
+    "— the Dolma/CCNet step between document dedup and quality "
+    "filtering; r5 pytest-only, driver-verified r6): every distinct "
+    "paragraph survives once, in its first (doc, position) occurrence; "
+    "documents reassemble from survivors in original order, possibly "
+    f"empty. The corpus has no natural breaks, so {_PARA_WORDS}-word "
+    "non-overlapping windows joined by blank lines stand in as "
+    "paragraphs (the fixed-window fallback). Scale: paragraph text "
+    "never rides a shuffle — only its md5-derived 8-byte hash does "
+    "(one groupBy(hash) keeping min(struct(doc,pos)), one hash "
+    "equi-join back, one per-doc re-aggregation).",
+)
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_documents
+    from ..operators.dedup import dedup_paragraphs
+
+    docs = t(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, chunk_words=_PARA_WORDS, overlap=0)
+    paradocs = ch.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+            "\n\n",
+        ).alias("text")
+    )
+    return dedup_paragraphs(paradocs, sep="\n\n", min_chars=1)
+
+
+@query(
+    "quality_delete_list",
+    f"""
+WITH RECURSIVE {_LSH_PAIRS_CTE},
+e2 AS (SELECT id_a AS u, id_b AS v FROM pairs
+       UNION SELECT id_b AS u, id_a AS v FROM pairs),
+nodes AS (SELECT DISTINCT u FROM e2),
+reach(src, node) AS (
+  SELECT u, u FROM nodes
+  UNION
+  SELECT r.src, e2.v FROM reach r JOIN e2 ON e2.u = r.node
+),
+comp AS (SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src),
+scored AS (SELECT c.doc_id,
+                  row_number() OVER (PARTITION BY c.component
+                                     ORDER BY d.n_chars DESC, c.doc_id) AS rn
+           FROM comp c JOIN documents d USING (doc_id))
+SELECT doc_id FROM scored WHERE rn > 1
+""",
+    doc="Quality-aware near-dup delete list (operators/dedup.py:"
+    "quality_delete_list; r5 pytest-only, driver-verified r6): LSH "
+    "candidate pairs verified at Jaccard >= 0.5 group into connected "
+    "components (bounded min-label propagation, the non-transitivity "
+    "fix), then each cluster keeps its highest-quality member — here "
+    "scored by n_chars (the score frame is pluggable; production feeds "
+    "textstats.text_quality) — and lists the rest for deletion. The "
+    "oracle replays components as a recursive min-reachable-id closure "
+    "(label propagation's fixpoint) and the same argmax window.",
+)
+def q_quality_delete_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import quality_delete_list
+
+    docs = t(spark, sf_dir, "documents")
+    sh = _persist(shingles(docs))
+    pairs = jaccard_verify(
+        lsh_candidate_pairs(lsh_bands(minhash_signature(sh))), sh
+    ).filter(F.col("jaccard") >= 0.5)
+    scores = docs.select("doc_id", F.col("n_chars").cast("long").alias("score"))
+    return quality_delete_list(pairs, scores, score_col="score")

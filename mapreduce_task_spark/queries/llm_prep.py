@@ -51,29 +51,7 @@ _PACK_KEY = hash64_duckdb_sql(
 
 
 @query(
-    "chunk_documents",
-    f"""
-WITH {_CHUNKS_CTE}
-SELECT doc_id, chunk_idx, CAST(len(c) AS BIGINT) AS n_words,
-       array_to_string(c, ' ') AS chunk_text
-FROM ch
-""",
-    doc=f"Overlapping word-window chunking (chunk={_CHUNK_WORDS}, "
-    f"overlap={_OVERLAP}): pure codegen split/sequence/posexplode/slice, "
-    "shuffle-free (plan-asserted in tests); the oracle regenerates the "
-    "identical start sequence and slices.",
-)
-def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = chunk_documents(
-        t(spark, sf_dir, "documents"), chunk_words=_CHUNK_WORDS, overlap=_OVERLAP
-    )
-    return out.select(
-        "doc_id", "chunk_idx", F.col("n_words").cast("long").alias("n_words"), "chunk_text"
-    )
-
-
-@query(
-    "pack_chunks",
+    "chunking_shapes",
     f"""
 WITH {_CHUNKS_CTE},
 sized AS (SELECT doc_id, chunk_idx, CAST(len(c) AS BIGINT) AS n_words FROM ch),
@@ -82,21 +60,59 @@ p AS (SELECT *, coalesce(sum(n_words) OVER (
           PARTITION BY shard ORDER BY doc_id, chunk_idx
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
       FROM sh)
-SELECT doc_id, chunk_idx, n_words, shard,
+SELECT 'chunk' AS leg, doc_id, chunk_idx, CAST(len(c) AS BIGINT) AS n_words,
+       array_to_string(c, ' ') AS chunk_text,
+       CAST(NULL AS BIGINT) AS shard, CAST(NULL AS BIGINT) AS bin
+FROM ch
+UNION ALL
+SELECT 'pack' AS leg, doc_id, chunk_idx, n_words,
+       CAST(NULL AS VARCHAR) AS chunk_text, shard,
        CAST(floor(prefix / {_BUDGET}) AS BIGINT) AS bin
 FROM p
 """,
-    doc=f"Shard-local sequence packing (budget={_BUDGET}, "
-    f"shards={_N_SHARDS}): md5-hash sharding + per-shard exclusive-"
-    "prefix-sum binning — shard-sized window state, within one item of "
-    "greedy per bin (waste bound property-tested); the oracle replays "
-    "the hash and the window bit-for-bit.",
+    doc="Chunking + packing coverage as a two-leg tagged union (merges "
+    f"the former chunk_documents / pack_chunks rows, round 6; pack "
+    "already re-derives the chunk frame, so the pair shares one "
+    f"lineage). chunk leg: overlapping word windows (chunk="
+    f"{_CHUNK_WORDS}, overlap={_OVERLAP}) — pure codegen split/"
+    "sequence/posexplode/slice, shuffle-free (plan-asserted in tests). "
+    f"pack leg: shard-local sequence packing (budget={_BUDGET}, shards="
+    f"{_N_SHARDS}) — md5-hash sharding + per-shard exclusive-prefix-sum "
+    "binning, shard-sized window state, within one item of greedy per "
+    "bin (waste bound property-tested). The oracle regenerates the "
+    "identical start sequence/slices and replays hash + window "
+    "bit-for-bit.",
 )
-def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_chunking_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = chunk_documents(
         t(spark, sf_dir, "documents"), chunk_words=_CHUNK_WORDS, overlap=_OVERLAP
-    ).select("doc_id", "chunk_idx", F.col("n_words").cast("long").alias("n_words"))
-    return pack_chunks(chunks, budget=_BUDGET, n_shards=_N_SHARDS)
+    )
+    nul_b = F.lit(None).cast("long")
+    chunk_leg = chunks.select(
+        F.lit("chunk").alias("leg"),
+        "doc_id",
+        "chunk_idx",
+        F.col("n_words").cast("long").alias("n_words"),
+        "chunk_text",
+        nul_b.alias("shard"),
+        nul_b.alias("bin"),
+    )
+    pack_leg = pack_chunks(
+        chunks.select(
+            "doc_id", "chunk_idx", F.col("n_words").cast("long").alias("n_words")
+        ),
+        budget=_BUDGET,
+        n_shards=_N_SHARDS,
+    ).select(
+        F.lit("pack").alias("leg"),
+        "doc_id",
+        "chunk_idx",
+        "n_words",
+        F.lit(None).cast("string").alias("chunk_text"),
+        "shard",
+        "bin",
+    )
+    return chunk_leg.unionByName(pack_leg)
 
 
 _SAMPLE_FRACTION = 0.25

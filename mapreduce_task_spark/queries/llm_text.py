@@ -23,7 +23,7 @@ from ..operators.textstats import (
 )
 from ..functions.hashing import hash64_duckdb_sql
 from ..registry import query, t
-from .llm_dedup import _SHINGLE_CTE
+from .llm_dedup import _QVEC_CTE, _SHINGLE_CTE
 
 # DuckDB fragment: normalized token list (same pipeline as
 # functions.text.normalized_tokens).
@@ -95,9 +95,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "lang_id",
-    f"""
-WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    "text_profiles",
+    rf"""
+WITH tk AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
 SELECT doc_id,
   {_hits('en')} AS en_hits, {_hits('de')} AS de_hits,
   {_hits('fr')} AS fr_hits, {_hits('es')} AS es_hits,
@@ -107,30 +107,27 @@ SELECT doc_id,
     WHEN {_hits('de')} >= {_hits('fr')} AND {_hits('de')} >= {_hits('es')} THEN 'de'
     WHEN {_hits('fr')} >= {_hits('es')} THEN 'fr'
     ELSE 'es'
-  END AS pred_lang
-FROM tk
-""",
-    doc="Stopword-vote language ID (en/de/fr/es, fixed tie precedence).",
-)
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return language_id(t(spark, sf_dir, "documents"))
-
-
-@query(
-    "token_stats",
-    rf"""
-SELECT doc_id,
+  END AS pred_lang,
   CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT)
     AS n_ws_tokens,
-  CAST(len({_TOKS}) AS BIGINT) AS n_norm_words,
+  CAST(len(toks) AS BIGINT) AS n_norm_words,
   CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_RE}')) AS BIGINT) AS n_bpe_ish,
   CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_tokens_char4
-FROM documents
+FROM tk
 """,
-    doc="Token-count estimators: whitespace, BPE-ish regex pieces, chars/4.",
+    doc="Per-document language + tokenization profile (merges the former "
+    "lang_id / token_stats rows, round 6 — both are per-doc codegen "
+    "projections over the same scan, joined on doc_id into one wide "
+    "row). Stopword-vote language ID (en/de/fr/es, fixed tie "
+    "precedence) plus token-count estimators (whitespace, BPE-ish "
+    "regex pieces, chars/4). Shuffle count: the operators compose as "
+    "two shuffle-free projections + one equi-join on the id; inlining "
+    "both expression sets into a single select is the zero-join "
+    "production form.",
 )
-def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return token_counts(t(spark, sf_dir, "documents"))
+def q_text_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return language_id(docs).join(token_counts(docs), "doc_id")
 
 
 @query(
@@ -175,10 +172,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(with_binary_payload(t(spark, sf_dir, "documents")))
 
 
-@query(
-    "bm25_search",
-    oracle="""
-    WITH toks AS (
+# BM25 scoring CTE chain ending in ``bm25`` (doc_id, n_terms_hit,
+# score_micro) — shared by bm25_search and the rrf_fuse lexical leg.
+_BM25_CTES = """toks AS (
       SELECT doc_id, string_split(text, ' ') AS toks,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
       FROM documents
@@ -204,10 +200,20 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                          + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
                    * 1000000.0) AS score_micro_term
       FROM tf JOIN dfreq USING (term) CROSS JOIN corpus
-    )
+    ),
+    bm25 AS (
     SELECT doc_id, count(*) AS n_terms_hit,
            CAST(sum(score_micro_term) AS BIGINT) AS score_micro
     FROM scored GROUP BY doc_id
+    )"""
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, n_terms_hit, score_micro
+    FROM bm25
     ORDER BY score_micro DESC, doc_id
     LIMIT 50
     """,
@@ -230,6 +236,84 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["spark", "join", "query"],
         k=50,
     )
+
+
+_RRF_K0 = 60   # reciprocal-rank fusion constant
+_RRF_K = 20    # fused list depth
+_RRF_LEG_K = 50  # per-ranker list depth fed into fusion
+
+
+@query(
+    "rrf_fuse",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    lex AS (SELECT CAST(0 AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS cand_id, rank
+            FROM (SELECT doc_id,
+                         row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+                  FROM bm25)
+            WHERE rank <= {_RRF_LEG_K}),
+    {_QVEC_CTE.strip().rstrip()},
+    ann AS (SELECT query_id, cand_id, rank FROM (
+              SELECT CAST(q.vec_id AS BIGINT) AS query_id,
+                     CAST(c.vec_id AS BIGINT) AS cand_id,
+                     row_number() OVER (
+                       ORDER BY list_dot_product(q.qv, c.qv)
+                                / (sqrt(q.nq) * sqrt(c.nq)) DESC, c.vec_id) AS rank
+              FROM nv q JOIN nv c ON c.vec_id != q.vec_id
+              WHERE q.vec_id = 0)
+            WHERE rank <= {_RRF_LEG_K}),
+    uni AS (SELECT query_id, cand_id,
+                   CAST(floor(1000000000.0 / ({_RRF_K0}.0 + CAST(rank AS DOUBLE)))
+                        AS BIGINT) AS c
+            FROM lex
+            UNION ALL
+            SELECT query_id, cand_id,
+                   CAST(floor(1000000000.0 / ({_RRF_K0}.0 + CAST(rank AS DOUBLE)))
+                        AS BIGINT) AS c
+            FROM ann),
+    sc AS (SELECT query_id, cand_id, count(*) AS n_lists,
+                  CAST(sum(c) AS BIGINT) AS rrf_micro
+           FROM uni GROUP BY query_id, cand_id)
+    SELECT query_id, cand_id, n_lists, rrf_micro, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf_micro DESC, cand_id) AS rank
+          FROM sc)
+    WHERE rank <= {_RRF_K}
+    """,
+    doc="Hybrid-search reciprocal-rank fusion end-to-end (operators/"
+    "ranking.py:rrf_fuse; r5 pytest-only, driver-verified r6): the "
+    f"BM25 top-{_RRF_LEG_K} lexical list for the 3-term keyword query "
+    f"and the exact-cosine top-{_RRF_LEG_K} embedding neighbors of "
+    "vector 0 (doc ids and vec ids share the key domain) fuse as "
+    f"score = sum(1e9 // ({_RRF_K0} + rank)) — contributions floored "
+    "to integer nano-units BEFORE summing so accumulation order can "
+    "never change the fused ranking. Scale: fusion touches only the "
+    "two top-k lists (one groupBy + one tiny window) — no corpus "
+    "access; each input ranker keeps its own scale story.",
+)
+def q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..operators.ranking import bm25_topk, rrf_fuse
+    from ..operators.similarity import brute_force_topk
+
+    docs = t(spark, sf_dir, "documents")
+    lex = bm25_topk(docs, spark, ["spark", "join", "query"], k=_RRF_LEG_K)
+    wl = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    lex_r = lex.select(
+        F.lit(0).cast("long").alias("query_id"),
+        F.col("doc_id").cast("long").alias("cand_id"),
+        F.row_number().over(wl).alias("rank"),
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    ann = brute_force_topk(
+        emb, emb.select("vec_id").filter(F.col("vec_id") == 0), k=_RRF_LEG_K
+    ).select(
+        F.col("query_id").cast("long"),
+        F.col("cand_id").cast("long"),
+        "rank",
+    )
+    return rrf_fuse([lex_r, ann], k=_RRF_K, k0=_RRF_K0)
 
 
 _PHRASE = "Fast, scan!"  # normalizes to [fast, scan] — exercises the

@@ -18,7 +18,7 @@ from ..registry import query, t
 
 
 @query(
-    "resample_ffill",
+    "timeseries_shapes",
     oracle="""
     WITH per_bucket AS (
       SELECT user_id, time_bucket(INTERVAL '6 hours', ts) AS bucket,
@@ -32,7 +32,8 @@ from ..registry import query, t
              unnest(generate_series(min(bucket), max(bucket),
                                     INTERVAL '6 hours')) AS bucket
       FROM per_bucket GROUP BY user_id
-    )
+    ),
+    resample AS (
     SELECT s.user_id,
            strftime(s.bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
            coalesce(p.n_events, 0) AS n_events,
@@ -43,39 +44,8 @@ from ..registry import query, t
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
            CAST(CASE WHEN p.n_events IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
     FROM spine s LEFT JOIN per_bucket p USING (user_id, bucket)
-    """,
-    doc="Per-user fixed-interval resampling with gap buckets and forward "
-    "fill (operators/timeseries.py): dense 6h bucket spine generated from "
-    "each user's own [min,max] span via sequence()+explode, bucket "
-    "aggregates left-joined on, gaps forward-filled with a per-user "
-    "last(ignorenulls) running window. One (user,bucket) shuffle; fill "
-    "state bounded per user — the batch face of a feature-store "
-    "materialization at 100 TB.",
-)
-def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dense = resample_ffill(
-        t(spark, sf_dir, "events"),
-        key_col="user_id",
-        ts_col="ts",
-        value_col="value",
-        interval="6 hours",
-        order_col="event_id",
-    )
-    return dense.select(
-        "user_id",
-        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
-        "n_events",
-        "sum_value",
-        "last_value",
-        "filled_value",
-        "is_gap",
-    )
-
-
-@query(
-    "outlier_mad",
-    oracle="""
-    WITH c AS (
+    ),
+    c AS (
       SELECT event_id, event_type, value,
              CAST(round(value * 100) AS BIGINT) AS cents
       FROM events
@@ -85,22 +55,83 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     d AS (SELECT c.*, abs(c.cents - med.med) AS dev
           FROM c JOIN med USING (event_type)),
     mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
-            FROM d GROUP BY event_type)
+            FROM d GROUP BY event_type),
+    outliers AS (
     SELECT d.event_id, d.event_type, d.value,
            CAST(d.dev * 2 AS BIGINT) AS dev_halfcents
     FROM d JOIN mad USING (event_type)
     WHERE d.dev > mad.mad * 4.4478
+    )
+    SELECT 'resample' AS leg, user_id, bucket_start, n_events, sum_value,
+           last_value, filled_value, is_gap,
+           CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS DOUBLE) AS value, CAST(NULL AS BIGINT) AS dev_halfcents
+    FROM resample
+    UNION ALL
+    SELECT 'outlier' AS leg, CAST(NULL AS BIGINT) AS user_id,
+           CAST(NULL AS VARCHAR) AS bucket_start, CAST(NULL AS BIGINT) AS n_events,
+           CAST(NULL AS DOUBLE) AS sum_value, CAST(NULL AS DOUBLE) AS last_value,
+           CAST(NULL AS DOUBLE) AS filled_value, CAST(NULL AS INT) AS is_gap,
+           event_id, event_type, value, dev_halfcents
+    FROM outliers
     """,
-    doc="Per-event-type robust outlier flagging via median/MAD z-scores "
-    "(operators/timeseries.py): values quantized to integer cents so both "
-    "exact percentile passes interpolate to exact binary doubles and the "
-    "|x-med| > 4.4478*MAD compare is bit-stable. Two grouped percentile "
-    "aggs + two broadcast stats joins; approx_percentile is the drop-in "
-    "at 100 TB (the stats side stays |groups| rows).",
+    doc="Batch time-series coverage as a two-leg tagged union (merges the "
+    "former resample_ffill / outlier_mad rows, round 6). resample leg: "
+    "per-user 6h resampling with gap buckets and forward fill — dense "
+    "bucket spine from each user's own [min,max] span via "
+    "sequence()+explode, bucket aggregates left-joined on, gaps filled "
+    "with a per-user last(ignorenulls) running window; one "
+    "(user,bucket) shuffle, fill state bounded per user. outlier leg: "
+    "per-event-type robust median/MAD z-score flagging over integer "
+    "cents so both exact percentile passes and the 4.4478*MAD compare "
+    "are bit-stable; approx_percentile is the 100 TB drop-in.",
 )
-def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    return mad_outliers(ev, group_col="event_type", value_col="value")
+def q_timeseries_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    dense = resample_ffill(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        interval="6 hours",
+        order_col="event_id",
+    )
+    nul_b = F.lit(None).cast("long")
+    nul_s = F.lit(None).cast("string")
+    nul_d = F.lit(None).cast("double")
+    res_leg = dense.select(
+        F.lit("resample").alias("leg"),
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "n_events",
+        "sum_value",
+        "last_value",
+        "filled_value",
+        "is_gap",
+        nul_b.alias("event_id"),
+        nul_s.alias("event_type"),
+        nul_d.alias("value"),
+        nul_b.alias("dev_halfcents"),
+    )
+    out_leg = mad_outliers(
+        ev.select("event_id", "event_type", "value"),
+        group_col="event_type",
+        value_col="value",
+    ).select(
+        F.lit("outlier").alias("leg"),
+        nul_b.alias("user_id"),
+        nul_s.alias("bucket_start"),
+        nul_b.alias("n_events"),
+        nul_d.alias("sum_value"),
+        nul_d.alias("last_value"),
+        nul_d.alias("filled_value"),
+        F.lit(None).cast("int").alias("is_gap"),
+        "event_id",
+        "event_type",
+        "value",
+        "dev_halfcents",
+    )
+    return res_leg.unionByName(out_leg)
 
 
 @query(

@@ -99,3 +99,56 @@ def test_pagerank_matches_reference_with_dangling(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
     # the hub receiving two in-links outranks the dangling sink's source
     assert got[0] > got[3]
+
+
+def _py_pagerank_int(pairs, n_iters=6, d_ppm=850_000, scale=10**12):
+    nodes = sorted({x for e in pairs for x in e})
+    n = len(nodes)
+    out = {}
+    for a, b in pairs:
+        out.setdefault(a, set()).add(b)
+    r = {v: scale // n for v in nodes}
+    for _ in range(n_iters):
+        dangling = sum(r[v] for v in nodes if v not in out)
+        contrib = {v: 0 for v in nodes}
+        for a, outs in out.items():
+            for b in outs:
+                contrib[b] += ((r[a] * d_ppm) // 1_000_000) // len(outs)
+        base = (scale - d_ppm * 1_000_000) // n + ((d_ppm * dangling) // 1_000_000) // n
+        r = {v: base + contrib[v] for v in nodes}
+    return r
+
+
+def test_pagerank_int_matches_python_replay_exactly(spark):
+    from mapreduce_task_spark.operators.graph import pagerank_int
+
+    pairs = [(3, 0), (1, 0), (0, 1), (1, 2), (3, 1)]
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in pairs], "src bigint, dst bigint"
+    )
+    got = {r["node"]: r["rank_pu"] for r in pagerank_int(df, iters=6).collect()}
+    want = _py_pagerank_int(pairs, 6)
+    assert got == want  # bit-exact: integer arithmetic is order-free
+
+
+def test_pagerank_int_tracks_float_pagerank(spark):
+    from mapreduce_task_spark.operators.graph import pagerank, pagerank_int
+
+    x = 42
+    pairs = []
+    for _ in range(60):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        a, b = (x >> 3) % 15, (x >> 9) % 15
+        if a != b:
+            pairs.append((a, b))
+    pairs = sorted(set(pairs))
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in pairs], "src bigint, dst bigint"
+    )
+    f = {r["node"]: r["rank"] for r in pagerank(df, iters=6).collect()}
+    i = {r["node"]: r["rank_pu"] / 1e12 for r in pagerank_int(df, iters=6).collect()}
+    assert set(f) == set(i)
+    for v in f:
+        # floor losses are bounded: ~iters * (outdeg+2) pico-units/node
+        assert abs(f[v] - i[v]) < 1e-6, (v, f[v], i[v])
+    assert abs(sum(i.values()) - 1.0) < 1e-6  # mass conserved to floor loss

@@ -158,14 +158,20 @@ def test_join_strategy_hints_are_honored(spark, sf_small):
 
 
 def test_audited_scan_counts_hold(spark, sf_small):
-    """Pins the round-4 scan-reduction audits: funnel and resample read
-    their source exactly once; bm25 reads the text projection twice
-    (stats + scoring passes — persisting the projection makes it one).
-    A regression here silently multiplies 100 TB read volume."""
+    """Pins the round-4 scan-reduction audits: funnel reads its source
+    exactly once; bm25 reads the text projection twice (stats + scoring
+    passes — persisting the projection makes it one); the merged
+    timeseries_shapes row reads events 5x — 1 for the resample leg
+    (its round-4 single-scan audit holds) + 4 for the outlier leg,
+    whose two exact-percentile stats passes each re-derive their input
+    (med: scan+agg feeding the dev join, mad: the same over dev;
+    approx_percentile or persisting the cents projection collapses it
+    to 2 at 100 TB). A regression here silently multiplies 100 TB read
+    volume."""
     from mapreduce_task_spark.registry import all_queries
 
     qs = all_queries()
-    expect = {"funnel_steps": 1, "resample_ffill": 1, "bm25_search": 2}
+    expect = {"funnel_steps": 1, "timeseries_shapes": 5, "bm25_search": 2}
     got = {}
     for name, cap in expect.items():
         plan = (

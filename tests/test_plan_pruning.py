@@ -40,14 +40,16 @@ def test_embedding_norms_scan_prunes_label(spark, sf_small):
     assert schemas and "label" not in schemas[0], schemas
 
 
-def test_chunk_documents_scan_reads_only_id_and_text(spark, sf_small):
-    df = all_queries()["chunk_documents"].fn(spark, sf_small)
+def test_chunking_shapes_scans_read_only_id_and_text(spark, sf_small):
+    # both legs of the merged chunking union derive from the chunk frame:
+    # every documents scan must project only (doc_id, text)
+    df = all_queries()["chunking_shapes"].fn(spark, sf_small)
     schemas = _read_schemas(df)
     assert schemas
-    s = schemas[0]
-    assert "doc_id" in s and "text" in s
-    for unused in ("lang", "source", "n_chars"):
-        assert unused not in s, s
+    for s in schemas:
+        assert "doc_id" in s and "text" in s
+        for unused in ("lang", "source", "n_chars"):
+            assert unused not in s, s
 
 
 def test_sampling_shapes_scans_prune_text_column(spark, sf_small):
