@@ -174,6 +174,34 @@ def main() -> int:
                 search_once() for _ in range(best_of)
             )
             shutil.rmtree(idx_dir, ignore_errors=True)
+
+            # Same split for IVF-PQ (r5 verdict #3): codes-at-rest index
+            # built once, then ADC search against the cluster-partitioned
+            # inverted lists only.
+            from mapreduce_task_spark.operators.pq import (
+                ivfpq_build_index,
+                ivfpq_search_index,
+            )
+
+            pq_dir = tempfile.mkdtemp(prefix="bench_ivfpq_index_")
+            t0 = time.perf_counter()
+            ivfpq_build_index(
+                emb, pq_dir, n_clusters=8, m=8, ksub=16, dim=64,
+                coarse_rounds=1, pq_rounds=2,
+            )
+            extras["ivfpq_index_build_sec"] = round(time.perf_counter() - t0, 3)
+
+            def pq_search_once() -> float:
+                t0 = time.perf_counter()
+                ivfpq_search_index(
+                    spark, pq_dir, queries, k=10, nprobe=2, m=8, dim=64
+                ).write.format("noop").mode("overwrite").save()
+                return round(time.perf_counter() - t0, 3)
+
+            extras["ivfpq_search_only_sec"] = min(
+                pq_search_once() for _ in range(best_of)
+            )
+            shutil.rmtree(pq_dir, ignore_errors=True)
         except Exception as e:
             print(f"bench: ivf split extra failed: {e!r:.200}", file=sys.stderr)
 

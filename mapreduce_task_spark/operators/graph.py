@@ -205,9 +205,13 @@ def pagerank_int(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    outd = e.groupBy("node").agg(F.count(F.lit(1)).alias("outd")).localCheckpoint(
-        eager=False
-    )
+    outd = e.groupBy("node").agg(F.count(F.lit(1)).alias("outd"))
+    # static per-round inputs, materialized once: the degree-annotated
+    # edge list (so each round pays ONE rank join, not rank ⋈ outd ⋈ e)
+    # and the dangling-vertex set (out-degree-0 nodes never change;
+    # re-deriving them per round via an anti-join is wasted work)
+    ew = e.join(outd, "node").localCheckpoint(eager=False)
+    dangv = verts.join(outd, "node", "left_anti").localCheckpoint(eager=False)
     nf = verts.agg(F.count(F.lit(1)).alias("n"))
     d6 = damping_ppm * 1_000_000
 
@@ -216,12 +220,11 @@ def pagerank_int(
     )
     for _ in range(iters):
         dang = (
-            ranks.join(outd, "node", "left_anti")
+            ranks.join(dangv, "node", "left_semi")
             .agg(F.coalesce(F.sum("rank_pu"), F.lit(0)).cast("bigint").alias("dm"))
         )
         contribs = (
-            ranks.join(outd, "node")
-            .join(e, "node")
+            ranks.join(ew, "node")
             .select(
                 F.col("to").alias("node"),
                 F.expr(
