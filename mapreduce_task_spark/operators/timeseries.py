@@ -156,8 +156,15 @@ def mad_outliers(
     med = with_c.groupBy(group_col).agg(
         F.percentile("_cents", 0.5).alias("_med")
     )
-    dev = with_c.join(F.broadcast(med), group_col).withColumn(
-        "_dev", F.abs(F.col("_cents") - F.col("_med"))
+    # ``dev`` feeds two consumers (the MAD aggregation and the final
+    # flag filter); without truncation each re-derives it from the
+    # source — 4 scans of a 100 TB corpus instead of 2. The lazy
+    # localCheckpoint pins the deviation projection once (at cluster
+    # scale, a DISK_ONLY persist or reliable checkpoint — same shape).
+    dev = (
+        with_c.join(F.broadcast(med), group_col)
+        .withColumn("_dev", F.abs(F.col("_cents") - F.col("_med")))
+        .localCheckpoint(eager=False)
     )
     mad = dev.groupBy(group_col).agg(F.percentile("_dev", 0.5).alias("_mad"))
     flagged = dev.join(F.broadcast(mad), group_col).filter(

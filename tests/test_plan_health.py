@@ -160,18 +160,20 @@ def test_join_strategy_hints_are_honored(spark, sf_small):
 def test_audited_scan_counts_hold(spark, sf_small):
     """Pins the round-4 scan-reduction audits: funnel reads its source
     exactly once; bm25 reads the text projection twice (stats + scoring
-    passes — persisting the projection makes it one); the merged
-    timeseries_shapes row reads events 5x — 1 for the resample leg
-    (its round-4 single-scan audit holds) + 4 for the outlier leg,
-    whose two exact-percentile stats passes each re-derive their input
-    (med: scan+agg feeding the dev join, mad: the same over dev;
-    approx_percentile or persisting the cents projection collapses it
-    to 2 at 100 TB). A regression here silently multiplies 100 TB read
-    volume."""
+    passes — persisting the projection makes it one); timeseries_shapes
+    shows ONE visible scan: the resample leg's (its round-4 single-scan
+    audit holds). The outlier leg's deviation projection is lazily
+    checkpointed (r6 — it feeds both the MAD aggregation and the final
+    flag filter, and previously re-derived its 2-scan lineage per
+    consumer for 4 total reads); its median+deviation build scans run
+    exactly once inside the checkpointed lineage, which the visible
+    executedPlan no longer itemizes — true read volume is 3, enforced
+    structurally by the checkpoint rather than countable here. A
+    regression here silently multiplies 100 TB read volume."""
     from mapreduce_task_spark.registry import all_queries
 
     qs = all_queries()
-    expect = {"funnel_steps": 1, "timeseries_shapes": 5, "bm25_search": 2}
+    expect = {"funnel_steps": 1, "timeseries_shapes": 1, "bm25_search": 2}
     got = {}
     for name, cap in expect.items():
         plan = (
