@@ -45,11 +45,17 @@ def ws_token_count(text_col: str) -> Column:
     return F.size(F.filter(tokenize(text_col), lambda x: x != F.lit("")))
 
 
-def stopword_hits(text_col: str, lang: str) -> Column:
+def stopword_hits(toks: Column | str, lang: str) -> Column:
     """How many normalized tokens (with multiplicity) are stopwords of
-    ``lang``."""
+    ``lang``. ``toks`` is either a text column NAME (tokenized here) or
+    an already-materialized token-array Column — callers computing
+    several token-derived features per row MUST pass the latter:
+    codegen subexpression elimination does not collapse lambda-bearing
+    subtrees, so a captured tokenization expression re-runs its regex
+    chain once per feature (the collocations_pmi lesson)."""
     stops = STOPWORDS[lang]
-    return F.size(F.filter(_toks(text_col), lambda w: w.isin(*stops)))
+    t = _toks(toks) if isinstance(toks, str) else toks
+    return F.size(F.filter(t, lambda w: w.isin(*stops)))
 
 
 def quality_features(
@@ -60,15 +66,30 @@ def quality_features(
     score = 0.5*alpha_ratio + 0.3*stopword_ratio + 0.2*min(1, n_words/100)
     — the formula is mirrored token-for-token in the oracle so the
     double result is bit-identical.
+
+    The token array is materialized ONCE in a pre-projection: six of
+    the features consume it, and codegen subexpression elimination does
+    not collapse lambda-bearing subtrees, so inlining ``_toks`` per
+    feature re-runs the split+regex chain six times per row.
     """
-    toks = _toks(text_col)
+    pre = ensure_parallelism(df).select(
+        F.col(id_col), F.col(text_col), _toks(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
+    # sorted gram arrays likewise materialize once: each is referenced
+    # twice (run-length aggregate + size) by top_frac_of_sorted
+    pre = pre.select(
+        "*",
+        F.array_sort(_ngrams(toks, 2)).alias("__g2"),
+        F.array_sort(_ngrams(toks, 3)).alias("__g3"),
+    )
     n_words = F.size(toks)
     word_chars = F.aggregate(
         F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda acc, x: acc + x
     )
     n_chars = F.length(text_col)
     alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
-    en_hits = stopword_hits(text_col, "en")
+    en_hits = stopword_hits(toks, "en")
 
     alpha_ratio = alpha_chars.cast("double") / F.nullif(n_chars, F.lit(0)).cast("double")
     stop_ratio = en_hits.cast("double") / F.nullif(n_words, F.lit(0)).cast("double")
@@ -78,7 +99,7 @@ def quality_features(
         F.lit(0.5) * alpha_ratio + F.lit(0.3) * stop_ratio + F.lit(0.2) * length_term
     )
 
-    return ensure_parallelism(df).select(
+    return pre.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
         n_chars.cast("long").alias("n_chars"),
@@ -86,20 +107,21 @@ def quality_features(
         alpha_ratio.alias("alpha_ratio"),
         stop_ratio.alias("stopword_ratio"),
         score.alias("quality_score"),
-        dup_word_frac(text_col).alias("dup_word_frac"),
-        top_ngram_frac(text_col, 2).alias("top_bigram_frac"),
-        top_ngram_frac(text_col, 3).alias("top_trigram_frac"),
+        dup_word_frac(toks).alias("dup_word_frac"),
+        top_frac_of_sorted(F.col("__g2")).alias("top_bigram_frac"),
+        top_frac_of_sorted(F.col("__g3")).alias("top_trigram_frac"),
     )
 
 
-def dup_word_frac(text_col: str) -> Column:
+def dup_word_frac(toks: Column | str) -> Column:
     """Fraction of word occurrences that repeat an earlier word:
     1 - distinct/total. The word-level repetition signal from the
     Gopher-style quality rules — high values flag boilerplate and
-    degenerate generations."""
-    toks = _toks(text_col)
-    n = F.size(toks)
-    return F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.nullif(
+    degenerate generations. ``toks``: text column name or materialized
+    token-array Column (see ``stopword_hits``)."""
+    t = _toks(toks) if isinstance(toks, str) else toks
+    n = F.size(t)
+    return F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / F.nullif(
         n, F.lit(0)
     ).cast("double")
 
@@ -119,7 +141,7 @@ def _ngrams(toks: Column, n: int) -> Column:
     )
 
 
-def top_ngram_frac(text_col: str, n: int) -> Column:
+def top_ngram_frac(toks: Column | str, n: int) -> Column:
     """Fraction of all word n-grams taken by the single most frequent
     one (Gopher's top-n-gram coverage). The max multiplicity is the
     longest equal-adjacent run of the SORTED gram array, found by one
@@ -128,9 +150,17 @@ def top_ngram_frac(text_col: str, n: int) -> Column:
     count-each-distinct comprehension is O(d*g) per row: quadratic in
     document length, and measured 200x slower on sf0.1 documents.)
     The oracle counts multiplicities its own way; both sides produce
-    the same exact integers."""
-    toks = _toks(text_col)
-    grams = F.array_sort(_ngrams(toks, n))
+    the same exact integers. ``toks``: text column name or
+    materialized token-array Column (see ``stopword_hits``)."""
+    t = _toks(toks) if isinstance(toks, str) else toks
+    return top_frac_of_sorted(F.array_sort(_ngrams(t, n)))
+
+
+def top_frac_of_sorted(grams: Column) -> Column:
+    """Top-multiplicity fraction of an already-SORTED gram array — the
+    core of ``top_ngram_frac``, split out so callers that materialize
+    the sorted array in a projection (``quality_features``) pay the
+    sort once instead of once per reference."""
     top = F.aggregate(
         grams,
         F.struct(
@@ -159,8 +189,14 @@ def language_id(
     Argmax with a fixed precedence (en > de > fr > es on ties) so the
     prediction is deterministic; hit counts are exposed for debugging
     and for the oracle's value check.
+
+    The token array materializes once: the four per-language hit counts
+    are each referenced twice (prediction CASE + output column), and
+    lambda-bearing subtrees escape codegen subexpression elimination —
+    inlined, the regex tokenization would run 8x per row.
     """
-    hits = {lang: stopword_hits(text_col, lang) for lang in STOPWORDS}
+    pre = ensure_parallelism(df).select("*", _toks(text_col).alias("__toks"))
+    hits = {lang: stopword_hits(F.col("__toks"), lang) for lang in STOPWORDS}
     pred = (
         F.when(
             (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]),
@@ -170,7 +206,7 @@ def language_id(
         .when(hits["fr"] >= hits["es"], F.lit("fr"))
         .otherwise(F.lit("es"))
     )
-    return ensure_parallelism(df).select(
+    return pre.select(
         F.col(id_col),
         *[hits[lang].cast("long").alias(f"{lang}_hits") for lang in STOPWORDS],
         pred.alias("pred_lang"),
