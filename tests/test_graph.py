@@ -152,3 +152,29 @@ def test_pagerank_int_tracks_float_pagerank(spark):
         # floor losses are bounded: ~iters * (outdeg+2) pico-units/node
         assert abs(f[v] - i[v]) < 1e-6, (v, f[v], i[v])
     assert abs(sum(i.values()) - 1.0) < 1e-6  # mass conserved to floor loss
+
+
+def test_pagerank_int_partitioning_invariant(spark):
+    """Integer sums are associative — the result must be bit-identical
+    under any physical partitioning of the edge list (the property that
+    makes pagerank_int oracle-replayable at all)."""
+    from mapreduce_task_spark.operators.graph import pagerank_int
+
+    x = 7
+    pairs = []
+    for _ in range(80):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        a, b = (x >> 3) % 25, (x >> 9) % 25
+        if a != b:
+            pairs.append((a, b))
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in sorted(set(pairs))],
+        "src bigint, dst bigint",
+    )
+    base = {r["node"]: r["rank_pu"] for r in pagerank_int(df, iters=4).collect()}
+    for parts in (1, 7):
+        got = {
+            r["node"]: r["rank_pu"]
+            for r in pagerank_int(df.repartition(parts), iters=4).collect()
+        }
+        assert got == base, parts
