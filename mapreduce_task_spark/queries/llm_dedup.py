@@ -162,41 +162,58 @@ _MH_NULLS = ", ".join(f"CAST(NULL AS BIGINT) AS mh{i}" for i in range(NUM_HASHES
 WITH {_SIG_CTE},
 th AS (SELECT doc_id, {hash64_duckdb_sql('word')} AS h FROM wf),
 votes AS (SELECT doc_id, {_VOTE_EXPRS} FROM th GROUP BY doc_id)
-SELECT 'minhash' AS leg, doc_id, {_MH_COLS}, CAST(NULL AS BIGINT) AS simhash
+SELECT 'minhash' AS leg, doc_id, {_MH_COLS}, CAST(NULL AS BIGINT) AS simhash,
+       CAST(NULL AS BIGINT) AS fp
 FROM sig
 UNION ALL
 SELECT 'simhash' AS leg, doc_id, {_MH_NULLS},
-       CAST({_BIT_SUM} AS BIGINT) AS simhash
+       CAST({_BIT_SUM} AS BIGINT) AS simhash, CAST(NULL AS BIGINT) AS fp
 FROM votes
+UNION ALL
+SELECT DISTINCT 'fingerprint' AS leg, doc_id, {_MH_NULLS},
+       CAST(NULL AS BIGINT) AS simhash, {hash64_duckdb_sql('shingle')} AS fp
+FROM sh WHERE {hash64_duckdb_sql('shingle')} % 8 = 0
 """,
-    doc="Per-document dedup signatures as a two-leg tagged union (merges "
-    "the former dedup_minhash / dedup_simhash rows, round 6 — both emit "
-    f"one signature row per doc). minhash leg: {NUM_HASHES} md5-seeded "
-    "affine hashes minimized over 3-gram shingles (the LSH banding "
-    f"input). simhash leg: {_SIMHASH_BITS}-bit Charikar "
-    "sign-of-vote-sums fingerprint over normalized words (Hamming-"
-    "near-dup blocking). Both legs are one groupBy(doc) over an "
-    "exploded-token projection; the oracle replays the identical hash "
-    "families bit-for-bit.",
+    doc="Per-document content signatures as a three-leg tagged union "
+    "(r6: merges the former dedup_minhash / dedup_simhash rows, then "
+    "absorbs doc_fingerprint — all three derive from the same "
+    f"tokenized scan). minhash leg: {NUM_HASHES} md5-seeded affine "
+    "hashes minimized over 3-gram shingles (the LSH banding input). "
+    f"simhash leg: {_SIMHASH_BITS}-bit Charikar sign-of-vote-sums "
+    "fingerprint over normalized words (Hamming near-dup blocking). "
+    "fingerprint leg: mod-8 winnowing-style sampled shingle hashes "
+    "(containment detection) — multiple rows per doc by design. The "
+    "oracle replays the identical hash families bit-for-bit.",
 )
 def q_dedup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import words
+    from ..operators.textstats import fingerprints
 
     docs = t(spark, sf_dir, "documents")
+    shing = shingles(docs)
     nul = F.lit(None).cast("long")
-    mh = minhash_signature(shingles(docs)).select(
+    mh = minhash_signature(shing).select(
         F.lit("minhash").alias("leg"),
         "doc_id",
         *[F.col(f"mh{i}").cast("long") for i in range(NUM_HASHES)],
         nul.alias("simhash"),
+        nul.alias("fp"),
     )
     sh = simhash(words(docs, keep=("doc_id",)), bits=_SIMHASH_BITS).select(
         F.lit("simhash").alias("leg"),
         "doc_id",
         *[nul.alias(f"mh{i}") for i in range(NUM_HASHES)],
         F.col("simhash").cast("long"),
+        nul.alias("fp"),
     )
-    return mh.unionByName(sh)
+    fps = fingerprints(shing, mod=8).select(
+        F.lit("fingerprint").alias("leg"),
+        "doc_id",
+        *[nul.alias(f"mh{i}") for i in range(NUM_HASHES)],
+        nul.alias("simhash"),
+        F.col("fp").cast("long"),
+    )
+    return mh.unionByName(sh).unionByName(fps)
 
 
 # LSH candidate pairs verified at exact Jaccard >= 0.5, as a reusable

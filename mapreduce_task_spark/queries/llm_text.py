@@ -11,19 +11,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.dedup import shingles
 from ..operators.multimodal import extract_features, with_binary_payload
 from ..operators.textstats import (
     BPE_ISH_RE,
     STOPWORDS,
-    fingerprints,
     language_id,
     quality_features,
     token_counts,
 )
 from ..functions.hashing import hash64_duckdb_sql
 from ..registry import query, t
-from .llm_dedup import _QVEC_CTE, _SHINGLE_CTE
+from .llm_dedup import _QVEC_CTE
 
 # DuckDB fragment: normalized token list (same pipeline as
 # functions.text.normalized_tokens).
@@ -128,19 +126,6 @@ FROM tk
 def q_text_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return language_id(docs).join(token_counts(docs), "doc_id")
-
-
-@query(
-    "doc_fingerprint",
-    f"""
-WITH {_SHINGLE_CTE}
-SELECT DISTINCT doc_id, {hash64_duckdb_sql('shingle')} AS fp
-FROM sh WHERE {hash64_duckdb_sql('shingle')} % 8 = 0
-""",
-    doc="Mod-8 sampled shingle-hash fingerprints (winnowing-style content sample).",
-)
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fingerprints(shingles(t(spark, sf_dir, "documents")), mod=8)
 
 
 @query(

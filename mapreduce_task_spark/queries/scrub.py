@@ -1,0 +1,149 @@
+"""Corpus-scrubbing driver queries (operators/scrub.py + operators/
+decontam.py; pytest-only until round 6).
+
+Three cleaning legs in one tagged union, each exactly SQL-replayable:
+
+- ``redact``: the synthetic corpus carries no PII, so the leg PLANTS a
+  deterministic suffix per document (email + URL + IPv4 + phone, all
+  derived from doc_id) and then runs the production redaction chain —
+  the oracle replays both the plant and the four regexp_replace
+  passes, so the hash check verifies the actual regex semantics, not
+  an identity transform.
+- ``boilerplate``: the corpus has no newlines, so (as in
+  dedup_paragraphs) fixed 32-word windows joined by newlines stand in
+  as lines; cross-document line frequency on the md5-derived hash
+  removes every line appearing in more than ``df_max`` distinct docs.
+- ``decontam``: benchmark decontamination — docs sharing any 8-word
+  shingle with the "benchmark" (doc_id < 5 stands in for an eval set)
+  are flagged; the eval docs flag themselves by construction, plus
+  any near-duplicates of them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import hash64_duckdb_sql
+from ..operators.scrub import redact_pii, remove_boilerplate_lines
+from ..registry import query, t
+from .llm_dedup import _PARA_CTE, _WORDS_CTE
+
+_BOILER_DF_MAX = 1   # windows appearing in >1 distinct docs are removed
+_DECONTAM_N = 8      # shingle length for contamination
+_BENCH_MAX_ID = 5    # documents with doc_id < 5 stand in for the eval set
+
+# 8-gram shingles over the normalized-word chain (wf from _WORDS_CTE):
+# lead() per offset, exactly the k=3 pattern of _SHINGLE_CTE widened.
+_LEADS8 = ",\n        ".join(
+    f"lead(word, {i}) OVER (PARTITION BY doc_id ORDER BY ord) AS w{i}"
+    for i in range(1, _DECONTAM_N)
+)
+_SH8_CONCAT = " || ' ' || ".join(
+    ["word"] + [f"w{i}" for i in range(1, _DECONTAM_N)]
+)
+_SH8_CTE = f"""
+led8 AS (SELECT doc_id, word,
+        {_LEADS8}
+        FROM wf),
+sh8 AS (SELECT DISTINCT doc_id, {_SH8_CONCAT} AS shingle
+        FROM led8 WHERE w{_DECONTAM_N - 1} IS NOT NULL)
+"""
+
+# deterministic planted-PII suffix, replayed verbatim by the oracle
+_PII_SUFFIX_SQL = (
+    "' d' || CAST(doc_id AS VARCHAR) || '@ex.com https://ex.com/' || "
+    "CAST(doc_id AS VARCHAR) || ' 10.0.0.' || CAST(doc_id % 250 AS VARCHAR) || "
+    "' +1 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+# the production patterns + order from operators.scrub (email, url,
+# ipv4, phone), applied with the 'g' flag (DuckDB replaces only the
+# first match by default; Spark replaces all)
+_REDACT_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, "
+    r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    r"'https?://[^\s]+', '<URL>', 'g'), "
+    r"'\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g'), "
+    r"'\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g')"
+)
+
+
+@query(
+    "scrub_shapes",
+    f"""
+WITH {_WORDS_CTE},
+{_SH8_CTE},
+{_PARA_CTE},
+pii AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents),
+red AS (SELECT doc_id, {_REDACT_SQL} AS text FROM pii),
+hot AS (SELECT {hash64_duckdb_sql('para')} AS h FROM ch
+        GROUP BY {hash64_duckdb_sql('para')}
+        HAVING count(DISTINCT doc_id) > {_BOILER_DF_MAX}),
+surv AS (SELECT doc_id, pn, para FROM ch
+         WHERE {hash64_duckdb_sql('para')} NOT IN (SELECT h FROM hot)),
+reb AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pn) AS text
+        FROM surv GROUP BY doc_id),
+bsh AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id < {_BENCH_MAX_ID}),
+bad AS (SELECT DISTINCT s.doc_id FROM sh8 s JOIN bsh USING (shingle))
+SELECT 'redact' AS leg, doc_id, text FROM red
+UNION ALL
+SELECT 'boilerplate' AS leg, nz.doc_id, coalesce(reb.text, '') AS text
+FROM nz LEFT JOIN reb USING (doc_id)
+UNION ALL
+SELECT 'decontam' AS leg, doc_id, CAST(NULL AS VARCHAR) AS text FROM bad
+""",
+    doc="Corpus scrubbing as a three-leg tagged union (operators/scrub.py"
+    " + operators/decontam.py, pytest-only until r6). redact leg: "
+    "deterministic planted PII (email/URL/IPv4/phone from doc_id) "
+    "through the production 4-pass regexp_replace chain — per-row "
+    "codegen, zero shuffles, and the oracle replays plant + redaction "
+    "so the hash verifies real regex semantics. boilerplate leg: "
+    "32-word windows as stand-in lines (break-free corpus), lines in "
+    f">{_BOILER_DF_MAX} distinct docs removed via an md5-hash df count "
+    "— only 8-byte hashes ride the count shuffle. decontam leg: docs "
+    f"sharing any {_DECONTAM_N}-word shingle with the doc_id<"
+    f"{_BENCH_MAX_ID} eval stand-in — benchmark shingles broadcast, "
+    "corpus side is a map-side semi-join (one scan, no corpus "
+    "shuffle).",
+)
+def q_scrub_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_documents
+    from ..operators.decontam import contaminated_ids
+
+    docs = t(spark, sf_dir, "documents")
+
+    did = F.col("doc_id").cast("string")
+    suffix = F.concat(
+        F.lit(" d"), did, F.lit("@ex.com https://ex.com/"), did,
+        F.lit(" 10.0.0."), (F.col("doc_id") % 250).cast("string"),
+        F.lit(" +1 555-010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    planted = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    red_leg = redact_pii(planted).select(
+        F.lit("redact").alias("leg"), "doc_id", "text"
+    )
+
+    ch = chunk_documents(docs, chunk_words=32, overlap=0)
+    lined = ch.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    boiler_leg = remove_boilerplate_lines(
+        lined, df_max=_BOILER_DF_MAX
+    ).select(F.lit("boilerplate").alias("leg"), "doc_id", "text")
+
+    bench = docs.filter(F.col("doc_id") < _BENCH_MAX_ID)
+    dec_leg = contaminated_ids(docs, bench, n=_DECONTAM_N).select(
+        F.lit("decontam").alias("leg"),
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+    )
+    return red_leg.unionByName(boiler_leg).unionByName(dec_leg)
