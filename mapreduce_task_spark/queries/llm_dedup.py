@@ -753,7 +753,7 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "quality_delete_list",
+    "delete_lists",
     f"""
 WITH RECURSIVE {_LSH_PAIRS_CTE},
 e2 AS (SELECT id_a AS u, id_b AS v FROM pairs
@@ -769,25 +769,43 @@ scored AS (SELECT c.doc_id,
                   row_number() OVER (PARTITION BY c.component
                                      ORDER BY d.n_chars DESC, c.doc_id) AS rn
            FROM comp c JOIN documents d USING (doc_id))
-SELECT doc_id FROM scored WHERE rn > 1
+SELECT 'quality' AS leg, doc_id FROM scored WHERE rn > 1
+UNION ALL
+SELECT 'minid' AS leg, doc_id FROM comp WHERE doc_id != component
 """,
-    doc="Quality-aware near-dup delete list (operators/dedup.py:"
-    "quality_delete_list; r5 pytest-only, driver-verified r6): LSH "
+    doc="Near-dup delete lists as a two-leg tagged union (operators/"
+    "dedup.py quality_delete_list + duplicate_delete_list over "
+    "connected_components; r6 — the r5 operators driver-verified). LSH "
     "candidate pairs verified at Jaccard >= 0.5 group into connected "
     "components (bounded min-label propagation, the non-transitivity "
-    "fix), then each cluster keeps its highest-quality member — here "
-    "scored by n_chars (the score frame is pluggable; production feeds "
-    "textstats.text_quality) — and lists the rest for deletion. The "
-    "oracle replays components as a recursive min-reachable-id closure "
-    "(label propagation's fixpoint) and the same argmax window.",
+    "fix). quality leg: each cluster keeps its highest-quality member "
+    "— scored by n_chars here (the score frame is pluggable; "
+    "production feeds textstats.text_quality) — and lists the rest. "
+    "minid leg: the classic min-id-representative delete list (every "
+    "member except its component label). The oracle replays components "
+    "as a recursive min-reachable-id closure (label propagation's "
+    "fixpoint), the argmax window, and the label filter. The pair "
+    "frame is persisted so both operators' convergence loops reuse the "
+    "materialized LSH output instead of replaying it.",
 )
-def q_quality_delete_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import quality_delete_list
+def q_delete_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicate_delete_list, quality_delete_list
 
     docs = t(spark, sf_dir, "documents")
     sh = _persist(shingles(docs))
     pairs = jaccard_verify(
         lsh_candidate_pairs(lsh_bands(minhash_signature(sh))), sh
     ).filter(F.col("jaccard") >= 0.5)
+    # second persist alongside sh (append, not _persist — that would
+    # release sh before pairs materializes from it): both operators run
+    # their own label-propagation loop over the SAME pair frame
+    pairs = pairs.persist()
+    _LIVE_PERSISTS.append(pairs)
     scores = docs.select("doc_id", F.col("n_chars").cast("long").alias("score"))
-    return quality_delete_list(pairs, scores, score_col="score")
+    q_leg = quality_delete_list(pairs, scores, score_col="score").select(
+        F.lit("quality").alias("leg"), "doc_id"
+    )
+    m_leg = duplicate_delete_list(pairs).select(
+        F.lit("minid").alias("leg"), "doc_id"
+    )
+    return q_leg.unionByName(m_leg)
