@@ -275,6 +275,75 @@ def group_trend(
     )
 
 
+def group_trend_exact(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    min_points: int = 2,
+) -> DataFrame:
+    """Engine-portable OLS trend over INTEGER x/y columns: (key, n,
+    slope, intercept, r2).
+
+    ``group_trend`` above is the production form, but its
+    covar_samp/var_samp accumulate doubles, so the result depends on
+    accumulation order — a SQL oracle cannot replay it bit-for-bit.
+    This variant aggregates the five raw moments as EXACT int64 sums
+    (order-free, partition-invariant) and only then combines them in a
+    FIXED sequence of double operations:
+
+        num   = n*sxy - sx*sy        den  = n*sxx - sx*sx
+        deny  = n*syy - sy*sy
+        slope = num/den              intercept = (sy - slope*sx)/n
+        r2    = 1.0 if deny == 0 else (num*num)/(den*deny)
+
+    Any engine computing the same expressions over the same exact
+    integer sums produces bit-identical doubles (IEEE ops on identical
+    inputs). Callers quantize/shift their columns into int64-safe
+    ranges (epoch-offset seconds, value cents — see the driver query);
+    per-key moment sums must fit int64: |x| <= ~3e6, |y| <= ~5e4 holds
+    to ~1e4 rows/key, beyond which the sums move to decimal(38).
+    NULL fit (slope/intercept/r2) when n < min_points or x-variance
+    is zero — same contract as ``group_trend``.
+    """
+    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    agg = (
+        df.select(F.col(key_col), x.alias("__x"), y.alias("__y"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__x").alias("_sx"),
+            F.sum("__y").alias("_sy"),
+            F.sum(F.col("__x") * F.col("__y")).alias("_sxy"),
+            F.sum(F.col("__x") * F.col("__x")).alias("_sxx"),
+            F.sum(F.col("__y") * F.col("__y")).alias("_syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    num = nd * sxy - sx * sy
+    den = nd * sxx - sx * sx
+    deny = nd * syy - sy * sy
+    fit_ok = (F.col("n") >= F.lit(int(min_points))) & (den > F.lit(0.0))
+    slope = F.when(fit_ok, num / den)
+    intercept = F.when(fit_ok, (sy - slope * sx) / nd)
+    r2 = F.when(
+        fit_ok,
+        F.when(deny == F.lit(0.0), F.lit(1.0)).otherwise(
+            (num * num) / (den * deny)
+        ),
+    )
+    return agg.select(
+        F.col(key_col),
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
 def group_trend_pandas(
     df: DataFrame,
     key_col: str,

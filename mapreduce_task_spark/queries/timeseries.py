@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.timeseries import mad_outliers, resample_ffill
+from ..operators.timeseries import group_trend_exact, mad_outliers, resample_ffill
 from ..registry import query, t
 
 
@@ -61,19 +61,63 @@ from ..registry import query, t
            CAST(d.dev * 2 AS BIGINT) AS dev_halfcents
     FROM d JOIN mad USING (event_type)
     WHERE d.dev > mad.mad * 4.4478
+    ),
+    xy AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) - 1704000000 AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    mo AS (
+      SELECT user_id, count(*) AS n,
+             CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+             CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+             CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy
+      FROM xy GROUP BY user_id
+    ),
+    trend AS (
+      SELECT user_id, n,
+             CASE WHEN ok THEN num / den END AS slope,
+             CASE WHEN ok THEN (sy - (num / den) * sx) / nd END AS intercept,
+             CASE WHEN ok THEN
+               CASE WHEN deny = 0.0 THEN 1.0
+                    ELSE (num * num) / (den * deny) END
+             END AS r2
+      FROM (SELECT user_id, n, sx, sy,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+                   CAST(n AS DOUBLE) * sxx - sx * sx AS den,
+                   CAST(n AS DOUBLE) * syy - sy * sy AS deny,
+                   (n >= 2 AND CAST(n AS DOUBLE) * sxx - sx * sx > 0.0) AS ok
+            FROM mo)
     )
     SELECT 'resample' AS leg, user_id, bucket_start, n_events, sum_value,
            last_value, filled_value, is_gap,
            CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS VARCHAR) AS event_type,
-           CAST(NULL AS DOUBLE) AS value, CAST(NULL AS BIGINT) AS dev_halfcents
+           CAST(NULL AS DOUBLE) AS value, CAST(NULL AS BIGINT) AS dev_halfcents,
+           CAST(NULL AS BIGINT) AS trend_n, CAST(NULL AS DOUBLE) AS slope,
+           CAST(NULL AS DOUBLE) AS intercept, CAST(NULL AS DOUBLE) AS r2
     FROM resample
     UNION ALL
     SELECT 'outlier' AS leg, CAST(NULL AS BIGINT) AS user_id,
            CAST(NULL AS VARCHAR) AS bucket_start, CAST(NULL AS BIGINT) AS n_events,
            CAST(NULL AS DOUBLE) AS sum_value, CAST(NULL AS DOUBLE) AS last_value,
            CAST(NULL AS DOUBLE) AS filled_value, CAST(NULL AS INT) AS is_gap,
-           event_id, event_type, value, dev_halfcents
+           event_id, event_type, value, dev_halfcents,
+           CAST(NULL AS BIGINT) AS trend_n, CAST(NULL AS DOUBLE) AS slope,
+           CAST(NULL AS DOUBLE) AS intercept, CAST(NULL AS DOUBLE) AS r2
     FROM outliers
+    UNION ALL
+    SELECT 'trend' AS leg, user_id,
+           CAST(NULL AS VARCHAR) AS bucket_start, CAST(NULL AS BIGINT) AS n_events,
+           CAST(NULL AS DOUBLE) AS sum_value, CAST(NULL AS DOUBLE) AS last_value,
+           CAST(NULL AS DOUBLE) AS filled_value, CAST(NULL AS INT) AS is_gap,
+           CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS DOUBLE) AS value, CAST(NULL AS BIGINT) AS dev_halfcents,
+           CAST(n AS BIGINT) AS trend_n, slope, intercept, r2
+    FROM trend
     """,
     doc="Batch time-series coverage as a two-leg tagged union (merges the "
     "former resample_ffill / outlier_mad rows, round 6). resample leg: "
@@ -84,7 +128,12 @@ from ..registry import query, t
     "(user,bucket) shuffle, fill state bounded per user. outlier leg: "
     "per-event-type robust median/MAD z-score flagging over integer "
     "cents so both exact percentile passes and the 4.4478*MAD compare "
-    "are bit-stable; approx_percentile is the 100 TB drop-in.",
+    "are bit-stable; approx_percentile is the 100 TB drop-in. trend "
+    "leg (late r6): per-user OLS drift via group_trend_exact — five "
+    "exact int64 moment sums (epoch-offset seconds x value cents) "
+    "combined in a fixed double sequence, so slope/intercept/r2 are "
+    "bit-identical on any engine and partitioning (the float "
+    "group_trend's covar/var twin, made oracle-replayable).",
 )
 def q_timeseries_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
@@ -112,6 +161,10 @@ def q_timeseries_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_s.alias("event_type"),
         nul_d.alias("value"),
         nul_b.alias("dev_halfcents"),
+        nul_b.alias("trend_n"),
+        nul_d.alias("slope"),
+        nul_d.alias("intercept"),
+        nul_d.alias("r2"),
     )
     out_leg = mad_outliers(
         ev.select("event_id", "event_type", "value"),
@@ -130,8 +183,41 @@ def q_timeseries_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
         "dev_halfcents",
+        nul_b.alias("trend_n"),
+        nul_d.alias("slope"),
+        nul_d.alias("intercept"),
+        nul_d.alias("r2"),
     )
-    return res_leg.unionByName(out_leg)
+    xy = ev.select(
+        "user_id",
+        # NTZ -> LTZ under the pinned-UTC session, then epoch seconds
+        # (floor) — DuckDB replays as floor(epoch(ts)); the 1.704e9
+        # offset keeps per-key int64 moment sums far from overflow
+        (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.lit(1_704_000_000)
+        ).alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    trend_leg = group_trend_exact(xy, "user_id", "x", "y").select(
+        F.lit("trend").alias("leg"),
+        "user_id",
+        nul_s.alias("bucket_start"),
+        nul_b.alias("n_events"),
+        nul_d.alias("sum_value"),
+        nul_d.alias("last_value"),
+        nul_d.alias("filled_value"),
+        F.lit(None).cast("int").alias("is_gap"),
+        nul_b.alias("event_id"),
+        nul_s.alias("event_type"),
+        nul_d.alias("value"),
+        nul_b.alias("dev_halfcents"),
+        F.col("n").cast("long").alias("trend_n"),
+        "slope",
+        "intercept",
+        "r2",
+    )
+    return res_leg.unionByName(out_leg).unionByName(trend_leg)
 
 
 @query(

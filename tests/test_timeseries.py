@@ -226,3 +226,46 @@ def test_ewma_projects_needed_columns_and_survives_struct_input(spark):
     assert out.columns == ["user_id", "event_id", "value", "ewma"]
     got = {r.event_id: r.ewma for r in out.collect()}
     assert got[1] == 10.0 and got[2] == 15.0
+
+
+def test_group_trend_exact_tracks_float_and_is_partition_invariant(spark, sf_small):
+    """group_trend_exact's integer-moment fit must agree with the float
+    covar/var fit to numerical tolerance, and — the property that makes
+    it oracle-replayable — be BIT-identical under any repartitioning."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_task_spark.operators.timeseries import (
+        group_trend,
+        group_trend_exact,
+    )
+    from mapreduce_task_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    xy = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.lit(1_704_000_000)
+        ).alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    exact = {r["user_id"]: r for r in group_trend_exact(xy, "user_id", "x", "y").collect()}
+    flt = {r["user_id"]: r for r in group_trend(xy, "user_id", "x", "y").collect()}
+    assert set(exact) == set(flt) and exact
+    for k in flt:
+        fe, fx = exact[k], flt[k]
+        assert fe["n"] == fx["n"]
+        if fx["slope"] is None:
+            assert fe["slope"] is None
+            continue
+        assert abs(fe["slope"] - fx["slope"]) <= 1e-9 * max(1.0, abs(fx["slope"]))
+        assert abs(fe["r2"] - fx["r2"]) <= 1e-6
+
+    again = {
+        r["user_id"]: r
+        for r in group_trend_exact(xy.repartition(7), "user_id", "x", "y").collect()
+    }
+    for k in exact:
+        assert again[k]["slope"] == exact[k]["slope"]  # bit-equal
+        assert again[k]["intercept"] == exact[k]["intercept"]
+        assert again[k]["r2"] == exact[k]["r2"]
