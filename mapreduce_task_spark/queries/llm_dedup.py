@@ -26,7 +26,6 @@ from ..operators.dedup import (
     lsh_bands,
     lsh_candidate_pairs,
     minhash_signature,
-    positioned_words,
     shingles,
     simhash,
 )
