@@ -86,8 +86,14 @@ def bm25_topk(
     reads of the text column; this shape reads it twice (stats pass +
     scoring pass, the projection's two consumers; callers for whom the
     scan dominates persist the tiny (id, dl, k tf-int) projection and
-    it becomes one). ``spark`` stays in the signature for API
-    stability (term_frequencies still uses it).
+    it becomes one — which is what this operator now does: the
+    projection is NARROW (text already dropped), so a lazy
+    localCheckpoint lets the text column be read and tokenized exactly
+    ONCE, the second pass streaming ~(16 + 8k) bytes/doc from the
+    checkpoint instead — at cluster scale, the same shape as a
+    DISK_ONLY persist, the r6 discipline of
+    operators.timeseries.mad_outliers). ``spark`` stays in the
+    signature for API stability (term_frequencies still uses it).
     """
     def tf_col(t: str):
         # single-param lambda closing over t (a two-param lambda would
@@ -98,7 +104,7 @@ def bm25_topk(
         id_col,
         "dl",
         *[tf_col(t).cast("bigint").alias(f"__tf{i}") for i, t in enumerate(terms)],
-    )
+    ).localCheckpoint(eager=False)
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (

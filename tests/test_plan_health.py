@@ -159,10 +159,14 @@ def test_join_strategy_hints_are_honored(spark, sf_small):
 
 def test_audited_scan_counts_hold(spark, sf_small):
     """Pins the round-4 scan-reduction audits: funnel reads its source
-    exactly once; bm25 reads the text projection twice (stats + scoring
-    passes — persisting the projection makes it one); timeseries_shapes
-    shows ONE visible scan: the resample leg's (its round-4 single-scan
-    audit holds). The outlier leg's deviation projection is lazily
+    exactly once; bm25's narrow (id, dl, tf) projection is lazily
+    checkpointed (late r6), so its stats and scoring passes share ONE
+    text read inside the checkpointed lineage and the visible plan
+    shows zero scans (true read volume 1, enforced structurally — was
+    2); timeseries_shapes
+    shows TWO visible scans: the resample leg's (its round-4
+    single-scan audit holds) and the trend leg's single moment-sum
+    scan. The outlier leg's deviation projection is lazily
     checkpointed (r6 — it feeds both the MAD aggregation and the final
     flag filter, and previously re-derived its 2-scan lineage per
     consumer for 4 total reads); its median+deviation build scans run
@@ -173,7 +177,7 @@ def test_audited_scan_counts_hold(spark, sf_small):
     from mapreduce_task_spark.registry import all_queries
 
     qs = all_queries()
-    expect = {"funnel_steps": 1, "timeseries_shapes": 1, "bm25_search": 2}
+    expect = {"funnel_steps": 1, "timeseries_shapes": 2, "bm25_search": 0}
     got = {}
     for name, cap in expect.items():
         plan = (
