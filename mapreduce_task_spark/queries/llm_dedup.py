@@ -130,16 +130,69 @@ def _persist(df: DataFrame) -> DataFrame:
 # dedup queries
 
 
+_INGEST_SPLIT = 250  # doc_id < 250 = "history", the rest = the new batch
+
+
 @query(
     "dedup_exact",
     f"""
-SELECT md5(text) AS text_md5, min(doc_id) AS rep_doc_id, count(*) AS n_copies
+WITH hist AS (SELECT DISTINCT md5(text) AS text_md5 FROM documents
+              WHERE doc_id < {_INGEST_SPLIT}),
+batch AS (SELECT doc_id, md5(text) AS text_md5 FROM documents
+          WHERE doc_id >= {_INGEST_SPLIT}),
+inb AS (SELECT doc_id, text_md5
+        FROM (SELECT *, row_number() OVER (PARTITION BY text_md5
+                                           ORDER BY doc_id) AS rn
+              FROM batch)
+        WHERE rn = 1),
+fresh AS (SELECT doc_id, text_md5 FROM inb
+          WHERE text_md5 NOT IN (SELECT text_md5 FROM hist))
+SELECT 'groups' AS leg, md5(text) AS text_md5, min(doc_id) AS rep_doc_id,
+       count(*) AS n_copies, CAST(NULL AS BIGINT) AS doc_id
 FROM documents GROUP BY md5(text)
+UNION ALL
+SELECT 'incremental' AS leg, text_md5, CAST(NULL AS BIGINT) AS rep_doc_id,
+       CAST(NULL AS BIGINT) AS n_copies, doc_id
+FROM fresh
 """,
-    doc="Exact dedup decision table: content-hash groupBy, min-id representative.",
+    doc="Exact dedup as a two-leg tagged union (r6: the r3 pytest-only "
+    "incremental ingest path joins the original decision table in the "
+    "same slot). groups leg: content-hash groupBy, min-id "
+    "representative — the whole-corpus decision table. incremental "
+    f"leg: documents with doc_id < {_INGEST_SPLIT} stand in as the "
+    "already-ingested corpus (known-digest table), the rest as this "
+    "week's crawl; survivors are batch docs deduped within the batch "
+    "(min-id kept) AND absent from the digest table — one digest "
+    "groupBy + one anti-join on 16-byte keys, the append-only shape "
+    "that never rescans historical text.",
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dedup_groups(t(spark, sf_dir, "documents"))
+    from ..operators.dedup import incremental_exact_dedup
+
+    docs = t(spark, sf_dir, "documents")
+    nul = F.lit(None).cast("long")
+    groups_leg = exact_dedup_groups(docs).select(
+        F.lit("groups").alias("leg"),
+        "text_md5",
+        F.col("rep_doc_id").cast("long"),
+        F.col("n_copies").cast("long"),
+        nul.alias("doc_id"),
+    )
+    hist = (
+        docs.filter(F.col("doc_id") < _INGEST_SPLIT)
+        .select(F.md5(F.col("text")).alias("text_md5"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") >= _INGEST_SPLIT)
+    fresh, _digests = incremental_exact_dedup(batch, hist)
+    inc_leg = fresh.select(
+        F.lit("incremental").alias("leg"),
+        F.md5(F.col("text")).alias("text_md5"),
+        nul.alias("rep_doc_id"),
+        nul.alias("n_copies"),
+        F.col("doc_id").cast("long"),
+    )
+    return groups_leg.unionByName(inc_leg)
 
 
 _SIMHASH_BITS = 32
