@@ -71,15 +71,27 @@ sig AS (SELECT doc_id, {_MH_EXPRS} FROM sh GROUP BY doc_id)
 """
 
 _ROWS_PER_BAND = NUM_HASHES // BANDS
-_BAND_SELECTS = "\nUNION ALL\n".join(
-    "SELECT doc_id, {b} AS band, {sig} AS band_sig FROM sig".format(
-        b=b,
-        sig="||'-'||".join(
-            f"CAST(mh{b * _ROWS_PER_BAND + r} AS VARCHAR)" for r in range(_ROWS_PER_BAND)
-        ),
+
+
+def _band_selects_from(src: str) -> str:
+    """The BANDS-way union of banded-signature selects over a named
+    signature CTE — reused by the full-corpus LSH chain and the
+    incremental-ingest replay (band buckets derive from the signature
+    table on the fly each ingest, never from corpus text)."""
+    return "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, {sig} AS band_sig FROM {src}".format(
+            b=b,
+            src=src,
+            sig="||'-'||".join(
+                f"CAST(mh{b * _ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(_ROWS_PER_BAND)
+            ),
+        )
+        for b in range(BANDS)
     )
-    for b in range(BANDS)
-)
+
+
+_BAND_SELECTS = _band_selects_from("sig")
 
 # Quantized embeddings: exact integer-valued doubles (see operators.similarity).
 _QVEC_CTE = """
@@ -290,22 +302,117 @@ JOIN sizes nb ON nb.doc_id = i.id_b
 WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5)"""
 
 
+_MATCH_SUM = " + ".join(
+    f"(CASE WHEN n.mh{i} = o.mh{i} THEN 1 ELSE 0 END)"
+    for i in range(NUM_HASHES)
+)
+
+# Incremental-ingest replay (operators/dedup.py:incremental_minhash_dedup):
+# history = doc_id < split (its signature table is the ONLY persisted
+# state), batch = the rest. Stage 1: full-fidelity LSH within the batch
+# (bands/candidates/exact Jaccard over batch shingles), drop each
+# verified pair's id_b. Stage 2: surviving batch bands equi-join the
+# historical bands; cross candidates verify by signature agreement
+# (matching-minhash fraction >= threshold). Survivors = fresh docs.
+_INC_LSH_CTES = f"""
+sigh AS (SELECT * FROM sig WHERE doc_id < {{split}}),
+sigb AS (SELECT * FROM sig WHERE doc_id >= {{split}}),
+shb AS (SELECT * FROM sh WHERE doc_id >= {{split}}),
+bandsb AS ({_band_selects_from('sigb')}),
+candb AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bandsb a JOIN bandsb b
+            ON a.band = b.band AND a.band_sig = b.band_sig
+               AND a.doc_id < b.doc_id),
+sizesb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY doc_id),
+interb AS (SELECT c.id_a, c.id_b, count(*) AS inter
+           FROM candb c
+           JOIN shb sa ON sa.doc_id = c.id_a
+           JOIN shb sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+           GROUP BY c.id_a, c.id_b),
+delsb AS (SELECT DISTINCT i.id_b AS doc_id
+          FROM interb i
+          JOIN sizesb na ON na.doc_id = i.id_a
+          JOIN sizesb nb ON nb.doc_id = i.id_b
+          WHERE CAST(i.inter AS DOUBLE)
+                / CAST(na.n + nb.n - i.inter AS DOUBLE) >= 0.5),
+keptb AS (SELECT doc_id FROM documents WHERE doc_id >= {{split}}
+          AND doc_id NOT IN (SELECT doc_id FROM delsb)),
+keptsig AS (SELECT sigb.* FROM sigb JOIN keptb USING (doc_id)),
+nbnd AS ({_band_selects_from('keptsig')}),
+kbnd AS ({_band_selects_from('sigh')}),
+crossc AS (SELECT DISTINCT n.doc_id AS nid, k.doc_id AS oid
+           FROM nbnd n JOIN kbnd k
+             ON n.band = k.band AND n.band_sig = k.band_sig),
+crossdel AS (SELECT DISTINCT c.nid AS doc_id
+             FROM crossc c
+             JOIN keptsig n ON n.doc_id = c.nid
+             JOIN sigh o ON o.doc_id = c.oid
+             WHERE CAST({_MATCH_SUM} AS DOUBLE) / {NUM_HASHES}.0 >= 0.5),
+freshlsh AS (SELECT doc_id FROM keptb
+             WHERE doc_id NOT IN (SELECT doc_id FROM crossdel))"""
+
+
 @query(
     "dedup_minhash_lsh",
     f"""
-WITH {_LSH_PAIRS_CTE}
-SELECT id_a, id_b, jaccard FROM pairs
+WITH {_LSH_PAIRS_CTE},
+{_INC_LSH_CTES.format(split=_INGEST_SPLIT)}
+SELECT 'pairs' AS leg, id_a, id_b, jaccard, CAST(NULL AS BIGINT) AS doc_id
+FROM pairs
+UNION ALL
+SELECT 'incremental' AS leg, CAST(NULL AS BIGINT) AS id_a,
+       CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS jaccard, doc_id
+FROM freshlsh
 """,
-    doc=f"MinHash-LSH near-dup: {BANDS} bands x {_ROWS_PER_BAND} rows bucket join, "
-    "then exact-Jaccard verification at >= 0.5.",
+    doc=f"MinHash-LSH near-dup as a two-leg tagged union (r6: the r3 "
+    "pytest-only incremental near-dup ingest joins the pair table in "
+    f"the same slot). pairs leg: {BANDS} bands x {_ROWS_PER_BAND} rows "
+    "bucket join over the full corpus, exact-Jaccard verification at "
+    f">= 0.5. incremental leg: documents with doc_id < {_INGEST_SPLIT} "
+    "stand in as the already-ingested corpus — its minhash SIGNATURE "
+    "table (tens of bytes/doc) is the only persisted state — and the "
+    "rest as the new crawl: full-fidelity LSH within the batch drops "
+    "verified id_b's, then surviving batch bands equi-join the "
+    "historical bands and cross candidates verify by signature "
+    "agreement (matching-minhash fraction >= 0.5, the unbiased "
+    "Jaccard estimator — historical shingles are exactly what the "
+    "ingest contract refuses to rescan). Output: fresh surviving doc "
+    "ids.",
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_minhash_dedup
+
+    docs = t(spark, sf_dir, "documents")
     # persist: the shingle set feeds the signature pipeline AND three
     # scans inside jaccard_verify (sizes + both pair sides); at cluster
     # scale this would be a DISK_ONLY persist or a checkpoint.
-    sh = _persist(shingles(t(spark, sf_dir, "documents")))
+    sh = _persist(shingles(docs))
     cand = lsh_candidate_pairs(lsh_bands(minhash_signature(sh)))
-    return jaccard_verify(cand, sh).filter(F.col("jaccard") >= 0.5)
+    nul = F.lit(None).cast("long")
+    pairs_leg = (
+        jaccard_verify(cand, sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(
+            F.lit("pairs").alias("leg"),
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            "jaccard",
+            nul.alias("doc_id"),
+        )
+    )
+    hist_sigs = minhash_signature(
+        shingles(docs.filter(F.col("doc_id") < _INGEST_SPLIT))
+    )
+    batch = docs.filter(F.col("doc_id") >= _INGEST_SPLIT)
+    fresh, _sigs = incremental_minhash_dedup(batch, hist_sigs)
+    inc_leg = fresh.select(
+        F.lit("incremental").alias("leg"),
+        nul.alias("id_a"),
+        nul.alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+        F.col("doc_id").cast("long"),
+    )
+    return pairs_leg.unionByName(inc_leg)
 
 
 _NGRAM_DF_MAX = 16
