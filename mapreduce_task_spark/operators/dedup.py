@@ -550,8 +550,14 @@ def incremental_minhash_dedup(
         )
         known_sigs = spark.createDataFrame([], schema)
 
-    sh = shingles(new_docs, id_col, text_col)
-    sig = minhash_signature(sh, id_col, num_hashes)
+    # the batch shingle set feeds the signature build AND the three
+    # scans inside jaccard_verify; the signature table feeds stage-1
+    # bands plus both stage-2 sides. Lazily checkpoint both (no job at
+    # plan-build time) so each is derived once per ingest — the batch
+    # is small relative to the corpus by the ingest contract, and sig
+    # is num_hashes*8 bytes/doc (it IS the persisted state format).
+    sh = shingles(new_docs, id_col, text_col).localCheckpoint(eager=False)
+    sig = minhash_signature(sh, id_col, num_hashes).localCheckpoint(eager=False)
 
     # stage 1: within-batch near-dups at full fidelity
     pairs = jaccard_verify(
@@ -561,7 +567,8 @@ def incremental_minhash_dedup(
     ).filter(F.col("jaccard") >= threshold)
     dels = pairs.select(F.col("id_b").alias(id_col)).distinct()
     batch_kept_ids = new_docs.select(id_col).join(dels, id_col, "left_anti")
-    kept_sig = sig.join(batch_kept_ids, id_col)
+    # two stage-2 consumers (band derivation + signature-agreement join)
+    kept_sig = sig.join(batch_kept_ids, id_col).localCheckpoint(eager=False)
 
     # stage 2: cross-batch candidates via band buckets of BOTH sides
     nb = lsh_bands(kept_sig, id_col, num_hashes, bands).select(

@@ -400,9 +400,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             nul.alias("doc_id"),
         )
     )
+    # the derived stand-in for the persisted signature table feeds both
+    # the historical band derivation and the agreement join — pin it
+    # (production reads it from parquet, paying this once at write)
     hist_sigs = minhash_signature(
         shingles(docs.filter(F.col("doc_id") < _INGEST_SPLIT))
-    )
+    ).localCheckpoint(eager=False)
     batch = docs.filter(F.col("doc_id") >= _INGEST_SPLIT)
     fresh, _sigs = incremental_minhash_dedup(batch, hist_sigs)
     inc_leg = fresh.select(
