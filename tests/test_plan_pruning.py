@@ -62,3 +62,27 @@ def test_sampling_shapes_scans_prune_text_column(spark, sf_small):
     for s in schemas:
         assert "doc_id" in s
         assert "text" not in s, s
+
+
+def test_graph_analytics_scans_read_only_graph_columns(spark, sf_small):
+    # both lineitem-derived graphs need only (orderkey, partkey,
+    # linenumber); the money/date columns must never reach the scan
+    df = all_queries()["graph_analytics"].fn(spark, sf_small)
+    schemas = _read_schemas(df)
+    assert schemas
+    for s in schemas:
+        if "l_" not in s:
+            continue  # non-lineitem leaves (checkpointed rank frames)
+        assert "l_orderkey" in s or "l_partkey" in s, s
+        for unused in ("l_extendedprice", "l_discount", "l_shipdate", "l_quantity"):
+            assert unused not in s, s
+
+
+def test_scrub_shapes_scans_read_only_id_and_text(spark, sf_small):
+    df = all_queries()["scrub_shapes"].fn(spark, sf_small)
+    schemas = _read_schemas(df)
+    assert schemas
+    for s in schemas:
+        assert "doc_id" in s and "text" in s, s
+        for unused in ("lang", "source", "n_chars"):
+            assert unused not in s, s
