@@ -398,6 +398,36 @@ def quality_delete_list(
     )
 
 
+def delete_lists(
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Both near-dup delete-list policies from ONE components build:
+    (leg, id) with leg 'quality' (cluster keeps its argmax-score
+    member) and 'minid' (cluster keeps its min-id member).
+
+    ``duplicate_delete_list`` and ``quality_delete_list`` each run
+    their own label-propagation loop; a pipeline that wants to compare
+    policies (or emit both for audit) should pay the iterative
+    convergence ONCE — components are policy-independent. Same
+    contracts as the single-policy operators."""
+    comp = connected_components(pairs, max_rounds=max_rounds)
+    w = Window.partitionBy("component").orderBy(F.desc(score_col), F.asc("doc_id"))
+    quality = (
+        comp.join(scores.select(F.col(id_col).alias("doc_id"), score_col), "doc_id")
+        .select("doc_id", "component", F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") > 1)
+        .select(F.lit("quality").alias("leg"), "doc_id")
+    )
+    minid = comp.filter(F.col("doc_id") != F.col("component")).select(
+        F.lit("minid").alias("leg"), "doc_id"
+    )
+    return quality.unionByName(minid)
+
+
 def dedup_paragraphs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -946,28 +946,20 @@ SELECT 'minid' AS leg, doc_id FROM comp WHERE doc_id != component
     "minid leg: the classic min-id-representative delete list (every "
     "member except its component label). The oracle replays components "
     "as a recursive min-reachable-id closure (label propagation's "
-    "fixpoint), the argmax window, and the label filter. The pair "
-    "frame is persisted so both operators' convergence loops reuse the "
-    "materialized LSH output instead of replaying it.",
+    "fixpoint), the argmax window, and the label filter. Both legs "
+    "derive from ONE components build (operators/dedup.py:delete_lists "
+    "— the convergence loop is policy-independent, so it runs once).",
 )
 def q_delete_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import duplicate_delete_list, quality_delete_list
+    from ..operators.dedup import delete_lists
 
     docs = t(spark, sf_dir, "documents")
     sh = _persist(shingles(docs))
     pairs = jaccard_verify(
         lsh_candidate_pairs(lsh_bands(minhash_signature(sh))), sh
     ).filter(F.col("jaccard") >= 0.5)
-    # second persist alongside sh (append, not _persist — that would
-    # release sh before pairs materializes from it): both operators run
-    # their own label-propagation loop over the SAME pair frame
-    pairs = pairs.persist()
-    _LIVE_PERSISTS.append(pairs)
     scores = docs.select("doc_id", F.col("n_chars").cast("long").alias("score"))
-    q_leg = quality_delete_list(pairs, scores, score_col="score").select(
-        F.lit("quality").alias("leg"), "doc_id"
-    )
-    m_leg = duplicate_delete_list(pairs).select(
-        F.lit("minid").alias("leg"), "doc_id"
-    )
-    return q_leg.unionByName(m_leg)
+    # the combined operator pays the label-propagation convergence ONCE
+    # for both policies (components are policy-independent) — half the
+    # iterative cost of running the two single-policy operators
+    return delete_lists(pairs, scores, score_col="score")
