@@ -578,11 +578,13 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     qd, cents = kmeans_lite_fit(emb, k=_IVF_K, dim=_EMB_DIM, rounds=_IVF_ROUNDS)
-    # persist: the k-row centroid frame feeds BOTH the candidate
-    # assignment and the query probe ranking — materializing it runs the
-    # Lloyd rounds once (the previous formulation persisted the full
-    # corpus assignment instead; k rows is the cheaper reuse point)
-    cents = _persist(cents)
+    # the k-row centroid frame feeds BOTH the candidate assignment and
+    # the query probe ranking: a lazy localCheckpoint materializes the
+    # Lloyd rounds once AND truncates the lineage, so each consumer
+    # plans against an 8-row leaf instead of the full k-means tree
+    # (~0.6 s less driver-side planning than persist at sf0.1, and the
+    # r6 checkpoint discipline of operators.pq)
+    cents = cents.localCheckpoint(eager=False)
     c = assign_clusters(qd, cents).select(
         F.col("vec_id").alias("cand_id"),
         F.col("qv").alias("qv_c"),
