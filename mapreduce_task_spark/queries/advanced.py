@@ -294,20 +294,45 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "approx_sketches",
     None,  # HLL/quantile-sketch estimates differ per engine: rows-only check
-    doc="Sketch-based aggregates for 100 TB: approx_count_distinct (HLL — "
-    "deterministic for fixed data: register-max merge is commutative) and "
-    "approx_percentile. The exact twins distinct_agg/percentile_stats carry "
-    "the oracles; these are the drop-in scale substitutes.",
+    doc="Sketch-based aggregates for 100 TB as a two-leg rows-only union. "
+    "scalar leg: approx_count_distinct (HLL — deterministic for fixed "
+    "data: register-max merge is commutative) and approx_percentile "
+    "per event_type; the exact twins in agg_stats carry the oracles — "
+    "these are the drop-in scale substitutes. rollup leg (r6, "
+    "driver-surfaces the r4 pytest-only mergeable-sketch path): "
+    "hll_sketch_agg keeps the DataSketches HLL BINARY per group, and "
+    "hll_rollup_estimate reads per-group estimates AND the all-groups "
+    "union from the stored sketches alone — the store-once/roll-up-"
+    "many-ways pattern a 100 TB metrics layer uses; error bounds vs "
+    "the exact counts are pytest-gated (tests/test_sketches.py).",
 )
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        t(spark, sf_dir, "events")
-        .groupBy("event_type")
+    from ..operators.sketches import hll_group_sketches, hll_rollup_estimate
+
+    ev = t(spark, sf_dir, "events")
+    nul_d = F.lit(None).cast("double")
+    scalar = (
+        ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id").alias("approx_users"),
             F.approx_percentile("value", 0.5, 10000).alias("approx_median_value"),
         )
+        .select(
+            F.lit("scalar").alias("leg"),
+            F.col("event_type").cast("string"),
+            F.col("approx_users").cast("double"),
+            "approx_median_value",
+        )
     )
+    rollup = hll_rollup_estimate(
+        hll_group_sketches(ev, "event_type", "user_id"), "event_type"
+    ).select(
+        F.lit("hll_rollup").alias("leg"),
+        "event_type",
+        F.col("approx_distinct").cast("double").alias("approx_users"),
+        nul_d.alias("approx_median_value"),
+    )
+    return scalar.unionByName(rollup)
 
 
 
