@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..functions.hashing import affine_minhash_cols, hash64
 from ..functions.text import normalize_token, normalized_tokens, tokenize
 from ..sources.tables import ensure_parallelism
+from .pinning import Pin, no_pin as _no_pin
 
 NUM_HASHES = 16
 BANDS = 8  # 8 bands x 2 rows: P(candidate) = 1-(1-j^2)^8 -> 0.90 at j=0.5
@@ -545,6 +546,8 @@ def incremental_minhash_dedup(
     threshold: float = 0.5,
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
+    batch_shingles: DataFrame | None = None,
+    pin: "Pin | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup ingest dedup: the LSH extension of
     ``incremental_exact_dedup`` — dedupe a new crawl batch against
@@ -566,6 +569,17 @@ def incremental_minhash_dedup(
     Returns ``(fresh_docs, signatures)`` — survivors of both stages,
     and the updated signature table (old sigs + survivors') to persist
     for the next ingest. Pass ``known_sigs=None`` for the first batch.
+    If the caller already holds the batch's shingle frame (the shape
+    ``shingles()`` returns — e.g. a pipeline that shingled the whole
+    corpus once and persisted it), pass it as ``batch_shingles`` so
+    this operator never pays a second tokenize+shingle scan.
+
+    ``pin`` controls how the multi-consumer intermediates (the batch
+    shingle frame, the signature frame, the kept-signature frame) are
+    reused across their downstream joins — see ``operators.pinning``
+    for the fault-tolerance tradeoff. Default ``None`` = no pinning
+    (each consumer re-derives; always safe); the benchmark queries
+    pass ``pinning.lazy_checkpoint``.
 
     Scale shape: batch-side shingle/signature work is proportional to
     the BATCH; the historical side contributes one band equi-join
@@ -582,12 +596,18 @@ def incremental_minhash_dedup(
 
     # the batch shingle set feeds the signature build AND the three
     # scans inside jaccard_verify; the signature table feeds stage-1
-    # bands plus both stage-2 sides. Lazily checkpoint both (no job at
-    # plan-build time) so each is derived once per ingest — the batch
-    # is small relative to the corpus by the ingest contract, and sig
-    # is num_hashes*8 bytes/doc (it IS the persisted state format).
-    sh = shingles(new_docs, id_col, text_col).localCheckpoint(eager=False)
-    sig = minhash_signature(sh, id_col, num_hashes).localCheckpoint(eager=False)
+    # bands plus both stage-2 sides. Pin both (per the caller's pin
+    # policy) so each is derived once per ingest — the batch is small
+    # relative to the corpus by the ingest contract, and sig is
+    # num_hashes*8 bytes/doc (it IS the persisted state format).
+    if pin is None:
+        pin = _no_pin
+    sh = pin(
+        batch_shingles
+        if batch_shingles is not None
+        else shingles(new_docs, id_col, text_col)
+    )
+    sig = pin(minhash_signature(sh, id_col, num_hashes))
 
     # stage 1: within-batch near-dups at full fidelity
     pairs = jaccard_verify(
@@ -598,7 +618,7 @@ def incremental_minhash_dedup(
     dels = pairs.select(F.col("id_b").alias(id_col)).distinct()
     batch_kept_ids = new_docs.select(id_col).join(dels, id_col, "left_anti")
     # two stage-2 consumers (band derivation + signature-agreement join)
-    kept_sig = sig.join(batch_kept_ids, id_col).localCheckpoint(eager=False)
+    kept_sig = pin(sig.join(batch_kept_ids, id_col))
 
     # stage 2: cross-batch candidates via band buckets of BOTH sides
     nb = lsh_bands(kept_sig, id_col, num_hashes, bands).select(

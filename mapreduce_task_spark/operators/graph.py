@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .pinning import Pin, lazy_checkpoint as _lazy_checkpoint
+
 
 def canonical_edges(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
     """Undirected edge set as distinct (u < v) rows, self-loops dropped."""
@@ -166,6 +168,7 @@ def pagerank_int(
     dst: str = "dst",
     iters: int = 6,
     damping_ppm: int = 850_000,
+    pin: "Pin | None" = None,
 ) -> DataFrame:
     """PageRank in exact integer pico-units: (node, rank_pu).
 
@@ -192,26 +195,34 @@ def pagerank_int(
 
     Fully lazy (no driver actions): n, dangling mass, and the base term
     ride as one-row frames through cross joins, and each round's ranks
-    are lazily localCheckpointed, so plan depth stays constant while
-    the returned frame is still a plain composable DataFrame. Scale
-    shape is identical to ``pagerank``: one node-keyed shuffle per
-    round; pre-partitioning the edge table by ``src`` (bucketed graph
-    layout) keeps the big side unshuffled across rounds.
+    are pinned, so plan depth stays constant while the returned frame
+    is still a plain composable DataFrame. Scale shape is identical to
+    ``pagerank``: one node-keyed shuffle per round; pre-partitioning
+    the edge table by ``src`` (bucketed graph layout) keeps the big
+    side unshuffled across rounds.
+
+    ``pin`` (see ``operators.pinning``) controls the per-round rank
+    materialization. The default, ``lazy_checkpoint``, truncates
+    lineage each round — REQUIRED for constant plan depth, but the
+    rank blocks live unreplicated on executors, so an executor loss
+    mid-iteration kills the job (re-run it). On clusters where that is
+    unacceptable pass ``pinning.disk_persist`` (lineage kept, blocks
+    recomputable — but plan depth then grows per round; bound iters)
+    or a ``df.checkpoint()`` lambda with a reliable checkpoint dir.
     """
+    if pin is None:
+        pin = _lazy_checkpoint
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("to"))
-    verts = (
-        e.select("node")
-        .unionAll(e.select(F.col("to").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
+    verts = pin(
+        e.select("node").unionAll(e.select(F.col("to").alias("node"))).distinct()
     )
     outd = e.groupBy("node").agg(F.count(F.lit(1)).alias("outd"))
     # static per-round inputs, materialized once: the degree-annotated
     # edge list (so each round pays ONE rank join, not rank ⋈ outd ⋈ e)
     # and the dangling-vertex set (out-degree-0 nodes never change;
     # re-deriving them per round via an anti-join is wasted work)
-    ew = e.join(outd, "node").localCheckpoint(eager=False)
-    dangv = verts.join(outd, "node", "left_anti").localCheckpoint(eager=False)
+    ew = pin(e.join(outd, "node"))
+    dangv = pin(verts.join(outd, "node", "left_anti"))
     nf = verts.agg(F.count(F.lit(1)).alias("n"))
     d6 = damping_ppm * 1_000_000
 
@@ -249,9 +260,9 @@ def pagerank_int(
                 .cast("bigint")
                 .alias("rank_pu"),
             )
-            # ranks feeds two consumers next round (dangling + contribs):
-            # lazy checkpoint keeps plan depth constant without running a
-            # job at plan-build time (same discipline as operators.pq)
-            .localCheckpoint(eager=False)
         )
+        # ranks feeds two consumers next round (dangling + contribs);
+        # the pin keeps plan depth constant without running a job at
+        # plan-build time (same discipline as operators.pq)
+        ranks = pin(ranks)
     return ranks

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.hashing import hash64
+from .pinning import Pin, lazy_checkpoint as _lazy_checkpoint
 from .similarity import with_quantized
 
 
@@ -81,11 +82,25 @@ def _assign_codes(subs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
 
 
 def _fit_codebook(
-    qd: DataFrame, id_col: str, m: int, ksub: int, dsub: int, rounds: int
+    qd: DataFrame,
+    id_col: str,
+    m: int,
+    ksub: int,
+    dsub: int,
+    rounds: int,
+    pin: "Pin | None" = None,
 ) -> DataFrame:
     """Codebook fit over an already-quantized (id, qv) frame — the
     shared core of ``pq_fit`` (raw vectors) and ``ivfpq_topk``
-    (coarse-centroid residuals)."""
+    (coarse-centroid residuals).
+
+    ``pin`` materializes the m*ksub-row codebook each Lloyd round (see
+    ``operators.pinning``). Default ``lazy_checkpoint``: required for
+    constant plan depth across rounds, but the blocks are unreplicated
+    — an executor loss mid-fit kills the job (re-run, or pass
+    ``pinning.disk_persist`` to keep lineage recomputable)."""
+    if pin is None:
+        pin = _lazy_checkpoint
     subs = _subvectors(qd, id_col, m, dsub)
 
     seed_rank = (
@@ -121,13 +136,13 @@ def _fit_codebook(
         # dense (all m x ksub entries) for positional ADC table lookups
         dead = cents.join(updated.select("sub", "j"), ["sub", "j"], "left_anti")
         # ``cents`` is referenced twice per round (assignment + the
-        # dead-centroid anti-join), so without truncation the lineage
+        # dead-centroid anti-join), so without pinning the lineage
         # doubles every round and each consumer replays the full
-        # upstream corpus scan. The codebook is m x ksub rows — a lazy
-        # localCheckpoint (no job at plan-build time) pins it so every
-        # later round and every downstream consumer starts from a
-        # materialized leaf, not an exponentially-deep tree.
-        cents = updated.unionByName(dead).localCheckpoint(eager=False)
+        # upstream corpus scan. The codebook is m x ksub rows — the pin
+        # (lazy: no job at plan-build time) makes every later round and
+        # every downstream consumer start from a materialized leaf, not
+        # an exponentially-deep tree.
+        cents = pin(updated.unionByName(dead))
     return cents
 
 
@@ -382,7 +397,7 @@ def ivfpq_topk(
     # home assignment, query probes); pin its n_clusters rows so the
     # coarse Lloyd rounds run once — the inline mirror of
     # ivfpq_build_index's write+read-back of ``coarse``
-    coarse = coarse.localCheckpoint(eager=False)
+    coarse = _lazy_checkpoint(coarse)
     cj = coarse.select(F.col("j").alias("cluster"), "cqv")
 
     homed = assign_clusters(qd, coarse, id_col)
@@ -393,11 +408,14 @@ def ivfpq_topk(
             "cluster",
             F.zip_with("qv", "cqv", lambda a, b: a - b).alias("qv"),
         )
-        # three consumers (codebook fit, encoding, candidate frame):
-        # pin the residual corpus once, the inline mirror of
-        # ivfpq_build_index's persist(MEMORY_AND_DISK) on ``resid``
-        .localCheckpoint(eager=False)
     )
+    # three consumers (codebook fit, encoding, candidate frame): pin
+    # the residual corpus once — the inline mirror of
+    # ivfpq_build_index's persist(MEMORY_AND_DISK) on ``resid``.
+    # lazy_checkpoint here is the bench-driver choice (fast,
+    # unrecoverable on executor loss — see operators.pinning); the
+    # production path is the persisted index (ivfpq_build_index).
+    resid = _lazy_checkpoint(resid)
     cents = _fit_codebook(resid.select(id_col, "qv"), id_col, m, ksub, dsub, pq_rounds)
     codes = _encode_codes(resid.select(id_col, "qv"), cents, id_col, m, dsub)
     cand = (

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from .pinning import Pin
+
 K1 = 1.2
 B = 0.75
 
@@ -69,6 +71,7 @@ def bm25_topk(
     k: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pin: "Pin | None" = None,
 ) -> DataFrame:
     """Top-k documents by (log-free) BM25 against ``terms``.
 
@@ -84,16 +87,17 @@ def bm25_topk(
     same projection. The term-row formulation (broadcast term join)
     evaluated the corpus lineage three times — at 100 TB that is three
     reads of the text column; this shape reads it twice (stats pass +
-    scoring pass, the projection's two consumers; callers for whom the
-    scan dominates persist the tiny (id, dl, k tf-int) projection and
-    it becomes one — which is what this operator now does: the
-    projection is NARROW (text already dropped), so a lazy
-    localCheckpoint lets the text column be read and tokenized exactly
-    ONCE, the second pass streaming ~(16 + 8k) bytes/doc from the
-    checkpoint instead — at cluster scale, the same shape as a
-    DISK_ONLY persist, the r6 discipline of
-    operators.timeseries.mad_outliers). ``spark`` stays in the
-    signature for API stability (term_frequencies still uses it).
+    scoring pass, the projection's two consumers). Callers for whom
+    the scan dominates pass ``pin`` (see ``operators.pinning``) to
+    materialize the NARROW (id, dl, k tf-int) projection once — the
+    text column is then read and tokenized exactly ONCE and the second
+    pass streams ~(16 + 8k) bytes/doc from the pinned blocks.
+    ``pinning.lazy_checkpoint`` is fastest but unrecoverable on
+    executor loss; ``pinning.disk_persist`` keeps lineage (blocks
+    recompute on loss) at the cost of a serialize pass. Default
+    ``None`` = no pinning — two full scans, unchanged failure
+    semantics. ``spark`` stays in the signature for API stability
+    (term_frequencies still uses it).
     """
     def tf_col(t: str):
         # single-param lambda closing over t (a two-param lambda would
@@ -104,7 +108,9 @@ def bm25_topk(
         id_col,
         "dl",
         *[tf_col(t).cast("bigint").alias(f"__tf{i}") for i, t in enumerate(terms)],
-    ).localCheckpoint(eager=False)
+    )
+    if pin is not None:
+        base = pin(base)
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .pinning import Pin
+
 
 def resample_ffill(
     events: DataFrame,
@@ -137,6 +139,7 @@ def mad_outliers(
     group_col: str = "event_type",
     value_col: str = "value",
     k: float = 4.4478,  # 3 * 1.4826 (normal-consistency constant), folded
+    pin: "Pin | None" = None,
 ) -> DataFrame:
     """Flag rows whose |value - median| exceeds ``k`` * MAD within a group.
 
@@ -157,15 +160,16 @@ def mad_outliers(
         F.percentile("_cents", 0.5).alias("_med")
     )
     # ``dev`` feeds two consumers (the MAD aggregation and the final
-    # flag filter); without truncation each re-derives it from the
-    # source — 4 scans of a 100 TB corpus instead of 2. The lazy
-    # localCheckpoint pins the deviation projection once (at cluster
-    # scale, a DISK_ONLY persist or reliable checkpoint — same shape).
-    dev = (
-        with_c.join(F.broadcast(med), group_col)
-        .withColumn("_dev", F.abs(F.col("_cents") - F.col("_med")))
-        .localCheckpoint(eager=False)
+    # flag filter); without pinning each re-derives it from the source
+    # — 4 scans of a 100 TB corpus instead of 2. ``pin`` (see
+    # operators.pinning for the lazy_checkpoint-vs-disk_persist
+    # fault-tolerance tradeoff) materializes the deviation projection
+    # once; default None keeps the caller's failure semantics.
+    dev = with_c.join(F.broadcast(med), group_col).withColumn(
+        "_dev", F.abs(F.col("_cents") - F.col("_med"))
     )
+    if pin is not None:
+        dev = pin(dev)
     mad = dev.groupBy(group_col).agg(F.percentile("_dev", 0.5).alias("_mad"))
     flagged = dev.join(F.broadcast(mad), group_col).filter(
         F.col("_dev") > F.col("_mad") * F.lit(k)
@@ -300,23 +304,32 @@ def group_trend_exact(
     Any engine computing the same expressions over the same exact
     integer sums produces bit-identical doubles (IEEE ops on identical
     inputs). Callers quantize/shift their columns into int64-safe
-    ranges (epoch-offset seconds, value cents — see the driver query);
-    per-key moment sums must fit int64: |x| <= ~3e6, |y| <= ~5e4 holds
-    to ~1e4 rows/key, beyond which the sums move to decimal(38).
-    NULL fit (slope/intercept/r2) when n < min_points or x-variance
-    is zero — same contract as ``group_trend``.
+    ranges (epoch-offset seconds, value cents — see the driver query).
+    The five moments accumulate as decimal(38,0), NOT int64: Spark's
+    non-ANSI int64 sum WRAPS silently past 2^63 while DuckDB promotes
+    to 128-bit, so an int64 formulation would silently diverge beyond
+    the |x|/|y|/rows-per-key envelope instead of failing loudly. With
+    decimal moments, overflow past 38 digits (astronomically beyond
+    any quantized input) yields NULL sums -> NULL fits on the Spark
+    side and a cast error on a bigint-casting oracle — loud on both
+    engines, never a plausible-looking wrong slope. NULL fit
+    (slope/intercept/r2) when n < min_points or x-variance is zero —
+    same contract as ``group_trend``.
     """
     x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    # per-row products in decimal(19,0)*decimal(19,0) -> decimal(38,0):
+    # any int64 pair multiplies without wrap; sums stay (38,0)
+    xd, yd = F.col("__x").cast("decimal(19,0)"), F.col("__y").cast("decimal(19,0)")
     agg = (
         df.select(F.col(key_col), x.alias("__x"), y.alias("__y"))
         .groupBy(key_col)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("__x").alias("_sx"),
-            F.sum("__y").alias("_sy"),
-            F.sum(F.col("__x") * F.col("__y")).alias("_sxy"),
-            F.sum(F.col("__x") * F.col("__x")).alias("_sxx"),
-            F.sum(F.col("__y") * F.col("__y")).alias("_syy"),
+            F.sum(xd).alias("_sx"),
+            F.sum(yd).alias("_sy"),
+            F.sum(xd * yd).alias("_sxy"),
+            F.sum(xd * xd).alias("_sxx"),
+            F.sum(yd * yd).alias("_syy"),
         )
     )
     nd = F.col("n").cast("double")

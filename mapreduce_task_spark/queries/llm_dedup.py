@@ -29,6 +29,7 @@ from ..operators.dedup import (
     shingles,
     simhash,
 )
+from ..operators.pinning import lazy_checkpoint
 from ..operators.similarity import (
     blocked_all_pairs_cosine,
     brute_force_topk,
@@ -402,12 +403,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the derived stand-in for the persisted signature table feeds both
     # the historical band derivation and the agreement join — pin it
-    # (production reads it from parquet, paying this once at write)
+    # (production reads it from parquet, paying this once at write).
+    # Both legs derive from the ALREADY-persisted shingle frame `sh`:
+    # neither side re-tokenizes or re-shingles a single document.
     hist_sigs = minhash_signature(
-        shingles(docs.filter(F.col("doc_id") < _INGEST_SPLIT))
+        sh.filter(F.col("doc_id") < _INGEST_SPLIT)
     ).localCheckpoint(eager=False)
     batch = docs.filter(F.col("doc_id") >= _INGEST_SPLIT)
-    fresh, _sigs = incremental_minhash_dedup(batch, hist_sigs)
+    fresh, _sigs = incremental_minhash_dedup(
+        batch,
+        hist_sigs,
+        batch_shingles=sh.filter(F.col("doc_id") >= _INGEST_SPLIT),
+        pin=lazy_checkpoint,
+    )
     inc_leg = fresh.select(
         F.lit("incremental").alias("leg"),
         nul.alias("id_a"),

@@ -213,6 +213,7 @@ _BM25_CTES = """toks AS (
     "reference's InsertIndex posting lists (TraceInsertIndexJob.java).",
 )
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pinning import lazy_checkpoint
     from ..operators.ranking import bm25_topk
 
     return bm25_topk(
@@ -220,6 +221,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         ["spark", "join", "query"],
         k=50,
+        pin=lazy_checkpoint,
     )
 
 
@@ -278,11 +280,14 @@ _RRF_LEG_K = 50  # per-ranker list depth fed into fusion
 )
 def q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
+    from ..operators.pinning import lazy_checkpoint
     from ..operators.ranking import bm25_topk, rrf_fuse
     from ..operators.similarity import brute_force_topk
 
     docs = t(spark, sf_dir, "documents")
-    lex = bm25_topk(docs, spark, ["spark", "join", "query"], k=_RRF_LEG_K)
+    lex = bm25_topk(
+        docs, spark, ["spark", "join", "query"], k=_RRF_LEG_K, pin=lazy_checkpoint
+    )
     wl = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
     lex_r = lex.select(
         F.lit(0).cast("long").alias("query_id"),

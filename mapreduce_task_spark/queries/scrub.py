@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.hashing import hash64_duckdb_sql
 from ..operators.scrub import redact_pii, remove_boilerplate_lines
 from ..registry import query, t
-from .llm_dedup import _PARA_CTE, _WORDS_CTE
+from .llm_dedup import _PARA_CTE, _PARA_WORDS, _WORDS_CTE
 
 _BOILER_DF_MAX = 1   # windows appearing in >1 distinct docs are removed
 _DECONTAM_N = 8      # shingle length for contamination
@@ -126,7 +126,9 @@ def q_scrub_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("redact").alias("leg"), "doc_id", "text"
     )
 
-    ch = chunk_documents(docs, chunk_words=32, overlap=0)
+    # _PARA_WORDS keeps this in lockstep with the imported _PARA_CTE
+    # oracle — a literal here would silently desync if that constant moves
+    ch = chunk_documents(docs, chunk_words=_PARA_WORDS, overlap=0)
     lined = ch.groupBy("doc_id").agg(
         F.array_join(
             F.transform(

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators.pinning import lazy_checkpoint
 from ..operators.timeseries import group_trend_exact, mad_outliers, resample_ffill
 from ..registry import query, t
 
@@ -119,7 +120,7 @@ from ..registry import query, t
            CAST(n AS BIGINT) AS trend_n, slope, intercept, r2
     FROM trend
     """,
-    doc="Batch time-series coverage as a two-leg tagged union (merges the "
+    doc="Batch time-series coverage as a three-leg tagged union (merges the "
     "former resample_ffill / outlier_mad rows, round 6). resample leg: "
     "per-user 6h resampling with gap buckets and forward fill — dense "
     "bucket spine from each user's own [min,max] span via "
@@ -170,6 +171,7 @@ def q_timeseries_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_id", "event_type", "value"),
         group_col="event_type",
         value_col="value",
+        pin=lazy_checkpoint,
     ).select(
         F.lit("outlier").alias("leg"),
         nul_b.alias("user_id"),

@@ -158,34 +158,48 @@ def test_join_strategy_hints_are_honored(spark, sf_small):
 
 
 def test_audited_scan_counts_hold(spark, sf_small):
-    """Pins the round-4 scan-reduction audits: funnel reads its source
-    exactly once; bm25's narrow (id, dl, tf) projection is lazily
-    checkpointed (late r6), so its stats and scoring passes share ONE
-    text read inside the checkpointed lineage and the visible plan
-    shows zero scans (true read volume 1, enforced structurally — was
-    2); timeseries_shapes
-    shows TWO visible scans: the resample leg's (its round-4
-    single-scan audit holds) and the trend leg's single moment-sum
-    scan. The outlier leg's deviation projection is lazily
-    checkpointed (r6 — it feeds both the MAD aggregation and the final
-    flag filter, and previously re-derived its 2-scan lineage per
-    consumer for 4 total reads); its median+deviation build scans run
-    exactly once inside the checkpointed lineage, which the visible
-    executedPlan no longer itemizes — true read volume is 3, enforced
-    structurally by the checkpoint rather than countable here. A
-    regression here silently multiplies 100 TB read volume."""
+    """Pins the scan-reduction audits on the TRUE (unpinned) operator
+    lineage — a regression here silently multiplies 100 TB read volume.
+
+    Checkpoint-pinned query plans hide source reads from executedPlan
+    (the r6 version of this test asserted bm25_search shows 0 visible
+    scans, which enforced nothing), so since r7 the operators take an
+    explicit ``pin`` callback (operators.pinning) and this audit builds
+    them UNPINNED, where every source read is countable:
+
+    - funnel_steps query: exactly 1 scan (round-4 audit).
+    - timeseries_shapes query: 2 visible scans (resample leg's single
+      scan + trend leg's single moment-sum scan; the outlier leg is
+      pinned inside the query — audited unpinned below).
+    - bm25_topk unpinned: exactly 2 scans — the narrow (id, dl, tf)
+      projection's two consumers (stats pass + scoring pass). The
+      benchmark query passes pin=lazy_checkpoint, collapsing the true
+      read volume to 1; an extra scan added to the lineage would show
+      up here as 3.
+    - mad_outliers unpinned: exactly 4 scans — the deviation
+      projection's 2-scan lineage (median agg + join back) times its
+      two consumers (MAD agg + flag filter). Pinned in the query, the
+      true read volume is 3 (med, dev build, nothing re-read)."""
+    from mapreduce_task_spark.operators.ranking import bm25_topk
+    from mapreduce_task_spark.operators.timeseries import mad_outliers
     from mapreduce_task_spark.registry import all_queries
+    from mapreduce_task_spark.sources.tables import load_table
+
+    def scans(df):
+        return (
+            df._jdf.queryExecution().executedPlan().toString().count(
+                "FileScan parquet"
+            )
+        )
 
     qs = all_queries()
-    expect = {"funnel_steps": 1, "timeseries_shapes": 2, "bm25_search": 0}
-    got = {}
-    for name, cap in expect.items():
-        plan = (
-            qs[name]
-            .fn(spark, sf_small)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-        got[name] = plan.count("FileScan parquet")
+    expect = {"funnel_steps": 1, "timeseries_shapes": 2}
+    got = {
+        name: scans(qs[name].fn(spark, sf_small)) for name in expect
+    }
     assert got == expect, got
+
+    docs = load_table(spark, sf_small, "documents")
+    ev = load_table(spark, sf_small, "events")
+    assert scans(bm25_topk(docs, spark, ["spark"], k=5)) == 2
+    assert scans(mad_outliers(ev.select("event_id", "event_type", "value"))) == 4
