@@ -15,9 +15,14 @@ pivot, one closing semi-join — all on 8-byte vertex keys.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 from .pinning import Pin, lazy_checkpoint as _lazy_checkpoint
+
+
+def _mem_disk_persist(df: DataFrame) -> DataFrame:
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def canonical_edges(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
@@ -162,6 +167,23 @@ def pagerank(
 PAGERANK_SCALE = 10**12  # rank mass in pico-units: sum(rank_pu) ~= 1e12
 
 
+def degree_annotated_edges(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, to, outd): every edge annotated with its source's
+    out-degree — the static big side of each PageRank round.
+
+    From an edge table BUCKETED by ``src`` this whole build is
+    shuffle-free (plan-asserted in tests/test_plan_health.py): the
+    degree aggregation and the degree join both reuse the scan's hash
+    partitioning, so at 100 TB the edge table is exchanged exactly
+    zero times across the entire power iteration — the bucketed
+    layout paid the shuffle once at write."""
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("to"))
+    outd = e.groupBy("node").agg(F.count(F.lit(1)).alias("outd"))
+    return e.join(outd, "node")
+
+
 def pagerank_int(
     edges: DataFrame,
     src: str = "src",
@@ -169,6 +191,7 @@ def pagerank_int(
     iters: int = 6,
     damping_ppm: int = 850_000,
     pin: "Pin | None" = None,
+    static_pin: "Pin | None" = None,
 ) -> DataFrame:
     """PageRank in exact integer pico-units: (node, rank_pu).
 
@@ -209,11 +232,24 @@ def pagerank_int(
     unacceptable pass ``pinning.disk_persist`` (lineage kept, blocks
     recomputable — but plan depth then grows per round; bound iters)
     or a ``df.checkpoint()`` lambda with a reliable checkpoint dir.
+
+    The STATIC per-round inputs (vertices, degree-annotated edges,
+    dangling set) are ``persist()``ed, not checkpointed: a cached
+    frame keeps both its lineage (recomputable on executor loss) and
+    its physical HASH PARTITIONING on node, so every round's
+    contribution join reads the big edge side pre-partitioned with NO
+    per-round Exchange — checkpointing them instead would discard the
+    partitioning and re-shuffle the edge table every round
+    (plan-asserted in tests/test_plan_health.py). ``static_pin``
+    overrides the storage level (e.g. ``pinning.disk_persist`` when
+    the edge table outgrows memory).
     """
     if pin is None:
         pin = _lazy_checkpoint
+    if static_pin is None:
+        static_pin = _mem_disk_persist
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("to"))
-    verts = pin(
+    verts = static_pin(
         e.select("node").unionAll(e.select(F.col("to").alias("node"))).distinct()
     )
     outd = e.groupBy("node").agg(F.count(F.lit(1)).alias("outd"))
@@ -221,8 +257,8 @@ def pagerank_int(
     # edge list (so each round pays ONE rank join, not rank ⋈ outd ⋈ e)
     # and the dangling-vertex set (out-degree-0 nodes never change;
     # re-deriving them per round via an anti-join is wasted work)
-    ew = pin(e.join(outd, "node"))
-    dangv = pin(verts.join(outd, "node", "left_anti"))
+    ew = static_pin(degree_annotated_edges(edges, src, dst))
+    dangv = static_pin(verts.join(outd, "node", "left_anti"))
     nf = verts.agg(F.count(F.lit(1)).alias("n"))
     d6 = damping_ppm * 1_000_000
 

@@ -157,6 +157,68 @@ def test_join_strategy_hints_are_honored(spark, sf_small):
     assert "SortMergeJoin" in p_m
 
 
+def test_pagerank_edge_side_stays_unshuffled(spark):
+    """Pins pagerank_int's bucketed-edge scale claim (operators/graph.py):
+
+    1. BUILD — degree_annotated_edges from an edge table bucketed by
+       src plans with ZERO shuffle exchanges (degree aggregation and
+       degree join both ride the scan's hash partitioning); the plain
+       scan shuffles. The bucketed layout pays the edge shuffle once
+       at write time, never during the iteration.
+    2. STEADY STATE — each round's visible plan segment (between rank
+       pins) contains exactly ONE hash exchange: the contribution
+       re-key by destination, the irreducible per-round shuffle. In
+       particular the persisted edge frame enters the round join
+       carrying its hash partitioning — r7 regression guard: when the
+       static frames were localCheckpointed instead of persisted, the
+       checkpoint dropped the partitioning and the round segment
+       showed SIX hash exchanges, re-shuffling the (at scale,
+       dominant) edge side every round."""
+    import re
+
+    from mapreduce_task_spark.operators.graph import (
+        degree_annotated_edges,
+        pagerank_int,
+    )
+    from mapreduce_task_spark.sources.bucketing import (
+        bucketed,
+        plan_has_shuffle,
+        write_bucketed,
+    )
+
+    edges = spark.range(0, 500).selectExpr(
+        "CAST(id % 50 AS BIGINT) AS src", "CAST((id * 7 + 1) % 53 AS BIGINT) AS dst"
+    )
+    write_bucketed(edges, "t_edges_pr", ["src"], num_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert not plan_has_shuffle(
+            degree_annotated_edges(bucketed(spark, "t_edges_pr"))
+        )
+        assert plan_has_shuffle(degree_annotated_edges(edges))
+
+        seen = []
+
+        def rec_pin(df):
+            seen.append(df)
+            return df.localCheckpoint(eager=False)
+
+        pagerank_int(edges, iters=2, pin=rec_pin)
+        seen[-1].count()  # materialize so AQE's final plan is real
+        plan = (
+            seen[-1]
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        n_ex = len(re.findall(r"(?<!Reused)Exchange hashpartitioning", plan))
+        assert n_ex == 1, f"{n_ex} per-round hash exchanges\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_audited_scan_counts_hold(spark, sf_small):
     """Pins the scan-reduction audits on the TRUE (unpinned) operator
     lineage — a regression here silently multiplies 100 TB read volume.
