@@ -289,6 +289,14 @@ def connected_components(
     the same join shape. Each round persists its labels and releases
     the previous round's (bounded lineage, bounded storage).
 
+    The check deliberately runs EVERY round, not every 2nd: batching
+    it was measured 6x SLOWER (r7) — the skipped round's labels stay a
+    lazy persisted frame with two consumers in the next round's plan,
+    and an unmaterialized persist gives no sharing within the single
+    job that finally runs, so its join/aggregate shuffles execute
+    twice. One small action per round that materializes the round it
+    just built is the cheaper shape.
+
     A driver action per round is inherent to iterative convergence —
     this operator is the documented exception to the no-driver-action
     rule, and ``max_rounds`` hard-bounds it.

@@ -249,26 +249,30 @@ def pagerank_int(
     if static_pin is None:
         static_pin = _mem_disk_persist
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("to"))
-    verts = static_pin(
-        e.select("node").unionAll(e.select(F.col("to").alias("node"))).distinct()
-    )
     outd = e.groupBy("node").agg(F.count(F.lit(1)).alias("outd"))
     # static per-round inputs, materialized once: the degree-annotated
-    # edge list (so each round pays ONE rank join, not rank ⋈ outd ⋈ e)
-    # and the dangling-vertex set (out-degree-0 nodes never change;
-    # re-deriving them per round via an anti-join is wasted work)
+    # vertex set (carrying the never-changing is-dangling flag, so the
+    # per-round dangling mass is a FILTER + aggregate over the rank
+    # frame instead of a semi-join against a separate dangling table)
+    # and the degree-annotated edge list (so each round pays ONE rank
+    # join, not rank ⋈ outd ⋈ e)
+    verts = static_pin(
+        e.select("node")
+        .unionAll(e.select(F.col("to").alias("node")))
+        .distinct()
+        .join(outd, "node", "left")
+        .select("node", F.col("outd").isNull().alias("dang"))
+    )
     ew = static_pin(degree_annotated_edges(edges, src, dst))
-    dangv = static_pin(verts.join(outd, "node", "left_anti"))
     nf = verts.agg(F.count(F.lit(1)).alias("n"))
     d6 = damping_ppm * 1_000_000
 
     ranks = verts.crossJoin(F.broadcast(nf)).select(
-        "node", F.expr(f"{PAGERANK_SCALE} DIV n").alias("rank_pu")
+        "node", F.expr(f"{PAGERANK_SCALE} DIV n").alias("rank_pu"), "dang"
     )
     for _ in range(iters):
-        dang = (
-            ranks.join(dangv, "node", "left_semi")
-            .agg(F.coalesce(F.sum("rank_pu"), F.lit(0)).cast("bigint").alias("dm"))
+        dang = ranks.filter("dang").agg(
+            F.coalesce(F.sum("rank_pu"), F.lit(0)).cast("bigint").alias("dm")
         )
         contribs = (
             ranks.join(ew, "node")
@@ -295,10 +299,11 @@ def pagerank_int(
                 (F.col("base") + F.coalesce(F.col("c"), F.lit(0)))
                 .cast("bigint")
                 .alias("rank_pu"),
+                "dang",
             )
         )
         # ranks feeds two consumers next round (dangling + contribs);
         # the pin keeps plan depth constant without running a job at
         # plan-build time (same discipline as operators.pq)
         ranks = pin(ranks)
-    return ranks
+    return ranks.select("node", "rank_pu")

@@ -165,17 +165,22 @@ def test_pagerank_edge_side_stays_unshuffled(spark):
        degree join both ride the scan's hash partitioning); the plain
        scan shuffles. The bucketed layout pays the edge shuffle once
        at write time, never during the iteration.
-    2. STEADY STATE — each round's visible plan segment (between rank
-       pins) contains exactly ONE hash exchange: the contribution
-       re-key by destination, the irreducible per-round shuffle. In
-       particular the persisted edge frame enters the round join
-       carrying its hash partitioning — r7 regression guard: when the
-       static frames were localCheckpointed instead of persisted, the
-       checkpoint dropped the partitioning and the round segment
-       showed SIX hash exchanges, re-shuffling the (at scale,
-       dominant) edge side every round."""
-    import re
+    2. STEADY STATE — each round's plan segment (between rank pins)
+       contains exactly TWO hash exchanges, both vertex-sized: the
+       contribution re-key by destination (the irreducible per-round
+       shuffle) and the checkpointed rank frame re-partitioning for
+       its joins (the checkpoint cannot carry partitioning). No
+       exchange sits above a cached (InMemoryTableScan) frame — i.e.
+       the persisted edge side enters every round's join carrying its
+       hash partitioning, never re-shuffled. r7 regression guard: when
+       the static frames were localCheckpointed instead of persisted,
+       the checkpoint dropped their partitioning and the round segment
+       re-exchanged the (at scale, dominant) edge side every round.
 
+    The walk skips cache boundaries (a cache's one-time build cost is
+    not per-round cost) and follows AQE query-stage wrappers; plan
+    toString() truncates long trees, so string counting is unsound
+    here."""
     from mapreduce_task_spark.operators.graph import (
         degree_annotated_edges,
         pagerank_int,
@@ -185,6 +190,65 @@ def test_pagerank_edge_side_stays_unshuffled(spark):
         plan_has_shuffle,
         write_bucketed,
     )
+
+    cache_nodes = ("InMemoryTableScanExec", "TableCacheQueryStageExec")
+
+    def walk(jnode, out):
+        name = jnode.getClass().getSimpleName()
+        if name in cache_nodes or name == "ReusedExchangeExec":
+            out.append(name)
+            return
+        out.append(name)
+        if name == "AdaptiveSparkPlanExec":
+            walk(jnode.executedPlan(), out)
+            return
+        if name.endswith("QueryStageExec"):
+            walk(jnode.plan(), out)
+            return
+        if name == "ShuffleExchangeExec":
+            if "hashpartitioning" not in jnode.outputPartitioning().toString():
+                out[-1] = "RangeOrOtherExchange"
+        ch = jnode.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), out)
+
+    def audit(df):
+        """(n hash exchanges, n cached scans re-exchanged) outside caches."""
+        nodes = []
+        walk(df._jdf.queryExecution().executedPlan(), nodes)
+        n_hash = nodes.count("ShuffleExchangeExec")
+        # a cached frame under an exchange would mean the cache's
+        # partitioning was discarded and the big side re-shuffled
+        # a cache scan is "re-shuffled" iff a hash exchange sits above
+        # it with only narrow ops (sort/project/filter/codegen/stage
+        # wrappers) in between — an exchange above a join/aggregate is
+        # shuffling DERIVED rows, which is fine
+        reshuffled = 0
+        stack = [(df._jdf.queryExecution().executedPlan(), False)]
+        while stack:
+            node, in_ex = stack.pop()
+            name = node.getClass().getSimpleName()
+            if name in cache_nodes:
+                reshuffled += 1 if in_ex else 0
+                continue
+            if name == "AdaptiveSparkPlanExec":
+                stack.append((node.executedPlan(), in_ex))
+                continue
+            if name.endswith("QueryStageExec"):
+                stack.append((node.plan(), in_ex))
+                continue
+            if name == "ShuffleExchangeExec":
+                # SinglePartition exchanges are 1-row aggregate
+                # collects, not a re-shuffle of the cached data
+                nxt = "hashpartitioning" in node.outputPartitioning().toString()
+            elif "Join" in name or "Aggregate" in name or "Expand" in name:
+                nxt = False  # rows below are the cache's, rows above derived
+            else:
+                nxt = in_ex
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append((ch.apply(i), nxt))
+        return n_hash, reshuffled
 
     edges = spark.range(0, 500).selectExpr(
         "CAST(id % 50 AS BIGINT) AS src", "CAST((id * 7 + 1) % 53 AS BIGINT) AS dst"
@@ -206,15 +270,9 @@ def test_pagerank_edge_side_stays_unshuffled(spark):
 
         pagerank_int(edges, iters=2, pin=rec_pin)
         seen[-1].count()  # materialize so AQE's final plan is real
-        plan = (
-            seen[-1]
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-            .split("== Initial Plan ==")[0]
-        )
-        n_ex = len(re.findall(r"(?<!Reused)Exchange hashpartitioning", plan))
-        assert n_ex == 1, f"{n_ex} per-round hash exchanges\n{plan}"
+        n_hash, reshuffled = audit(seen[-1])
+        assert reshuffled == 0, "a persisted static frame was re-exchanged"
+        assert n_hash == 2, f"{n_hash} per-round hash exchanges (expected 2)"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
