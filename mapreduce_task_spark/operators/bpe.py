@@ -65,16 +65,23 @@ def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def bpe_train(
-    df: DataFrame, text_col: str = "text", num_merges: int = 8
-) -> list[tuple[str, str]]:
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    with_counts: bool = False,
+) -> list[tuple[str, str]] | list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges; returns them in order.
 
     Each round: explode adjacent symbol pairs (weighted by word count),
     one groupBy((a, b)) sum, take the argmax row, fold the merge into
     every word's symbols. Working table persisted with per-round swap.
+
+    ``with_counts=True`` returns (a, b, n) triples — the merged pair
+    plus its weighted corpus count at merge time, the auditable
+    training log a driver-verifiable query needs.
     """
     wf = word_freq_table(df, text_col).persist()
-    merges: list[tuple[str, str]] = []
+    merges: list = []
     try:
         for _ in range(num_merges):
             pairs = wf.select(
@@ -97,7 +104,7 @@ def bpe_train(
             if not top:
                 break
             a, b = top[0]["a"], top[0]["b"]
-            merges.append((a, b))
+            merges.append((a, b, int(top[0]["n"])) if with_counts else (a, b))
             nxt = wf.select(
                 "word", "cnt", _merge_fold(F.col("syms"), a, b).alias("syms")
             ).persist()

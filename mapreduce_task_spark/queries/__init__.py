@@ -15,3 +15,4 @@ from . import pipeline_e2e  # noqa: F401
 from . import timeseries  # noqa: F401
 from . import graph_analytics  # noqa: F401
 from . import scrub  # noqa: F401
+from . import tokenizer  # noqa: F401

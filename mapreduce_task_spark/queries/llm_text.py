@@ -349,7 +349,7 @@ _FUZZY_TOKS = (
 )
 
 @query(
-    "fuzzy_match",
+    "text_mining",
     rf"""
 WITH words AS (
   SELECT unnest({_FUZZY_TOKS.format(col='text')}) AS w FROM documents
@@ -379,83 +379,84 @@ best AS (
   SELECT a, b, n_a, n_b,
          row_number() OVER (PARTITION BY a ORDER BY n_b DESC, b DESC) AS rn
   FROM scored
-)
-SELECT 'pairs' AS leg, a, b, CAST(NULL AS BIGINT) AS n_a, CAST(NULL AS BIGINT) AS n_b
-FROM verified
-UNION ALL
-SELECT 'typo' AS leg, a, b, n_a, n_b FROM best WHERE rn = 1
-""",
-    doc="Edit-distance joins WITHOUT the O(n^2) scan, driver-verified "
-    "(operators/fuzzy.py — r4 pytest-only). pairs leg: symmetric-delete "
-    "(SymSpell) blocking over the documents+part vocabulary — every "
-    "string posts itself plus its single-char deletions, candidates "
-    "come from a linear-fan-out equi-join on the variant, JVM "
-    "levenshtein removes collisions. typo leg: rare->frequent "
-    "correction table (canonical neighbor with >= 4x the count; ties "
-    "to highest count then lexicographically greatest). The oracle "
-    "replays variant generation, blocking, and tie-breaks in DuckDB.",
-)
-def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import normalized_tokens
-    from ..operators.fuzzy import symdelete_pairs, typo_clusters
-
-    docs = t(spark, sf_dir, "documents").select(
-        F.explode(normalized_tokens("text")).alias("word")
-    )
-    partw = t(spark, sf_dir, "part").select(
-        F.explode(normalized_tokens("p_name")).alias("word")
-    )
-    words_df = docs.unionByName(partw)
-    nul_b = F.lit(None).cast("bigint")
-    pairs = symdelete_pairs(words_df, "word").select(
-        F.lit("pairs").alias("leg"), "a", "b",
-        nul_b.alias("n_a"), nul_b.alias("n_b"),
-    )
-    typos = typo_clusters(words_df, "word", min_count_ratio=4).select(
-        F.lit("typo").alias("leg"),
-        F.col("variant").alias("a"),
-        F.col("canonical").alias("b"),
-        F.col("n_variant").alias("n_a"),
-        F.col("n_canonical").alias("n_b"),
-    )
-    return pairs.unionByName(typos)
-
-
-@query(
-    "collocations",
-    r"""
-WITH norm AS (
-  SELECT list_filter(list_transform(regexp_split_to_array(text, '\s+'),
-         w -> regexp_replace(lower(w), '[^a-z]', '', 'g')), w -> w <> '') AS t
-  FROM documents
 ),
-toks AS (SELECT unnest(t) AS w FROM norm),
-uni AS (SELECT w, count(*) AS n_w FROM toks GROUP BY w),
+norm AS (
+  SELECT {_FUZZY_TOKS.format(col='text')} AS t FROM documents
+),
+dtoks AS (SELECT unnest(t) AS w FROM norm),
+uni AS (SELECT w, count(*) AS n_w FROM dtoks GROUP BY w),
 big AS (
   SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
   FROM norm WHERE len(t) >= 2
 ),
 bc AS (SELECT w1, w2, count(*) AS n_pair FROM big GROUP BY w1, w2
-       HAVING count(*) >= 5)
-SELECT bc.w1, bc.w2, bc.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2
-FROM bc JOIN uni u1 ON u1.w = bc.w1 JOIN uni u2 ON u2.w = bc.w2
-ORDER BY bc.n_pair DESC, bc.w1, bc.w2
-LIMIT 50
-""",
-    doc="Adjacent-word collocation counts, driver-verified "
-    "(operators/textstats.py:collocations_pmi — r4 pytest-only): "
-    "bigrams via an in-row adjacent transform (no posexplode pair "
-    "blow-up), exact integer bigram/unigram counts from two partial-"
-    "aggregated shuffles, top-50 by count via TakeOrderedAndProject. "
-    "The PMI/NPMI floats are ln()-based (libm-dependent across "
-    "engines) so the driver row carries the exact integers they "
-    "derive from; the float step is pytest-gated "
-    "(tests/test_textstats.py).",
+       HAVING count(*) >= 5),
+colloc AS (
+  SELECT bc.w1, bc.w2, bc.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2
+  FROM bc JOIN uni u1 ON u1.w = bc.w1 JOIN uni u2 ON u2.w = bc.w2
+  ORDER BY bc.n_pair DESC, bc.w1, bc.w2
+  LIMIT 50
 )
-def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+SELECT 'pairs' AS leg, a, b, CAST(NULL AS BIGINT) AS n_pair,
+       CAST(NULL AS BIGINT) AS n_a, CAST(NULL AS BIGINT) AS n_b
+FROM verified
+UNION ALL
+SELECT 'typo' AS leg, a, b, CAST(NULL AS BIGINT) AS n_pair, n_a, n_b
+FROM best WHERE rn = 1
+UNION ALL
+SELECT 'colloc' AS leg, w1 AS a, w2 AS b, n_pair, n_w1 AS n_a, n_w2 AS n_b
+FROM colloc
+""",
+    doc="Vocabulary-mining three-leg tagged union (merges the former "
+    "fuzzy_match + collocations rows, round 8 — both are small-output "
+    "word-pair statistics over the same normalized token stream; the "
+    "merge frees a registry slot inside the driver's 50-row cap for "
+    "the bpe row). pairs leg: SymSpell symmetric-delete blocking over "
+    "the documents+part vocabulary — every string posts itself plus "
+    "its single-char deletions, candidates from a linear-fan-out "
+    "equi-join on the variant, JVM levenshtein removes collisions "
+    "(operators/fuzzy.py; never the O(n^2) cross join). typo leg: "
+    "rare->frequent correction table (canonical neighbor with >= 4x "
+    "the count; ties to highest count then lexicographically "
+    "greatest). colloc leg: top-50 adjacent-word bigrams by exact "
+    "count with unigram counts attached (operators/textstats.py:"
+    "collocations_pmi — in-row adjacent transform, no posexplode "
+    "blow-up, TakeOrderedAndProject; the ln()-based PMI floats are "
+    "libm-dependent so the driver row carries the exact integers they "
+    "derive from, float step pytest-gated in tests/test_textstats.py).",
+)
+def q_text_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import normalized_tokens
+    from ..operators.fuzzy import symdelete_pairs, typo_clusters
     from ..operators.textstats import collocations_pmi
 
-    out = collocations_pmi(
-        t(spark, sf_dir, "documents"), text_col="text", top_k=50, min_count=5
+    docs = t(spark, sf_dir, "documents")
+    docw = docs.select(F.explode(normalized_tokens("text")).alias("word"))
+    partw = t(spark, sf_dir, "part").select(
+        F.explode(normalized_tokens("p_name")).alias("word")
     )
-    return out.select("w1", "w2", "n_pair", "n_w1", "n_w2")
+    words_df = docw.unionByName(partw)
+    nul_b = F.lit(None).cast("bigint")
+    pairs = symdelete_pairs(words_df, "word").select(
+        F.lit("pairs").alias("leg"), "a", "b",
+        nul_b.alias("n_pair"), nul_b.alias("n_a"), nul_b.alias("n_b"),
+    )
+    typos = typo_clusters(words_df, "word", min_count_ratio=4).select(
+        F.lit("typo").alias("leg"),
+        F.col("variant").alias("a"),
+        F.col("canonical").alias("b"),
+        nul_b.alias("n_pair"),
+        F.col("n_variant").alias("n_a"),
+        F.col("n_canonical").alias("n_b"),
+    )
+    colloc = collocations_pmi(
+        docs, text_col="text", top_k=50, min_count=5
+    ).select(
+        F.lit("colloc").alias("leg"),
+        F.col("w1").alias("a"),
+        F.col("w2").alias("b"),
+        "n_pair",
+        F.col("n_w1").alias("n_a"),
+        F.col("n_w2").alias("n_b"),
+    )
+    return pairs.unionByName(typos).unionByName(colloc)
