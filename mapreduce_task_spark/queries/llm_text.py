@@ -193,36 +193,82 @@ _BM25_CTES = """toks AS (
     )"""
 
 
+_PHRASE = "Fast, scan!"  # normalizes to [fast, scan] — exercises the
+# query-side normalization contract (punctuation/case must not miss)
+
+
 @query(
-    "bm25_search",
-    oracle=f"""
-    WITH {_BM25_CTES}
-    SELECT doc_id, n_terms_hit, score_micro
-    FROM bm25
-    ORDER BY score_micro DESC, doc_id
-    LIMIT 50
+    "lexical_search",
+    oracle=rf"""
+    WITH {_BM25_CTES},
+    bm_top AS (
+      SELECT doc_id, n_terms_hit, score_micro
+      FROM bm25
+      ORDER BY score_micro DESC, doc_id
+      LIMIT 50
+    ),
+    pnorm AS (
+      SELECT doc_id, list_filter(list_transform(regexp_split_to_array(text, '\s+'),
+                     w -> regexp_replace(lower(w), '[^a-z]', '', 'g')), w -> w <> '') AS t
+      FROM documents
+    ),
+    ptoks AS (
+      SELECT doc_id, unnest(t) AS word, unnest(range(len(t))) AS pos FROM pnorm
+    ),
+    phrase AS (
+      SELECT t0.doc_id, CAST(count(*) AS INT) AS n_hits
+      FROM ptoks t0 JOIN ptoks t1
+        ON t1.doc_id = t0.doc_id AND t1.word = 'scan' AND t1.pos = t0.pos + 1
+      WHERE t0.word = 'fast'
+      GROUP BY t0.doc_id
+    )
+    SELECT 'bm25' AS leg, doc_id, n_terms_hit, score_micro,
+           CAST(NULL AS INT) AS n_hits
+    FROM bm_top
+    UNION ALL
+    SELECT 'phrase' AS leg, doc_id, CAST(NULL AS BIGINT) AS n_terms_hit,
+           CAST(NULL AS BIGINT) AS score_micro, n_hits
+    FROM phrase
     """,
-    doc="BM25 top-50 keyword search over documents (operators/ranking.py): "
-    "one corpus scan, per-(doc,term) tf from a broadcast 3-term literal "
-    "join + codegen size(filter()) lambda (no token explode, no corpus "
-    "shuffle), tiny df/corpus aggregates broadcast back, one "
-    "TakeOrderedAndProject. Determinism: log-free RSJ idf (ln is "
-    "libm-dependent; +,-,*,/ are IEEE-identical) and per-term scores "
-    "floored to integer micro-units BEFORE the per-doc sum so accumulation "
-    "order cannot change the result. The scoring layer on top of the "
-    "reference's InsertIndex posting lists (TraceInsertIndexJob.java).",
+    doc="Lexical retrieval two-leg tagged union (merges the former "
+    "bm25_search + phrase_search rows, round 8 — both are posting-list "
+    "retrieval over the same documents scan; the merge frees a "
+    "registry slot inside the driver's 50-row cap for the "
+    "quality_gate row). bm25 leg: BM25 top-50 keyword search "
+    "(operators/ranking.py) — one corpus scan, per-(doc,term) tf from "
+    "a broadcast 3-term literal join + codegen size(filter()) lambda "
+    "(no token explode, no corpus shuffle), tiny df/corpus aggregates "
+    "broadcast back, one TakeOrderedAndProject; log-free RSJ idf and "
+    "per-term scores floored to integer micro-units BEFORE the "
+    "per-doc sum so accumulation order cannot change the result. "
+    "phrase leg: exact phrase query over the positional inverted "
+    "index (operators/inverted_index.py:phrase_search — the WHERE "
+    "upgrade of the reference's doc-set index, "
+    "TraceInsertIndexReducer.java:132-145): per-word position arrays "
+    "shifted by phrase offset and intersected, joins bounded by "
+    "phrase length, never the corpus; query terms pass the index-side "
+    "normalization, pinned with a punctuated mixed-case phrase.",
 )
-def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_lexical_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.inverted_index import phrase_search
     from ..operators.pinning import lazy_checkpoint
     from ..operators.ranking import bm25_topk
 
-    return bm25_topk(
-        t(spark, sf_dir, "documents"),
-        spark,
-        ["spark", "join", "query"],
-        k=50,
-        pin=lazy_checkpoint,
+    docs = t(spark, sf_dir, "documents")
+    bm = bm25_topk(
+        docs, spark, ["spark", "join", "query"], k=50, pin=lazy_checkpoint
     )
+    nul_b = F.lit(None).cast("bigint")
+    bm_leg = bm.select(
+        F.lit("bm25").alias("leg"), "doc_id", "n_terms_hit", "score_micro",
+        F.lit(None).cast("int").alias("n_hits"),
+    )
+    ph_leg = phrase_search(docs, _PHRASE).select(
+        F.lit("phrase").alias("leg"), "doc_id",
+        nul_b.alias("n_terms_hit"), nul_b.alias("score_micro"),
+        F.col("n_hits").cast("int").alias("n_hits"),
+    )
+    return bm_leg.unionByName(ph_leg)
 
 
 _RRF_K0 = 60   # reciprocal-rank fusion constant
@@ -304,43 +350,6 @@ def q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
     )
     return rrf_fuse([lex_r, ann], k=_RRF_K, k0=_RRF_K0)
-
-
-_PHRASE = "Fast, scan!"  # normalizes to [fast, scan] — exercises the
-# query-side normalization contract (punctuation/case must not miss)
-
-@query(
-    "phrase_search",
-    r"""
-WITH norm AS (
-  SELECT doc_id, list_filter(list_transform(regexp_split_to_array(text, '\s+'),
-                 w -> regexp_replace(lower(w), '[^a-z]', '', 'g')), w -> w <> '') AS t
-  FROM documents
-),
-toks AS (
-  SELECT doc_id, unnest(t) AS word, unnest(range(len(t))) AS pos FROM norm
-)
-SELECT t0.doc_id, CAST(count(*) AS INT) AS n_hits
-FROM toks t0 JOIN toks t1
-  ON t1.doc_id = t0.doc_id AND t1.word = 'scan' AND t1.pos = t0.pos + 1
-WHERE t0.word = 'fast'
-GROUP BY t0.doc_id
-""",
-    doc="Exact phrase query over the positional inverted index "
-    "(operators/inverted_index.py:positional_index/phrase_search — the "
-    "WHERE upgrade of the reference's doc-set index, "
-    "TraceInsertIndexReducer.java:132-145): per-word position arrays "
-    "shifted by phrase offset and intersected; joins bounded by phrase "
-    "length, never the corpus. Query terms pass the index-side "
-    "normalization (the r5 advisor fix), pinned here with a punctuated "
-    "mixed-case phrase. The oracle replays tokenize+normalize+filter "
-    "with zipped unnest positions and an adjacency self-join.",
-)
-def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.inverted_index import phrase_search
-
-    out = phrase_search(t(spark, sf_dir, "documents"), _PHRASE)
-    return out.select("doc_id", F.col("n_hits").cast("int").alias("n_hits"))
 
 
 _FUZZY_TOKS = (

@@ -162,9 +162,9 @@ def corpus_report(docs: DataFrame) -> DataFrame:
     per-language mix, and token totals — into a tidy
     (metric, key, value) frame.
 
-    Not driver-registered (the 50-row record cap binds; every
-    constituent is verified elsewhere) — pytest drives the composition
-    end-to-end in tests/test_pipeline_e2e.py.
+    Driver-registered since round 8 as the ``report`` leg of
+    ``quality_gate`` (below); pytest additionally drives the
+    composition end-to-end in tests/test_pipeline_e2e.py.
     """
     from ..operators.quality import completeness, run_checks, uniqueness
     from ..operators.textstats import token_counts
@@ -211,3 +211,145 @@ def corpus_report(docs: DataFrame) -> DataFrame:
         )
     )
     return checks.unionByName(dup_rate).unionByName(lang_mix).unionByName(tokens)
+
+
+@query(
+    "quality_gate",
+    oracle=r"""
+WITH rep AS (
+  SELECT 'check:completeness' AS rule, 'doc_id' AS col_name,
+         CAST(count(doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS metric
+  FROM documents
+  UNION ALL
+  SELECT 'check:uniqueness', 'doc_id',
+         CAST(count(DISTINCT doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+  FROM documents
+  UNION ALL
+  SELECT 'check:completeness', 'text',
+         CAST(count(text) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+  FROM documents
+  UNION ALL
+  SELECT 'check:completeness', 'lang',
+         CAST(count(lang) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+  FROM documents
+  UNION ALL
+  SELECT 'exact_dup_rate', 'text',
+         1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)
+  FROM documents
+  UNION ALL
+  SELECT 'lang_docs', lang, CAST(count(*) AS DOUBLE)
+  FROM documents GROUP BY lang
+  UNION ALL
+  SELECT 'total_ws_tokens', 'text',
+         CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x != ''))) AS DOUBLE)
+  FROM documents
+),
+gate AS (
+  SELECT 'in_range' AS rule, 'o_totalprice' AS col_name,
+         coalesce(CAST(sum(CASE WHEN o_totalprice BETWEEN 1000.0 AND 300000.0
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(nullif(count(o_totalprice), 0) AS DOUBLE), 0.0) AS metric,
+         0.5 AS threshold
+  FROM orders
+  UNION ALL
+  SELECT 'is_in', 'o_orderstatus',
+         coalesce(CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F')
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(nullif(count(o_orderstatus), 0) AS DOUBLE), 0.0),
+         0.9
+  FROM orders
+  UNION ALL
+  SELECT 'matches', 'o_orderpriority',
+         coalesce(CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-3]-')
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(nullif(count(o_orderpriority), 0) AS DOUBLE), 0.0),
+         0.5
+  FROM orders
+),
+ri AS (
+  SELECT 'referential_integrity' AS rule, 'o_custkey' AS col_name,
+         CAST(count(*) - sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(count(*) AS DOUBLE) AS metric,
+         1.0 AS threshold
+  FROM orders o
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON c.c_custkey = o.o_custkey
+)
+SELECT 'report' AS leg, rule, col_name, metric,
+       CAST(NULL AS DOUBLE) AS threshold, CAST(NULL AS INT) AS passed_i
+FROM rep
+UNION ALL
+SELECT 'orders' AS leg, rule, col_name, metric, threshold,
+       CAST(metric >= threshold AS INT) AS passed_i
+FROM gate
+UNION ALL
+SELECT 'ri' AS leg, rule, col_name, metric, threshold,
+       CAST(metric >= threshold AS INT) AS passed_i
+FROM ri
+""",
+    doc="Pre-ingestion data-quality gate + corpus health report as a "
+    "three-leg tagged union (operators/quality.py + corpus_report, "
+    "pytest-only r4-r7; the generalization of the reference's "
+    "MALFORMED_LINES counter, TraceInsertIndexMapper.java:113-115). "
+    "report leg: corpus_report(documents) — the one-pass constraint "
+    "checks (completeness x3 + uniqueness ride ONE aggregation, "
+    "plan-asserted in tests/test_quality.py), exact-dup rate, "
+    "per-language mix, and whitespace-token totals as a tidy "
+    "(rule, col_name, metric) frame. orders leg: the remaining rule "
+    "types — in_range / is_in / matches — again ONE scan for all "
+    "three (k checks cost one scan + k cheap map-side-combined "
+    "aggregates at 100 TB). ri leg: referential integrity "
+    "orders.o_custkey -> customer (broadcast anti-join orphan count; "
+    "two 1-number actions by documented contract). All metrics are "
+    "count/count divisions of exact integers, so doubles replay "
+    "bit-identically; passed is cast to INT for a stable hash.",
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import (
+        in_range,
+        is_in,
+        matches,
+        referential_integrity,
+        run_checks,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nul_d = F.lit(None).cast("double")
+    nul_i = F.lit(None).cast("int")
+
+    rep = corpus_report(docs).select(
+        F.lit("report").alias("leg"),
+        F.col("metric").alias("rule"),
+        F.col("key").alias("col_name"),
+        F.col("value").alias("metric"),
+        nul_d.alias("threshold"),
+        nul_i.alias("passed_i"),
+    )
+    gate = run_checks(
+        orders,
+        [
+            in_range("o_totalprice", 1000.0, 300000.0, 0.5),
+            is_in("o_orderstatus", ["O", "F"], 0.9),
+            matches("o_orderpriority", "^[1-3]-", 0.5),
+        ],
+    ).select(
+        F.lit("orders").alias("leg"),
+        F.col("check").alias("rule"),
+        F.col("column").alias("col_name"),
+        "metric",
+        "threshold",
+        F.col("passed").cast("int").alias("passed_i"),
+    )
+    ri = referential_integrity(orders, "o_custkey", cust, "c_custkey").select(
+        F.lit("ri").alias("leg"),
+        F.col("check").alias("rule"),
+        F.col("column").alias("col_name"),
+        "metric",
+        "threshold",
+        F.col("passed").cast("int").alias("passed_i"),
+    )
+    return rep.unionByName(gate).unionByName(ri)
