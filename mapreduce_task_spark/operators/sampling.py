@@ -79,6 +79,7 @@ def weighted_sample(
     weight_col: str,
     n: int,
     salt: str = "wsample",
+    key_scale: int | None = None,
 ) -> DataFrame:
     """Deterministic weighted sample WITHOUT replacement of size ``n``
     (Efraimidis-Spirakis A-Res): rank every row by ``u^(1/w)`` where
@@ -87,11 +88,24 @@ def weighted_sample(
     one TakeOrderedAndProject (per-partition n-row heaps, no shuffle of
     the data, no RNG state) and — like every sampler here — replayable
     from the salt by any engine. Rows with weight <= 0 never selected.
+
+    ``key_scale``: the A-Res key is the module's ONE non-replayable
+    float — ``pow`` is not IEEE-correctly-rounded everywhere (Java's
+    fdlibm is within 1 ulp of glibc's correctly-rounded pow), so two
+    engines can disagree in the key's last bit. Passing a scale (e.g.
+    10**9) ranks by ``floor(key * scale)`` with the id as tie-break
+    instead: exact ties resolve identically everywhere, and a
+    cross-engine flip needs the true key within ~1 ulp of a grid line
+    AND at the selection boundary (~1e-7 per draw at 1e9) — the same
+    integer-micro-unit discipline as bm25's score_micro. Default None
+    keeps the raw double ranking (single-engine reproducible always).
     """
     if n < 1:
         raise ValueError("n must be >= 1")
     u = (_bucket(id_col, salt) + 1).cast("double") / float(_BUCKETS)
-    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    key: Column = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    if key_scale is not None:
+        key = F.floor(key * F.lit(float(key_scale)))
     ranked = df.filter(F.col(weight_col) > 0).withColumn("__ares", key)
     out = ranked.orderBy(F.desc("__ares"), F.col(id_col)).limit(n)
     return out.drop("__ares")
@@ -108,7 +122,12 @@ def quality_bins(
     Cut points come from ONE percentile_approx aggregate (a 1-row
     driver collect of n_bins-1 doubles — metadata-sized, the same
     contract as the BPE argmax / k-means fixpoint collects); binning
-    is then a literal CASE projection at scan speed. This is the
+    is then a literal CASE projection at scan speed. While row count
+    <= accuracy the GK sketch is EXACT and its quantile convention is
+    the value at 1-based rank ceil(q * n) (verified empirically across
+    n in tests/test_sampling.py; the driver oracle replays it as an
+    order statistic) — beyond that the rank error is floor(n/accuracy),
+    the documented 100 TB approximation. This is the
     curriculum primitive: compose with ``stratified_sample`` on the
     bin column to up/down-weight quality tiers in the training mix.
     No global sort, no window — ntile() over an unpartitioned window
@@ -132,11 +151,14 @@ def curriculum_mix(
     bin_fractions: dict[int, float],
     score_col: str = "quality_score",
     salt: str = "curriculum",
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Quality-curriculum sampling: bin by score quantile, then keep a
     per-bin deterministic hash fraction — e.g. {0: 0.1, 3: 1.0} keeps
-    10% of the worst quartile and all of the best."""
-    binned = quality_bins(df, score_col, n_bins=max(bin_fractions) + 1)
+    10% of the worst quartile and all of the best. ``accuracy`` passes
+    through to ``quality_bins`` (cut points exact while row count <=
+    accuracy — the GK rank-error bound floor(n/accuracy) is then 0)."""
+    binned = quality_bins(df, score_col, n_bins=max(bin_fractions) + 1, accuracy=accuracy)
     return stratified_sample(binned, "quality_bin", id_col, bin_fractions, salt=salt)
 
 

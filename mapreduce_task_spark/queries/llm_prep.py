@@ -131,20 +131,55 @@ _STRATA_CASE = (
 _CAP_N = 50       # cap_per_group: best-50 docs per lang by n_chars
 _FIXED_N = 30     # stratified_fixed_n: exactly 30 docs per lang
 
+_WEIGHTED_N = 200          # weighted_sample draw size
+_KEY_SCALE = 10**9         # A-Res key quantization (see operators.sampling)
+_QBINS = 4                 # quality_bins quartiles over n_chars
+_QBINS_ACC = 1_000_000     # exact while n_docs <= accuracy
+_CURR_FRACS = {0: 0.1, 1: 0.25, 2: 0.5, 3: 1.0}  # curriculum keep-fractions
+
+_CURR_CASE = (
+    "CASE bin "
+    + " ".join(
+        f"WHEN {k} THEN {int(round(v * 1_000_000))}"
+        for k, v in sorted(_CURR_FRACS.items())
+    )
+    + " ELSE 0 END"
+)
+
+# ceil(q*n) order statistics — Spark percentile_approx's exact-regime
+# rank convention (see operators.sampling.quality_bins docstring)
+_CUTS_CTE = f"""
+qstats AS (SELECT doc_id, n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+                  count(*) OVER () AS nc
+           FROM documents),
+cuts AS (SELECT
+  {", ".join(
+    f"max(CASE WHEN rn = CAST(ceil({i / _QBINS} * nc) AS BIGINT) THEN n_chars END) AS c{i}"
+    for i in range(1, _QBINS)
+  )}
+  FROM qstats),
+binned AS (SELECT doc_id, n_chars,
+    {" + ".join(f"CAST((n_chars > c{i}) AS INT)" for i in range(1, _QBINS))} AS bin
+  FROM documents CROSS JOIN cuts)"""
+
 
 @query(
     "sampling_shapes",
     f"""
-SELECT 'hash' AS leg, doc_id, lang, source, n_chars FROM documents
+WITH {_CUTS_CTE}
+SELECT 'hash' AS leg, doc_id, lang, source, n_chars, CAST(NULL AS INT) AS bin
+FROM documents
 WHERE {hash64_duckdb_sql("concat('sample:', CAST(doc_id AS VARCHAR))")}
       % 1000000 < {int(_SAMPLE_FRACTION * 1_000_000)}
 UNION ALL
-SELECT 'strata' AS leg, doc_id, lang, source, CAST(NULL AS BIGINT) AS n_chars
+SELECT 'strata' AS leg, doc_id, lang, source, CAST(NULL AS BIGINT) AS n_chars,
+       CAST(NULL AS INT) AS bin
 FROM documents
 WHERE {hash64_duckdb_sql("concat('strata:', CAST(doc_id AS VARCHAR))")}
       % 1000000 < {_STRATA_CASE}
 UNION ALL
-SELECT 'cap' AS leg, doc_id, lang, CAST(NULL AS VARCHAR) AS source, n_chars
+SELECT 'cap' AS leg, doc_id, lang, CAST(NULL AS VARCHAR) AS source, n_chars,
+       CAST(NULL AS INT) AS bin
 FROM (SELECT doc_id, lang, n_chars,
              row_number() OVER (PARTITION BY lang
                                 ORDER BY n_chars DESC, doc_id) AS rn
@@ -152,35 +187,71 @@ FROM (SELECT doc_id, lang, n_chars,
 WHERE rn <= {_CAP_N}
 UNION ALL
 SELECT 'fixedn' AS leg, doc_id, lang, CAST(NULL AS VARCHAR) AS source,
-       CAST(NULL AS BIGINT) AS n_chars
+       CAST(NULL AS BIGINT) AS n_chars, CAST(NULL AS INT) AS bin
 FROM (SELECT doc_id, lang,
              row_number() OVER (PARTITION BY lang
                 ORDER BY {hash64_duckdb_sql("concat('fixedn:', CAST(doc_id AS VARCHAR))")}
                          % 1000000, doc_id) AS rn
       FROM documents)
 WHERE rn <= {_FIXED_N}
+UNION ALL
+SELECT 'weighted' AS leg, doc_id, CAST(NULL AS VARCHAR) AS lang,
+       CAST(NULL AS VARCHAR) AS source, n_chars, CAST(NULL AS INT) AS bin
+FROM (SELECT doc_id, n_chars FROM documents WHERE n_chars > 0
+      ORDER BY floor(pow(
+          CAST({hash64_duckdb_sql("concat('wsample:', CAST(doc_id AS VARCHAR))")}
+               % 1000000 + 1 AS DOUBLE) / 1000000.0,
+          1.0 / CAST(n_chars AS DOUBLE)) * {float(_KEY_SCALE)}) DESC, doc_id
+      LIMIT {_WEIGHTED_N})
+UNION ALL
+SELECT 'qbins' AS leg, doc_id, CAST(NULL AS VARCHAR) AS lang,
+       CAST(NULL AS VARCHAR) AS source, n_chars, bin
+FROM binned
+UNION ALL
+SELECT 'curriculum' AS leg, doc_id, CAST(NULL AS VARCHAR) AS lang,
+       CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n_chars, bin
+FROM binned
+WHERE {hash64_duckdb_sql("concat('curriculum:', CAST(doc_id AS VARCHAR))")}
+      % 1000000 < {_CURR_CASE}
 """,
-    doc="Deterministic-sampling coverage as a four-leg tagged union "
-    "(merges the former hash_sample / stratified_sample rows AND "
-    "driver-verifies the r4 pytest-only cap_per_group / "
-    "stratified_fixed_n, round 5). hash leg: content-hash Bernoulli "
-    f"sample (fraction={_SAMPLE_FRACTION}) — shuffle-free codegen "
-    "filter, md5 ppm bucket replayed by the oracle. strata leg: "
-    "per-stratum fractions over documents.lang as a CASE literal — no "
-    f"join. cap leg: best-{_CAP_N} docs per lang by n_chars "
-    "(window-per-group row_number — the per-domain crawl cap). fixedn "
-    f"leg: exactly {_FIXED_N} docs per lang in content-hash order — "
-    "the reproducible eval-set builder; every leg is replayable from "
-    "the salt by any engine.",
+    doc="Deterministic-sampling coverage as a seven-leg tagged union "
+    "(merged hash_sample / stratified_sample r5; + weighted_sample / "
+    "quality_bins / curriculum_mix legs r8 — zero slot cost). hash "
+    f"leg: content-hash Bernoulli sample (fraction={_SAMPLE_FRACTION}) "
+    "— shuffle-free codegen filter, md5 ppm bucket replayed by the "
+    "oracle. strata leg: per-stratum fractions over documents.lang as "
+    f"a CASE literal — no join. cap leg: best-{_CAP_N} docs per lang "
+    "by n_chars (window-per-group row_number — the per-domain crawl "
+    f"cap). fixedn leg: exactly {_FIXED_N} docs per lang in "
+    "content-hash order — the reproducible eval-set builder. weighted "
+    f"leg: Efraimidis-Spirakis A-Res top-{_WEIGHTED_N} weighted by "
+    "n_chars, ONE TakeOrderedAndProject; the u^(1/w) key is floored "
+    f"to {_KEY_SCALE}-units (pow is the one non-correctly-rounded "
+    "libm op — the integer grid + id tie-break absorbs last-ulp "
+    "engine variance, same discipline as bm25's score_micro). qbins "
+    f"leg: {_QBINS} quantile bins over n_chars — cut points from ONE "
+    "percentile_approx (exact while n <= accuracy; oracle replays the "
+    "ceil(q*n) order statistic), binning a literal CASE at scan "
+    "speed. curriculum leg: bins composed with per-bin hash "
+    "fractions — the quality-curriculum mixing primitive; every leg "
+    "replayable from the salt by any engine.",
 )
 def q_sampling_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sampling import cap_per_group, stratified_fixed_n
+    from ..operators.sampling import (
+        cap_per_group,
+        curriculum_mix,
+        quality_bins,
+        stratified_fixed_n,
+        weighted_sample,
+    )
 
     docs = t(spark, sf_dir, "documents")
     nul_b = F.lit(None).cast("bigint")
     nul_s = F.lit(None).cast("string")
+    nul_i = F.lit(None).cast("int")
     hash_leg = hash_sample(docs, "doc_id", _SAMPLE_FRACTION).select(
-        F.lit("hash").alias("leg"), "doc_id", "lang", "source", "n_chars"
+        F.lit("hash").alias("leg"), "doc_id", "lang", "source", "n_chars",
+        nul_i.alias("bin"),
     )
     strata_leg = stratified_sample(
         docs,
@@ -190,7 +261,7 @@ def q_sampling_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_fraction=_STRATA_DEFAULT,
     ).select(
         F.lit("strata").alias("leg"), "doc_id", "lang", "source",
-        nul_b.alias("n_chars"),
+        nul_b.alias("n_chars"), nul_i.alias("bin"),
     )
     cap_leg = cap_per_group(
         docs.select("doc_id", "lang", "n_chars"),
@@ -200,7 +271,7 @@ def q_sampling_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
     ).select(
         F.lit("cap").alias("leg"), "doc_id", "lang", nul_s.alias("source"),
-        "n_chars",
+        "n_chars", nul_i.alias("bin"),
     )
     fixedn_leg = stratified_fixed_n(
         docs.select("doc_id", "lang"),
@@ -209,10 +280,44 @@ def q_sampling_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_per_stratum=_FIXED_N,
     ).select(
         F.lit("fixedn").alias("leg"), "doc_id", "lang", nul_s.alias("source"),
-        nul_b.alias("n_chars"),
+        nul_b.alias("n_chars"), nul_i.alias("bin"),
+    )
+    weighted_leg = weighted_sample(
+        docs.select("doc_id", "n_chars"),
+        id_col="doc_id",
+        weight_col="n_chars",
+        n=_WEIGHTED_N,
+        key_scale=_KEY_SCALE,
+    ).select(
+        F.lit("weighted").alias("leg"), "doc_id", nul_s.alias("lang"),
+        nul_s.alias("source"), "n_chars", nul_i.alias("bin"),
+    )
+    qbins_leg = quality_bins(
+        docs.select("doc_id", "n_chars"),
+        score_col="n_chars",
+        n_bins=_QBINS,
+        accuracy=_QBINS_ACC,
+    ).select(
+        F.lit("qbins").alias("leg"), "doc_id", nul_s.alias("lang"),
+        nul_s.alias("source"), "n_chars",
+        F.col("quality_bin").cast("int").alias("bin"),
+    )
+    curriculum_leg = curriculum_mix(
+        docs.select("doc_id", "n_chars"),
+        id_col="doc_id",
+        bin_fractions=_CURR_FRACS,
+        score_col="n_chars",
+        accuracy=_QBINS_ACC,
+    ).select(
+        F.lit("curriculum").alias("leg"), "doc_id", nul_s.alias("lang"),
+        nul_s.alias("source"), nul_b.alias("n_chars"),
+        F.col("quality_bin").cast("int").alias("bin"),
     )
     return (
         hash_leg.unionByName(strata_leg)
         .unionByName(cap_leg)
         .unionByName(fixedn_leg)
+        .unionByName(weighted_leg)
+        .unionByName(qbins_leg)
+        .unionByName(curriculum_leg)
     )

@@ -240,3 +240,54 @@ def test_stratified_fixed_n_exact_counts_and_reproducible(spark, sf_small):
         ).collect()
     }
     assert a == b
+
+
+def test_percentile_approx_exact_regime_is_ceil_rank(spark):
+    """Pins the oracle's quantile convention: while n <= accuracy,
+    Spark's percentile_approx returns the value at 1-based rank
+    ceil(q * n) — the order statistic sampling_shapes' qbins oracle
+    replays. A Spark upgrade changing the GK exact-regime convention
+    breaks here LOUDLY instead of as a driver hash-mismatch."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    random.seed(11)
+    for n in (7, 10, 13, 101, 256):
+        vals = sorted(random.sample(range(1_000_000), n))
+        df = spark.createDataFrame([(v,) for v in vals], ["x"])
+        qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+        cuts = df.agg(F.percentile_approx("x", qs, 10_000).alias("c")).collect()[0]["c"]
+        for q, c in zip(qs, cuts):
+            assert c == vals[math.ceil(q * n) - 1], (n, q)
+
+
+def test_weighted_sample_key_scale_quantized_selection(spark):
+    """key_scale ranks by floor(u^(1/w) * scale) with id tie-break —
+    the engine-replayable grid. Replayed exactly in python (same pow on
+    the same doubles in-process; cross-engine variance is what the grid
+    absorbs)."""
+    import hashlib
+    import math
+
+    from mapreduce_task_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 50 + (i * 37) % 400) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+
+    def bucket(i):
+        h = hashlib.md5(f"wsample:{i}".encode()).hexdigest()
+        return int(h[:15], 16) % 1_000_000
+
+    keyed = [
+        (math.floor(((bucket(i) + 1) / 1_000_000) ** (1.0 / w) * 1e9), i, w)
+        for i, w in rows
+    ]
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    want = {i for _k, i, _w in keyed[:40]}
+    got = {
+        r["doc_id"]
+        for r in weighted_sample(df, "doc_id", "w", 40, key_scale=10**9).collect()
+    }
+    assert got == want
