@@ -192,6 +192,7 @@ def pagerank_int(
     damping_ppm: int = 850_000,
     pin: "Pin | None" = None,
     static_pin: "Pin | None" = None,
+    retained: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """PageRank in exact integer pico-units: (node, rank_pu).
 
@@ -243,6 +244,15 @@ def pagerank_int(
     (plan-asserted in tests/test_plan_health.py). ``static_pin``
     overrides the storage level (e.g. ``pinning.disk_persist`` when
     the edge table outgrows memory).
+
+    RETENTION: those static caches must outlive plan construction —
+    the returned frame's every future action reads them — so this
+    function cannot unpersist them itself, and repeated calls in a
+    long-lived session accumulate cached frames until the context
+    stops. Pass a list as ``retained`` to receive the persisted frames
+    and ``unpersist()`` them once the result is consumed;
+    ``static_pin=pinning.no_pin`` is the no-cache escape hatch (each
+    round then re-derives the edge/vertex frames from source).
     """
     if pin is None:
         pin = _lazy_checkpoint
@@ -264,6 +274,8 @@ def pagerank_int(
         .select("node", F.col("outd").isNull().alias("dang"))
     )
     ew = static_pin(degree_annotated_edges(edges, src, dst))
+    if retained is not None:
+        retained += [verts, ew]
     nf = verts.agg(F.count(F.lit(1)).alias("n"))
     d6 = damping_ppm * 1_000_000
 

@@ -363,6 +363,7 @@ def ivfpq_topk(
     dim: int = 64,
     coarse_rounds: int = 1,
     pq_rounds: int = 2,
+    pin: "Pin | None" = None,
 ) -> DataFrame:
     """IVF-PQ: coarse k-means quantizer + PQ over residuals — the
     composition production ANN indexes ship (an inverted list bounds the
@@ -386,6 +387,16 @@ def ivfpq_topk(
     Cluster id is the shuffle/bucket key at 100 TB, exactly like
     ``similarity.ivf_topk``, with PQ shrinking the per-candidate payload
     from dim floats to m codes.
+
+    ``pin`` materializes the two multi-consumer intermediates — the
+    n_clusters-row coarse quantizer (3 consumers: residual projection,
+    home assignment, query probes) and the residual corpus (3
+    consumers: codebook fit, encoding, candidate frame) — once instead
+    of per consumer (see ``operators.pinning``). Default ``None`` = no
+    pinning: unchanged caller failure semantics, true recomputable
+    lineage, ~3x the upstream scans. The benchmark queries opt in to
+    ``lazy_checkpoint``; the production path is the persisted index
+    (``ivfpq_build_index``), which pins by writing to storage.
     """
     from .similarity import assign_clusters, kmeans_lite_fit, probe_clusters
 
@@ -393,11 +404,8 @@ def ivfpq_topk(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
     qd, coarse = kmeans_lite_fit(df, id_col, vec_col, n_clusters, dim, coarse_rounds)
-    # the coarse quantizer feeds three consumers (residual projection,
-    # home assignment, query probes); pin its n_clusters rows so the
-    # coarse Lloyd rounds run once — the inline mirror of
-    # ivfpq_build_index's write+read-back of ``coarse``
-    coarse = _lazy_checkpoint(coarse)
+    if pin is not None:
+        coarse = pin(coarse)
     cj = coarse.select(F.col("j").alias("cluster"), "cqv")
 
     homed = assign_clusters(qd, coarse, id_col)
@@ -409,13 +417,8 @@ def ivfpq_topk(
             F.zip_with("qv", "cqv", lambda a, b: a - b).alias("qv"),
         )
     )
-    # three consumers (codebook fit, encoding, candidate frame): pin
-    # the residual corpus once — the inline mirror of
-    # ivfpq_build_index's persist(MEMORY_AND_DISK) on ``resid``.
-    # lazy_checkpoint here is the bench-driver choice (fast,
-    # unrecoverable on executor loss — see operators.pinning); the
-    # production path is the persisted index (ivfpq_build_index).
-    resid = _lazy_checkpoint(resid)
+    if pin is not None:
+        resid = pin(resid)
     cents = _fit_codebook(resid.select(id_col, "qv"), id_col, m, ksub, dsub, pq_rounds)
     codes = _encode_codes(resid.select(id_col, "qv"), cents, id_col, m, dsub)
     cand = (

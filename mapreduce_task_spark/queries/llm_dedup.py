@@ -834,6 +834,7 @@ WHERE rank <= {_IVFPQ_K}
     "in exact integer-valued-double arithmetic.",
 )
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pinning import lazy_checkpoint
     from ..operators.pq import ivfpq_topk
 
     emb = t(spark, sf_dir, "embeddings")
@@ -849,6 +850,7 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=_EMB_DIM,
         coarse_rounds=1,
         pq_rounds=_PQ_ROUNDS,
+        pin=lazy_checkpoint,
     )
     return out.select(
         "query_id", "cand_id", "approx_d", F.col("rank").cast("int").alias("rank")
