@@ -5,12 +5,16 @@ typed metadata struct, and runs decode / feature-extraction through
 Arrow-batched ``mapInPandas`` — the pattern a 100 TB multimodal
 pipeline uses (JVM moves the bytes; Python touches each batch once).
 
-The container has no image/audio libraries, so the actual decoders are
-STUBS: ``decode_image``/``decode_audio`` raise NotImplementedError
-unless PIL/soundfile import (they don't here), and the production
-entry point ``extract_features`` computes deterministic byte-level
-features instead — the Spark-side contract (schema, batching,
-partitioning) is real and tested either way.
+Decoders (round 8): ``decode_image`` REALLY decodes binary PNM
+(P5/P6) and ``decode_audio`` REALLY decodes RIFF/WAVE integer PCM —
+both pure python/numpy, no new dependencies — and
+``decoded_image_stats`` / ``decoded_audio_stats`` run them inside the
+``mapInPandas`` contract. Formats that genuinely need an external
+library (PNG/JPEG, compressed audio) still raise NotImplementedError:
+the container ships no PIL/soundfile, and the production entry point
+``extract_features`` computes deterministic byte-level features for
+arbitrary payloads — the Spark-side contract (schema, batching,
+partitioning) is identical either way.
 
 Scale notes: mapInPandas streams Arrow record batches — constant
 memory per task regardless of partition size; binary payloads are
@@ -58,28 +62,102 @@ def with_binary_payload(
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """Decode an image payload to a pixel array. STUB: the container
-    ships no imaging library."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decoding requires an imaging library (e.g. Pillow); "
-            "not available in this environment"
-        ) from e
-    raise NotImplementedError("wire Image.open(BytesIO(payload)) here when PIL exists")
+def _pnm_header(buf: bytes, n_tokens: int) -> tuple[list[int], int]:
+    """Parse ``n_tokens`` whitespace-separated integer tokens after the
+    PNM magic, honoring ``#`` comments; returns (values, raster_offset)
+    — the offset is one byte past the single whitespace that terminates
+    the last header token (the PNM spec's raster delimiter)."""
+    i = 2  # past the 2-byte magic
+    toks: list[int] = []
+    while len(toks) < n_tokens:
+        while i < len(buf):
+            c = buf[i : i + 1]
+            if c == b"#":
+                j = buf.find(b"\n", i)
+                i = (j + 1) if j != -1 else len(buf)
+            elif c.isspace():
+                i += 1
+            else:
+                break
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace() and buf[j : j + 1] != b"#":
+            j += 1
+        if j == i:
+            raise ValueError("truncated PNM header")
+        toks.append(int(buf[i:j]))
+        i = j
+    return toks, i + 1
 
 
-def decode_audio(payload: bytes):  # pragma: no cover - stub by design
-    """Decode an audio payload to samples. STUB: no audio library."""
-    try:
-        import soundfile  # noqa: F401
-    except ImportError as e:
+def decode_image(payload: bytes):
+    """Decode an image payload to a numpy pixel array.
+
+    REAL pure-python/numpy decoder for binary PNM — P5 (grayscale,
+    returns (h, w)) and P6 (RGB, returns (h, w, 3)); maxval > 255
+    raster is big-endian uint16 per the spec. Formats that genuinely
+    need an imaging library (PNG/JPEG/...) still raise
+    NotImplementedError — the container ships no PIL, and a partial
+    inflate reimplementation is not a decoder anyone should trust.
+    """
+    import numpy as np
+
+    magic = payload[:2]
+    if magic in (b"P5", b"P6"):
+        (w, h, maxval), off = _pnm_header(payload, 3)
+        ch = 3 if magic == b"P6" else 1
+        dt = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+        count = w * h * ch
+        arr = np.frombuffer(payload, dtype=dt, count=count, offset=off)
+        return arr.reshape((h, w, 3)) if ch == 3 else arr.reshape((h, w))
+    raise NotImplementedError(
+        f"image format {magic!r} requires an imaging library (e.g. Pillow); "
+        "only binary PNM (P5/P6) decodes without one"
+    )
+
+
+def decode_audio(payload: bytes):
+    """Decode an audio payload to (samples, sample_rate).
+
+    REAL pure-python decoder for RIFF/WAVE PCM (format tag 1): walks
+    the chunk list, reads fmt + data, returns a numpy array shaped
+    (n_frames,) for mono or (n_frames, n_channels) otherwise —
+    int16 for 16-bit PCM, uint8 for 8-bit. Compressed formats (MP3,
+    AAC, float/extensible WAV...) still raise NotImplementedError —
+    they need a codec library the container doesn't ship.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
-            "audio decoding requires soundfile/librosa; not available here"
-        ) from e
-    raise NotImplementedError("wire soundfile.read(BytesIO(payload)) here")
+            "audio payload is not RIFF/WAVE; compressed formats require "
+            "soundfile/librosa, not available here"
+        )
+    fmt = data = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, n_channels, sample_rate, _brate, _align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"WAV format tag {audio_format}/{bits}-bit needs a codec "
+            "library; only integer PCM (8/16-bit) decodes without one"
+        )
+    dt = np.dtype("<i2") if bits == 16 else np.dtype("u1")
+    samples = np.frombuffer(data, dtype=dt)
+    if n_channels > 1:
+        samples = samples.reshape((-1, n_channels))
+    return samples, sample_rate
 
 
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -189,4 +267,87 @@ def sample_frames(
     return video.mapInPandas(
         fan_out,
         schema=f"{id_col} bigint, frame_idx int, frame_bytes binary, ts_ms bigint",
+    )
+
+
+def decoded_image_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Run the REAL PNM decoder over payload rows inside mapInPandas:
+    (id, width, height, channels, px_min, px_max, px_mean_milli, ok).
+
+    Per Arrow batch each payload decodes to a pixel array; stats are
+    exact integers (mean in floor milli-units, the engine's unit
+    discipline). Undecodable payloads (non-PNM magic, truncated
+    header) yield ok=false with NULL stats instead of failing the
+    stage — at 100 TB a corrupt shard must degrade, not kill the job
+    (same posture as PERMISSIVE corrupt-record counting in
+    sources/formats.py). Scale shape is ``extract_features``'s:
+    Arrow-batched, payload never driver-side, parallelism == scan."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    arr = decode_image(bytes(payload))
+                    h, w = arr.shape[0], arr.shape[1]
+                    ch = arr.shape[2] if arr.ndim == 3 else 1
+                    n = int(arr.size)
+                    rows.append(
+                        (did, w, h, ch, int(arr.min()), int(arr.max()),
+                         int(arr.sum(dtype="int64")) * 1000 // n, True)
+                    )
+                except (NotImplementedError, ValueError):
+                    rows.append((did, None, None, None, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "channels", "px_min",
+                         "px_max", "px_mean_milli", "ok"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches,
+        schema=f"{id_col} bigint, width int, height int, channels int, "
+        "px_min int, px_max int, px_mean_milli bigint, ok boolean",
+    )
+
+
+def decoded_audio_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Run the REAL WAV PCM decoder over payload rows inside
+    mapInPandas: (id, sample_rate, n_frames, n_channels, peak_abs,
+    mean_abs_milli, ok) — integer stats only (no sqrt/float), corrupt
+    payloads degrade to ok=false rows (see decoded_image_stats)."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    samples, rate = decode_audio(bytes(payload))
+                    n_frames = samples.shape[0]
+                    n_ch = samples.shape[1] if samples.ndim == 2 else 1
+                    a = np.abs(samples.astype("int64"))
+                    n = max(int(a.size), 1)
+                    rows.append(
+                        (did, rate, n_frames, n_ch, int(a.max(initial=0)),
+                         int(a.sum()) * 1000 // n, True)
+                    )
+                except (NotImplementedError, ValueError):
+                    rows.append((did, None, None, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "sample_rate", "n_frames", "n_channels",
+                         "peak_abs", "mean_abs_milli", "ok"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches,
+        schema=f"{id_col} bigint, sample_rate int, n_frames bigint, "
+        "n_channels int, peak_abs bigint, mean_abs_milli bigint, ok boolean",
     )

@@ -129,20 +129,26 @@ def _fit_codebook(
             ).cast("bigint")
             for i in range(dsub)
         ]
-        updated = sums.select(
-            "sub", F.col("code").alias("j"), F.array(*comps).alias("cqv")
+        # fused update: ONE left join from the dense current codebook to
+        # the per-cluster sums — a matched (sub, j) takes the floor-mean,
+        # an emptied cluster (no sums row, n NULL) keeps its centroid, so
+        # the codebook stays dense for positional ADC lookups without the
+        # former anti-join + union pair (same rows, fewer plan nodes —
+        # these are m*ksub-row frames where per-stage overhead dominates)
+        new_cqv = F.when(F.col("n").isNull(), F.col("cqv")).otherwise(
+            F.array(*comps)
         )
-        # retain centroids whose cluster emptied: the codebook must stay
-        # dense (all m x ksub entries) for positional ADC table lookups
-        dead = cents.join(updated.select("sub", "j"), ["sub", "j"], "left_anti")
-        # ``cents`` is referenced twice per round (assignment + the
-        # dead-centroid anti-join), so without pinning the lineage
-        # doubles every round and each consumer replays the full
-        # upstream corpus scan. The codebook is m x ksub rows — the pin
-        # (lazy: no job at plan-build time) makes every later round and
-        # every downstream consumer start from a materialized leaf, not
-        # an exponentially-deep tree.
-        cents = pin(updated.unionByName(dead))
+        fused = cents.join(
+            sums.withColumnRenamed("code", "j"), ["sub", "j"], "left"
+        ).select("sub", "j", new_cqv.alias("cqv"))
+        # ``cents`` is referenced twice per round (assignment + the fused
+        # update join), so without pinning the lineage doubles every
+        # round and each consumer replays the full upstream corpus scan.
+        # The codebook is m x ksub rows — the pin (lazy: no job at
+        # plan-build time) makes every later round and every downstream
+        # consumer start from a materialized leaf, not an
+        # exponentially-deep tree.
+        cents = pin(fused)
     return cents
 
 

@@ -118,3 +118,97 @@ def test_sample_frames_null_duration_survives(spark):
     assert len(by_doc[1]) == 2 and len(by_doc[2]) == 2
     assert all(r.ts_ms == 0 for r in by_doc[2])
     assert {r.frame_idx for r in by_doc[2]} == {0, 1}
+
+
+def _ppm_p6(w, h, maxval=255):
+    """Deterministic P6 image: pixel (x, y, c) = (x*3 + y*7 + c*11) % (maxval+1)."""
+    head = f"P6\n# test comment\n{w} {h}\n{maxval}\n".encode()
+    px = bytes(
+        (x * 3 + y * 7 + c * 11) % (maxval + 1)
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    return head + px
+
+
+def _pgm_p5(w, h):
+    head = f"P5 {w} {h} 255 ".encode()
+    return head + bytes((x + y * w) % 256 for y in range(h) for x in range(w))
+
+
+def _wav_pcm16(rate, samples):
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_image_pnm_real():
+    import numpy as np
+    import pytest
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    arr = decode_image(_ppm_p6(5, 4))
+    assert arr.shape == (4, 5, 3)
+    assert arr[2, 3, 1] == (3 * 3 + 2 * 7 + 11) % 256
+    g = decode_image(_pgm_p5(6, 2))
+    assert g.shape == (2, 6) and g[1, 4] == (4 + 6) % 256
+    # 16-bit raster is big-endian per spec
+    head = b"P5 2 1 65535 " + (1000).to_bytes(2, "big") + (2).to_bytes(2, "big")
+    wide = decode_image(head)
+    assert list(wide[0]) == [1000, 2]
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_decode_audio_wav_real():
+    import pytest
+
+    from mapreduce_task_spark.operators.multimodal import decode_audio
+
+    samples, rate = decode_audio(_wav_pcm16(8000, [0, 100, -200, 32767, -32768]))
+    assert rate == 8000
+    assert list(samples) == [0, 100, -200, 32767, -32768]
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x03rest-of-an-mp3")
+
+
+def test_decoded_image_stats_mapinpandas(spark):
+    """The real decoder inside the Arrow contract: decodable payloads
+    get exact integer stats, junk degrades to ok=false rows."""
+    from mapreduce_task_spark.operators.multimodal import decoded_image_stats
+
+    payloads = [
+        (0, _ppm_p6(5, 4)),
+        (1, _pgm_p5(6, 2)),
+        (2, b"\x89PNG not a pnm"),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in decoded_image_stats(df).collect()}
+    import numpy as np
+
+    a0 = np.frombuffer(_ppm_p6(5, 4)[-60:], dtype="u1")
+    assert got[0]["ok"] and (got[0]["width"], got[0]["height"], got[0]["channels"]) == (5, 4, 3)
+    assert got[0]["px_mean_milli"] == int(a0.sum()) * 1000 // 60
+    assert got[1]["ok"] and got[1]["channels"] == 1
+    assert not got[2]["ok"] and got[2]["width"] is None
+
+
+def test_decoded_audio_stats_mapinpandas(spark):
+    from mapreduce_task_spark.operators.multimodal import decoded_audio_stats
+
+    wav = _wav_pcm16(16000, [10, -20, 30, -40])
+    df = spark.createDataFrame(
+        [(0, wav), (1, b"junk")], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: r for r in decoded_audio_stats(df).collect()}
+    r0 = got[0]
+    assert r0["ok"] and r0["sample_rate"] == 16000 and r0["n_frames"] == 4
+    assert r0["peak_abs"] == 40
+    assert r0["mean_abs_milli"] == (10 + 20 + 30 + 40) * 1000 // 4
+    assert not got[1]["ok"]
