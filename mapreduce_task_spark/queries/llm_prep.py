@@ -131,6 +131,10 @@ _STRATA_CASE = (
 _CAP_N = 50       # cap_per_group: best-50 docs per lang by n_chars
 _FIXED_N = 30     # stratified_fixed_n: exactly 30 docs per lang
 
+_TEST_FRACTION = 0.1       # train_test_split holdout
+_MIX_W0 = 0.6              # mix_corpora weight: src0-src9 (4-char names)
+_MIX_W1 = 0.2              # mix_corpora weight: src10-src19
+
 _WEIGHTED_N = 200          # weighted_sample draw size
 _KEY_SCALE = 10**9         # A-Res key quantization (see operators.sampling)
 _QBINS = 4                 # quality_bins quartiles over n_chars
@@ -204,6 +208,30 @@ FROM (SELECT doc_id, n_chars FROM documents WHERE n_chars > 0
           1.0 / CAST(n_chars AS DOUBLE)) * {float(_KEY_SCALE)}) DESC, doc_id
       LIMIT {_WEIGHTED_N})
 UNION ALL
+SELECT 'train' AS leg, doc_id, CAST(NULL AS VARCHAR) AS lang,
+       CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n_chars,
+       CAST(NULL AS INT) AS bin
+FROM documents
+WHERE {hash64_duckdb_sql("concat('split:', CAST(doc_id AS VARCHAR))")}
+      % 1000000 >= {int(round(_TEST_FRACTION * 1_000_000))}
+UNION ALL
+SELECT 'test' AS leg, doc_id, CAST(NULL AS VARCHAR) AS lang,
+       CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n_chars,
+       CAST(NULL AS INT) AS bin
+FROM documents
+WHERE {hash64_duckdb_sql("concat('split:', CAST(doc_id AS VARCHAR))")}
+      % 1000000 < {int(round(_TEST_FRACTION * 1_000_000))}
+UNION ALL
+SELECT 'mix' AS leg, doc_id, CAST(NULL AS VARCHAR) AS lang, source,
+       CAST(NULL AS BIGINT) AS n_chars, CAST(NULL AS INT) AS bin
+FROM documents
+WHERE (length(source) = 4
+       AND {hash64_duckdb_sql("concat('mix:0:', CAST(doc_id AS VARCHAR))")}
+           % 1000000 < {int(round(_MIX_W0 * 1_000_000))})
+   OR (length(source) = 5
+       AND {hash64_duckdb_sql("concat('mix:1:', CAST(doc_id AS VARCHAR))")}
+           % 1000000 < {int(round(_MIX_W1 * 1_000_000))})
+UNION ALL
 SELECT 'qbins' AS leg, doc_id, CAST(NULL AS VARCHAR) AS lang,
        CAST(NULL AS VARCHAR) AS source, n_chars, bin
 FROM binned
@@ -214,9 +242,15 @@ FROM binned
 WHERE {hash64_duckdb_sql("concat('curriculum:', CAST(doc_id AS VARCHAR))")}
       % 1000000 < {_CURR_CASE}
 """,
-    doc="Deterministic-sampling coverage as a seven-leg tagged union "
+    doc="Deterministic-sampling coverage as a ten-leg tagged union "
     "(merged hash_sample / stratified_sample r5; + weighted_sample / "
-    "quality_bins / curriculum_mix legs r8 — zero slot cost). hash "
+    "quality_bins / curriculum_mix / train_test_split / mix_corpora "
+    "legs r8 — zero slot cost; every formerly-pytest-only sampler is "
+    "now driver-verified). train/test legs: disjoint exhaustive "
+    "split by complementary predicates over ONE salted hash — every "
+    "row lands in exactly one side under any partitioning. mix leg: "
+    "two corpora (4- vs 5-char source names) down-sampled to their "
+    "mixing weights with per-corpus salts and unioned. hash "
     f"leg: content-hash Bernoulli sample (fraction={_SAMPLE_FRACTION}) "
     "— shuffle-free codegen filter, md5 ppm bucket replayed by the "
     "oracle. strata leg: per-stratum fractions over documents.lang as "
@@ -240,8 +274,10 @@ def q_sampling_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import (
         cap_per_group,
         curriculum_mix,
+        mix_corpora,
         quality_bins,
         stratified_fixed_n,
+        train_test_split,
         weighted_sample,
     )
 
@@ -282,6 +318,25 @@ def q_sampling_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("fixedn").alias("leg"), "doc_id", "lang", nul_s.alias("source"),
         nul_b.alias("n_chars"), nul_i.alias("bin"),
     )
+    train_df, test_df = train_test_split(
+        docs.select("doc_id"), "doc_id", test_fraction=_TEST_FRACTION
+    )
+    train_leg = train_df.select(
+        F.lit("train").alias("leg"), "doc_id", nul_s.alias("lang"),
+        nul_s.alias("source"), nul_b.alias("n_chars"), nul_i.alias("bin"),
+    )
+    test_leg = test_df.select(
+        F.lit("test").alias("leg"), "doc_id", nul_s.alias("lang"),
+        nul_s.alias("source"), nul_b.alias("n_chars"), nul_i.alias("bin"),
+    )
+    short_src = docs.filter(F.length("source") == 4).select("doc_id", "source")
+    long_src = docs.filter(F.length("source") == 5).select("doc_id", "source")
+    mix_leg = mix_corpora(
+        [(short_src, _MIX_W0), (long_src, _MIX_W1)], id_col="doc_id"
+    ).select(
+        F.lit("mix").alias("leg"), "doc_id", nul_s.alias("lang"), "source",
+        nul_b.alias("n_chars"), nul_i.alias("bin"),
+    )
     weighted_leg = weighted_sample(
         docs.select("doc_id", "n_chars"),
         id_col="doc_id",
@@ -317,6 +372,9 @@ def q_sampling_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_leg.unionByName(strata_leg)
         .unionByName(cap_leg)
         .unionByName(fixedn_leg)
+        .unionByName(train_leg)
+        .unionByName(test_leg)
+        .unionByName(mix_leg)
         .unionByName(weighted_leg)
         .unionByName(qbins_leg)
         .unionByName(curriculum_leg)
