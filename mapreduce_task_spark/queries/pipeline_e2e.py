@@ -165,52 +165,61 @@ def corpus_report(docs: DataFrame) -> DataFrame:
     Driver-registered since round 8 as the ``report`` leg of
     ``quality_gate`` (below); pytest additionally drives the
     composition end-to-end in tests/test_pipeline_e2e.py.
-    """
-    from ..operators.quality import completeness, run_checks, uniqueness
-    from ..operators.textstats import token_counts
 
-    checks = run_checks(
-        docs,
-        [
-            completeness("doc_id"),
-            uniqueness("doc_id"),
-            completeness("text"),
-            completeness("lang"),
-        ],
-    ).select(
-        F.concat(F.lit("check:"), "check").alias("metric"),
-        F.col("column").alias("key"),
-        F.col("metric").cast("double").alias("value"),
+    Scan discipline (r8): ALL the global metrics — the four
+    constraint checks, the exact-dup rate, and the token total — ride
+    ONE aggregation pass (the quality module's own single-scan
+    contract); the per-language mix is the one metric that genuinely
+    needs a groupBy, so the report costs exactly TWO scans of the
+    corpus, not one per metric family (the previous shape ran four).
+    """
+    from ..operators.quality import completeness, uniqueness
+    from ..operators.textstats import ws_token_count
+
+    checks = [
+        completeness("doc_id"),
+        uniqueness("doc_id"),
+        completeness("text"),
+        completeness("lang"),
+    ]
+    dup_expr = (
+        1.0
+        - F.count_distinct(F.md5("text")).cast("double")
+        / F.count(F.lit(1)).cast("double")
     )
-    dup_rate = (
-        docs.agg(
-            (
-                1.0
-                - F.count_distinct(F.md5("text")).cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("value")
-        )
-        .select(
+    tok_expr = F.sum(ws_token_count("text").cast("long")).cast("double")
+    row = docs.agg(
+        *[c.metric_expr.alias(f"m{i}") for i, c in enumerate(checks)],
+        dup_expr.alias("dup"),
+        tok_expr.alias("tok"),
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(f"check:{c.name}").alias("metric"),
+                F.lit(c.column).alias("key"),
+                F.col(f"m{i}").cast("double").alias("value"),
+            )
+            for i, c in enumerate(checks)
+        ],
+        F.struct(
             F.lit("exact_dup_rate").alias("metric"),
             F.lit("text").alias("key"),
-            "value",
-        )
+            F.col("dup").alias("value"),
+        ),
+        F.struct(
+            F.lit("total_ws_tokens").alias("metric"),
+            F.lit("text").alias("key"),
+            F.col("tok").alias("value"),
+        ),
     )
+    globals_leg = row.select(F.explode(entries).alias("__r")).select("__r.*")
     lang_mix = (
         docs.groupBy("lang")
         .agg(F.count(F.lit(1)).cast("double").alias("value"))
         .select(F.lit("lang_docs").alias("metric"), F.col("lang").alias("key"), "value")
     )
-    tokens = (
-        token_counts(docs)
-        .agg(F.sum("n_ws_tokens").cast("double").alias("value"))
-        .select(
-            F.lit("total_ws_tokens").alias("metric"),
-            F.lit("text").alias("key"),
-            "value",
-        )
-    )
-    return checks.unionByName(dup_rate).unionByName(lang_mix).unionByName(tokens)
+    return globals_leg.unionByName(lang_mix)
 
 
 @query(

@@ -331,3 +331,10 @@ def test_audited_scan_counts_hold(spark, sf_small):
     ev = load_table(spark, sf_small, "events")
     assert scans(bm25_topk(docs, spark, ["spark"], k=5)) == 2
     assert scans(mad_outliers(ev.select("event_id", "event_type", "value"))) == 4
+
+    # corpus_report: every GLOBAL metric (4 checks + dup rate + token
+    # total) rides ONE aggregation; the per-language mix is the one
+    # genuine groupBy — exactly 2 scans total (was 4 before r8)
+    from mapreduce_task_spark.queries.pipeline_e2e import corpus_report
+
+    assert scans(corpus_report(docs)) == 2
