@@ -152,6 +152,114 @@ def _fit_codebook(
     return cents
 
 
+def _assign_codes_per_list(subs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Per-list twin of ``_assign_codes``: ``subs`` carries a
+    ``cluster`` column and ``cents`` is keyed (cluster, sub, j, cqv);
+    each subvector argmins over ITS cluster's own subspace centroids.
+    The packed broadcast is n_clusters * m * ksub structs — the
+    documented size tradeoff of per-list codebooks (fine for IVF
+    fan-outs up to ~thousands of lists; beyond that the global
+    codebook or a cluster-keyed join is the right shape)."""
+    packed = cents.agg(
+        F.collect_list(F.struct("cluster", "sub", "j", "cqv")).alias("__c")
+    )
+    mine = F.filter(
+        F.col("__c"),
+        lambda c: (c["cluster"] == F.col("cluster")) & (c["sub"] == F.col("sub")),
+    )
+    best = F.array_min(
+        F.transform(
+            mine,
+            lambda c: F.struct(
+                _sub_dist(F.col("sqv"), c["cqv"]).alias("d"), c["j"].alias("j")
+            ),
+        )
+    )
+    return subs.crossJoin(F.broadcast(packed)).select(
+        id_col, "cluster", "sub", "sqv", best["j"].alias("code")
+    )
+
+
+def _fit_codebook_per_list(
+    resid: DataFrame,
+    id_col: str,
+    m: int,
+    ksub: int,
+    dsub: int,
+    rounds: int,
+    pin: "Pin | None" = None,
+) -> DataFrame:
+    """Per-inverted-list codebook fit over a clustered residual frame
+    (id, cluster, qv): every cluster trains its OWN m x ksub residual
+    codebook — tighter quantization on clustered corpora at the cost
+    of an n_clusters-times-larger codebook broadcast (the r4 TODO's
+    recorded tradeoff). Returns (cluster, sub, j, cqv), dense per
+    cluster (a cluster smaller than ksub seeds one centroid per
+    member — uniform across its subspaces, so positional ADC lookups
+    stay aligned per (query, cluster) table).
+
+    Same determinism contract as ``_fit_codebook``: md5-ranked seeds
+    (here per cluster via a cluster-partitioned window — parallelism
+    scales with list count), exact int64 distances, floor-division
+    means, dead centroids retained through the fused left join."""
+    if pin is None:
+        pin = _lazy_checkpoint
+    subs = _subvectors(resid, [id_col, "cluster"], m, dsub)
+
+    wc = Window.partitionBy("cluster").orderBy("__h", id_col)
+    seeds = (
+        resid.select(id_col, "cluster", hash64(id_col).alias("__h"))
+        .select(id_col, "cluster", F.row_number().over(wc).alias("j"))
+        .filter(F.col("j") <= ksub)
+    )
+    cents = subs.join(seeds, [id_col, "cluster"]).select(
+        "cluster", "sub", "j", F.col("sqv").alias("cqv")
+    )
+
+    for _ in range(rounds):
+        assigned = _assign_codes_per_list(subs, cents, id_col)
+        sums = assigned.groupBy("cluster", "sub", "code").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("sqv", i + 1)).alias(f"s{i}")
+                for i in range(dsub)
+            ],
+        )
+        comps = [
+            (
+                (F.col(f"s{i}") - F.pmod(F.col(f"s{i}"), F.col("n"))) / F.col("n")
+            ).cast("bigint")
+            for i in range(dsub)
+        ]
+        new_cqv = F.when(F.col("n").isNull(), F.col("cqv")).otherwise(
+            F.array(*comps)
+        )
+        cents = pin(
+            cents.join(
+                sums.withColumnRenamed("code", "j"), ["cluster", "sub", "j"], "left"
+            ).select("cluster", "sub", "j", new_cqv.alias("cqv"))
+        )
+    return cents
+
+
+def _encode_codes_per_list(
+    resid: DataFrame, cents: DataFrame, id_col: str, m: int, dsub: int
+) -> DataFrame:
+    """Per-list code assignment: (id, cluster, codes)."""
+    assigned = _assign_codes_per_list(
+        _subvectors(resid, [id_col, "cluster"], m, dsub), cents, id_col
+    )
+    return (
+        assigned.groupBy(id_col, "cluster")
+        .agg(F.collect_list(F.struct("sub", "code")).alias("__sc"))
+        .select(
+            id_col,
+            "cluster",
+            F.transform(F.array_sort("__sc"), lambda s: s["code"]).alias("codes"),
+        )
+    )
+
+
 def pq_fit(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -295,7 +403,12 @@ def pq_adc_topk(
 
 
 def _ivfpq_adc_scored(
-    cand: DataFrame, rq: DataFrame, cents: DataFrame, m: int, dsub: int
+    cand: DataFrame,
+    rq: DataFrame,
+    cents: DataFrame,
+    m: int,
+    dsub: int,
+    per_list: bool = False,
 ) -> DataFrame:
     """Shared IVF-PQ search core: per-(query, probed cluster) ADC tables
     against cluster-homed candidate codes.
@@ -306,10 +419,14 @@ def _ivfpq_adc_scored(
     (query_id, cand_id, approx_d). Factored out of ``ivfpq_topk`` so the
     persisted-index search path (``ivfpq_search_index``) reproduces the
     inline operator bit-for-bit by construction — same expressions, same
-    int64 arithmetic, same positional table layout."""
+    int64 arithmetic, same positional table layout. ``per_list=True``
+    joins the codebook on (cluster, sub) — each probed list's OWN
+    residual codebook (``_fit_codebook_per_list``) — instead of the
+    shared global (sub)-keyed one; everything downstream is identical
+    because the ADC table is already built per (query, cluster)."""
     q_subs = _subvectors(rq, ["query_id", "cluster"], m, dsub)
     qdist = (
-        q_subs.join(F.broadcast(cents), "sub")
+        q_subs.join(F.broadcast(cents), ["cluster", "sub"] if per_list else "sub")
         .select(
             "query_id",
             "cluster",
@@ -370,10 +487,19 @@ def ivfpq_topk(
     coarse_rounds: int = 1,
     pq_rounds: int = 2,
     pin: "Pin | None" = None,
+    per_list: bool = False,
 ) -> DataFrame:
     """IVF-PQ: coarse k-means quantizer + PQ over residuals — the
     composition production ANN indexes ship (an inverted list bounds the
     scan, residual codes bound the bytes touched per candidate).
+
+    ``per_list=True`` trains one residual codebook PER inverted list
+    (``_fit_codebook_per_list``) instead of the standard shared global
+    one: tighter quantization on clustered corpora (each list's
+    residual distribution gets its own ksub centroids) at the cost of
+    an n_clusters-times-larger codebook broadcast — the recorded
+    per-list-vs-global tradeoff. Search-side arithmetic is unchanged;
+    the ADC table is per (query, probed cluster) either way.
 
     Build: (1) kmeans_lite coarse quantizer assigns every vector a home
     cluster; (2) the residual (vector - home centroid, exact int64) is
@@ -425,12 +551,20 @@ def ivfpq_topk(
     )
     if pin is not None:
         resid = pin(resid)
-    cents = _fit_codebook(resid.select(id_col, "qv"), id_col, m, ksub, dsub, pq_rounds)
-    codes = _encode_codes(resid.select(id_col, "qv"), cents, id_col, m, dsub)
-    cand = (
-        resid.select(F.col(id_col).alias("cand_id"), "cluster")
-        .join(codes.withColumnRenamed(id_col, "cand_id"), "cand_id")
-    )
+    if per_list:
+        cents = _fit_codebook_per_list(resid, id_col, m, ksub, dsub, pq_rounds)
+        cand = _encode_codes_per_list(resid, cents, id_col, m, dsub).select(
+            F.col(id_col).alias("cand_id"), "cluster", "codes"
+        )
+    else:
+        cents = _fit_codebook(
+            resid.select(id_col, "qv"), id_col, m, ksub, dsub, pq_rounds
+        )
+        codes = _encode_codes(resid.select(id_col, "qv"), cents, id_col, m, dsub)
+        cand = (
+            resid.select(F.col(id_col).alias("cand_id"), "cluster")
+            .join(codes.withColumnRenamed(id_col, "cand_id"), "cand_id")
+        )
 
     probes = probe_clusters(
         qd.join(query_ids.select(id_col), id_col), coarse, id_col, nprobe=nprobe
@@ -440,7 +574,9 @@ def ivfpq_topk(
         "cluster",
         F.zip_with("qv", "cqv", lambda a, b: a - b).alias("qv"),
     )
-    return _rank_topk_by_distance(_ivfpq_adc_scored(cand, rq, cents, m, dsub), k)
+    return _rank_topk_by_distance(
+        _ivfpq_adc_scored(cand, rq, cents, m, dsub, per_list=per_list), k
+    )
 
 
 def ivfpq_build_index(

@@ -223,3 +223,51 @@ def test_ivfpq_index_build_search_split_matches_inline(spark, sf_small, tmp_path
         F.col("cluster").isin(1, 2)
     )
     assert "cluster" in partition_filters(probed)
+
+
+def test_ivfpq_per_list_exact_when_lists_smaller_than_ksub(spark, sf_small):
+    """per_list=True with every inverted list <= ksub members: each
+    residual is its own codebook entry in its OWN list's book, so ADC
+    is exact — with nprobe = n_clusters the result must equal the
+    exact int64 L2^2 distances (the per-list twin of the global
+    exactness test; proves per-cluster codebook density and the
+    (cluster, sub)-keyed ADC table alignment)."""
+    from mapreduce_task_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_small, "embeddings").filter(F.col("vec_id") < 10)
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["cand_id"]): r["d"]
+        for r in _exact_l2_rows(emb, qids)
+    }
+    got = ivfpq_topk(
+        emb, qids, k=9, n_clusters=4, nprobe=4, m=M, ksub=KSUB, dim=DIM,
+        per_list=True,
+    ).collect()
+    assert len(got) == 3 * 9
+    for r in got:
+        assert r["approx_d"] == exact[(r["query_id"], r["cand_id"])]
+
+
+def test_ivfpq_per_list_recall_not_worse_than_random(spark, sf_small):
+    """Per-list codebooks on the fixture: sane recall and the
+    candidate/no-dup invariants hold through the per-list path."""
+    from mapreduce_task_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_small, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    exact = _exact_l2_topsets(emb, qids, K)
+    res = ivfpq_topk(
+        emb, qids, k=K, n_clusters=8, nprobe=2, m=M, ksub=KSUB, dim=DIM,
+        per_list=True,
+    )
+    rows = res.collect()
+    pairs = [(r["query_id"], r["cand_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["cand_id"])
+    assert all(len(s) == K for s in got.values())
+    recall = sum(len(exact[q] & got[q]) / K for q in exact) / len(exact)
+    n = emb.count()
+    assert recall > 5 * (K / (n - 1)), f"per-list recall {recall} ~ random"
