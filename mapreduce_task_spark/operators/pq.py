@@ -590,6 +590,7 @@ def ivfpq_build_index(
     dim: int = 64,
     coarse_rounds: int = 1,
     pq_rounds: int = 2,
+    per_list: bool = False,
 ) -> None:
     """Build the IVF-PQ index ONCE and persist it — the codes-at-rest
     counterpart of ``similarity.ivf_build_index`` (r4 TODO: ``pq_encode``
@@ -598,7 +599,10 @@ def ivfpq_build_index(
 
     Writes three parquet datasets under ``path``:
       - ``coarse``: the n_clusters-row (j, cqv, cnq) coarse quantizer,
-      - ``codebook``: the dense (sub, j, cqv) residual PQ codebook, and
+      - ``codebook``: the dense (sub, j, cqv) residual PQ codebook
+        ((cluster, sub, j, cqv) with ``per_list=True`` — one book per
+        inverted list, see ``_fit_codebook_per_list``; the search side
+        must pass the same flag), and
       - ``codes``: (id, codes) partitioned BY CLUSTER — each home
         cluster is a physical inverted list holding only the m-code
         compressed payload, so a probe-bounded search scans a few small
@@ -635,15 +639,23 @@ def ivfpq_build_index(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
-        cents = _fit_codebook(
-            resid.select(id_col, "qv"), id_col, m, ksub, dsub, pq_rounds
-        )
-        cents.write.mode("overwrite").parquet(f"{path}/codebook")
-        cents_l = spark.read.parquet(f"{path}/codebook")
-        codes = _encode_codes(resid.select(id_col, "qv"), cents_l, id_col, m, dsub)
-        resid.select(id_col, "cluster").join(codes, id_col).write.mode(
-            "overwrite"
-        ).partitionBy("cluster").parquet(f"{path}/codes")
+        if per_list:
+            cents = _fit_codebook_per_list(resid, id_col, m, ksub, dsub, pq_rounds)
+            cents.write.mode("overwrite").parquet(f"{path}/codebook")
+            cents_l = spark.read.parquet(f"{path}/codebook")
+            _encode_codes_per_list(resid, cents_l, id_col, m, dsub).write.mode(
+                "overwrite"
+            ).partitionBy("cluster").parquet(f"{path}/codes")
+        else:
+            cents = _fit_codebook(
+                resid.select(id_col, "qv"), id_col, m, ksub, dsub, pq_rounds
+            )
+            cents.write.mode("overwrite").parquet(f"{path}/codebook")
+            cents_l = spark.read.parquet(f"{path}/codebook")
+            codes = _encode_codes(resid.select(id_col, "qv"), cents_l, id_col, m, dsub)
+            resid.select(id_col, "cluster").join(codes, id_col).write.mode(
+                "overwrite"
+            ).partitionBy("cluster").parquet(f"{path}/codes")
     finally:
         resid.unpersist()
 
@@ -658,6 +670,7 @@ def ivfpq_search_index(
     nprobe: int = 2,
     m: int = 8,
     dim: int = 64,
+    per_list: bool = False,
 ) -> DataFrame:
     """Search a persisted IVF-PQ index WITHOUT rebuilding anything:
     probe each query's ``nprobe`` nearest coarse centroids (n_clusters
@@ -672,7 +685,9 @@ def ivfpq_search_index(
     positional lookups, never a vector read. Same arithmetic and
     tie-breaks as ``ivfpq_topk`` (shared ``_ivfpq_adc_scored`` core), so
     a rebuilt index reproduces the inline operator bit-for-bit.
-    ``m``/``dim`` must match the build."""
+    ``m``/``dim``/``per_list`` must match the build (per_list indexes
+    store a (cluster, sub, j, cqv) codebook and the ADC table joins it
+    per probed list)."""
     from .similarity import probe_clusters
 
     if dim % m:
@@ -695,4 +710,6 @@ def ivfpq_search_index(
             F.zip_with("qv", "cqv", lambda a, b: a - b).alias("qv"),
         )
     )
-    return _rank_topk_by_distance(_ivfpq_adc_scored(cand, rq, cents, m, dsub), k)
+    return _rank_topk_by_distance(
+        _ivfpq_adc_scored(cand, rq, cents, m, dsub, per_list=per_list), k
+    )

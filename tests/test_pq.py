@@ -271,3 +271,35 @@ def test_ivfpq_per_list_recall_not_worse_than_random(spark, sf_small):
     recall = sum(len(exact[q] & got[q]) / K for q in exact) / len(exact)
     n = emb.count()
     assert recall > 5 * (K / (n - 1)), f"per-list recall {recall} ~ random"
+
+
+def test_ivfpq_per_list_index_split_matches_inline(spark, sf_small, tmp_path):
+    """per_list build/search split must reproduce the per_list inline
+    operator bit-for-bit — same per-list codebooks, same (cluster,
+    sub)-keyed ADC tables, same tie-breaks."""
+    from mapreduce_task_spark.operators.pq import (
+        ivfpq_build_index,
+        ivfpq_search_index,
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    queries = emb.join(qids, "vec_id")
+    path = str(tmp_path / "ivfpq_pl_index")
+
+    ivfpq_build_index(
+        emb, path, n_clusters=8, m=M, ksub=KSUB, dim=DIM,
+        coarse_rounds=1, pq_rounds=2, per_list=True,
+    )
+    split = ivfpq_search_index(
+        spark, path, queries, k=K, nprobe=2, m=M, dim=DIM, per_list=True
+    )
+    inline = ivfpq_topk(
+        emb, qids, k=K, n_clusters=8, nprobe=2, m=M, ksub=KSUB, dim=DIM,
+        coarse_rounds=1, pq_rounds=2, per_list=True,
+    )
+    key = lambda r: (r["query_id"], r["rank"])
+    got = {key(r): (r["cand_id"], r["approx_d"]) for r in split.collect()}
+    want = {key(r): (r["cand_id"], r["approx_d"]) for r in inline.collect()}
+    assert got == want and len(got) > 0
