@@ -338,3 +338,40 @@ def test_audited_scan_counts_hold(spark, sf_small):
     from mapreduce_task_spark.queries.pipeline_e2e import corpus_report
 
     assert scans(corpus_report(docs)) == 2
+
+
+def test_bpe_round_is_one_shuffle(spark):
+    """Each BPE merge round over a materialized word-frequency table is
+    exactly ONE hash exchange (the pair-count groupBy) followed by a
+    TakeOrderedAndProject argmax — no sort shuffle, no join. At 100 TB
+    a round touches |vocab| rows once; a second exchange creeping into
+    this plan would double every round's cost."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_task_spark.operators.bpe import word_freq_table
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest banana bandana stand") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    wf = word_freq_table(docs).localCheckpoint(eager=True)
+    pairs = wf.select(
+        "cnt",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("p"),
+    )
+    top = (
+        pairs.groupBy("p.a", "p.b")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+        .limit(1)
+    )
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
