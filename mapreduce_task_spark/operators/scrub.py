@@ -114,3 +114,84 @@ def remove_boilerplate_lines(
     return df.select(id_col).join(reassembled, id_col, "left").select(
         id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    n: int = 8,
+    df_max: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated TOKEN-SPAN removal — the substring-level
+    rung of the dedup ladder (the shape of Lee et al.'s "Deduplicating
+    Training Data Makes Language Models Better" suffix-array dedup,
+    re-expressed as n-gram span counting): every length-``n`` token
+    window occurring in more than ``df_max`` distinct documents is cut
+    from ALL of them; a token survives iff no hot window covers it.
+    Finer-grained than ``remove_boilerplate_lines`` (line windows) and
+    ``dedup.paragraph`` (fixed paragraphs): it catches boilerplate
+    embedded mid-sentence at arbitrary offsets.
+
+    Returns (id, text, n_removed) with ``text`` rebuilt from the
+    surviving tokens (single-space joined — token-level reconstruction
+    normalizes whitespace by contract, as in dedup_paragraphs).
+
+    Plan shape, all codegen + one count shuffle: (1) per-doc window
+    hashes as an in-row transform over the token array (map-only; only
+    8-byte hashes + int positions ever leave the row); (2) one
+    distinct-doc count keyed by window hash finds hot windows; (3) hot
+    start positions come back as ONE sorted int array per doc (join +
+    collect_list — array size = hot windows per doc, tiny); (4) the
+    survivor filter is an indexed array lambda — token i is covered
+    iff some hot start s satisfies s <= i <= s+n-1 — so reassembly
+    never shuffles the corpus. At 100 TB: the window-count shuffle
+    carries (hash, doc) pairs only, ~L rows per L-token document —
+    same volume class as the shingle pipeline, partial-aggregated
+    map-side; everything else rides the scan.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+    )
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    starts = F.when(
+        F.size("__t") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__t") - n),
+            lambda s: F.struct(
+                s.alias("pos"),
+                hash64(F.array_join(F.slice(F.col("__t"), s + 1, n), " ")).alias(
+                    "h"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
+    grams = base.select(id_col, F.explode(starts).alias("g")).select(
+        id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
+    )
+    hot = (
+        grams.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") > df_max)
+        .select("h")
+    )
+    hots_per_doc = (
+        grams.join(hot, "h")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("__hots"))
+    )
+    hots = F.coalesce(F.col("__hots"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("__t"),
+        lambda x, i: ~F.exists(hots, lambda s: (s <= i) & (i <= s + F.lit(n - 1))),
+    )
+    return (
+        base.join(hots_per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.array_join(kept, " ").alias(text_col),
+            (F.size("__t") - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    )

@@ -31,6 +31,33 @@ from .llm_dedup import _PARA_CTE, _PARA_WORDS, _WORDS_CTE
 _BOILER_DF_MAX = 1   # windows appearing in >1 distinct docs are removed
 _DECONTAM_N = 8      # shingle length for contamination
 _BENCH_MAX_ID = 5    # documents with doc_id < 5 stand in for the eval set
+_SPAN_N = 8          # repeated-span window length (raw whitespace tokens)
+_SPAN_DF_MAX = 1     # spans in >1 distinct docs are cut from all of them
+
+# repeated token-span removal replay: window hashes per start position,
+# hot-window distinct-doc count, covered-index filter (DuckDB lambda
+# index is 1-BASED — hence the i-1 — where Spark's is 0-based)
+_SPAN_HASH = hash64_duckdb_sql(
+    f"array_to_string(list_slice(t, s+1, s+{_SPAN_N}), ' ')"
+)
+_SPANS_CTE = rf"""
+stok AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                    w -> w != '') AS t
+         FROM documents),
+sgr AS (SELECT doc_id, unnest(CASE WHEN len(t) >= {_SPAN_N} THEN
+          list_transform(range(0, len(t)-{_SPAN_N}+1),
+                         s -> struct_pack(pos := s, h := {_SPAN_HASH}))
+        ELSE [] END) AS g FROM stok),
+shot AS (SELECT g.h AS h FROM sgr GROUP BY g.h
+         HAVING count(DISTINCT doc_id) > {_SPAN_DF_MAX}),
+shp AS (SELECT doc_id, list_sort(array_agg(g.pos)) AS hots FROM sgr
+        WHERE g.h IN (SELECT h FROM shot) GROUP BY doc_id),
+scl AS (SELECT s.doc_id, t,
+          list_filter(t, (x, i) -> NOT len(list_filter(
+            coalesce(hots, CAST([] AS BIGINT[])),
+            hs -> hs <= i-1 AND i-1 <= hs + {_SPAN_N - 1})) > 0) AS kept
+        FROM stok s LEFT JOIN shp USING (doc_id))
+"""
 
 # 8-gram shingles over the normalized-word chain (wf from _WORDS_CTE):
 # lead() per offset, exactly the k=3 pattern of _SHINGLE_CTE widened.
@@ -74,6 +101,7 @@ _REDACT_SQL = (
 WITH {_WORDS_CTE},
 {_SH8_CTE},
 {_PARA_CTE},
+{_SPANS_CTE},
 pii AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents),
 red AS (SELECT doc_id, {_REDACT_SQL} AS text FROM pii),
 hot AS (SELECT {hash64_duckdb_sql('para')} AS h FROM ch
@@ -85,15 +113,30 @@ reb AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pn) AS text
         FROM surv GROUP BY doc_id),
 bsh AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id < {_BENCH_MAX_ID}),
 bad AS (SELECT DISTINCT s.doc_id FROM sh8 s JOIN bsh USING (shingle))
-SELECT 'redact' AS leg, doc_id, text FROM red
+SELECT 'redact' AS leg, doc_id, text, CAST(NULL AS BIGINT) AS n_removed
+FROM red
 UNION ALL
-SELECT 'boilerplate' AS leg, nz.doc_id, coalesce(reb.text, '') AS text
+SELECT 'boilerplate' AS leg, nz.doc_id, coalesce(reb.text, '') AS text,
+       CAST(NULL AS BIGINT) AS n_removed
 FROM nz LEFT JOIN reb USING (doc_id)
 UNION ALL
-SELECT 'decontam' AS leg, doc_id, CAST(NULL AS VARCHAR) AS text FROM bad
+SELECT 'decontam' AS leg, doc_id, CAST(NULL AS VARCHAR) AS text,
+       CAST(NULL AS BIGINT) AS n_removed
+FROM bad
+UNION ALL
+SELECT 'spans' AS leg, doc_id,
+       coalesce(array_to_string(kept, ' '), '') AS text,
+       CAST(len(t) - len(kept) AS BIGINT) AS n_removed
+FROM scl
 """,
-    doc="Corpus scrubbing as a three-leg tagged union (operators/scrub.py"
-    " + operators/decontam.py, pytest-only until r6). redact leg: "
+    doc="Corpus scrubbing as a four-leg tagged union (operators/scrub.py"
+    " + operators/decontam.py, pytest-only until r6; spans leg r8). "
+    f"spans leg: cross-document repeated {_SPAN_N}-token-span removal "
+    "(remove_repeated_spans — the substring-level dedup rung, Lee et "
+    "al. shape): hot windows found by ONE distinct-doc count over "
+    "in-row window hashes, survivors via an indexed covered-position "
+    "array lambda; only 8-byte hashes + int positions ever shuffle. "
+    "redact leg: "
     "deterministic planted PII (email/URL/IPv4/phone from doc_id) "
     "through the production 4-pass regexp_replace chain — per-row "
     "codegen, zero shuffles, and the oracle replays plant + redaction "
@@ -109,8 +152,10 @@ SELECT 'decontam' AS leg, doc_id, CAST(NULL AS VARCHAR) AS text FROM bad
 def q_scrub_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.chunking import chunk_documents
     from ..operators.decontam import contaminated_ids
+    from ..operators.scrub import remove_repeated_spans
 
     docs = t(spark, sf_dir, "documents")
+    nul_b = F.lit(None).cast("long")
 
     did = F.col("doc_id").cast("string")
     suffix = F.concat(
@@ -123,7 +168,8 @@ def q_scrub_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat(F.col("text"), suffix).alias("text")
     )
     red_leg = redact_pii(planted).select(
-        F.lit("redact").alias("leg"), "doc_id", "text"
+        F.lit("redact").alias("leg"), "doc_id", "text",
+        nul_b.alias("n_removed"),
     )
 
     # _PARA_WORDS keeps this in lockstep with the imported _PARA_CTE
@@ -140,12 +186,23 @@ def q_scrub_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     boiler_leg = remove_boilerplate_lines(
         lined, df_max=_BOILER_DF_MAX
-    ).select(F.lit("boilerplate").alias("leg"), "doc_id", "text")
+    ).select(
+        F.lit("boilerplate").alias("leg"), "doc_id", "text",
+        nul_b.alias("n_removed"),
+    )
 
     bench = docs.filter(F.col("doc_id") < _BENCH_MAX_ID)
     dec_leg = contaminated_ids(docs, bench, n=_DECONTAM_N).select(
         F.lit("decontam").alias("leg"),
         "doc_id",
         F.lit(None).cast("string").alias("text"),
+        nul_b.alias("n_removed"),
     )
-    return red_leg.unionByName(boiler_leg).unionByName(dec_leg)
+    span_leg = remove_repeated_spans(
+        docs, n=_SPAN_N, df_max=_SPAN_DF_MAX
+    ).select(F.lit("spans").alias("leg"), "doc_id", "text", "n_removed")
+    return (
+        red_leg.unionByName(boiler_leg)
+        .unionByName(dec_leg)
+        .unionByName(span_leg)
+    )

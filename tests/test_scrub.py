@@ -106,3 +106,50 @@ def test_remove_boilerplate_keeps_fully_boilerplate_docs_empty(spark):
     assert set(got) == {0, 1, 2, 3}  # all four docs present
     assert got[3] == ""  # all-footer doc survives, emptied
     assert got[0] == "a" and got[1] == "b" and got[2] == "c"
+
+
+def test_remove_repeated_spans_matches_python_replay(spark):
+    """Cross-doc repeated token-span removal vs an independent python
+    replay, including the overlap-merge (covered-union) semantics and
+    the everything-removed -> empty-string contract."""
+    from mapreduce_task_spark.operators.scrub import remove_repeated_spans
+
+    n = 3
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "a quick brown fox ran off",          # shares 'quick brown fox'
+        2: "the lazy dog sat on the lazy dog",   # internal repeat, 1 doc only
+        3: "over the lazy dog indeed",           # shares 'the lazy dog' w/ 0,2
+        4: "quick brown fox",                    # fully covered -> empty
+        5: "short one",                          # < n tokens, untouched
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+
+    toks = {i: t.split() for i, t in texts.items()}
+    from collections import defaultdict
+
+    docs_per_gram = defaultdict(set)
+    for i, t in toks.items():
+        for s in range(len(t) - n + 1):
+            docs_per_gram[" ".join(t[s : s + n])].add(i)
+    hot = {g for g, ds in docs_per_gram.items() if len(ds) > 1}
+    want = {}
+    for i, t in toks.items():
+        covered = set()
+        for s in range(len(t) - n + 1):
+            if " ".join(t[s : s + n]) in hot:
+                covered.update(range(s, s + n))
+        kept = [w for p, w in enumerate(t) if p not in covered]
+        want[i] = (" ".join(kept), len(t) - len(kept))
+
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in remove_repeated_spans(df, n=n, df_max=1).collect()
+    }
+    assert got == want
+    assert got[4] == ("", 3)          # fully removed
+    assert got[5] == ("short one", 0) # under n tokens untouched
+    # 'the lazy dog' is hot (docs 0/2/3) so BOTH its occurrences in doc
+    # 2 are cut (positions 0-2 and 5-7); the purely-internal trigrams
+    # ('lazy dog sat', ...) are not hot and the middle tokens survive
+    assert got[2] == ("sat on", 6)
