@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Observation, functions as F
 
 from ..functions.hashing import hash64
+from .pinning import Pin
 
 # deliberately simple, ASCII-safe patterns: the point is the operator
 # shape (chained codegen regexes + counters), not regex completeness
@@ -122,6 +123,7 @@ def remove_repeated_spans(
     df_max: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pin: "Pin | None" = None,
 ) -> DataFrame:
     """Cross-document repeated TOKEN-SPAN removal — the substring-level
     rung of the dedup ladder (the shape of Lee et al.'s "Deduplicating
@@ -149,6 +151,13 @@ def remove_repeated_spans(
     carries (hash, doc) pairs only, ~L rows per L-token document —
     same volume class as the shingle pipeline, partial-aggregated
     map-side; everything else rides the scan.
+
+    ``pin`` (operators.pinning, default None = no pinning — unchanged
+    failure semantics) materializes the two multi-consumer frames:
+    the token arrays (read by the window pass and the final
+    reassembly) and the window-hash frame (read by the hot count and
+    the hot-position join) — without it the window hashing runs twice
+    and the tokenization three times.
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -156,6 +165,8 @@ def remove_repeated_spans(
         F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
     )
     base = df.select(F.col(id_col), toks.alias("__t"))
+    if pin is not None:
+        base = pin(base)
     starts = F.when(
         F.size("__t") >= n,
         F.transform(
@@ -171,6 +182,8 @@ def remove_repeated_spans(
     grams = base.select(id_col, F.explode(starts).alias("g")).select(
         id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
     )
+    if pin is not None:
+        grams = pin(grams)
     hot = (
         grams.groupBy("h")
         .agg(F.count_distinct(id_col).alias("nd"))

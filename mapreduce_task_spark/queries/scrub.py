@@ -198,8 +198,10 @@ def q_scrub_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("text"),
         nul_b.alias("n_removed"),
     )
+    from ..operators.pinning import lazy_checkpoint
+
     span_leg = remove_repeated_spans(
-        docs, n=_SPAN_N, df_max=_SPAN_DF_MAX
+        docs, n=_SPAN_N, df_max=_SPAN_DF_MAX, pin=lazy_checkpoint
     ).select(F.lit("spans").alias("leg"), "doc_id", "text", "n_removed")
     return (
         red_leg.unionByName(boiler_leg)
