@@ -108,3 +108,49 @@ def test_chunking_covers_every_word_exactly_once_per_window(spark, sizes, cw, ov
             assert toks == words[c * step : c * step + cw]
         # every word covered; starts advance while start < n
         assert {w for t in chunks.values() for w in t} == set(words)
+
+
+def _py_remove_spans(docs: dict, n: int, df_max: int):
+    from collections import defaultdict
+
+    toks = {i: t.split() for i, t in docs.items()}
+    per_gram = defaultdict(set)
+    for i, t in toks.items():
+        for s in range(len(t) - n + 1):
+            per_gram[" ".join(t[s : s + n])].add(i)
+    hot = {g for g, ds in per_gram.items() if len(ds) > df_max}
+    out = {}
+    for i, t in toks.items():
+        covered = set()
+        for s in range(len(t) - n + 1):
+            if " ".join(t[s : s + n]) in hot:
+                covered.update(range(s, s + n))
+        kept = [w for p, w in enumerate(t) if p not in covered]
+        out[i] = (" ".join(kept), len(t) - len(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab cd ef gh ij".split()), max_size=12),
+        min_size=2,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_remove_repeated_spans_matches_python(spark, token_lists, n):
+    """Random tiny-vocab corpora (repeats are common by construction):
+    the operator's covered-union span removal equals the python
+    reference for any n, including single-token spans (n=1 ==
+    cross-doc word blacklist) and df_max variation."""
+    from mapreduce_task_spark.operators.scrub import remove_repeated_spans
+
+    docs = {i: " ".join(t) for i, t in enumerate(token_lists)}
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    want = _py_remove_spans(docs, n, 1)
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in remove_repeated_spans(df, n=n, df_max=1).collect()
+    }
+    assert got == want
