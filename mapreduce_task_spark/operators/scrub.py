@@ -158,6 +158,13 @@ def remove_repeated_spans(
     reassembly) and the window-hash frame (read by the hot count and
     the hot-position join) — without it the window hashing runs twice
     and the tokenization three times.
+
+    Cost bound: the survivor filter is O(L * H) per document (L
+    tokens, H hot window starts IN THAT DOC — a per-row array lambda,
+    no shuffle). H is small for normal boilerplate fractions; the
+    pathological case (H ~ L, a fully-templated long document) is a
+    document that exact/near-dup dedup removes anyway — run this
+    operator AFTER the dedup ladder, its position in a real pipeline.
     """
     if n < 1:
         raise ValueError("n must be >= 1")
