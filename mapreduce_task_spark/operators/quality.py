@@ -38,8 +38,17 @@ class Check:
 
 
 def completeness(col: str, min_fraction: float = 1.0) -> Check:
-    """Fraction of rows with a non-null value in ``col``."""
-    m = F.count(col).cast("double") / F.count(F.lit(1)).cast("double")
+    """Fraction of rows with a non-null value in ``col``.
+
+    An EMPTY table yields metric 0.0 — the check FAILS LOUDLY (same
+    posture as the all-NULL case of in_range/is_in/matches below); the
+    unguarded 0/0 division would abort the whole job under ANSI mode
+    (Spark 4 default) instead of failing the gate."""
+    m = F.coalesce(
+        F.count(col).cast("double")
+        / F.nullif(F.count(F.lit(1)), F.lit(0)).cast("double"),
+        F.lit(0.0),
+    )
     return Check("completeness", col, m, min_fraction)
 
 
@@ -50,8 +59,13 @@ def uniqueness(col: str, min_fraction: float = 1.0) -> Check:
     contributes 0.5 to the ratio, not 0. NULL handling is asymmetric by
     SQL semantics — count_distinct ignores NULLs while the denominator
     counts every row, so NULLs depress the ratio; pair with
-    ``completeness`` when NULLs are possible."""
-    m = F.count_distinct(col).cast("double") / F.count(F.lit(1)).cast("double")
+    ``completeness`` when NULLs are possible. Empty table -> 0.0
+    (fails loudly; see completeness)."""
+    m = F.coalesce(
+        F.count_distinct(col).cast("double")
+        / F.nullif(F.count(F.lit(1)), F.lit(0)).cast("double"),
+        F.lit(0.0),
+    )
     return Check("uniqueness", col, m, min_fraction)
 
 

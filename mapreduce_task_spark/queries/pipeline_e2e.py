@@ -182,12 +182,18 @@ def corpus_report(docs: DataFrame) -> DataFrame:
         completeness("text"),
         completeness("lang"),
     ]
-    dup_expr = (
+    # guarded divisions: an empty corpus reports dup_rate 0.0 and token
+    # total 0.0 instead of aborting under ANSI division-by-zero (the
+    # same empty-shard posture as operators.quality)
+    dup_expr = F.coalesce(
         1.0
         - F.count_distinct(F.md5("text")).cast("double")
-        / F.count(F.lit(1)).cast("double")
+        / F.nullif(F.count(F.lit(1)), F.lit(0)).cast("double"),
+        F.lit(0.0),
     )
-    tok_expr = F.sum(ws_token_count("text").cast("long")).cast("double")
+    tok_expr = F.coalesce(
+        F.sum(ws_token_count("text").cast("long")).cast("double"), F.lit(0.0)
+    )
     row = docs.agg(
         *[c.metric_expr.alias(f"m{i}") for i, c in enumerate(checks)],
         dup_expr.alias("dup"),
@@ -227,32 +233,36 @@ def corpus_report(docs: DataFrame) -> DataFrame:
     oracle=r"""
 WITH rep AS (
   SELECT 'check:completeness' AS rule, 'doc_id' AS col_name,
-         CAST(count(doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS metric
+         coalesce(CAST(count(doc_id) AS DOUBLE)
+                  / CAST(nullif(count(*), 0) AS DOUBLE), 0.0) AS metric
   FROM documents
   UNION ALL
   SELECT 'check:uniqueness', 'doc_id',
-         CAST(count(DISTINCT doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         coalesce(CAST(count(DISTINCT doc_id) AS DOUBLE)
+                  / CAST(nullif(count(*), 0) AS DOUBLE), 0.0)
   FROM documents
   UNION ALL
   SELECT 'check:completeness', 'text',
-         CAST(count(text) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         coalesce(CAST(count(text) AS DOUBLE)
+                  / CAST(nullif(count(*), 0) AS DOUBLE), 0.0)
   FROM documents
   UNION ALL
   SELECT 'check:completeness', 'lang',
-         CAST(count(lang) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         coalesce(CAST(count(lang) AS DOUBLE)
+                  / CAST(nullif(count(*), 0) AS DOUBLE), 0.0)
   FROM documents
   UNION ALL
   SELECT 'exact_dup_rate', 'text',
-         1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
-               / CAST(count(*) AS DOUBLE)
+         coalesce(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+                        / CAST(nullif(count(*), 0) AS DOUBLE), 0.0)
   FROM documents
   UNION ALL
   SELECT 'lang_docs', lang, CAST(count(*) AS DOUBLE)
   FROM documents GROUP BY lang
   UNION ALL
   SELECT 'total_ws_tokens', 'text',
-         CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
-                                  x -> x != ''))) AS DOUBLE)
+         coalesce(CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x != ''))) AS DOUBLE), 0.0)
   FROM documents
 ),
 gate AS (

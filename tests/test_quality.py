@@ -104,3 +104,37 @@ def test_value_checks_fail_loudly_on_all_null_column(spark):
     for r in out:
         assert r["metric"] == 0.0
         assert r["passed"] is False
+
+
+def test_checks_on_empty_table_fail_loudly_not_crash(spark):
+    """ANSI mode (Spark 4 default) turns an unguarded 0/0 into a job
+    abort — an empty shard must FAIL the gate (metric 0.0, passed
+    false), never kill the pipeline. Caught by r8 edge-case audit:
+    completeness/uniqueness divided by a raw count(*)."""
+    from mapreduce_task_spark.operators.quality import (
+        completeness,
+        in_range,
+        run_checks,
+        uniqueness,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    rows = run_checks(
+        empty,
+        [completeness("doc_id"), uniqueness("doc_id"), in_range("doc_id", 0, 9)],
+    ).collect()
+    assert [r["metric"] for r in rows] == [0.0, 0.0, 0.0]
+    assert all(r["passed"] is False for r in rows)
+
+
+def test_corpus_report_on_empty_corpus(spark):
+    """Empty corpus: global metrics report 0.0 (checks fail loudly,
+    dup rate and token total zero), lang mix has no rows."""
+    from mapreduce_task_spark.queries.pipeline_e2e import corpus_report
+
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    rows = {(r["metric"], r["key"]): r["value"] for r in corpus_report(empty).collect()}
+    assert rows[("exact_dup_rate", "text")] == 0.0
+    assert rows[("total_ws_tokens", "text")] == 0.0
+    assert rows[("check:completeness", "doc_id")] == 0.0
+    assert not [k for k in rows if k[0] == "lang_docs"]
