@@ -62,7 +62,16 @@ def int_dot(a: Column, b: Column) -> Column:
 
 def quantized_cosine(dot: Column, na: Column, nb: Column) -> Column:
     """Deterministic double cosine from quantized dot + precomputed
-    self-dots (all integer-valued)."""
+    self-dots (all integer-valued).
+
+    Input contract: ZERO vectors (self-dot 0) are undefined input —
+    cosine has no value there, and under ANSI mode (Spark 4 default)
+    the 0/0 aborts the job rather than silently ranking a NaN first
+    (NaN sorts greatest in a DESC top-k — the silent failure mode this
+    loud one prevents). A corpus that may contain zero embeddings
+    must filter ``nq > 0`` upstream; the engine's quantization
+    (floor(x * 1e6)) makes an accidental all-zero quantized vector
+    essentially impossible for real float embeddings."""
     return dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
 
 
