@@ -120,6 +120,10 @@ def pagerank(
         .persist()
     )
     n = verts.count()
+    if n == 0:
+        # empty graph: stay total (1.0/n below would divide by zero)
+        verts.unpersist()
+        return verts.select("node", F.lit(0.0).alias("rank"))
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("to"))
     outd = e.groupBy("node").agg(F.count(F.lit(1)).alias("outd"))
     # degree-annotated vertices; dangling nodes get outd NULL

@@ -139,6 +139,10 @@ def quality_bins(
     cuts = df.agg(
         F.percentile_approx(score_col, qs, accuracy).alias("c")
     ).collect()[0]["c"]
+    # empty input: percentile_approx aggregates to NULL, not [] — an
+    # incremental run over a day with no rows must still be total, so
+    # degenerate to a single bin (zero rows carry it anyway).
+    cuts = cuts if cuts is not None else []
     bin_expr = F.lit(0)
     for c in cuts:
         bin_expr = bin_expr + (F.col(score_col) > F.lit(float(c))).cast("int")

@@ -304,10 +304,20 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hll_rollup_estimate reads per-group estimates AND the all-groups "
     "union from the stored sketches alone — the store-once/roll-up-"
     "many-ways pattern a 100 TB metrics layer uses; error bounds vs "
-    "the exact counts are pytest-gated (tests/test_sketches.py).",
+    "the exact counts are pytest-gated (tests/test_sketches.py). "
+    "kll_rollup leg (r8): the quantile analogue — kll_sketch_agg_double "
+    "keeps the KllDoublesSketch BINARY per group, kll_rollup_quantiles "
+    "reads per-group medians AND the all-groups-merge median off the "
+    "stored sketches (kll_merge_agg_double) with zero source rescans; "
+    "~1.65% rank error at k=200, pytest-gated vs exact percentiles.",
 )
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sketches import hll_group_sketches, hll_rollup_estimate
+    from ..operators.sketches import (
+        hll_group_sketches,
+        hll_rollup_estimate,
+        kll_group_sketches,
+        kll_rollup_quantiles,
+    )
 
     ev = t(spark, sf_dir, "events")
     nul_d = F.lit(None).cast("double")
@@ -332,7 +342,15 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_distinct").cast("double").alias("approx_users"),
         nul_d.alias("approx_median_value"),
     )
-    return scalar.unionByName(rollup)
+    kll = kll_rollup_quantiles(
+        kll_group_sketches(ev, "event_type", "value"), "event_type", [0.5]
+    ).select(
+        F.lit("kll_rollup").alias("leg"),
+        "event_type",
+        F.lit(None).cast("double").alias("approx_users"),
+        F.col("q50").alias("approx_median_value"),
+    )
+    return scalar.unionByName(rollup).unionByName(kll)
 
 
 

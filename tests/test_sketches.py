@@ -82,3 +82,41 @@ def test_hll_sketch_columns_merge_without_rescan(spark, sf_small):
     for k, exact in exact_per.items():
         assert abs(got[k] - exact) <= max(2, 0.05 * exact), (k, got[k], exact)
     assert abs(got["TOTAL"] - exact_total) <= max(2, 0.05 * exact_total)
+
+
+def test_kll_sketch_columns_roll_up_quantiles_without_rescan(spark, sf_med):
+    """DataSketches KLL columns: per-group medians within the exact
+    p40-p60 band (k=200 => ~1.65% rank error at 99% confidence — the
+    band is ~12x looser, stable across refreshes), and the MERGE of
+    the stored sketches answers the global median without touching the
+    source again — the quantile analogue of the HLL rollup contract."""
+    from mapreduce_task_spark.operators.sketches import (
+        kll_group_sketches,
+        kll_rollup_quantiles,
+    )
+    from mapreduce_task_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_med, "events")
+    exact_per = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.4).alias("p40"),
+            F.percentile("value", 0.6).alias("p60"),
+        )
+        .collect()
+    }
+    tot = ev.agg(
+        F.percentile("value", 0.4).alias("p40"),
+        F.percentile("value", 0.6).alias("p60"),
+    ).collect()[0]
+
+    sk = kll_group_sketches(ev, "event_type", "value")
+    got = {
+        r["event_type"]: r["q50"]
+        for r in kll_rollup_quantiles(sk, "event_type", [0.5]).collect()
+    }
+    assert set(got) == set(exact_per) | {"TOTAL"}
+    for k, e in exact_per.items():
+        assert e["p40"] <= got[k] <= e["p60"], (k, got[k], e["p40"], e["p60"])
+    assert tot["p40"] <= got["TOTAL"] <= tot["p60"]
