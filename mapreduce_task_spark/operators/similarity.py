@@ -71,7 +71,12 @@ def quantized_cosine(dot: Column, na: Column, nb: Column) -> Column:
     loud one prevents). A corpus that may contain zero embeddings
     must filter ``nq > 0`` upstream; the engine's quantization
     (floor(x * 1e6)) makes an accidental all-zero quantized vector
-    essentially impossible for real float embeddings."""
+    essentially impossible for real float embeddings. NULL embeddings
+    (upstream extraction failures) are distinct from zero vectors:
+    they propagate a NULL cosine, which desc-sorts LAST — NULL rows
+    rank strictly after every real candidate and drop out of any
+    top-k tighter than the pool (pinned in
+    tests/test_similarity.py::test_degenerate_embedding_contract)."""
     return dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
 
 

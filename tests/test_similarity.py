@@ -386,3 +386,39 @@ def test_ivf_index_build_search_split_matches_inline(spark, sf_small, tmp_path):
 
     parts = [d for d in os.listdir(f"{path}/lists") if d.startswith("cluster=")]
     assert len(parts) > 1
+
+
+def test_degenerate_embedding_contract(spark):
+    """Pin the documented input contract for degenerate embeddings
+    (operators/similarity.py quantized_cosine):
+
+    - NULL embeddings propagate NULL cosine, which desc-sorts LAST:
+      they rank strictly after every real candidate (and fall out of
+      any top-k tighter than the candidate pool) — a corpus with
+      extraction failures degrades gracefully;
+    - ZERO-NORM vectors (all-zero or empty arrays) abort LOUDLY under
+      ANSI mode rather than ranking a NaN first — callers filter
+      nq > 0 upstream per the contract.
+    """
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce_task_spark.operators.similarity import brute_force_topk
+
+    ok_rows = [(1, [1.0, 2.0, 3.0]), (2, None), (5, [3.0, 1.0, 2.0])]
+    df = spark.createDataFrame(ok_rows, "vec_id int, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 1).select("vec_id")
+    got = {r["cand_id"]: r for r in brute_force_topk(df, q, k=5).collect()}
+    # self excluded; real candidate outranks the NULL-embedding row
+    assert set(got) == {2, 5}
+    assert got[2]["cos"] is None and got[2]["rank"] > got[5]["rank"]
+    # and a top-1 never surfaces the NULL row at all
+    top1 = brute_force_topk(df, q, k=1).collect()
+    assert [r["cand_id"] for r in top1] == [5]
+
+    bad = spark.createDataFrame(
+        ok_rows + [(3, []), (4, [0.0, 0.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        brute_force_topk(bad, q, k=5).collect()
