@@ -498,11 +498,27 @@ def exact_dedup_groups(
     Returns (text_md5, rep_id, n_copies) — the dedup decision table; a
     pipeline joins it back to keep only rep_id rows. Hash-groupBy is
     one shuffle on the digest (uniform keys, no skew).
+
+    NULL text (an upstream extraction failure) is NOT content: two
+    failed extractions are not duplicates of each other. md5(NULL) is
+    NULL, and a plain groupBy would pool every NULL-text doc into one
+    "duplicate" group and delete all but one — so NULL-text rows get a
+    per-row grouping key and come back as their own singleton groups
+    (text_md5 NULL, n_copies 1). Empty string is real (identical)
+    content and still dedupes.
     """
+    gk = F.coalesce(
+        F.col("text_md5"), F.concat(F.lit("\x00null:"), F.col(id_col).cast("string"))
+    )
     return (
         df.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
-        .groupBy("text_md5")
-        .agg(F.min(id_col).alias(f"rep_{id_col}"), F.count("*").alias("n_copies"))
+        .groupBy(gk.alias("__gk"))
+        .agg(
+            F.min("text_md5").alias("text_md5"),
+            F.min(id_col).alias(f"rep_{id_col}"),
+            F.count("*").alias("n_copies"),
+        )
+        .drop("__gk")
     )
 
 
@@ -536,14 +552,25 @@ def incremental_exact_dedup(
     if known_digests is None:
         known_digests = spark.createDataFrame([], "text_md5 string")
     hashed = new_docs.withColumn("text_md5", F.md5(F.col(text_col)))
-    rep = Window.partitionBy("text_md5").orderBy(id_col)
+    # NULL text is not content (see exact_dedup_groups): give each
+    # NULL-text row its own in-batch key so failed extractions never
+    # dedupe each other; the anti-join below already keeps them (a
+    # NULL key never equi-matches a digest row).
+    gk = F.coalesce(
+        F.col("text_md5"), F.concat(F.lit("\x00null:"), F.col(id_col).cast("string"))
+    )
+    rep = Window.partitionBy(gk).orderBy(id_col)
     in_batch = (
         hashed.withColumn("__rn", F.row_number().over(rep))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
     fresh = in_batch.join(known_digests, "text_md5", "left_anti")
-    digests = known_digests.unionByName(fresh.select("text_md5")).distinct()
+    # the persisted digest table records CONTENT digests only — a NULL
+    # digest row would be dead weight (never matches an anti-join key)
+    digests = known_digests.unionByName(
+        fresh.select("text_md5").where(F.col("text_md5").isNotNull())
+    ).distinct()
     return fresh.drop("text_md5"), digests
 
 

@@ -325,3 +325,39 @@ def test_quality_delete_list_keeps_best_scored_member(spark):
     # contrast with the min-id rule
     minid = {r["doc_id"] for r in duplicate_delete_list(pairs).collect()}
     assert minid == {2, 3, 11}
+
+
+def test_null_text_is_never_a_duplicate(spark):
+    """Extraction failures (NULL text) are not content: they must not
+    dedupe against each other in either the batch or incremental exact
+    path, and the minhash path gives them no signature at all (no
+    shingles -> never a HEAD candidate). Empty string IS content and
+    still dedupes."""
+    from mapreduce_task_spark.operators.dedup import (
+        exact_dedup_groups,
+        incremental_exact_dedup,
+        minhash_signature,
+        shingles,
+    )
+
+    rows = [(1, "same text"), (2, None), (3, None), (4, "same text"), (5, ""), (6, "")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    groups = exact_dedup_groups(df).collect()
+    null_groups = [r for r in groups if r["text_md5"] is None]
+    assert len(null_groups) == 2  # one singleton per NULL-text doc
+    assert all(r["n_copies"] == 1 for r in null_groups)
+    by_rep = {r["rep_doc_id"]: r["n_copies"] for r in groups}
+    assert by_rep[1] == 2 and by_rep[5] == 2  # real + empty content dedupe
+
+    fresh, digests = incremental_exact_dedup(df)
+    kept = {r["doc_id"] for r in fresh.collect()}
+    assert kept == {1, 2, 3, 5}  # both NULL docs kept, dupes 4/6 dropped
+    assert all(r["text_md5"] is not None for r in digests.collect())
+    # a second ingest of more NULL docs is also untouched
+    batch2 = spark.createDataFrame([(7, None), (8, "same text")], "doc_id int, text string")
+    fresh2, _ = incremental_exact_dedup(batch2, digests)
+    assert {r["doc_id"] for r in fresh2.collect()} == {7}
+
+    sigs = minhash_signature(shingles(df))
+    assert {r["doc_id"] for r in sigs.collect()} <= {1, 4}  # only real text signs
