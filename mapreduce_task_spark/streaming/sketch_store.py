@@ -1,0 +1,115 @@
+"""Streaming sketch store: per-micro-batch mergeable sketches persisted
+as partitioned parquet, rolled up at read time.
+
+The streaming face of the store-once/merge-many pattern
+(``operators/sketches.py``): each micro-batch writes ONE partition of
+per-group sketch rows — a DataSketches HLL (distinct keys), a
+KllDoublesSketch (value quantiles), and an exact row count — under
+``__batch=<batch_id>``. Readers answer "distinct users / p50 value per
+group (or overall), as of now" by merging the stored kilobyte sketches
+(``hll_union_agg`` / ``kll_merge_agg_double``), never rescanning the
+raw stream.
+
+Exactly-once without transactions: the unit of commit is the batch's
+OWN partition directory. A replayed micro-batch (crash before the
+checkpoint advanced) dynamically overwrites ``__batch=<id>`` with the
+identical recomputed rows — idempotent by construction, the same
+contract as ``streaming/upsert.py`` but append-shaped (no read-modify-
+write of prior state on the hot path, so the sink does no merge work
+per batch; merging is O(groups x batches) kilobyte rows at read).
+
+Scale: sketch rows are ~3 KB each regardless of batch size, so a
+year of minutely batches over any volume is ~groups x 500k rows of
+kilobyte payloads — compact-able by re-sketching old partitions into
+coarser ones with the same merge functions (sketches are associative:
+day rollups of minute sketches are exact merges, not re-aggregations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+BATCH_COL = "__batch"
+
+
+def batch_group_sketches(
+    df: DataFrame, group_col: str, key_col: str, val_col: str, k: int = 200
+) -> DataFrame:
+    """One sketch row per group: (group, hll BINARY, kll BINARY, n_rows)."""
+    return df.groupBy(group_col).agg(
+        F.hll_sketch_agg(key_col).alias("hll"),
+        F.kll_sketch_agg_double(F.col(val_col).cast("double"), k).alias("kll"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def write_batch_sketches(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    group_col: str,
+    key_col: str,
+    val_col: str,
+) -> None:
+    """Sketch one micro-batch and (over)write exactly its partition."""
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        batch_group_sketches(batch_df, group_col, key_col, val_col)
+        .withColumn(BATCH_COL, F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .partitionBy(BATCH_COL)
+        .parquet(path)
+    )
+
+
+def streaming_sketch_store(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    group_col: str,
+    key_col: str,
+    val_col: str,
+):
+    """Attach the sketch-store sink; returns the StreamingQuery."""
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_batch_sketches(batch_df, batch_id, path, group_col, key_col, val_col)
+
+    return (
+        stream_df.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_rollup(
+    spark: SparkSession, path: str, group_col: str, median_rank: float = 0.5
+) -> DataFrame:
+    """Per-group estimates off the stored sketches alone, plus a TOTAL
+    row merging every group and batch: (group, approx_distinct,
+    approx_quantile, n_rows). No raw-data rescans."""
+    sk = spark.read.parquet(path)
+    per = sk.groupBy(group_col).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("approx_distinct"),
+        F.kll_sketch_get_quantile_double(
+            F.kll_merge_agg_double("kll"), F.lit(median_rank)
+        ).alias("approx_quantile"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    total = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("approx_distinct"),
+        F.kll_sketch_get_quantile_double(
+            F.kll_merge_agg_double("kll"), F.lit(median_rank)
+        ).alias("approx_quantile"),
+        F.sum("n_rows").alias("n_rows"),
+    ).select(F.lit("TOTAL").alias(group_col), "approx_distinct", "approx_quantile", "n_rows")
+    return per.select(
+        F.col(group_col).cast("string").alias(group_col),
+        "approx_distinct",
+        "approx_quantile",
+        "n_rows",
+    ).unionByName(total)

@@ -882,3 +882,88 @@ def test_streaming_funnel_converges_to_batch_funnel(spark, tmp_path):
         for i in range(1, len(steps) + 1)
     }
     assert got == expected and got[1] > 0
+
+
+def test_streaming_sketch_store_rollup_matches_batch(spark, events_dir, tmp_path):
+    """foreachBatch sketch store: per-micro-batch HLL/KLL sketch
+    partitions roll up (merge, never rescan) to estimates that agree
+    with exact batch aggregates — distinct counts within the HLL 5%
+    band, medians inside the exact p40-p60 band, row counts exact."""
+    from mapreduce_task_spark.sources.tables import load_table
+    from mapreduce_task_spark.streaming.sketch_store import (
+        read_rollup,
+        streaming_sketch_store,
+    )
+    from mapreduce_task_spark.streaming.windows import stream_from_directory
+
+    ev = spark.read.parquet(events_dir)
+    store, ckpt = str(tmp_path / "sk_store"), str(tmp_path / "sk_ckpt")
+    q = streaming_sketch_store(
+        stream_from_directory(
+            spark, events_dir, ev.schema, maxFilesPerTrigger=1
+        ),
+        store,
+        ckpt,
+        group_col="event_type",
+        key_col="user_id",
+        val_col="value",
+    )
+    q.awaitTermination(120)
+
+    got = {r["event_type"]: r for r in read_rollup(spark, store, "event_type").collect()}
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("nd"),
+            F.count(F.lit(1)).alias("n"),
+            F.percentile("value", 0.4).alias("p40"),
+            F.percentile("value", 0.6).alias("p60"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact) | {"TOTAL"}
+    for et, e in exact.items():
+        g = got[et]
+        assert g["n_rows"] == e["n"]
+        assert abs(g["approx_distinct"] - e["nd"]) <= max(2, 0.05 * e["nd"])
+        assert e["p40"] <= g["approx_quantile"] <= e["p60"]
+    tot_nd = ev.select("user_id").distinct().count()
+    assert abs(got["TOTAL"]["approx_distinct"] - tot_nd) <= max(2, 0.05 * tot_nd)
+    assert got["TOTAL"]["n_rows"] == ev.count()
+    # the store held one partition per micro-batch (4 source files)
+    import os
+
+    parts = [d for d in os.listdir(store) if d.startswith("__batch=")]
+    assert len(parts) == 4
+
+
+def test_sketch_store_batch_replay_is_idempotent(spark, tmp_path):
+    """Replaying a micro-batch (crash before checkpoint advance)
+    rewrites exactly its own partition with identical content: row
+    counts and HLL estimates (order-independent register-max) are
+    unchanged."""
+    from mapreduce_task_spark.streaming.sketch_store import (
+        read_rollup,
+        write_batch_sketches,
+    )
+
+    schema = "g string, k bigint, v double"
+    b0 = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("b", 1, 5.0)], schema
+    )
+    b1 = spark.createDataFrame([("a", 3, 3.0), ("b", 9, 6.0)], schema)
+    store = str(tmp_path / "replay_store")
+    write_batch_sketches(b0, 0, store, "g", "k", "v")
+    write_batch_sketches(b1, 1, store, "g", "k", "v")
+    before = {
+        r["g"]: (r["n_rows"], r["approx_distinct"])
+        for r in read_rollup(spark, store, "g").collect()
+    }
+    assert before["a"] == (3, 3.0) and before["b"] == (2, 2.0)
+    write_batch_sketches(b1, 1, store, "g", "k", "v")  # replay
+    after = {
+        r["g"]: (r["n_rows"], r["approx_distinct"])
+        for r in read_rollup(spark, store, "g").collect()
+    }
+    assert after == before
