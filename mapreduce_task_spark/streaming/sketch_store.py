@@ -113,3 +113,62 @@ def read_rollup(
         "approx_quantile",
         "n_rows",
     ).unionByName(total)
+
+
+def compact_batches(
+    spark: SparkSession, path: str, up_to_batch: int, into_batch: int | None = None
+) -> int:
+    """Fold every partition with ``__batch <= up_to_batch`` into one.
+
+    Sketches are associative — a day partition merged from minute
+    partitions answers every query the minutes did — so compaction is
+    a pure merge (hll_union_agg / kll_merge_agg_double / sum) of
+    kilobyte rows, never a re-aggregation of raw data. The merged rows
+    land in partition ``into_batch`` (default ``up_to_batch``) via
+    dynamic overwrite, then the superseded partition directories are
+    dropped. Returns the number of partitions compacted away.
+
+    Run it from maintenance (not the sink): replay safety holds
+    because checkpointed batch ids only grow, so a replay can never
+    target a compacted-away id.
+    """
+    if into_batch is None:
+        into_batch = up_to_batch
+    sk = spark.read.parquet(path)
+    olds = [
+        r[0]
+        for r in sk.select(BATCH_COL).distinct().collect()
+        if r[0] <= up_to_batch
+    ]
+    if not olds or olds == [into_batch]:
+        return 0
+    group_col = [c for c in sk.columns if c not in ("hll", "kll", "n_rows", BATCH_COL)][0]
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged = (
+        sk.filter(F.col(BATCH_COL) <= up_to_batch)
+        .groupBy(group_col)
+        .agg(
+            F.hll_union_agg("hll").alias("hll"),
+            F.kll_merge_agg_double("kll").alias("kll"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .withColumn(BATCH_COL, F.lit(int(into_batch)))
+        # sever the file-source lineage: the merged rows must
+        # materialize BEFORE the overwrite below touches the same
+        # path the aggregation reads from (O(groups) kilobyte rows)
+        .localCheckpoint()
+    )
+    merged.write.mode("overwrite").partitionBy(BATCH_COL).parquet(path)
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    dropped = 0
+    for b in olds:
+        if b == into_batch:
+            continue
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{BATCH_COL}={b}")
+        if fs.exists(p):
+            fs.delete(p, True)
+            dropped += 1
+    return dropped

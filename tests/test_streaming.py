@@ -967,3 +967,44 @@ def test_sketch_store_batch_replay_is_idempotent(spark, tmp_path):
         for r in read_rollup(spark, store, "g").collect()
     }
     assert after == before
+
+
+def test_sketch_store_compaction_preserves_answers(spark, tmp_path):
+    """Compacting minute partitions into one is a pure sketch merge:
+    every rollup answer (distinct, quantile band, exact counts) is
+    identical before and after, and the superseded partition
+    directories are gone."""
+    import os
+
+    from mapreduce_task_spark.streaming.sketch_store import (
+        compact_batches,
+        read_rollup,
+        write_batch_sketches,
+    )
+
+    schema = "g string, k bigint, v double"
+    for b in range(4):
+        rows = [("a", b * 10 + i, float(b * 10 + i)) for i in range(5)] + [
+            ("b", b, float(b))
+        ]
+        write_batch_sketches(
+            spark.createDataFrame(rows, schema), b, str(tmp_path / "c_store"), "g", "k", "v"
+        )
+    store = str(tmp_path / "c_store")
+    before = {
+        r["g"]: (r["n_rows"], r["approx_distinct"])
+        for r in read_rollup(spark, store, "g").collect()
+    }
+    assert before["a"] == (20, 20.0) and before["b"] == (4, 4.0)
+
+    dropped = compact_batches(spark, store, up_to_batch=2)
+    assert dropped == 2  # batches 0,1 folded into 2; 3 untouched
+    parts = {d for d in os.listdir(store) if d.startswith("__batch=")}
+    assert parts == {"__batch=2", "__batch=3"}
+    after = {
+        r["g"]: (r["n_rows"], r["approx_distinct"])
+        for r in read_rollup(spark, store, "g").collect()
+    }
+    assert after == before
+    # compacting an already-compacted range is a no-op
+    assert compact_batches(spark, store, up_to_batch=2) == 0
