@@ -234,3 +234,43 @@ def stratified_fixed_n(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    seed: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global training-data shuffle into ordered shards.
+
+    Adds ``shard`` (0..num_shards-1) and ``pos`` (0,1,2,... within the
+    shard): rows ordered by ``(shard, pos)`` are a reproducible
+    pseudorandom permutation of the corpus — the write-side shape for
+    training shards, where the trainer streams shard files in order
+    and every rerun/backfill yields the SAME example order for the
+    same ``seed``.
+
+    Scale shape: the shuffle key is a salted md5 of the id (uniform,
+    skew-free), the shard is its modulus, and ``pos`` is a row_number
+    window PER SHARD — partitioned by shard, so no global window and
+    no single-partition funnel. One shuffle total; writing with
+    ``.repartition(num_shards, "shard")`` then sortWithinPartitions
+    lands each shard as one ordered file set.
+
+    Collision note: ``pos`` breaks hash ties by ``id_col``, so the
+    permutation is total even if two ids hash-collide.
+    """
+    from pyspark.sql import Window
+
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    hkey = hash64(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    out = df.withColumn("__hk", hkey).withColumn(
+        "shard", F.pmod(F.col("__hk"), F.lit(num_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__hk"), F.col(id_col))
+    return (
+        out.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__hk")
+    )

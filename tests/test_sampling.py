@@ -291,3 +291,34 @@ def test_weighted_sample_key_scale_quantized_selection(spark):
         for r in weighted_sample(df, "doc_id", "w", 40, key_scale=10**9).collect()
     }
     assert got == want
+
+
+def test_shuffle_shards_is_a_reproducible_permutation(spark, sf_small):
+    """shuffle_shards: (shard, pos) is a total, seed-reproducible
+    pseudorandom permutation — every row appears exactly once, pos is
+    dense 0..n_shard-1 within each shard, reruns and repartitioned
+    inputs agree exactly, and a different seed yields a different
+    order."""
+    from mapreduce_task_spark.operators.sampling import shuffle_shards
+    from mapreduce_task_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id")
+    n = docs.count()
+
+    out = shuffle_shards(docs, "doc_id", num_shards=4).collect()
+    assert len(out) == n
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+
+    again = shuffle_shards(docs.repartition(7), "doc_id", num_shards=4).collect()
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["pos"]) for r in rows)
+    assert key(again) == key(out)
+
+    other = shuffle_shards(docs, "doc_id", num_shards=4, seed="other").collect()
+    assert key(other) != key(out)
+    # but still a permutation of the same rows
+    assert {r["doc_id"] for r in other} == {r["doc_id"] for r in out}
