@@ -361,3 +361,54 @@ def test_null_text_is_never_a_duplicate(spark):
 
     sigs = minhash_signature(shingles(df))
     assert {r["doc_id"] for r in sigs.collect()} <= {1, 4}  # only real text signs
+
+
+def test_exact_dedup_first_bounds_lsh_bucket_skew(spark):
+    """Pin the pipeline-order scale claim (SCALE.md): a mass-duplicated
+    document (N identical copies) puts all N ids into ONE LSH bucket —
+    a quadratic N^2/2 candidate-pair bomb — unless exact dedup runs
+    FIRST. After exact dedup the surviving corpus has bounded bucket
+    sizes, so in-bucket pair generation stays linear-ish. Bucket sizes
+    are asserted directly; the quadratic pair set is never
+    materialized."""
+    from mapreduce_task_spark.operators.dedup import (
+        exact_dedup_groups,
+        lsh_bands,
+        minhash_signature,
+        shingles,
+    )
+
+    n_copies = 400
+    dup_text = "the same boilerplate page scraped many times over and over"
+    # genuinely distinct docs: all-alphabetic words (the [a-z]
+    # normalizer strips digits) with no shared shingles between docs
+    rows = [(i, dup_text) for i in range(n_copies)] + [
+        (
+            1000 + i,
+            " ".join(
+                chr(97 + i) * 2 + chr(97 + j) * 2 for j in range(12)
+            ),
+        )
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def max_bucket(frame):
+        return (
+            lsh_bands(minhash_signature(shingles(frame)))
+            .groupBy("band", "band_sig")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+
+    # naive order: the duplicated doc floods one bucket per band
+    assert max_bucket(df) >= n_copies
+
+    # documented order: exact dedup first, LSH sees one representative
+    reps = exact_dedup_groups(df).select(
+        F.col("rep_doc_id").alias("doc_id")
+    )
+    survivors = df.join(reps, "doc_id")
+    assert survivors.count() == 21
+    assert max_bucket(survivors) <= 2  # no mass bucket survives
