@@ -32,11 +32,21 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 BATCH_COL = "__batch"
 
 
+def _cols(group_col: "str | list[str]") -> list[str]:
+    return [group_col] if isinstance(group_col, str) else list(group_col)
+
+
 def batch_group_sketches(
-    df: DataFrame, group_col: str, key_col: str, val_col: str, k: int = 200
+    df: DataFrame,
+    group_col: "str | list[str]",
+    key_col: str,
+    val_col: str,
+    k: int = 200,
 ) -> DataFrame:
-    """One sketch row per group: (group, hll BINARY, kll BINARY, n_rows)."""
-    return df.groupBy(group_col).agg(
+    """One sketch row per group: (group..., hll BINARY, kll BINARY,
+    n_rows). ``group_col`` may be a list — e.g. ``["window", "type"]``
+    for per-event-time-window dashboards."""
+    return df.groupBy(*_cols(group_col)).agg(
         F.hll_sketch_agg(key_col).alias("hll"),
         F.kll_sketch_agg_double(F.col(val_col).cast("double"), k).alias("kll"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -47,7 +57,7 @@ def write_batch_sketches(
     batch_df: DataFrame,
     batch_id: int,
     path: str,
-    group_col: str,
+    group_col: "str | list[str]",
     key_col: str,
     val_col: str,
 ) -> None:
@@ -67,7 +77,7 @@ def streaming_sketch_store(
     stream_df: DataFrame,
     path: str,
     checkpoint: str,
-    group_col: str,
+    group_col: "str | list[str]",
     key_col: str,
     val_col: str,
 ):
@@ -87,28 +97,34 @@ def streaming_sketch_store(
 
 
 def read_rollup(
-    spark: SparkSession, path: str, group_col: str, median_rank: float = 0.5
+    spark: SparkSession,
+    path: str,
+    group_col: "str | list[str]",
+    median_rank: float = 0.5,
 ) -> DataFrame:
     """Per-group estimates off the stored sketches alone, plus a TOTAL
-    row merging every group and batch: (group, approx_distinct,
-    approx_quantile, n_rows). No raw-data rescans."""
+    row merging every group and batch: (group..., approx_distinct,
+    approx_quantile, n_rows). No raw-data rescans. With a multi-column
+    group (e.g. ["window", "type"]) the TOTAL row carries 'TOTAL' in
+    every group column."""
+    gcols = _cols(group_col)
     sk = spark.read.parquet(path)
-    per = sk.groupBy(group_col).agg(
+    ests = [
         F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("approx_distinct"),
         F.kll_sketch_get_quantile_double(
             F.kll_merge_agg_double("kll"), F.lit(median_rank)
         ).alias("approx_quantile"),
         F.sum("n_rows").alias("n_rows"),
+    ]
+    per = sk.groupBy(*gcols).agg(*ests)
+    total = sk.agg(*ests).select(
+        *[F.lit("TOTAL").alias(g) for g in gcols],
+        "approx_distinct",
+        "approx_quantile",
+        "n_rows",
     )
-    total = sk.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("approx_distinct"),
-        F.kll_sketch_get_quantile_double(
-            F.kll_merge_agg_double("kll"), F.lit(median_rank)
-        ).alias("approx_quantile"),
-        F.sum("n_rows").alias("n_rows"),
-    ).select(F.lit("TOTAL").alias(group_col), "approx_distinct", "approx_quantile", "n_rows")
     return per.select(
-        F.col(group_col).cast("string").alias(group_col),
+        *[F.col(g).cast("string").alias(g) for g in gcols],
         "approx_distinct",
         "approx_quantile",
         "n_rows",
@@ -142,11 +158,11 @@ def compact_batches(
     ]
     if not olds or olds == [into_batch]:
         return 0
-    group_col = [c for c in sk.columns if c not in ("hll", "kll", "n_rows", BATCH_COL)][0]
+    gcols = [c for c in sk.columns if c not in ("hll", "kll", "n_rows", BATCH_COL)]
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     merged = (
         sk.filter(F.col(BATCH_COL) <= up_to_batch)
-        .groupBy(group_col)
+        .groupBy(*gcols)
         .agg(
             F.hll_union_agg("hll").alias("hll"),
             F.kll_merge_agg_double("kll").alias("kll"),

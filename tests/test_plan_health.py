@@ -375,3 +375,20 @@ def test_bpe_round_is_one_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_shuffle_shards_plans_one_exchange_no_global_sort(spark, sf_small):
+    """shuffle_shards: exactly ONE hash exchange (on shard) and no
+    range exchange — the permutation must never plan the
+    single-partition global-orderBy funnel it replaces."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_task_spark.operators.sampling import shuffle_shards
+    from mapreduce_task_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id")
+    out = shuffle_shards(docs, "doc_id", num_shards=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "SinglePartition" not in plan, plan

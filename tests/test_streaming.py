@@ -1008,3 +1008,37 @@ def test_sketch_store_compaction_preserves_answers(spark, tmp_path):
     assert after == before
     # compacting an already-compacted range is a no-op
     assert compact_batches(spark, store, up_to_batch=2) == 0
+
+
+def test_sketch_store_windowed_groups(spark, events_dir, tmp_path):
+    """Multi-column sketch-store groups: per (event-time hour, type)
+    sketches — the dashboard shape — still roll up correctly, and the
+    TOTAL row merges across every window and type."""
+    from mapreduce_task_spark.streaming.sketch_store import (
+        read_rollup,
+        write_batch_sketches,
+    )
+
+    ev = spark.read.parquet(events_dir).select(
+        F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+        "event_type",
+        "user_id",
+        "value",
+    )
+    store = str(tmp_path / "w_store")
+    write_batch_sketches(ev, 0, store, ["hour", "event_type"], "user_id", "value")
+
+    got = read_rollup(spark, store, ["hour", "event_type"]).collect()
+    exact = {
+        (r["hour"], r["event_type"]): r["n"]
+        for r in ev.groupBy("hour", "event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    per = {(r["hour"], r["event_type"]): r for r in got if r["hour"] != "TOTAL"}
+    assert set(per) == set(exact)
+    for k, r in per.items():
+        assert r["n_rows"] == exact[k]
+    tot = [r for r in got if r["hour"] == "TOTAL"]
+    assert len(tot) == 1 and tot[0]["event_type"] == "TOTAL"
+    assert tot[0]["n_rows"] == ev.count()
+    nd = ev.select("user_id").distinct().count()
+    assert abs(tot[0]["approx_distinct"] - nd) <= max(2, 0.05 * nd)
