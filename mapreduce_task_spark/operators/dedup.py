@@ -490,6 +490,19 @@ def dedup_paragraphs(
     )
 
 
+def _null_safe_digest_key(id_col: str):
+    """Grouping key over a ``text_md5`` column that gives NULL digests
+    (NULL text — extraction failures, not content) a per-row identity.
+    The ``null:`` prefix cannot collide with a real digest: md5 output
+    is 32 hex chars and ``:`` is not in the hex alphabet. The same
+    expression is transcribed into the dedup_exact oracle SQL, so the
+    two exact-dedup paths and the DuckDB replay share ONE definition
+    of "what counts as duplicate content"."""
+    return F.coalesce(
+        F.col("text_md5"), F.concat(F.lit("null:"), F.col(id_col).cast("string"))
+    )
+
+
 def exact_dedup_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -507,12 +520,9 @@ def exact_dedup_groups(
     (text_md5 NULL, n_copies 1). Empty string is real (identical)
     content and still dedupes.
     """
-    gk = F.coalesce(
-        F.col("text_md5"), F.concat(F.lit("\x00null:"), F.col(id_col).cast("string"))
-    )
     return (
         df.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
-        .groupBy(gk.alias("__gk"))
+        .groupBy(_null_safe_digest_key(id_col).alias("__gk"))
         .agg(
             F.min("text_md5").alias("text_md5"),
             F.min(id_col).alias(f"rep_{id_col}"),
@@ -556,10 +566,7 @@ def incremental_exact_dedup(
     # NULL-text row its own in-batch key so failed extractions never
     # dedupe each other; the anti-join below already keeps them (a
     # NULL key never equi-matches a digest row).
-    gk = F.coalesce(
-        F.col("text_md5"), F.concat(F.lit("\x00null:"), F.col(id_col).cast("string"))
-    )
-    rep = Window.partitionBy(gk).orderBy(id_col)
+    rep = Window.partitionBy(_null_safe_digest_key(id_col)).orderBy(id_col)
     in_batch = (
         hashed.withColumn("__rn", F.row_number().over(rep))
         .filter(F.col("__rn") == 1)

@@ -150,19 +150,27 @@ _INGEST_SPLIT = 250  # doc_id < 250 = "history", the rest = the new batch
     "dedup_exact",
     f"""
 WITH hist AS (SELECT DISTINCT md5(text) AS text_md5 FROM documents
-              WHERE doc_id < {_INGEST_SPLIT}),
+              WHERE doc_id < {_INGEST_SPLIT} AND text IS NOT NULL),
 batch AS (SELECT doc_id, md5(text) AS text_md5 FROM documents
           WHERE doc_id >= {_INGEST_SPLIT}),
+-- NULL text is not content (operators/dedup.py _null_safe_digest_key):
+-- each NULL digest gets a per-row key ('null:' || id — ':' is outside
+-- the md5 hex alphabet, so no collision with a real digest)
 inb AS (SELECT doc_id, text_md5
-        FROM (SELECT *, row_number() OVER (PARTITION BY text_md5
-                                           ORDER BY doc_id) AS rn
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY coalesce(text_md5,
+                                        'null:' || CAST(doc_id AS VARCHAR))
+                  ORDER BY doc_id) AS rn
               FROM batch)
         WHERE rn = 1),
 fresh AS (SELECT doc_id, text_md5 FROM inb
-          WHERE text_md5 NOT IN (SELECT text_md5 FROM hist))
-SELECT 'groups' AS leg, md5(text) AS text_md5, min(doc_id) AS rep_doc_id,
+          WHERE text_md5 IS NULL
+             OR text_md5 NOT IN (SELECT text_md5 FROM hist))
+SELECT 'groups' AS leg, min(md5(text)) AS text_md5,
+       min(doc_id) AS rep_doc_id,
        count(*) AS n_copies, CAST(NULL AS BIGINT) AS doc_id
-FROM documents GROUP BY md5(text)
+FROM documents
+GROUP BY coalesce(md5(text), 'null:' || CAST(doc_id AS VARCHAR))
 UNION ALL
 SELECT 'incremental' AS leg, text_md5, CAST(NULL AS BIGINT) AS rep_doc_id,
        CAST(NULL AS BIGINT) AS n_copies, doc_id
@@ -194,6 +202,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = (
         docs.filter(F.col("doc_id") < _INGEST_SPLIT)
         .select(F.md5(F.col("text")).alias("text_md5"))
+        # content digests only — NULL text never enters the digest
+        # table (same contract as incremental_exact_dedup's output)
+        .where(F.col("text_md5").isNotNull())
         .distinct()
     )
     batch = docs.filter(F.col("doc_id") >= _INGEST_SPLIT)
