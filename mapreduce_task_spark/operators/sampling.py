@@ -260,12 +260,30 @@ def shuffle_shards(
 
     Collision note: ``pos`` breaks hash ties by ``id_col``, so the
     permutation is total even if two ids hash-collide.
+
+    NULL ids fail the job (an executor-side ``raise_error``, zero cost
+    on the NULL-free path): a NULL id hashes to NULL — shard NULL
+    (outside 0..num_shards-1) with nondeterministic ordering among
+    such rows, i.e. exactly the reproducibility this operator exists
+    to guarantee. NULL ids are indistinguishable rows, so no
+    deterministic permutation over them is possible; upstream must
+    assign real ids (or filter) before sharding. Loud beats a silently
+    unstable training order.
     """
     from pyspark.sql import Window
 
     if num_shards < 1:
         raise ValueError("num_shards must be >= 1")
-    hkey = hash64(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    id_str = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"shuffle_shards: NULL {id_col} — a deterministic shard "
+                "permutation needs non-NULL ids; assign or filter upstream"
+            )
+        ),
+    ).otherwise(F.col(id_col).cast("string"))
+    hkey = hash64(F.concat(F.lit(f"{seed}:"), id_str))
     out = df.withColumn("__hk", hkey).withColumn(
         "shard", F.pmod(F.col("__hk"), F.lit(num_shards)).cast("int")
     )

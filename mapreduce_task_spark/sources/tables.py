@@ -76,6 +76,31 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def write_empty_copies(
+    spark: SparkSession, src_sf_dir: str, dest: str, names: tuple[str, ...] = TABLES
+) -> str:
+    """Write schema-correct, zero-row copies of every table to ``dest``.
+
+    The empty-corpus builder behind the totality checks
+    (tests/test_empty_inputs.py, tools/empty_sweep.py): schemas come
+    from the RAW parquet (not ``load_table``), so quirks like the
+    events table's INT64 TIMESTAMP(NANOS) column round-trip exactly as
+    the source data stores them. Always overwrites — an empty write is
+    seconds, and any caching here would pin a STALE schema after the
+    source evolves (the sweep would then green-light queries against
+    tables that no longer exist in that shape).
+    """
+    import os
+
+    os.makedirs(dest, exist_ok=True)
+    for name in names:
+        raw = spark.read.parquet(os.path.join(src_sf_dir, f"{name}.parquet"))
+        raw.limit(0).write.mode("overwrite").parquet(
+            os.path.join(dest, f"{name}.parquet")
+        )
+    return dest
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register each table as a temp view for the SQL API."""
     for n in names:

@@ -23,6 +23,15 @@ year of minutely batches over any volume is ~groups x 500k rows of
 kilobyte payloads — compact-able by re-sketching old partitions into
 coarser ones with the same merge functions (sketches are associative:
 day rollups of minute sketches are exact merges, not re-aggregations).
+
+Partition id spaces: micro-batches own the NON-NEGATIVE ids (Spark
+batch ids start at 0 and only grow); compaction owns the NEGATIVE
+ids — partition ``__batch=-(u+1)`` holds the merge of every batch
+``<= u``. Because the two spaces are disjoint, a replayed micro-batch
+can only ever (re)write a positive partition, never the compacted
+history, and readers derive a coverage watermark from the deepest
+negative id to ignore superseded positives — see ``read_rollup`` /
+``compact_batches`` for the exactly-once argument.
 """
 
 from __future__ import annotations
@@ -61,7 +70,17 @@ def write_batch_sketches(
     key_col: str,
     val_col: str,
 ) -> None:
-    """Sketch one micro-batch and (over)write exactly its partition."""
+    """Sketch one micro-batch and (over)write exactly its partition.
+
+    ``batch_id`` must be non-negative: the negative id space is
+    reserved for compacted partitions (``compact_batches``), which no
+    replayed micro-batch may ever touch.
+    """
+    if batch_id < 0:
+        raise ValueError(
+            f"batch_id must be >= 0 (got {batch_id}); negative ids are "
+            "reserved for compacted partitions"
+        )
     spark = batch_df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
@@ -96,6 +115,34 @@ def streaming_sketch_store(
     )
 
 
+def _batch_ids(sk: DataFrame) -> list[int]:
+    """Distinct ``__batch`` ids — a partition-column listing, no data
+    read (bounded: one id per micro-batch/compaction, collected to
+    drive the watermark arithmetic below)."""
+    return [r[0] for r in sk.select(BATCH_COL).distinct().collect()]
+
+
+def _covered(ids: list[int]) -> int:
+    """Coverage watermark: the deepest compacted partition
+    ``__batch=-(u+1)`` proves every batch ``<= u`` is merged into it.
+    Returns -1 when nothing is compacted."""
+    return max((-b - 1 for b in ids if b < 0), default=-1)
+
+
+def _live(sk: DataFrame, covered: int):
+    """Filter to the exactly-once view: the deepest compacted
+    partition plus every positive batch ABOVE its coverage. Shallower
+    negatives (a crashed compaction's predecessor) and positives at or
+    below the watermark (crash leftovers, or a pre-checkpoint batch
+    replayed after compaction recreated its partition) are duplicates
+    of content already inside the deepest negative — dropping them
+    here is what makes both crash windows read-safe."""
+    return sk.filter(
+        (F.col(BATCH_COL) == F.lit(-(covered + 1)))
+        | (F.col(BATCH_COL) > F.lit(covered))
+    )
+
+
 def read_rollup(
     spark: SparkSession,
     path: str,
@@ -106,9 +153,14 @@ def read_rollup(
     row merging every group and batch: (group..., approx_distinct,
     approx_quantile, n_rows). No raw-data rescans. With a multi-column
     group (e.g. ["window", "type"]) the TOTAL row carries 'TOTAL' in
-    every group column."""
+    every group column.
+
+    Reads through the coverage watermark (``_live``), so answers are
+    exactly-once even when a compaction crashed mid-cleanup or a
+    replayed micro-batch re-created an already-compacted partition."""
     gcols = _cols(group_col)
-    sk = spark.read.parquet(path)
+    raw = spark.read.parquet(path)
+    sk = _live(raw, _covered(_batch_ids(raw)))
     ests = [
         F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("approx_distinct"),
         F.kll_sketch_get_quantile_double(
@@ -131,58 +183,76 @@ def read_rollup(
     ).unionByName(total)
 
 
-def compact_batches(
-    spark: SparkSession, path: str, up_to_batch: int, into_batch: int | None = None
-) -> int:
-    """Fold every partition with ``__batch <= up_to_batch`` into one.
+def compact_batches(spark: SparkSession, path: str, up_to_batch: int) -> int:
+    """Fold every partition with ``__batch <= up_to_batch`` into the
+    compacted partition ``__batch=-(up_to_batch+1)``.
 
     Sketches are associative — a day partition merged from minute
     partitions answers every query the minutes did — so compaction is
     a pure merge (hll_union_agg / kll_merge_agg_double / sum) of
-    kilobyte rows, never a re-aggregation of raw data. The merged rows
-    land in partition ``into_batch`` (default ``up_to_batch``) via
-    dynamic overwrite, then the superseded partition directories are
-    dropped. Returns the number of partitions compacted away.
+    kilobyte rows, never a re-aggregation of raw data. Returns the
+    number of superseded partition directories dropped.
 
-    Run it from maintenance (not the sink): replay safety holds
-    because checkpointed batch ids only grow, so a replay can never
-    target a compacted-away id.
+    Crash/replay safety (the id-space protocol, module docstring):
+
+    - The merge TARGET is negative, outside the micro-batch id space,
+      so a replayed pre-checkpoint micro-batch can never overwrite
+      compacted history — it re-creates its own positive partition,
+      which ``read_rollup``'s watermark filter then ignores as
+      already-covered. No requirement that ``up_to_batch`` be
+      checkpoint-committed; compacting an in-flight batch costs
+      nothing worse than a dead duplicate directory.
+    - The merge INPUT is the exactly-once ``_live`` view (deepest
+      negative + positives above its watermark), never "everything
+      <= up_to_batch" — so re-running after a crash between the
+      merged write and the cleanup deletes cannot double-count the
+      leftover positives.
+    - Cleanup (dropping superseded directories) is pure space
+      reclamation: readers already exclude them, so a crash anywhere
+      in the delete loop leaves a correct store, and the next
+      compaction (or a retry) finishes the job.
     """
-    if into_batch is None:
-        into_batch = up_to_batch
+    if up_to_batch < 0:
+        raise ValueError(f"up_to_batch must be >= 0 (got {up_to_batch})")
     sk = spark.read.parquet(path)
-    olds = [
-        r[0]
-        for r in sk.select(BATCH_COL).distinct().collect()
-        if r[0] <= up_to_batch
+    ids = _batch_ids(sk)
+    covered = _covered(ids)
+    # compacting below the existing watermark never un-merges; the
+    # effective coverage only grows
+    effective = max(up_to_batch, covered)
+    target = -(effective + 1)
+    superseded = [
+        b for b in ids if (0 <= b <= effective) or (b < 0 and b != target)
     ]
-    if not olds or olds == [into_batch]:
-        return 0
-    gcols = [c for c in sk.columns if c not in ("hll", "kll", "n_rows", BATCH_COL)]
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    merged = (
-        sk.filter(F.col(BATCH_COL) <= up_to_batch)
-        .groupBy(*gcols)
-        .agg(
-            F.hll_union_agg("hll").alias("hll"),
-            F.kll_merge_agg_double("kll").alias("kll"),
-            F.sum("n_rows").alias("n_rows"),
+    if effective > covered:
+        gcols = [
+            c for c in sk.columns if c not in ("hll", "kll", "n_rows", BATCH_COL)
+        ]
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged = (
+            _live(sk, covered)
+            .filter(F.col(BATCH_COL) <= F.lit(effective))
+            .groupBy(*gcols)
+            .agg(
+                F.hll_union_agg("hll").alias("hll"),
+                F.kll_merge_agg_double("kll").alias("kll"),
+                F.sum("n_rows").alias("n_rows"),
+            )
+            .withColumn(BATCH_COL, F.lit(int(target)))
+            # sever the file-source lineage: the merged rows must
+            # materialize BEFORE the overwrite below touches the same
+            # path the aggregation reads from (O(groups) kilobyte rows)
+            .localCheckpoint()
         )
-        .withColumn(BATCH_COL, F.lit(int(into_batch)))
-        # sever the file-source lineage: the merged rows must
-        # materialize BEFORE the overwrite below touches the same
-        # path the aggregation reads from (O(groups) kilobyte rows)
-        .localCheckpoint()
-    )
-    merged.write.mode("overwrite").partitionBy(BATCH_COL).parquet(path)
+        merged.write.mode("overwrite").partitionBy(BATCH_COL).parquet(path)
+    elif not superseded:
+        return 0
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
         spark._jsc.hadoopConfiguration()
     )
     dropped = 0
-    for b in olds:
-        if b == into_batch:
-            continue
+    for b in superseded:
         p = jvm.org.apache.hadoop.fs.Path(f"{path}/{BATCH_COL}={b}")
         if fs.exists(p):
             fs.delete(p, True)

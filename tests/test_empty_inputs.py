@@ -19,25 +19,24 @@ import os
 import pytest
 
 from mapreduce_task_spark.registry import all_queries
-from mapreduce_task_spark.sources.tables import TABLES, load_table
+from mapreduce_task_spark.sources.tables import (
+    TABLES,
+    load_table,
+    write_empty_copies,
+)
 
 _QUERY_NAMES = sorted(all_queries().keys())
 
 
 @pytest.fixture(scope="session")
 def empty_sf_dir(spark, sf_small, tmp_path_factory):
-    """Schema-correct, zero-row copies of all ten tables.
-
-    Schemas come from the RAW sf0.001 parquet (not load_table) so the
-    nanos-timestamp events table round-trips exactly as the driver's
-    testdata stores it.
-    """
-    dest = str(tmp_path_factory.mktemp("empty_sf"))
-    for name in TABLES:
-        df = spark.read.parquet(os.path.join(sf_small, f"{name}.parquet"))
-        df.limit(0).write.mode("overwrite").parquet(
-            os.path.join(dest, f"{name}.parquet")
-        )
+    """Schema-correct, zero-row copies of all ten tables — built by
+    the same library routine the manual sweep tool uses
+    (sources.tables.write_empty_copies), so CI and tooling always
+    exercise the same empty corpus."""
+    dest = write_empty_copies(
+        spark, sf_small, str(tmp_path_factory.mktemp("empty_sf"))
+    )
     for name in TABLES:
         assert load_table(spark, dest, name).count() == 0
     return dest

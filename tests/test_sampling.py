@@ -322,3 +322,22 @@ def test_shuffle_shards_is_a_reproducible_permutation(spark, sf_small):
     assert key(other) != key(out)
     # but still a permutation of the same rows
     assert {r["doc_id"] for r in other} == {r["doc_id"] for r in out}
+
+
+def test_shuffle_shards_fails_loudly_on_null_ids(spark):
+    """A NULL id would hash to a NULL shard (outside 0..n-1) with
+    nondeterministic pos among NULL rows — the exact irreproducibility
+    the operator promises away — so execution raises instead of
+    silently writing an unstable training order. NULL-free frames are
+    unaffected."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from mapreduce_task_spark.operators.sampling import shuffle_shards
+
+    ok = spark.createDataFrame([(1,), (2,)], "doc_id bigint")
+    assert shuffle_shards(ok, "doc_id", num_shards=2).count() == 2
+
+    bad = spark.createDataFrame([(1,), (None,)], "doc_id bigint")
+    with pytest.raises(PySparkException, match="NULL doc_id"):
+        shuffle_shards(bad, "doc_id", num_shards=2).collect()

@@ -998,9 +998,9 @@ def test_sketch_store_compaction_preserves_answers(spark, tmp_path):
     assert before["a"] == (20, 20.0) and before["b"] == (4, 4.0)
 
     dropped = compact_batches(spark, store, up_to_batch=2)
-    assert dropped == 2  # batches 0,1 folded into 2; 3 untouched
+    assert dropped == 3  # batches 0,1,2 folded into __batch=-3; 3 untouched
     parts = {d for d in os.listdir(store) if d.startswith("__batch=")}
-    assert parts == {"__batch=2", "__batch=3"}
+    assert parts == {"__batch=-3", "__batch=3"}
     after = {
         r["g"]: (r["n_rows"], r["approx_distinct"])
         for r in read_rollup(spark, store, "g").collect()
@@ -1008,6 +1008,137 @@ def test_sketch_store_compaction_preserves_answers(spark, tmp_path):
     assert after == before
     # compacting an already-compacted range is a no-op
     assert compact_batches(spark, store, up_to_batch=2) == 0
+
+
+def test_sketch_store_replay_after_compaction_is_exactly_once(spark, tmp_path):
+    """The compaction-vs-replay race: a micro-batch is written, NOT
+    yet checkpoint-committed, maintenance compacts through it, then
+    the stream restarts and replays it. The replay re-creates its own
+    positive partition (it can never touch the negative compacted
+    partition), and the read-side coverage watermark ignores the
+    duplicate — answers are identical to never having crashed, with
+    neither history loss nor double counting."""
+    from mapreduce_task_spark.streaming.sketch_store import (
+        compact_batches,
+        read_rollup,
+        write_batch_sketches,
+    )
+
+    schema = "g string, k bigint, v double"
+    batches = [
+        [("a", 1, 1.0), ("a", 2, 2.0), ("b", 10, 5.0)],
+        [("a", 3, 3.0), ("b", 11, 6.0)],
+        [("a", 4, 4.0), ("b", 12, 7.0)],
+    ]
+    store = str(tmp_path / "race_store")
+    for i, rows in enumerate(batches):
+        write_batch_sketches(spark.createDataFrame(rows, schema), i, store, "g", "k", "v")
+    want = {
+        r["g"]: (r["n_rows"], r["approx_distinct"])
+        for r in read_rollup(spark, store, "g").collect()
+    }
+    assert want["a"] == (4, 4.0) and want["b"] == (3, 3.0)
+
+    compact_batches(spark, store, up_to_batch=2)  # batch 2 not yet committed
+    # restart: the checkpoint replays batch 2
+    write_batch_sketches(spark.createDataFrame(batches[2], schema), 2, store, "g", "k", "v")
+    got = {
+        r["g"]: (r["n_rows"], r["approx_distinct"])
+        for r in read_rollup(spark, store, "g").collect()
+    }
+    assert got == want
+    # the next compaction sweeps the duplicate directory away without
+    # re-counting it (its content is already inside __batch=-3)
+    assert compact_batches(spark, store, up_to_batch=2) == 1
+    assert got == {
+        r["g"]: (r["n_rows"], r["approx_distinct"])
+        for r in read_rollup(spark, store, "g").collect()
+    }
+
+
+def test_sketch_store_compaction_crash_mid_cleanup_reads_clean(spark, tmp_path):
+    """Maintenance crash window: the merged negative partition was
+    written but the superseded directories were not all deleted (here:
+    none were). Reads pick the deepest negative plus only the
+    positives above its watermark, so the leftover shallower negative
+    and covered positives contribute nothing; a retry merely reclaims
+    space."""
+    import os
+
+    from mapreduce_task_spark.streaming.sketch_store import (
+        BATCH_COL,
+        batch_group_sketches,
+        compact_batches,
+        read_rollup,
+        write_batch_sketches,
+    )
+
+    schema = "g string, k bigint, v double"
+    batches = [
+        [("a", 1, 1.0), ("b", 10, 5.0)],
+        [("a", 2, 2.0), ("b", 11, 6.0)],
+        [("a", 3, 3.0), ("b", 12, 7.0)],
+    ]
+    store = str(tmp_path / "crash_store")
+    for i, rows in enumerate(batches):
+        write_batch_sketches(spark.createDataFrame(rows, schema), i, store, "g", "k", "v")
+    want = {
+        r["g"]: (r["n_rows"], r["approx_distinct"])
+        for r in read_rollup(spark, store, "g").collect()
+    }
+
+    # simulate: compact(up_to=1) fully done, then compact(up_to=2)
+    # crashed right after writing __batch=-3 — by hand-writing the
+    # deeper merged partition while leaving every old directory alive
+    compact_batches(spark, store, up_to_batch=1)
+    write_batch_sketches(spark.createDataFrame(batches[0], schema), 0, store, "g", "k", "v")
+    write_batch_sketches(spark.createDataFrame(batches[1], schema), 1, store, "g", "k", "v")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    all_rows = spark.createDataFrame(
+        [r for rows in batches for r in rows], schema
+    )
+    (
+        batch_group_sketches(all_rows, "g", "k", "v")
+        .withColumn(BATCH_COL, F.lit(-3))
+        .write.mode("overwrite")
+        .partitionBy(BATCH_COL)
+        .parquet(store)
+    )
+    parts = {d for d in os.listdir(store) if d.startswith("__batch=")}
+    assert parts == {"__batch=-3", "__batch=-2", "__batch=0", "__batch=1", "__batch=2"}
+
+    got = {
+        r["g"]: (r["n_rows"], r["approx_distinct"])
+        for r in read_rollup(spark, store, "g").collect()
+    }
+    assert got == want
+    # retry finishes the cleanup: -2, 0, 1, 2 all superseded by -3
+    assert compact_batches(spark, store, up_to_batch=2) == 4
+    parts = {d for d in os.listdir(store) if d.startswith("__batch=")}
+    assert parts == {"__batch=-3"}
+    assert got == {
+        r["g"]: (r["n_rows"], r["approx_distinct"])
+        for r in read_rollup(spark, store, "g").collect()
+    }
+
+
+def test_sketch_store_rejects_reserved_ids(spark, tmp_path):
+    """Negative ids are the compaction space: the write side refuses
+    them, and compacting a negative watermark is a caller error."""
+    import pytest
+
+    from mapreduce_task_spark.streaming.sketch_store import (
+        compact_batches,
+        write_batch_sketches,
+    )
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "g string, k bigint, v double")
+    store = str(tmp_path / "guard_store")
+    with pytest.raises(ValueError, match="batch_id"):
+        write_batch_sketches(df, -1, store, "g", "k", "v")
+    write_batch_sketches(df, 0, store, "g", "k", "v")
+    with pytest.raises(ValueError, match="up_to_batch"):
+        compact_batches(spark, store, up_to_batch=-1)
 
 
 def test_sketch_store_windowed_groups(spark, events_dir, tmp_path):

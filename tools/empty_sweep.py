@@ -13,7 +13,6 @@ Prints one line per query: OK/FAIL + error. Exit code = number of fails.
 
 from __future__ import annotations
 
-import os
 import sys
 import traceback
 from pathlib import Path
@@ -24,30 +23,21 @@ if str(REPO) not in sys.path:
 
 from mapreduce_task_spark.registry import all_queries  # noqa: E402
 from mapreduce_task_spark.session import get_spark  # noqa: E402
-from mapreduce_task_spark.sources.tables import TABLES, load_table  # noqa: E402
-
-
-def build_empty_dir(spark, src_sf_dir: str, dest: str) -> str:
-    """Write limit(0) copies of every table, preserving schemas.
-
-    Uses the RAW parquet schema (not load_table) so the nanos-ts events
-    table round-trips the same way the driver's testdata stores it.
-    """
-    os.makedirs(dest, exist_ok=True)
-    for name in TABLES:
-        out = os.path.join(dest, f"{name}.parquet")
-        if os.path.exists(os.path.join(out, "_SUCCESS")):
-            continue
-        df = spark.read.parquet(os.path.join(src_sf_dir, f"{name}.parquet"))
-        df.limit(0).write.mode("overwrite").parquet(out)
-    return dest
+from mapreduce_task_spark.sources.tables import (  # noqa: E402
+    TABLES,
+    load_table,
+    write_empty_copies,
+)
 
 
 def main() -> int:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     dest = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_empty_sf"
     spark = get_spark(app_name="empty-sweep", shuffle_partitions=4)
-    build_empty_dir(spark, src, dest)
+    # unconditional rebuild: the library routine (shared with the CI
+    # fixture) always overwrites, so a schema change in the source can
+    # never leave this sweep testing a stale empty corpus
+    write_empty_copies(spark, src, dest)
     # sanity: every table loads and is empty
     for name in TABLES:
         assert load_table(spark, dest, name).count() == 0, name
