@@ -537,6 +537,7 @@ def incremental_exact_dedup(
     known_digests: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_digest: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Ingest-batch dedup against an existing corpus: the append-only
     production shape ("dedupe this week's crawl against everything we
@@ -578,7 +579,10 @@ def incremental_exact_dedup(
     digests = known_digests.unionByName(
         fresh.select("text_md5").where(F.col("text_md5").isNotNull())
     ).distinct()
-    return fresh.drop("text_md5"), digests
+    # keep_digest=True retains the computed text_md5 column on the
+    # fresh rows, so callers persisting a per-batch digest delta (the
+    # streaming ingest sink) don't pay a second md5 pass over fresh
+    return (fresh if keep_digest else fresh.drop("text_md5")), digests
 
 
 def incremental_minhash_dedup(

@@ -38,7 +38,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-BATCH_COL = "__batch"
+from .batchlog import (
+    BATCH_COL,
+    batch_ids as _batch_ids,
+    covered_watermark as _covered,
+    drop_partitions,
+    live_view as _live,
+    write_batch_partition,
+)
 
 
 def _cols(group_col: "str | list[str]") -> list[str]:
@@ -72,23 +79,15 @@ def write_batch_sketches(
 ) -> None:
     """Sketch one micro-batch and (over)write exactly its partition.
 
-    ``batch_id`` must be non-negative: the negative id space is
-    reserved for compacted partitions (``compact_batches``), which no
-    replayed micro-batch may ever touch.
+    ``batch_id`` must be non-negative (enforced by the batchlog
+    writer): the negative id space is reserved for compacted
+    partitions (``compact_batches``), which no replayed micro-batch
+    may ever touch.
     """
-    if batch_id < 0:
-        raise ValueError(
-            f"batch_id must be >= 0 (got {batch_id}); negative ids are "
-            "reserved for compacted partitions"
-        )
-    spark = batch_df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        batch_group_sketches(batch_df, group_col, key_col, val_col)
-        .withColumn(BATCH_COL, F.lit(int(batch_id)))
-        .write.mode("overwrite")
-        .partitionBy(BATCH_COL)
-        .parquet(path)
+    write_batch_partition(
+        batch_group_sketches(batch_df, group_col, key_col, val_col),
+        batch_id,
+        path,
     )
 
 
@@ -112,34 +111,6 @@ def streaming_sketch_store(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
-    )
-
-
-def _batch_ids(sk: DataFrame) -> list[int]:
-    """Distinct ``__batch`` ids — a partition-column listing, no data
-    read (bounded: one id per micro-batch/compaction, collected to
-    drive the watermark arithmetic below)."""
-    return [r[0] for r in sk.select(BATCH_COL).distinct().collect()]
-
-
-def _covered(ids: list[int]) -> int:
-    """Coverage watermark: the deepest compacted partition
-    ``__batch=-(u+1)`` proves every batch ``<= u`` is merged into it.
-    Returns -1 when nothing is compacted."""
-    return max((-b - 1 for b in ids if b < 0), default=-1)
-
-
-def _live(sk: DataFrame, covered: int):
-    """Filter to the exactly-once view: the deepest compacted
-    partition plus every positive batch ABOVE its coverage. Shallower
-    negatives (a crashed compaction's predecessor) and positives at or
-    below the watermark (crash leftovers, or a pre-checkpoint batch
-    replayed after compaction recreated its partition) are duplicates
-    of content already inside the deepest negative — dropping them
-    here is what makes both crash windows read-safe."""
-    return sk.filter(
-        (F.col(BATCH_COL) == F.lit(-(covered + 1)))
-        | (F.col(BATCH_COL) > F.lit(covered))
     )
 
 
@@ -247,14 +218,4 @@ def compact_batches(spark: SparkSession, path: str, up_to_batch: int) -> int:
         merged.write.mode("overwrite").partitionBy(BATCH_COL).parquet(path)
     elif not superseded:
         return 0
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
-    dropped = 0
-    for b in superseded:
-        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{BATCH_COL}={b}")
-        if fs.exists(p):
-            fs.delete(p, True)
-            dropped += 1
-    return dropped
+    return drop_partitions(spark, path, superseded)

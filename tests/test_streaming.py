@@ -1173,3 +1173,120 @@ def test_sketch_store_windowed_groups(spark, events_dir, tmp_path):
     assert tot[0]["n_rows"] == ev.count()
     nd = ev.select("user_id").distinct().count()
     assert abs(tot[0]["approx_distinct"] - nd) <= max(2, 0.05 * nd)
+
+
+def test_streaming_dedup_ingest_end_to_end(spark, tmp_path):
+    """The continuous-crawl loop: a document stream (one file per
+    micro-batch) flows through the dedup-ingest sink; the accumulated
+    corpus equals batch-mode exact dedup over the concatenated input —
+    first-seen (min doc_id) representative per text, NULL-text rows
+    (extraction failures, not content) all kept."""
+    from mapreduce_task_spark.streaming.dedup_ingest import (
+        read_corpus,
+        streaming_dedup_ingest,
+    )
+    from mapreduce_task_spark.streaming.windows import stream_from_directory
+
+    schema = "doc_id bigint, text string"
+    files = [
+        [(1, "alpha"), (2, "beta"), (3, "alpha"), (4, None)],
+        [(5, "beta"), (6, "gamma"), (7, None)],
+        [(8, "gamma"), (9, "delta"), (10, "alpha")],
+    ]
+    src = tmp_path / "docs_src"
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    corpus = str(tmp_path / "corpus")
+    digests = str(tmp_path / "digests")
+    q = streaming_dedup_ingest(
+        stream_from_directory(
+            spark, f"{src}/f*", spark.createDataFrame([], schema).schema,
+            maxFilesPerTrigger=1,
+        ),
+        corpus,
+        digests,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["doc_id"], r["text"]) for r in read_corpus(spark, corpus).collect()
+    )
+    # first-seen representative per distinct text + every NULL-text row
+    assert got == [(1, "alpha"), (2, "beta"), (4, None), (6, "gamma"),
+                   (7, None), (9, "delta")]
+
+
+def test_dedup_ingest_replay_recomputes_identical_partitions(spark, tmp_path):
+    """The replay hazard the 'strictly before' digest read exists to
+    prevent: batch 1's digests are already on disk when batch 1
+    replays. If the anti-join saw them, every replayed row would look
+    like history and the corpus partition would be overwritten EMPTY.
+    Instead the replay recomputes the identical partition."""
+    from mapreduce_task_spark.streaming.dedup_ingest import (
+        ingest_batch,
+        read_corpus,
+    )
+
+    schema = "doc_id bigint, text string"
+    b0 = spark.createDataFrame([(1, "alpha"), (2, "beta")], schema)
+    b1 = spark.createDataFrame([(3, "alpha"), (4, "gamma"), (5, None)], schema)
+    corpus, digests = str(tmp_path / "corpus"), str(tmp_path / "digests")
+    ingest_batch(b0, 0, corpus, digests)
+    ingest_batch(b1, 1, corpus, digests)
+    want = sorted(
+        (r["doc_id"], r["text"]) for r in read_corpus(spark, corpus).collect()
+    )
+    assert want == [(1, "alpha"), (2, "beta"), (4, "gamma"), (5, None)]
+
+    ingest_batch(b1, 1, corpus, digests)  # crash-before-checkpoint replay
+    got = sorted(
+        (r["doc_id"], r["text"]) for r in read_corpus(spark, corpus).collect()
+    )
+    assert got == want
+
+
+def test_dedup_ingest_digest_compaction_preserves_dedup(spark, tmp_path):
+    """compact_digests folds committed digest partitions into a
+    negative-id set partition: later batches still dedup against the
+    full history, a replay of a still-positive batch stays identical,
+    and the digest log's partition count drops."""
+    import os
+
+    from mapreduce_task_spark.streaming.dedup_ingest import (
+        compact_digests,
+        ingest_batch,
+        read_corpus,
+    )
+
+    schema = "doc_id bigint, text string"
+    batches = [
+        [(1, "alpha"), (2, "beta")],
+        [(3, "gamma")],
+        [(4, "delta")],
+    ]
+    corpus, digests = str(tmp_path / "corpus"), str(tmp_path / "digests")
+    for i, rows in enumerate(batches):
+        ingest_batch(spark.createDataFrame(rows, schema), i, corpus, digests)
+
+    # batches 0..1 are checkpoint-committed; fold their digests
+    assert compact_digests(spark, digests, up_to_batch=1) == 2
+    parts = {d for d in os.listdir(digests) if d.startswith("__batch=")}
+    assert parts == {"__batch=-2", "__batch=2"}
+
+    # a new batch still dedups against compacted history AND batch 2
+    b3 = spark.createDataFrame([(5, "alpha"), (6, "delta"), (7, "epsilon")], schema)
+    ingest_batch(b3, 3, corpus, digests)
+    got = sorted(
+        (r["doc_id"], r["text"]) for r in read_corpus(spark, corpus).collect()
+    )
+    assert got == [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta"),
+                   (7, "epsilon")]
+
+    # batch 2 (> compaction watermark) replays: identical result
+    ingest_batch(spark.createDataFrame(batches[2], schema), 2, corpus, digests)
+    assert got == sorted(
+        (r["doc_id"], r["text"]) for r in read_corpus(spark, corpus).collect()
+    )
