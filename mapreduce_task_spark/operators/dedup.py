@@ -595,6 +595,7 @@ def incremental_minhash_dedup(
     bands: int = BANDS,
     batch_shingles: DataFrame | None = None,
     pin: "Pin | None" = None,
+    sigs: str = "full",
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup ingest dedup: the LSH extension of
     ``incremental_exact_dedup`` — dedupe a new crawl batch against
@@ -616,14 +617,21 @@ def incremental_minhash_dedup(
     Returns ``(fresh_docs, signatures)`` — survivors of both stages,
     and the updated signature table (old sigs + survivors') to persist
     for the next ingest. Pass ``known_sigs=None`` for the first batch.
+    ``sigs="delta"`` returns only the SURVIVORS' signature rows as the
+    second element instead of the full union — the partition-per-batch
+    persistence shape (``streaming.dedup_ingest``), where history
+    already lives in earlier partitions and rewriting it every batch
+    would be quadratic. Note docs with no shingles (NULL/empty text)
+    have no signature rows yet still appear in ``fresh_docs`` — the
+    delta is not an id list for the kept docs.
     If the caller already holds the batch's shingle frame (the shape
     ``shingles()`` returns — e.g. a pipeline that shingled the whole
     corpus once and persisted it), pass it as ``batch_shingles`` so
     this operator never pays a second tokenize+shingle scan.
 
     ``pin`` controls how the multi-consumer intermediates (the batch
-    shingle frame, the signature frame, the kept-signature frame) are
-    reused across their downstream joins — see ``operators.pinning``
+    shingle frame, the signature frame, the kept-signature frame, the
+    fresh-id list) are reused across their downstream joins — see ``operators.pinning``
     for the fault-tolerance tradeoff. Default ``None`` = no pinning
     (each consumer re-derives; always safe); the benchmark queries
     pass ``pinning.lazy_checkpoint``.
@@ -695,7 +703,14 @@ def incremental_minhash_dedup(
         .select(F.col("__new_id").alias(id_col))
         .distinct()
     )
-    fresh_ids = batch_kept_ids.join(dup_new, id_col, "left_anti")
+    # two consumers again: the kept-docs join and the signature
+    # output. Pinning the id list (one long column) means a caller
+    # that acts on BOTH outputs (the streaming ingest sink writes the
+    # corpus partition, then the signature partition) runs the
+    # historical band+agreement joins once, not once per output.
+    fresh_ids = pin(batch_kept_ids.join(dup_new, id_col, "left_anti"))
     fresh = new_docs.join(fresh_ids, id_col)
-    sigs_out = known_sigs.unionByName(sig.join(fresh_ids, id_col))
-    return fresh, sigs_out
+    sig_delta = sig.join(fresh_ids, id_col)
+    if sigs == "delta":
+        return fresh, sig_delta
+    return fresh, known_sigs.unionByName(sig_delta)

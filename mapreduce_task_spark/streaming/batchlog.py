@@ -59,10 +59,33 @@ def live_view(log: DataFrame, covered: int) -> DataFrame:
     )
 
 
-def write_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
+def read_before(log: DataFrame, before_batch: int | None = None) -> DataFrame:
+    """The live view, optionally restricted to batches STRICTLY before
+    ``before_batch`` — the replay-safe state batch N may read: if a
+    crash landed batch N's own partition before the checkpoint
+    committed, the replay must not see it (a dedup anti-join would
+    drop the whole batch as "history"). Compacted (negative-id)
+    partitions always qualify — compaction of state-feeding logs is
+    contract-bound to checkpoint-committed batches, which are < any
+    batch still being (re)played."""
+    live = live_view(log, covered_watermark(batch_ids(log)))
+    if before_batch is not None:
+        live = live.filter(
+            (F.col(BATCH_COL) < F.lit(before_batch)) | (F.col(BATCH_COL) < 0)
+        )
+    return live
+
+
+def write_batch_partition(
+    df: DataFrame, batch_id: int, path: str, sub_partition_cols: tuple = ()
+) -> None:
     """(Over)write exactly partition ``__batch=<batch_id>`` with
     ``df``'s rows. ``batch_id`` must be non-negative — the negative id
-    space belongs to compaction."""
+    space belongs to compaction. ``sub_partition_cols`` adds physical
+    partitioning WITHIN the batch partition (e.g. by cluster for
+    inverted lists) — since ``__batch`` leads, the dynamic overwrite
+    still replaces exactly the batch's own directory tree, and readers
+    keep partition pruning on the sub columns."""
     if batch_id < 0:
         raise ValueError(
             f"batch_id must be >= 0 (got {batch_id}); negative ids are "
@@ -73,9 +96,79 @@ def write_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
     (
         df.withColumn(BATCH_COL, F.lit(int(batch_id)))
         .write.mode("overwrite")
-        .partitionBy(BATCH_COL)
+        .partitionBy(BATCH_COL, *sub_partition_cols)
         .parquet(path)
     )
+
+
+def compact_log(
+    spark, path: str, up_to_batch: int, fold, sub_partition_cols: tuple = ()
+) -> int:
+    """The shared compaction skeleton: fold every live partition with
+    ``__batch <= up_to_batch`` into the compacted partition
+    ``__batch=-(up_to_batch+1)``, then drop the superseded
+    directories. ``fold`` is the store's merge semantics — a pure
+    function of the selected live rows (sketch merge for the sketch
+    store, ``distinct`` for digest sets) returning the rows of the
+    merged partition, WITHOUT the batch column. ``sub_partition_cols``
+    must match the log's physical layout (``write_batch_partition``)
+    and survive the fold.
+
+    Crash/replay safety (id-space protocol, module docstring):
+
+    - The merge TARGET is negative, outside the micro-batch id space,
+      so a replayed pre-checkpoint micro-batch can never overwrite
+      compacted history — it re-creates its own positive partition,
+      which the ``live_view`` watermark then ignores as covered.
+    - The merge INPUT is the exactly-once live view (deepest negative
+      + positives above its watermark), never "everything <=
+      up_to_batch", so re-running after a crash between the merged
+      write and cleanup cannot double-count leftover positives.
+    - Cleanup is pure space reclamation: readers already exclude
+      superseded partitions, so a crash anywhere in the delete loop
+      leaves a correct store and a retry finishes the job.
+
+    Whether ``up_to_batch`` may exceed the stream's checkpoint-
+    committed batch id is the CALLER's contract: read-only rollup
+    stores tolerate it (a replay just leaves a dead covered
+    directory), state-feeding logs read back via ``read_before`` do
+    not (folding an uncommitted batch would make its own replay see
+    itself as strictly-earlier history).
+
+    Returns the number of superseded partition directories dropped.
+    """
+    if up_to_batch < 0:
+        raise ValueError(f"up_to_batch must be >= 0 (got {up_to_batch})")
+    log = spark.read.parquet(path)
+    ids = batch_ids(log)
+    covered = covered_watermark(ids)
+    # compacting below the existing watermark never un-merges; the
+    # effective coverage only grows
+    effective = max(up_to_batch, covered)
+    target = -(effective + 1)
+    superseded = [
+        b for b in ids if (0 <= b <= effective) or (b < 0 and b != target)
+    ]
+    if effective > covered:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged = (
+            fold(
+                live_view(log, covered).filter(
+                    F.col(BATCH_COL) <= F.lit(effective)
+                )
+            )
+            .withColumn(BATCH_COL, F.lit(int(target)))
+            # sever the file-source lineage: the merged rows must
+            # materialize BEFORE the overwrite below touches the same
+            # path the fold reads from
+            .localCheckpoint()
+        )
+        merged.write.mode("overwrite").partitionBy(
+            BATCH_COL, *sub_partition_cols
+        ).parquet(path)
+    elif not superseded:
+        return 0
+    return drop_partitions(spark, path, superseded)
 
 
 def drop_partitions(spark, path: str, ids: list[int]) -> int:

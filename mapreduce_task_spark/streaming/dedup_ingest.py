@@ -1,7 +1,9 @@
 """Streaming dedup ingest: continuous crawl ingestion with exactly-once
-cross-batch exact dedup, on plain parquet.
+cross-batch dedup, on plain parquet — exact (content digests) and
+near-duplicate (MinHash-LSH signatures) variants.
 
-The streaming face of ``operators.dedup.incremental_exact_dedup`` —
+The streaming face of ``operators.dedup.incremental_exact_dedup`` and
+``incremental_minhash_dedup`` —
 the single most production-relevant LLM-pipeline loop: documents
 stream in (a crawler, a firehose, incremental extraction), and the
 corpus must accumulate each batch's rows deduped against EVERYTHING
@@ -51,13 +53,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.dedup import incremental_exact_dedup
+from ..operators.dedup import incremental_exact_dedup, incremental_minhash_dedup
+from ..operators.pinning import lazy_checkpoint as _lazy_checkpoint
 from .batchlog import (
     BATCH_COL,
-    batch_ids,
-    covered_watermark,
-    drop_partitions,
-    live_view,
+    compact_log,
+    read_before,
     write_batch_partition,
 )
 
@@ -76,13 +77,9 @@ def read_digests(
     against). Compacted (negative-id) partitions always qualify:
     ``compact_digests`` only ever folds checkpoint-committed batches,
     which are < any batch still being (re)played."""
-    log = spark.read.parquet(digest_path)
-    live = live_view(log, covered_watermark(batch_ids(log)))
-    if before_batch is not None:
-        live = live.filter(
-            (F.col(BATCH_COL) < F.lit(before_batch)) | (F.col(BATCH_COL) < 0)
-        )
-    return live.select("text_md5")
+    return read_before(spark.read.parquet(digest_path), before_batch).select(
+        "text_md5"
+    )
 
 
 def read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
@@ -166,29 +163,125 @@ def compact_digests(
     store: readers take the deepest negative partition plus only the
     positives above its coverage, so a retry merely reclaims space.
     """
-    if up_to_batch < 0:
-        raise ValueError(f"up_to_batch must be >= 0 (got {up_to_batch})")
-    log = spark.read.parquet(digest_path)
-    ids = batch_ids(log)
-    covered = covered_watermark(ids)
-    effective = max(up_to_batch, covered)
-    target = -(effective + 1)
-    superseded = [
-        b for b in ids if (0 <= b <= effective) or (b < 0 and b != target)
-    ]
-    if effective > covered:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged = (
-            live_view(log, covered)
-            .filter(F.col(BATCH_COL) <= F.lit(effective))
-            .select("text_md5")
-            .distinct()
-            .withColumn(BATCH_COL, F.lit(int(target)))
-            # sever the file-source lineage before overwriting the
-            # path the plan reads from
-            .localCheckpoint()
+    return compact_log(
+        spark,
+        digest_path,
+        up_to_batch,
+        lambda live: live.select("text_md5").distinct(),
+    )
+
+
+# --- near-duplicate (MinHash-LSH) ingest ---------------------------------
+#
+# The same loop with `operators.dedup.incremental_minhash_dedup` as the
+# per-batch body: the persisted state is the MINHASH SIGNATURE log
+# (doc_id + num_hashes int64 columns — tens of bytes per kept doc, a
+# fixed fraction of corpus bytes like the digest log), partition per
+# batch. Everything about replay safety transfers verbatim: the batch
+# dedups against signatures from STRICTLY EARLIER partitions, so the
+# body is deterministic in (batch rows, earlier state) and a replay
+# recomputes identical corpus+signature partitions — reading its own
+# already-landed signatures would score every row at agreement 1.0
+# against itself and drop the whole batch. Near-dup ingest SUBSUMES
+# exact ingest (an exact duplicate has Jaccard and signature agreement
+# 1.0 >= any threshold); docs with no shingles (NULL/empty text) carry
+# no signature rows, are never candidates, and always survive —
+# extraction failures are not content, same as the exact loop.
+
+
+def read_signatures(
+    spark: SparkSession, sig_path: str, before_batch: int | None = None
+) -> DataFrame:
+    """The historical signature table (doc_id + mh* columns),
+    restricted to batches strictly before ``before_batch`` — the
+    replay-safe view batch N must near-dup against."""
+    return read_before(spark.read.parquet(sig_path), before_batch).drop(BATCH_COL)
+
+
+def ingest_batch_neardup(
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_path: str,
+    sig_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> None:
+    """Near-dup one (micro-)batch against all earlier batches and land
+    its survivors + their signature rows. Usable directly for batch
+    backfills and as the foreachBatch body.
+
+    Plan shape per batch: within-batch LSH + exact-Jaccard verify,
+    then one band equi-join + one signature-agreement join against the
+    partition-pruned signature log (never the corpus). The operator
+    pins its multi-consumer intermediates (shingles, signatures, the
+    fresh-id list) via ``lazy_checkpoint``, so the corpus write and the
+    signature write run the historical joins ONCE between them — and
+    the signature write's lineage is severed from ``sig_path`` before
+    it overwrites its own partition there."""
+    spark = batch_df.sparkSession
+    known = (
+        read_signatures(spark, sig_path, before_batch=batch_id)
+        if _exists(spark, sig_path)
+        else None
+    )
+    fresh, sig_delta = incremental_minhash_dedup(
+        batch_df,
+        known,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        sigs="delta",
+        pin=_lazy_checkpoint,
+    )
+    write_batch_partition(fresh, batch_id, corpus_path)
+    write_batch_partition(sig_delta, batch_id, sig_path)
+
+
+def streaming_neardup_ingest(
+    stream_df: DataFrame,
+    corpus_path: str,
+    sig_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+):
+    """Attach the near-dup ingest sink to a document stream; returns
+    the StreamingQuery."""
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_batch_neardup(
+            batch_df, batch_id, corpus_path, sig_path, id_col, text_col, threshold
         )
-        merged.write.mode("overwrite").partitionBy(BATCH_COL).parquet(digest_path)
-    elif not superseded:
-        return 0
-    return drop_partitions(spark, digest_path, superseded)
+
+    return (
+        stream_df.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact_signatures(
+    spark: SparkSession, sig_path: str, up_to_batch: int
+) -> int:
+    """Fold signature partitions ``__batch <= up_to_batch`` into
+    ``__batch=-(up_to_batch+1)``. Each kept doc owns exactly one
+    signature row and appears in one live partition, so the fold is a
+    pure column re-selection (``dropDuplicates`` on the id guards the
+    invariant at no extra cost — it's the merge key either way).
+
+    CONTRACT: identical to ``compact_digests`` — ``up_to_batch`` must
+    be <= the stream's checkpoint-COMMITTED batch id, because the
+    ingest reads this log back as strictly-earlier state."""
+    return compact_log(
+        spark,
+        sig_path,
+        up_to_batch,
+        lambda live: live.drop(BATCH_COL).dropDuplicates(
+            [c for c in live.columns if not c.startswith("mh") and c != BATCH_COL]
+        ),
+    )

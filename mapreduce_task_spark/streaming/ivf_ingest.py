@@ -1,0 +1,236 @@
+"""Streaming IVF index maintenance: keep a persisted ANN index fresh
+as embeddings stream in, without rebuilding it per batch.
+
+Production ANN serving splits into build-once (``ivf_build_index``:
+train the coarse quantizer, write cluster-partitioned inverted lists)
+and search-many (``ivf_search_index``: probe ``nprobe`` lists with
+partition pruning). What's missing between the two is FRESHNESS — a
+crawler keeps producing embeddings, and re-running the full build per
+micro-batch would rescan the whole corpus. The standard fix (FAISS,
+Lucene-style) is an append log under a FROZEN quantizer:
+
+- Each micro-batch is assigned to the existing centroids (one
+  broadcast argmin over the k-row quantizer — shuffle-free, batch-
+  proportional work; the quantizer is NOT retrained, so assignments
+  are stable and deterministic) and appended to ``<index>/delta``,
+  partitioned by (``__batch``, cluster). The ``batchlog`` protocol
+  makes replays idempotent: the body is deterministic in (frozen
+  centroids, batch rows), so a crash-replayed batch dynamically
+  overwrites exactly its own partition tree with identical rows.
+- Search probes BASE lists and the delta log's live view as two
+  pruned scans (the broadcast probe join prunes each side to the
+  probed clusters) and merges the scored candidates before the top-k
+  window — results are identical to a full rebuild over base ∪ delta
+  under the same quantizer.
+- ``compact_delta`` folds committed batch partitions into the
+  negative-id partition (rows are immutable vectors — the fold is a
+  re-selection; the win is bounded file/partition counts).
+- ``merge_delta_into_base`` is the heavyweight maintenance op
+  (Lucene's segment merge): rewrite base lists = base ∪ delta live
+  view, then drop the delta — after which a fresh quantizer retrain
+  (``ivf_build_index``) can be scheduled offline if drift between the
+  frozen centroids and the data distribution has grown.
+
+Drift is the documented tradeoff of every append-under-frozen-
+quantizer design: new vectors far from all centroids still land in
+their nearest list, inflating it; recall for them is unchanged
+(search probes by the same metric) but list-size skew grows until a
+retrain. At 100 TB this is the right shape — per-batch cost is
+O(batch), index reads stay partition-pruned, and retrains are rare,
+scheduled, and offline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators.similarity import (
+    assign_clusters,
+    int_dot,
+    probe_clusters,
+    quantized_cosine,
+    with_quantized,
+)
+from .batchlog import (
+    BATCH_COL,
+    compact_log,
+    live_view,
+    batch_ids,
+    covered_watermark,
+    write_batch_partition,
+)
+
+
+def append_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Assign one (micro-)batch of embeddings to the index's frozen
+    centroids and land it in the delta log's own batch partition,
+    sub-partitioned by cluster (same physical shape as the base
+    lists, so searches prune identically)."""
+    spark = batch_df.sparkSession
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    qd = with_quantized(batch_df, vec_col).select(id_col, "qv", "nq")
+    write_batch_partition(
+        assign_clusters(qd, cents, id_col),
+        batch_id,
+        f"{index_path}/delta",
+        sub_partition_cols=("cluster",),
+    )
+
+
+def streaming_ivf_append(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Attach the append sink to an embedding stream; returns the
+    StreamingQuery. The index (``ivf_build_index``) must exist."""
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_batch(batch_df, batch_id, index_path, id_col, vec_col)
+
+    return (
+        stream_df.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _delta_live(spark: SparkSession, index_path: str) -> DataFrame | None:
+    path = f"{index_path}/delta"
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p):
+        return None
+    log = spark.read.parquet(path)
+    return live_view(log, covered_watermark(batch_ids(log)))
+
+
+def search_with_delta(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF top-k over base lists PLUS everything appended since the
+    build — identical scoring/tie-break to ``ivf_search_index``, so
+    the result matches a full index rebuild over base ∪ delta under
+    the same quantizer (asserted in tests).
+
+    Each side is scored through its own join against the broadcast
+    probe set (rather than a union of scans before the join), so
+    partition pruning to the probed clusters holds on base AND delta
+    independently; the merged candidates feed one top-k window."""
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    qd = with_quantized(queries, vec_col).select(id_col, "qv", "nq")
+    probes = probe_clusters(qd, cents, id_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qv").alias("qv_q"),
+        F.col("nq").alias("nq_q"),
+        "cluster",
+    )
+
+    def scored(lists: DataFrame) -> DataFrame:
+        cand = lists.select(
+            F.col(id_col).alias("cand_id"),
+            F.col("qv").alias("qv_c"),
+            F.col("nq").alias("nq_c"),
+            "cluster",
+        )
+        return (
+            F.broadcast(probes)
+            .join(cand, "cluster")
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "cand_id",
+                quantized_cosine(
+                    int_dot(F.col("qv_q"), F.col("qv_c")),
+                    F.col("nq_q"),
+                    F.col("nq_c"),
+                ).alias("cos"),
+            )
+        )
+
+    cand_scored = scored(spark.read.parquet(f"{index_path}/lists"))
+    delta = _delta_live(spark, index_path)
+    if delta is not None:
+        cand_scored = cand_scored.unionByName(scored(delta))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return cand_scored.select("*", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= k
+    )
+
+
+def compact_delta(spark: SparkSession, index_path: str, up_to_batch: int) -> int:
+    """Fold delta partitions ``__batch <= up_to_batch`` into the
+    negative-id partition (rows are immutable assigned vectors — the
+    fold re-selects them; the win is a bounded partition/file count).
+    The delta is append-only state never read back by the sink body,
+    so like the sketch store — and unlike the dedup logs —
+    ``up_to_batch`` need not be checkpoint-committed; a replay just
+    leaves a dead covered directory that readers ignore."""
+    return compact_log(
+        spark,
+        f"{index_path}/delta",
+        up_to_batch,
+        lambda live: live.drop(BATCH_COL),
+        sub_partition_cols=("cluster",),
+    )
+
+
+def merge_delta_into_base(spark: SparkSession, index_path: str) -> int:
+    """Rewrite the base inverted lists as base ∪ delta live view and
+    drop the delta log — the offline segment-merge. Returns the number
+    of rows merged in from the delta (0 on a no-op or resume call).
+
+    OFFLINE op: run with the append stream stopped and searches
+    paused/tolerant of staleness. The merged lists are written to a
+    SIDE directory and swapped in by rename — never checkpointed
+    through driver/executor memory and never overwriting a path the
+    plan reads from, so the rewrite streams at any index size. Crash
+    recovery is a re-run: each step is idempotent or detectable
+    (a finished side write with the delta already gone means "finish
+    the swap"). True multi-writer atomicity needs a table format
+    (Delta/Iceberg) — out of scope here by design.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    lists_p, tmp_p = hpath(f"{index_path}/lists"), hpath(f"{index_path}/lists_merged")
+    delta_p = hpath(f"{index_path}/delta")
+
+    def finish_swap() -> None:
+        if fs.exists(lists_p):
+            fs.delete(lists_p, True)
+        fs.rename(tmp_p, lists_p)
+
+    if fs.exists(tmp_p) and not fs.exists(delta_p):
+        # resume a crash between the delta drop and the swap
+        finish_swap()
+        return 0
+    delta = _delta_live(spark, index_path)
+    if delta is None:
+        return 0
+    delta = delta.drop(BATCH_COL)
+    n = delta.count()
+    base = spark.read.parquet(f"{index_path}/lists")
+    base.unionByName(delta).write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{index_path}/lists_merged"
+    )
+    fs.delete(delta_p, True)
+    finish_swap()
+    return n

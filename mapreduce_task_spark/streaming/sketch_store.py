@@ -41,8 +41,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .batchlog import (
     BATCH_COL,
     batch_ids as _batch_ids,
+    compact_log,
     covered_watermark as _covered,
-    drop_partitions,
     live_view as _live,
     write_batch_partition,
 )
@@ -164,58 +164,22 @@ def compact_batches(spark: SparkSession, path: str, up_to_batch: int) -> int:
     kilobyte rows, never a re-aggregation of raw data. Returns the
     number of superseded partition directories dropped.
 
-    Crash/replay safety (the id-space protocol, module docstring):
-
-    - The merge TARGET is negative, outside the micro-batch id space,
-      so a replayed pre-checkpoint micro-batch can never overwrite
-      compacted history — it re-creates its own positive partition,
-      which ``read_rollup``'s watermark filter then ignores as
-      already-covered. No requirement that ``up_to_batch`` be
-      checkpoint-committed; compacting an in-flight batch costs
-      nothing worse than a dead duplicate directory.
-    - The merge INPUT is the exactly-once ``_live`` view (deepest
-      negative + positives above its watermark), never "everything
-      <= up_to_batch" — so re-running after a crash between the
-      merged write and the cleanup deletes cannot double-count the
-      leftover positives.
-    - Cleanup (dropping superseded directories) is pure space
-      reclamation: readers already exclude them, so a crash anywhere
-      in the delete loop leaves a correct store, and the next
-      compaction (or a retry) finishes the job.
+    Crash/replay safety: the ``batchlog.compact_log`` id-space
+    protocol. This store is read-only at rollup time (never fed back
+    into a micro-batch body), so ``up_to_batch`` need NOT be
+    checkpoint-committed — compacting an in-flight batch costs
+    nothing worse than a dead duplicate directory that the
+    ``read_rollup`` watermark filter ignores.
     """
-    if up_to_batch < 0:
-        raise ValueError(f"up_to_batch must be >= 0 (got {up_to_batch})")
-    sk = spark.read.parquet(path)
-    ids = _batch_ids(sk)
-    covered = _covered(ids)
-    # compacting below the existing watermark never un-merges; the
-    # effective coverage only grows
-    effective = max(up_to_batch, covered)
-    target = -(effective + 1)
-    superseded = [
-        b for b in ids if (0 <= b <= effective) or (b < 0 and b != target)
-    ]
-    if effective > covered:
+
+    def fold(live: DataFrame) -> DataFrame:
         gcols = [
-            c for c in sk.columns if c not in ("hll", "kll", "n_rows", BATCH_COL)
+            c for c in live.columns if c not in ("hll", "kll", "n_rows", BATCH_COL)
         ]
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged = (
-            _live(sk, covered)
-            .filter(F.col(BATCH_COL) <= F.lit(effective))
-            .groupBy(*gcols)
-            .agg(
-                F.hll_union_agg("hll").alias("hll"),
-                F.kll_merge_agg_double("kll").alias("kll"),
-                F.sum("n_rows").alias("n_rows"),
-            )
-            .withColumn(BATCH_COL, F.lit(int(target)))
-            # sever the file-source lineage: the merged rows must
-            # materialize BEFORE the overwrite below touches the same
-            # path the aggregation reads from (O(groups) kilobyte rows)
-            .localCheckpoint()
+        return live.groupBy(*gcols).agg(
+            F.hll_union_agg("hll").alias("hll"),
+            F.kll_merge_agg_double("kll").alias("kll"),
+            F.sum("n_rows").alias("n_rows"),
         )
-        merged.write.mode("overwrite").partitionBy(BATCH_COL).parquet(path)
-    elif not superseded:
-        return 0
-    return drop_partitions(spark, path, superseded)
+
+    return compact_log(spark, path, up_to_batch, fold)

@@ -1290,3 +1290,263 @@ def test_dedup_ingest_digest_compaction_preserves_dedup(spark, tmp_path):
     assert got == sorted(
         (r["doc_id"], r["text"]) for r in read_corpus(spark, corpus).collect()
     )
+
+
+def _neardup_texts():
+    """Engineered corpora for the near-dup ingest tests: A/B/C/D are
+    mutually disjoint 30-word sequences (Jaccard 0); *_near swaps one
+    word (word-3-gram Jaccard ~0.8 — far above the 0.5 threshold even
+    through the 16-hash agreement estimator). Purely alphabetic words:
+    the tokenizer strips [^a-z], so digit suffixes would collapse
+    every word to one token."""
+    al = "abcdefghijklmnopqrstuvwxyz"
+    mk = lambda p: " ".join(f"{p}{al[i // 26]}{al[i % 26]}" for i in range(30))
+    a, b, c, d = mk("a"), mk("b"), mk("c"), mk("d")
+    near = lambda t: t.rsplit(" ", 1)[0] + " zz"
+    return a, b, c, d, near
+
+
+def test_streaming_neardup_ingest_end_to_end(spark, tmp_path):
+    """Near-dup continuous crawl: exact AND near duplicates are dropped
+    within and across micro-batches; NULL-text rows (no shingles, no
+    signature) always survive; the signature log holds exactly the
+    kept signable docs. Streaming result also equals the sequential
+    batch-mode operator (batch-equivalence)."""
+    from mapreduce_task_spark.operators.dedup import incremental_minhash_dedup
+    from mapreduce_task_spark.streaming.dedup_ingest import (
+        read_corpus,
+        read_signatures,
+        streaming_neardup_ingest,
+    )
+    from mapreduce_task_spark.streaming.windows import stream_from_directory
+
+    a, b, c, d, near = _neardup_texts()
+    schema = "doc_id bigint, text string"
+    files = [
+        [(1, a), (2, b), (3, near(a)), (4, None)],       # 3: within-batch near
+        [(5, a), (6, c), (7, near(b))],                  # 5 exact, 7 near, cross
+        [(8, d), (9, near(a)), (10, None)],              # 9 near vs batch-0's a
+    ]
+    src = tmp_path / "docs_src"
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    q = streaming_neardup_ingest(
+        stream_from_directory(
+            spark, f"{src}/f*", spark.createDataFrame([], schema).schema,
+            maxFilesPerTrigger=1,
+        ),
+        corpus,
+        sigs,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["doc_id"], r["text"]) for r in read_corpus(spark, corpus).collect()
+    )
+    assert got == [(1, a), (2, b), (4, None), (6, c), (8, d), (10, None)]
+    # signature log: exactly the kept docs that HAVE shingles
+    assert sorted(
+        r["doc_id"] for r in read_signatures(spark, sigs).collect()
+    ) == [1, 2, 6, 8]
+
+    # batch-equivalence: the sequential batch-mode operator agrees
+    kept, hist = None, None
+    for rows in files:
+        fresh, hist = incremental_minhash_dedup(
+            spark.createDataFrame(rows, schema), hist
+        )
+        fresh = fresh.localCheckpoint()
+        hist = hist.localCheckpoint()
+        kept = fresh if kept is None else kept.unionByName(fresh)
+    assert got == sorted((r["doc_id"], r["text"]) for r in kept.collect())
+
+
+def test_neardup_ingest_replay_recomputes_identical_partitions(spark, tmp_path):
+    """Same replay hazard as the exact loop: batch 1's signatures are
+    already on disk when batch 1 replays; seeing them would score every
+    row at agreement 1.0 against itself and land an EMPTY partition.
+    The strictly-before read makes the replay recompute identically."""
+    from mapreduce_task_spark.streaming.dedup_ingest import (
+        ingest_batch_neardup,
+        read_corpus,
+        read_signatures,
+    )
+
+    a, b, c, d, near = _neardup_texts()
+    schema = "doc_id bigint, text string"
+    b0 = spark.createDataFrame([(1, a), (2, b)], schema)
+    b1 = spark.createDataFrame([(3, near(a)), (4, c), (5, None)], schema)
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    ingest_batch_neardup(b0, 0, corpus, sigs)
+    ingest_batch_neardup(b1, 1, corpus, sigs)
+    want = sorted(
+        (r["doc_id"], r["text"]) for r in read_corpus(spark, corpus).collect()
+    )
+    assert want == [(1, a), (2, b), (4, c), (5, None)]
+    want_sigs = sorted(
+        map(tuple, read_signatures(spark, sigs).collect())
+    )
+
+    ingest_batch_neardup(b1, 1, corpus, sigs)  # crash-before-checkpoint replay
+    assert want == sorted(
+        (r["doc_id"], r["text"]) for r in read_corpus(spark, corpus).collect()
+    )
+    assert want_sigs == sorted(map(tuple, read_signatures(spark, sigs).collect()))
+
+
+def test_neardup_ingest_sig_compaction_preserves_dedup(spark, tmp_path):
+    """compact_signatures folds committed signature partitions into the
+    negative-id partition: later batches still near-dup against full
+    history, a replay of a still-positive batch stays identical, and
+    the log's partition count drops."""
+    import os
+
+    from mapreduce_task_spark.streaming.dedup_ingest import (
+        compact_signatures,
+        ingest_batch_neardup,
+        read_corpus,
+    )
+
+    a, b, c, d, near = _neardup_texts()
+    schema = "doc_id bigint, text string"
+    batches = [[(1, a), (2, b)], [(3, c)], [(4, d)]]
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    for i, rows in enumerate(batches):
+        ingest_batch_neardup(spark.createDataFrame(rows, schema), i, corpus, sigs)
+
+    assert compact_signatures(spark, sigs, up_to_batch=1) == 2
+    parts = {p for p in os.listdir(sigs) if p.startswith("__batch=")}
+    assert parts == {"__batch=-2", "__batch=2"}
+
+    # a new batch still near-dups against compacted history AND batch 2
+    b3 = spark.createDataFrame(
+        [(5, near(a)), (6, d),
+         (7, " ".join(f"e{c}{c}" for c in "abcdefghijklmnopqrstuvwxyzabcd"))],
+        schema
+    )
+    ingest_batch_neardup(b3, 3, corpus, sigs)
+    got = sorted(
+        (r["doc_id"], r["text"]) for r in read_corpus(spark, corpus).collect()
+    )
+    assert [t[0] for t in got] == [1, 2, 3, 4, 7]
+
+    # batch 2 (> compaction watermark) replays: identical result
+    ingest_batch_neardup(spark.createDataFrame(batches[2], schema), 2, corpus, sigs)
+    assert got == sorted(
+        (r["doc_id"], r["text"]) for r in read_corpus(spark, corpus).collect()
+    )
+
+
+def test_streaming_ivf_append_matches_frozen_rebuild(spark, sf_small, tmp_path):
+    """Streaming IVF freshness: embeddings appended per micro-batch
+    under the FROZEN quantizer must make search_with_delta reproduce a
+    full same-quantizer rebuild over base ∪ appended — bit-for-bit
+    (same scoring and tie-breaks)."""
+    from mapreduce_task_spark.operators.similarity import (
+        assign_clusters,
+        ivf_build_index,
+        ivf_search_index,
+        with_quantized,
+    )
+    from mapreduce_task_spark.sources.tables import load_table
+    from mapreduce_task_spark.streaming.ivf_ingest import (
+        search_with_delta,
+        streaming_ivf_append,
+    )
+    from mapreduce_task_spark.streaming.windows import stream_from_directory
+
+    emb = load_table(spark, sf_small, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    stream_rows = emb.filter(F.col("vec_id") >= 300)
+
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(base, idx, n_clusters=8, dim=64, rounds=2)
+
+    src = tmp_path / "emb_src"
+    stream_rows.filter(F.col("vec_id") < 400).coalesce(1).write.parquet(
+        str(src / "f0")
+    )
+    stream_rows.filter(F.col("vec_id") >= 400).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    q = streaming_ivf_append(
+        stream_from_directory(
+            spark, f"{src}/f*", stream_rows.schema, maxFilesPerTrigger=1
+        ),
+        idx,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    got = search_with_delta(spark, idx, queries, k=5, nprobe=2)
+
+    # same-quantizer rebuild: full corpus assigned to the FROZEN
+    # centroids, searched through the plain persisted-index path
+    idx2 = str(tmp_path / "ivf_rebuilt")
+    cents = spark.read.parquet(f"{idx}/centroids")
+    cents.write.parquet(f"{idx2}/centroids")
+    assign_clusters(
+        with_quantized(emb, "embedding").select("vec_id", "qv", "nq"), cents
+    ).write.partitionBy("cluster").parquet(f"{idx2}/lists")
+    want = ivf_search_index(spark, idx2, queries, k=5, nprobe=2)
+
+    key = lambda r: (r["query_id"], r["rank"])
+    got_m = {key(r): (r["cand_id"], r["cos"]) for r in got.collect()}
+    want_m = {key(r): (r["cand_id"], r["cos"]) for r in want.collect()}
+    assert got_m == want_m and len(got_m) > 0
+
+
+def test_ivf_append_replay_and_maintenance(spark, sf_small, tmp_path):
+    """Replay idempotence + the two maintenance ops: a crash-replayed
+    append overwrites its own partition tree with identical rows;
+    compact_delta folds batches without changing search results;
+    merge_delta_into_base folds the delta into the base lists, after
+    which the same query runs against base alone — identical top-k
+    throughout."""
+    import os
+
+    from mapreduce_task_spark.operators.similarity import ivf_build_index
+    from mapreduce_task_spark.sources.tables import load_table
+    from mapreduce_task_spark.streaming.ivf_ingest import (
+        append_batch,
+        compact_delta,
+        merge_delta_into_base,
+        search_with_delta,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    b0 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    b1 = emb.filter(F.col("vec_id") >= 400)
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(base, idx, n_clusters=8, dim=64, rounds=2)
+
+    append_batch(b0, 0, idx)
+    append_batch(b1, 1, idx)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+
+    def topk():
+        return sorted(
+            (r["query_id"], r["rank"], r["cand_id"], r["cos"])
+            for r in search_with_delta(spark, idx, queries, k=5, nprobe=2).collect()
+        )
+
+    want = topk()
+    append_batch(b1, 1, idx)  # crash-before-checkpoint replay
+    assert topk() == want
+
+    assert compact_delta(spark, idx, up_to_batch=1) == 2
+    parts = {p for p in os.listdir(f"{idx}/delta") if p.startswith("__batch=")}
+    assert parts == {"__batch=-2"}
+    assert topk() == want
+
+    merged = merge_delta_into_base(spark, idx)
+    assert merged == b0.count() + b1.count()
+    assert not os.path.exists(f"{idx}/delta")
+    assert topk() == want
+    assert merge_delta_into_base(spark, idx) == 0  # no-op without a delta
