@@ -1550,3 +1550,75 @@ def test_ivf_append_replay_and_maintenance(spark, sf_small, tmp_path):
     assert not os.path.exists(f"{idx}/delta")
     assert topk() == want
     assert merge_delta_into_base(spark, idx) == 0  # no-op without a delta
+
+
+def test_search_with_delta_prunes_both_sides(spark, sf_small, tmp_path):
+    """The 100 TB freshness claim plan-asserted: search_with_delta's
+    executed plan must show DYNAMIC partition pruning on cluster for
+    BOTH the base lists scan and the delta scan (each side joins the
+    broadcast probe set itself — a union of scans before the join
+    would prune neither), and the delta scan must also carry the
+    static batchlog watermark filter on __batch."""
+    from mapreduce_task_spark.operators.similarity import ivf_build_index
+    from mapreduce_task_spark.streaming.ivf_ingest import (
+        append_batch,
+        search_with_delta,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(emb.filter(F.col("vec_id") < 300), idx, n_clusters=8, dim=64)
+    append_batch(emb.filter(F.col("vec_id") >= 300), 0, idx)
+
+    res = search_with_delta(
+        spark, idx, emb.filter(F.col("vec_id") % 100 == 0), k=5, nprobe=2
+    )
+    res.collect()
+    pf_lines = [
+        ln
+        for ln in res._jdf.queryExecution().executedPlan().toString().splitlines()
+        # match loosely: SparkStringUtils truncates long filter lists
+        # ("dynamicpruningexpression(clus...")
+        if "PartitionFilters" in ln and "dynamicpruning" in ln
+    ]
+    delta_scans = [ln for ln in pf_lines if "__batch" in ln]
+    base_scans = [ln for ln in pf_lines if "__batch" not in ln]
+    assert delta_scans, "delta scan lost cluster DPP or the __batch watermark"
+    assert base_scans, "base lists scan lost cluster DPP"
+
+
+def test_neardup_sig_write_reads_no_history(spark, tmp_path):
+    """The scan-once/severed-lineage claim behaviorally asserted: after
+    the corpus write materializes the operator's pinned intermediates,
+    the signature write must touch ONLY checkpointed state — proven by
+    deleting the signature log from disk between the two writes. This
+    pins both (a) the historical band/agreement joins running once per
+    batch, not once per output, and (b) the signature write not reading
+    the very path it dynamically overwrites."""
+    import shutil
+
+    from mapreduce_task_spark.operators.dedup import incremental_minhash_dedup
+    from mapreduce_task_spark.operators.pinning import lazy_checkpoint
+    from mapreduce_task_spark.streaming.batchlog import write_batch_partition
+    from mapreduce_task_spark.streaming.dedup_ingest import (
+        ingest_batch_neardup,
+        read_signatures,
+    )
+
+    a, b, c, d, near = _neardup_texts()
+    schema = "doc_id bigint, text string"
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    ingest_batch_neardup(spark.createDataFrame([(1, a), (2, b)], schema), 0, corpus, sigs)
+
+    # batch 1, the sink body unrolled with a log deletion in the middle
+    b1 = spark.createDataFrame([(3, near(a)), (4, c)], schema)
+    known = read_signatures(spark, sigs, before_batch=1)
+    fresh, delta = incremental_minhash_dedup(
+        b1, known, sigs="delta", pin=lazy_checkpoint
+    )
+    write_batch_partition(fresh, 1, corpus)
+    shutil.rmtree(sigs)  # history gone from disk; only checkpoints remain
+    write_batch_partition(delta, 1, sigs)
+
+    got = sorted(r["doc_id"] for r in read_signatures(spark, sigs).collect())
+    assert got == [4]  # batch 1's one survivor (3 is a near-dup of 1)
