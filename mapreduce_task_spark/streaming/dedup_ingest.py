@@ -83,9 +83,11 @@ def read_digests(
 
 
 def read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
-    """The deduped corpus as of now (all batch partitions, bookkeeping
-    column dropped)."""
-    return spark.read.parquet(corpus_path).drop(BATCH_COL)
+    """The deduped corpus as of now — the exactly-once live view
+    (deepest compacted partition + positives above its coverage;
+    before any compaction that is simply every batch partition),
+    bookkeeping column dropped."""
+    return read_before(spark.read.parquet(corpus_path)).drop(BATCH_COL)
 
 
 def ingest_batch(
@@ -168,6 +170,28 @@ def compact_digests(
         digest_path,
         up_to_batch,
         lambda live: live.select("text_md5").distinct(),
+    )
+
+
+def compact_corpus(
+    spark: SparkSession, corpus_path: str, up_to_batch: int
+) -> int:
+    """Fold corpus partitions ``__batch <= up_to_batch`` into the
+    negative-id partition — the small-file valve for a months-long
+    crawl (one directory per micro-batch otherwise grows without
+    bound). The fold is a pure re-selection: corpus rows are immutable
+    kept documents.
+
+    Unlike the DIGEST/SIGNATURE logs, the corpus is never read back by
+    the sink body, so ``up_to_batch`` need not be checkpoint-committed
+    (sketch-store-grade): a replayed covered batch re-creates its
+    positive partition with identical rows, and ``read_corpus``'s
+    live view ignores it as already inside the deepest negative."""
+    return compact_log(
+        spark,
+        corpus_path,
+        up_to_batch,
+        lambda live: live.drop(BATCH_COL),
     )
 
 

@@ -1622,3 +1622,52 @@ def test_neardup_sig_write_reads_no_history(spark, tmp_path):
 
     got = sorted(r["doc_id"] for r in read_signatures(spark, sigs).collect())
     assert got == [4]  # batch 1's one survivor (3 is a near-dup of 1)
+
+
+def test_corpus_compaction_preserves_content_through_replay(spark, tmp_path):
+    """compact_corpus folds batch partitions into the negative-id
+    partition (the small-file valve); read_corpus's live view must be
+    unchanged by compaction, by a replay of a COVERED batch (which
+    re-creates its positive partition — the replay-after-compaction
+    race), and by a subsequent second compaction that reclaims it."""
+    import os
+
+    from mapreduce_task_spark.streaming.dedup_ingest import (
+        compact_corpus,
+        ingest_batch,
+        read_corpus,
+    )
+
+    schema = "doc_id bigint, text string"
+    batches = [
+        [(1, "alpha"), (2, "beta")],
+        [(3, "gamma"), (4, "alpha")],   # 4 is a cross-batch dup
+        [(5, "delta")],
+    ]
+    corpus, digests = str(tmp_path / "corpus"), str(tmp_path / "digests")
+    for i, rows in enumerate(batches):
+        ingest_batch(spark.createDataFrame(rows, schema), i, corpus, digests)
+    want = sorted(
+        (r["doc_id"], r["text"]) for r in read_corpus(spark, corpus).collect()
+    )
+    assert want == [(1, "alpha"), (2, "beta"), (3, "gamma"), (5, "delta")]
+
+    assert compact_corpus(spark, corpus, up_to_batch=1) == 2
+    parts = {p for p in os.listdir(corpus) if p.startswith("__batch=")}
+    assert parts == {"__batch=-2", "__batch=2"}
+    assert want == sorted(
+        (r["doc_id"], r["text"]) for r in read_corpus(spark, corpus).collect()
+    )
+
+    # replay of covered batch 1: recreates __batch=1; live view ignores it
+    ingest_batch(spark.createDataFrame(batches[1], schema), 1, corpus, digests)
+    assert os.path.isdir(f"{corpus}/__batch=1")
+    assert want == sorted(
+        (r["doc_id"], r["text"]) for r in read_corpus(spark, corpus).collect()
+    )
+
+    # a second compaction at the same watermark reclaims the dead dir
+    assert compact_corpus(spark, corpus, up_to_batch=1) == 1
+    assert want == sorted(
+        (r["doc_id"], r["text"]) for r in read_corpus(spark, corpus).collect()
+    )
