@@ -202,6 +202,32 @@ def main() -> int:
                 pq_search_once() for _ in range(best_of)
             )
             shutil.rmtree(pq_dir, ignore_errors=True)
+
+            # Same split for lexical retrieval (r8): BM25 postings
+            # persisted once, then term-pushdown search against the
+            # term-clustered lists only (the corpus is never re-read).
+            from mapreduce_task_spark.operators.ranking import (
+                bm25_build_index,
+                bm25_search_index,
+            )
+
+            bm_dir = tempfile.mkdtemp(prefix="bench_bm25_index_")
+            docs = load_table(spark, sf_dir, "documents")
+            t0 = time.perf_counter()
+            bm25_build_index(docs, spark, bm_dir)
+            extras["bm25_index_build_sec"] = round(time.perf_counter() - t0, 3)
+
+            def bm25_search_once() -> float:
+                t0 = time.perf_counter()
+                bm25_search_index(
+                    spark, bm_dir, ["spark", "join", "query"], k=50
+                ).write.format("noop").mode("overwrite").save()
+                return round(time.perf_counter() - t0, 3)
+
+            extras["bm25_search_only_sec"] = min(
+                bm25_search_once() for _ in range(best_of)
+            )
+            shutil.rmtree(bm_dir, ignore_errors=True)
         except Exception as e:
             print(f"bench: ivf split extra failed: {e!r:.200}", file=sys.stderr)
 

@@ -64,6 +64,28 @@ def term_frequencies(
     )
 
 
+def bm25_term_micro(tf_int, dl, df, n_docs, avgdl):
+    """One term's BM25 contribution in integer micro-units — the ONE
+    expression tree both the inline (``bm25_topk``) and persisted-index
+    (``bm25_search_index``) paths score with, so they agree bit-for-bit
+    (IEEE +,-,*,/ only; log-free RSJ idf; floor before any summing —
+    see the module docstring's determinism discipline)."""
+    tf = tf_int.cast("double")
+    idf = (n_docs - df + F.lit(0.5)) / (df + F.lit(0.5))
+    score = idf * (
+        (tf * F.lit(K1 + 1.0))
+        / (
+            tf
+            + F.lit(K1)
+            * (F.lit(1.0 - B) + F.lit(B) * (dl.cast("double") / avgdl))
+        )
+    )
+    return F.when(
+        tf_int > 0,
+        F.floor(score * F.lit(1_000_000.0)).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+
+
 def bm25_topk(
     docs: DataFrame,
     spark: SparkSession,
@@ -125,22 +147,10 @@ def bm25_topk(
     )
 
     def term_micro(i: int):
-        tf = F.col(f"__tf{i}").cast("double")
-        idf = (F.col("n_docs") - F.col(f"__df{i}") + F.lit(0.5)) / (
-            F.col(f"__df{i}") + F.lit(0.5)
+        return bm25_term_micro(
+            F.col(f"__tf{i}"), F.col("dl"), F.col(f"__df{i}"),
+            F.col("n_docs"), F.col("avgdl"),
         )
-        score = idf * (
-            (tf * F.lit(K1 + 1.0))
-            / (
-                tf
-                + F.lit(K1)
-                * (F.lit(1.0 - B) + F.lit(B) * (F.col("dl").cast("double") / F.col("avgdl")))
-            )
-        )
-        return F.when(
-            F.col(f"__tf{i}") > 0,
-            F.floor(score * F.lit(1_000_000.0)).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
 
     hits = sum(
         (F.col(f"__tf{i}") > 0).cast("bigint") for i in range(len(terms))
@@ -211,4 +221,104 @@ def rrf_fuse(
     )
     return scored.select("*", F.row_number().over(w).alias("rank")).filter(
         F.col("rank") <= k
+    )
+
+
+def bm25_build_index(
+    docs: DataFrame,
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Build the lexical index ONCE and persist it — the BM25 analogue
+    of ``ivf_build_index``'s build-once/search-many split. ``bm25_topk``
+    re-reads and re-tokenizes the corpus on every call (right for
+    ad-hoc queries); a retrieval deployment serving many query batches
+    pays the tokenize+explode+groupBy ONCE here and searches against
+    posting lists forever after.
+
+    Writes three parquet datasets under ``path``:
+      - ``postings``: (term, id, dl, tf) — clustered by term
+        (repartition + sortWithinPartitions), so a search's
+        ``term IN (...)`` predicate pushes down to parquet row-group
+        min/max + dictionary filters and skips everything but the
+        queried terms' lists. Term-partitioned directories would be
+        the wrong layout: one directory per distinct token explodes
+        the namespace; clustering gives the same skipping without it.
+      - ``term_df``: (term, df) per-term document frequency, derived
+        from the persisted postings (no second corpus scan).
+      - ``stats``: one row (n_docs, avgdl) over ALL docs — including
+        docs that produce no postings — matching ``bm25_topk``'s
+        corpus scalars exactly.
+
+    Build cost: two corpus scans (the stats aggregate and the postings
+    explode — a one-off; the inline operator's ``pin`` discipline is
+    deliberately not replicated here because build outputs ARE the
+    materialization) plus one postings-sized groupBy for df.
+    """
+    toks = doc_tokens(docs, text_col).select(id_col, "toks", "dl")
+    toks.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+    (
+        toks.select(id_col, "dl", F.explode("toks").alias("term"))
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .repartition("term")
+        .sortWithinPartitions("term", id_col)
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    (
+        spark.read.parquet(f"{path}/postings")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/term_df")
+    )
+
+
+def bm25_search_index(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    k: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k BM25 against a persisted index WITHOUT touching the
+    corpus: reads the 1-row stats, the queried terms' df rows, and the
+    queried terms' posting lists (``term IN`` pushdown over the
+    term-clustered postings — search cost is the hit lists' size,
+    independent of corpus size). Reproduces ``bm25_topk`` bit-for-bit:
+    same scalars, same shared ``bm25_term_micro`` expression, same
+    floor-before-sum and (score desc, id) tie-break. ``terms`` must be
+    distinct (duplicates would double-count a term; the inline path's
+    column-per-term shape has the same contract)."""
+    stats = spark.read.parquet(f"{path}/stats")
+    tdf = spark.read.parquet(f"{path}/term_df").filter(F.col("term").isin(terms))
+    hits = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("term").isin(terms))
+        .join(F.broadcast(tdf), "term")
+        .join(F.broadcast(stats))
+        .select(
+            id_col,
+            bm25_term_micro(
+                F.col("tf"), F.col("dl"), F.col("df"),
+                F.col("n_docs"), F.col("avgdl"),
+            ).alias("__micro"),
+        )
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum("__micro").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col(id_col))
+        .limit(k)
     )

@@ -131,3 +131,56 @@ def test_rrf_fuse_topk_and_tiebreak(spark):
     b = spark.createDataFrame([("q", 3, 1), ("q", 5, 2)], ["query_id", "cand_id", "rank"])
     rows = rrf_fuse([a, b], k=1).collect()
     assert len(rows) == 1 and rows[0]["cand_id"] == 3 and rows[0]["rank"] == 1
+
+
+def test_bm25_index_reproduces_inline_topk(spark, sf_small, tmp_path):
+    """bm25_build_index + bm25_search_index must reproduce bm25_topk
+    bit-for-bit (shared bm25_term_micro expression, same corpus
+    scalars including no-posting docs, same floor-before-sum and
+    tie-break) — the build-once/search-many split for lexical
+    retrieval, mirroring the IVF one."""
+    from mapreduce_task_spark.operators.ranking import (
+        bm25_build_index,
+        bm25_search_index,
+    )
+    from mapreduce_task_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    path = str(tmp_path / "bm25")
+    bm25_build_index(docs, spark, path)
+
+    want = [tuple(r) for r in bm25_topk(docs, spark, TERMS, k=25).collect()]
+    got = [tuple(r) for r in bm25_search_index(spark, path, TERMS, k=25).collect()]
+    assert got == want and len(got) > 0
+
+    # search-many: a different query reuses the same index files
+    got2 = [
+        tuple(r) for r in bm25_search_index(spark, path, ["data", "the"], k=10).collect()
+    ]
+    want2 = [tuple(r) for r in bm25_topk(docs, spark, ["data", "the"], k=10).collect()]
+    assert got2 == want2
+
+
+def test_bm25_index_search_pushes_term_filter(spark, sf_small, tmp_path):
+    """The search-cost claim plan-asserted: the postings scan must push
+    the term IN (...) predicate into the parquet source (row-group
+    skipping over the term-clustered layout), and must read only the
+    posting columns."""
+    from mapreduce_task_spark.operators.ranking import (
+        bm25_build_index,
+        bm25_search_index,
+    )
+    from mapreduce_task_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    path = str(tmp_path / "bm25")
+    bm25_build_index(docs, spark, path)
+
+    res = bm25_search_index(spark, path, TERMS, k=5)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters" in ln and "In(term, [" in ln
+    ]
+    assert pushed, "term IN predicate not pushed to the postings scan"
+    assert "text" not in plan  # the corpus is never touched at search time
