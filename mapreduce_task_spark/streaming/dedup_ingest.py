@@ -69,17 +69,45 @@ def _exists(spark: SparkSession, path: str) -> bool:
     return bool(p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p))
 
 
+def bootstrap_digests(
+    corpus_df: DataFrame, seed_path: str, text_col: str = "text"
+) -> None:
+    """One-off seeding: digest an EXISTING (historical, typically
+    already-deduped) corpus so streaming ingest dedups against it from
+    batch 0 without ever rescanning it. The seed lives OUTSIDE the
+    batchlog — as its own dataset passed via ``seed_path`` — rather
+    than as a pre-compacted negative partition, because a negative id
+    would claim coverage of batch 0 and the live view would then drop
+    the stream's real first batch. Content digests only (NULL text is
+    not content, matching the ingest's own digest deltas)."""
+    (
+        corpus_df.select(F.md5(F.col(text_col)).alias("text_md5"))
+        .where(F.col("text_md5").isNotNull())
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(seed_path)
+    )
+
+
 def read_digests(
-    spark: SparkSession, digest_path: str, before_batch: int | None = None
+    spark: SparkSession,
+    digest_path: str,
+    before_batch: int | None = None,
+    seed_path: str | None = None,
 ) -> DataFrame:
     """The digest set, optionally restricted to batches strictly
     before ``before_batch`` (the replay-safe view batch N must dedup
     against). Compacted (negative-id) partitions always qualify:
     ``compact_digests`` only ever folds checkpoint-committed batches,
-    which are < any batch still being (re)played."""
-    return read_before(spark.read.parquet(digest_path), before_batch).select(
+    which are < any batch still being (re)played. A ``seed_path``
+    bootstrap dataset (``bootstrap_digests``) is historical by
+    definition and always qualifies too."""
+    live = read_before(spark.read.parquet(digest_path), before_batch).select(
         "text_md5"
     )
+    if seed_path is not None:
+        live = live.unionByName(spark.read.parquet(seed_path))
+    return live
 
 
 def read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
@@ -97,16 +125,22 @@ def ingest_batch(
     digest_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    seed_path: str | None = None,
 ) -> None:
-    """Dedup one (micro-)batch against all earlier batches and land
-    its survivors. Usable directly for batch backfills and as the
-    foreachBatch body. Deterministic given (batch rows, earlier
-    state) — see module docstring for the replay argument."""
+    """Dedup one (micro-)batch against all earlier batches (and an
+    optional ``bootstrap_digests`` seed) and land its survivors.
+    Usable directly for batch backfills and as the foreachBatch body.
+    Deterministic given (batch rows, earlier state) — see module
+    docstring for the replay argument."""
     spark = batch_df.sparkSession
     known = (
-        read_digests(spark, digest_path, before_batch=batch_id)
+        read_digests(spark, digest_path, before_batch=batch_id, seed_path=seed_path)
         if _exists(spark, digest_path)
-        else None
+        else (
+            spark.read.parquet(seed_path).select("text_md5")
+            if seed_path is not None
+            else None
+        )
     )
     fresh, _ = incremental_exact_dedup(
         batch_df, known, id_col=id_col, text_col=text_col, keep_digest=True
@@ -130,14 +164,19 @@ def streaming_dedup_ingest(
     checkpoint: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    seed_path: str | None = None,
 ):
     """Attach the dedup-ingest sink to a document stream; returns the
-    StreamingQuery."""
+    StreamingQuery. ``seed_path`` points at a ``bootstrap_digests``
+    dataset to dedup against a pre-existing corpus from batch 0."""
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        ingest_batch(batch_df, batch_id, corpus_path, digest_path, id_col, text_col)
+        ingest_batch(
+            batch_df, batch_id, corpus_path, digest_path, id_col, text_col,
+            seed_path=seed_path,
+        )
 
     return (
         stream_df.writeStream.foreachBatch(body)
@@ -213,13 +252,39 @@ def compact_corpus(
 # extraction failures are not content, same as the exact loop.
 
 
+def bootstrap_signatures(
+    corpus_df: DataFrame,
+    seed_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One-off seeding for the NEAR-dup loop: minhash-sign an existing
+    corpus (one shingle+signature pass — the only full read it will
+    ever need) so streaming near-dup ingest screens against it from
+    batch 0. Same outside-the-batchlog placement rationale as
+    ``bootstrap_digests``."""
+    from ..operators.dedup import minhash_signature, shingles
+
+    minhash_signature(shingles(corpus_df, id_col, text_col), id_col).write.mode(
+        "overwrite"
+    ).parquet(seed_path)
+
+
 def read_signatures(
-    spark: SparkSession, sig_path: str, before_batch: int | None = None
+    spark: SparkSession,
+    sig_path: str,
+    before_batch: int | None = None,
+    seed_path: str | None = None,
 ) -> DataFrame:
     """The historical signature table (doc_id + mh* columns),
     restricted to batches strictly before ``before_batch`` — the
-    replay-safe view batch N must near-dup against."""
-    return read_before(spark.read.parquet(sig_path), before_batch).drop(BATCH_COL)
+    replay-safe view batch N must near-dup against. A ``seed_path``
+    bootstrap dataset is historical by definition and always
+    qualifies."""
+    live = read_before(spark.read.parquet(sig_path), before_batch).drop(BATCH_COL)
+    if seed_path is not None:
+        live = live.unionByName(spark.read.parquet(seed_path))
+    return live
 
 
 def ingest_batch_neardup(
@@ -230,10 +295,12 @@ def ingest_batch_neardup(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    seed_path: str | None = None,
 ) -> None:
-    """Near-dup one (micro-)batch against all earlier batches and land
-    its survivors + their signature rows. Usable directly for batch
-    backfills and as the foreachBatch body.
+    """Near-dup one (micro-)batch against all earlier batches (and an
+    optional ``bootstrap_signatures`` seed) and land its survivors +
+    their signature rows. Usable directly for batch backfills and as
+    the foreachBatch body.
 
     Plan shape per batch: within-batch LSH + exact-Jaccard verify,
     then one band equi-join + one signature-agreement join against the
@@ -245,9 +312,9 @@ def ingest_batch_neardup(
     it overwrites its own partition there."""
     spark = batch_df.sparkSession
     known = (
-        read_signatures(spark, sig_path, before_batch=batch_id)
+        read_signatures(spark, sig_path, before_batch=batch_id, seed_path=seed_path)
         if _exists(spark, sig_path)
-        else None
+        else (spark.read.parquet(seed_path) if seed_path is not None else None)
     )
     fresh, sig_delta = incremental_minhash_dedup(
         batch_df,
@@ -270,15 +337,19 @@ def streaming_neardup_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    seed_path: str | None = None,
 ):
     """Attach the near-dup ingest sink to a document stream; returns
-    the StreamingQuery."""
+    the StreamingQuery. ``seed_path`` points at a
+    ``bootstrap_signatures`` dataset to screen against a pre-existing
+    corpus from batch 0."""
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         ingest_batch_neardup(
-            batch_df, batch_id, corpus_path, sig_path, id_col, text_col, threshold
+            batch_df, batch_id, corpus_path, sig_path, id_col, text_col,
+            threshold, seed_path=seed_path,
         )
 
     return (

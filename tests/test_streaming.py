@@ -1671,3 +1671,44 @@ def test_corpus_compaction_preserves_content_through_replay(spark, tmp_path):
     assert want == sorted(
         (r["doc_id"], r["text"]) for r in read_corpus(spark, corpus).collect()
     )
+
+
+def test_dedup_ingest_bootstrap_seeds(spark, tmp_path):
+    """Starting streaming ingest against a PRE-EXISTING corpus: the
+    bootstrap datasets (digests / minhash signatures of the historical
+    corpus, built once, outside the batchlog id space) must screen
+    batch 0 onward — exact dups and near-dups of historical docs are
+    dropped, new content lands."""
+    from mapreduce_task_spark.streaming.dedup_ingest import (
+        bootstrap_digests,
+        bootstrap_signatures,
+        ingest_batch,
+        ingest_batch_neardup,
+        read_corpus,
+    )
+
+    a, b, c, d, near = _neardup_texts()
+    schema = "doc_id bigint, text string"
+    historical = spark.createDataFrame([(1, a), (2, b)], schema)
+
+    # exact loop
+    seed_d = str(tmp_path / "seed_digests")
+    bootstrap_digests(historical, seed_d)
+    corpus = str(tmp_path / "corpus")
+    b0 = spark.createDataFrame([(10, a), (11, c)], schema)   # 10 = exact dup
+    b1 = spark.createDataFrame([(12, b), (13, d)], schema)   # 12 = exact dup
+    ingest_batch(b0, 0, corpus, str(tmp_path / "dg"), seed_path=seed_d)
+    ingest_batch(b1, 1, corpus, str(tmp_path / "dg"), seed_path=seed_d)
+    got = sorted(r["doc_id"] for r in read_corpus(spark, corpus).collect())
+    assert got == [11, 13]
+
+    # near-dup loop (subsumes exact; also drops near variants)
+    seed_s = str(tmp_path / "seed_sigs")
+    bootstrap_signatures(historical, seed_s)
+    corpus2 = str(tmp_path / "corpus2")
+    n0 = spark.createDataFrame([(20, near(a)), (21, c)], schema)  # 20 = near dup
+    n1 = spark.createDataFrame([(22, b), (23, near(c))], schema)  # both dups
+    ingest_batch_neardup(n0, 0, corpus2, str(tmp_path / "sg"), seed_path=seed_s)
+    ingest_batch_neardup(n1, 1, corpus2, str(tmp_path / "sg"), seed_path=seed_s)
+    got2 = sorted(r["doc_id"] for r in read_corpus(spark, corpus2).collect())
+    assert got2 == [21]
