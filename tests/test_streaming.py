@@ -1712,3 +1712,68 @@ def test_dedup_ingest_bootstrap_seeds(spark, tmp_path):
     ingest_batch_neardup(n1, 1, corpus2, str(tmp_path / "sg"), seed_path=seed_s)
     got2 = sorted(r["doc_id"] for r in read_corpus(spark, corpus2).collect())
     assert got2 == [21]
+
+
+def test_streaming_quality_monitor_trend_and_total(spark, tmp_path):
+    """The corpus-health monitor: per-batch mergeable metric rows land
+    via the batchlog; the trend view reproduces per-batch batch-mode
+    aggregates, the total view merges counters/sketches to whole-input
+    values without rescans, and compaction (pure merge) changes
+    neither the total nor later trend reads."""
+    from mapreduce_task_spark.streaming.quality_monitor import (
+        batch_quality_row,
+        compact_quality,
+        read_quality_total,
+        read_quality_trend,
+        streaming_quality_monitor,
+    )
+    from mapreduce_task_spark.streaming.windows import stream_from_directory
+
+    schema = "doc_id bigint, text string"
+    files = [
+        [(1, "alpha beta"), (2, "alpha beta"), (3, None)],      # dup + null
+        [(4, "gamma"), (5, "delta epsilon zeta")],
+        [(6, "alpha beta"), (None, "eta")],                      # cross-batch dup
+    ]
+    src = tmp_path / "docs_src"
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    path = str(tmp_path / "quality")
+    q = streaming_quality_monitor(
+        stream_from_directory(
+            spark, f"{src}/f*", spark.createDataFrame([], schema).schema,
+            maxFilesPerTrigger=1,
+        ),
+        path,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    counters = ["n_rows", "n_null_text", "n_null_id", "n_tokens", "n_chars"]
+    trend = {r["__batch"]: r for r in read_quality_trend(spark, path).collect()}
+    assert set(trend) == {0, 1, 2}
+    for i, rows in enumerate(files):
+        want = batch_quality_row(spark.createDataFrame(rows, schema)).collect()[0]
+        assert {c: trend[i][c] for c in counters} == {c: want[c] for c in counters}
+    assert trend[0]["null_text_rate"] == pytest.approx(1 / 3)
+    assert trend[0]["approx_dup_rate"] == pytest.approx(0.5, abs=0.1)
+
+    def total():
+        return read_quality_total(spark, path).collect()[0]
+
+    t = total()
+    allrows = [r for rows in files for r in rows]
+    assert t["n_rows"] == len(allrows)
+    assert t["n_null_text"] == sum(1 for _, x in allrows if x is None)
+    assert t["n_null_id"] == 1
+    assert t["n_tokens"] == sum(len(x.split()) for _, x in allrows if x)
+    # 5 distinct non-null texts of 7 non-null rows
+    assert t["approx_distinct_texts"] == pytest.approx(5, abs=1)
+    assert t["approx_dup_rate"] == pytest.approx(2 / 7, abs=0.05)
+
+    assert compact_quality(spark, path, up_to_batch=1) == 2
+    t2 = total()
+    assert {c: t2[c] for c in counters} == {c: t[c] for c in counters}
+    assert t2["approx_distinct_texts"] == t["approx_distinct_texts"]
