@@ -1777,3 +1777,54 @@ def test_streaming_quality_monitor_trend_and_total(spark, tmp_path):
     t2 = total()
     assert {c: t2[c] for c in counters} == {c: t[c] for c in counters}
     assert t2["approx_distinct_texts"] == t["approx_distinct_texts"]
+
+
+def test_crawl_pipeline_two_sinks_compose(spark, tmp_path):
+    """The continuous-crawl composition: ONE document stream feeds the
+    near-dup ingest sink AND the quality monitor (each with its own
+    checkpoint — independent progress, independent replay). The corpus
+    accumulates dedup survivors while the monitor's totals describe
+    the RAW stream — including the rows dedup dropped."""
+    from mapreduce_task_spark.streaming.dedup_ingest import (
+        read_corpus,
+        streaming_neardup_ingest,
+    )
+    from mapreduce_task_spark.streaming.quality_monitor import (
+        read_quality_total,
+        streaming_quality_monitor,
+    )
+    from mapreduce_task_spark.streaming.windows import stream_from_directory
+
+    a, b, c, d, near = _neardup_texts()
+    schema = "doc_id bigint, text string"
+    files = [
+        [(1, a), (2, b), (3, None)],
+        [(4, near(a)), (5, c)],
+    ]
+    src = tmp_path / "docs_src"
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+
+    def source():
+        return stream_from_directory(
+            spark, f"{src}/f*", spark.createDataFrame([], schema).schema,
+            maxFilesPerTrigger=1,
+        )
+
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    q1 = streaming_neardup_ingest(source(), corpus, sigs, str(tmp_path / "ck1"))
+    q2 = streaming_quality_monitor(
+        source(), str(tmp_path / "quality"), str(tmp_path / "ck2")
+    )
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+
+    kept = sorted(r["doc_id"] for r in read_corpus(spark, corpus).collect())
+    assert kept == [1, 2, 3, 5]  # 4 is a near-dup of 1; NULL text kept
+
+    t = read_quality_total(spark, str(tmp_path / "quality")).collect()[0]
+    assert t["n_rows"] == 5          # raw stream, pre-dedup
+    assert t["n_null_text"] == 1
+    assert t["approx_distinct_texts"] == pytest.approx(4, abs=1)
