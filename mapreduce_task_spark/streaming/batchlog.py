@@ -36,6 +36,24 @@ from pyspark.sql import DataFrame, functions as F
 BATCH_COL = "__batch"
 
 
+def log_exists(spark, path: str) -> bool:
+    """True iff the log has at least one ``__batch=`` partition to
+    read. A bare directory with only ``_SUCCESS`` is NOT readable — a
+    zero-row dynamic overwrite creates exactly that (e.g. an ingest
+    batch whose survivors were all NULL-text writes an empty digest
+    delta), and ``spark.read.parquet`` would fail schema inference on
+    it; state readers must treat it as "no history yet"."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return False
+    return any(
+        st.getPath().getName().startswith(f"{BATCH_COL}=")
+        for st in fs.listStatus(p)
+    )
+
+
 def batch_ids(log: DataFrame) -> list[int]:
     """Distinct ``__batch`` ids — a partition-column listing, no data
     read (bounded: one id per micro-batch/compaction)."""

@@ -58,15 +58,12 @@ from ..operators.pinning import lazy_checkpoint as _lazy_checkpoint
 from .batchlog import (
     BATCH_COL,
     compact_log,
+    log_exists,
     read_before,
     write_batch_partition,
 )
 
 
-def _exists(spark: SparkSession, path: str) -> bool:
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return bool(p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p))
 
 
 def bootstrap_digests(
@@ -135,7 +132,7 @@ def ingest_batch(
     spark = batch_df.sparkSession
     known = (
         read_digests(spark, digest_path, before_batch=batch_id, seed_path=seed_path)
-        if _exists(spark, digest_path)
+        if log_exists(spark, digest_path)
         else (
             spark.read.parquet(seed_path).select("text_md5")
             if seed_path is not None
@@ -313,7 +310,7 @@ def ingest_batch_neardup(
     spark = batch_df.sparkSession
     known = (
         read_signatures(spark, sig_path, before_batch=batch_id, seed_path=seed_path)
-        if _exists(spark, sig_path)
+        if log_exists(spark, sig_path)
         else (spark.read.parquet(seed_path) if seed_path is not None else None)
     )
     fresh, sig_delta = incremental_minhash_dedup(

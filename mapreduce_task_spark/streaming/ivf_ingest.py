@@ -55,6 +55,7 @@ from .batchlog import (
     BATCH_COL,
     compact_log,
     live_view,
+    log_exists,
     batch_ids,
     covered_watermark,
     write_batch_partition,
@@ -108,9 +109,7 @@ def streaming_ivf_append(
 
 def _delta_live(spark: SparkSession, index_path: str) -> DataFrame | None:
     path = f"{index_path}/delta"
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    if not p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p):
+    if not log_exists(spark, path):
         return None
     log = spark.read.parquet(path)
     return live_view(log, covered_watermark(batch_ids(log)))

@@ -104,7 +104,11 @@ def _rates(df: DataFrame) -> DataFrame:
         *[c for c in df.columns if c != "hll_text"],
         F.coalesce(F.col("n_null_text") / safe_n, F.lit(0.0)).alias("null_text_rate"),
         F.coalesce(F.col("n_tokens") / safe_n, F.lit(0.0)).alias("tokens_per_doc"),
-        F.hll_sketch_estimate("hll_text").alias("approx_distinct_texts"),
+        # an all-NULL-text batch aggregates no values into the sketch
+        # (NULL sketch) — report 0 distinct texts, not NULL
+        F.coalesce(F.hll_sketch_estimate("hll_text"), F.lit(0)).alias(
+            "approx_distinct_texts"
+        ),
         # duplicate rate among rows that HAVE text (NULL text is not
         # content): 1 - distinct/​non-null, floored at 0 (HLL error can
         # nudge the estimate past the true count on tiny inputs)

@@ -1828,3 +1828,73 @@ def test_crawl_pipeline_two_sinks_compose(spark, tmp_path):
     assert t["n_rows"] == 5          # raw stream, pre-dedup
     assert t["n_null_text"] == 1
     assert t["approx_distinct_texts"] == pytest.approx(4, abs=1)
+
+
+def test_ingest_totality_all_null_text_batches(spark, tmp_path):
+    """Totality on degenerate crawls: a batch whose survivors are all
+    NULL-text writes an EMPTY digest/signature delta — the log
+    directory then exists with no partitions, which naive readers fail
+    schema inference on. log_exists must treat it as 'no history yet'
+    so the next batch ingests normally; the NULL-text rows themselves
+    are all kept (extraction failures are not content)."""
+    from mapreduce_task_spark.streaming.dedup_ingest import (
+        ingest_batch,
+        ingest_batch_neardup,
+        read_corpus,
+    )
+
+    schema = "doc_id bigint, text string"
+    nulls = [(1, None), (2, None)]
+    real = [(3, "alpha beta gamma"), (4, None)]
+
+    corpus, digests = str(tmp_path / "c1"), str(tmp_path / "d1")
+    ingest_batch(spark.createDataFrame(nulls, schema), 0, corpus, digests)
+    ingest_batch(spark.createDataFrame(real, schema), 1, corpus, digests)
+    assert sorted(r["doc_id"] for r in read_corpus(spark, corpus).collect()) == [
+        1, 2, 3, 4,
+    ]
+
+    corpus2, sigs = str(tmp_path / "c2"), str(tmp_path / "s1")
+    ingest_batch_neardup(spark.createDataFrame(nulls, schema), 0, corpus2, sigs)
+    ingest_batch_neardup(spark.createDataFrame(real, schema), 1, corpus2, sigs)
+    assert sorted(r["doc_id"] for r in read_corpus(spark, corpus2).collect()) == [
+        1, 2, 3, 4,
+    ]
+
+
+def test_bm25_index_unseen_terms_and_quality_monitor_null_batch(
+    spark, sf_small, tmp_path
+):
+    """Totality legs: a BM25 index search whose terms never occur in
+    the corpus returns an empty frame (not an error), and an
+    all-NULL-text batch through the quality monitor reports 0 distinct
+    texts / 0 dup rate instead of NULL."""
+    from mapreduce_task_spark.operators.ranking import (
+        bm25_build_index,
+        bm25_search_index,
+    )
+    from mapreduce_task_spark.sources.tables import load_table
+    from mapreduce_task_spark.streaming.quality_monitor import (
+        batch_quality_row,
+        read_quality_total,
+        read_quality_trend,
+    )
+    from mapreduce_task_spark.streaming.batchlog import write_batch_partition
+
+    docs = load_table(spark, sf_small, "documents")
+    path = str(tmp_path / "bm25")
+    bm25_build_index(docs, spark, path)
+    assert bm25_search_index(spark, path, ["zzzznope", "qqqqnope"], k=5).count() == 0
+
+    qp = str(tmp_path / "quality")
+    null_batch = spark.createDataFrame([(1, None), (2, None)], "doc_id bigint, text string")
+    write_batch_partition(batch_quality_row(null_batch), 0, qp)
+    t = read_quality_trend(spark, qp).collect()[0]
+    assert t["n_rows"] == 2 and t["n_null_text"] == 2
+    assert t["approx_distinct_texts"] == 0
+    assert t["approx_dup_rate"] == 0.0
+    # merges with a later normal batch
+    ok_batch = spark.createDataFrame([(3, "alpha")], "doc_id bigint, text string")
+    write_batch_partition(batch_quality_row(ok_batch), 1, qp)
+    tot = read_quality_total(spark, qp).collect()[0]
+    assert tot["n_rows"] == 3 and tot["approx_distinct_texts"] == 1
