@@ -233,3 +233,57 @@ def merge_delta_into_base(spark: SparkSession, index_path: str) -> int:
     fs.delete(delta_p, True)
     finish_swap()
     return n
+
+
+def delta_skew_report(spark: SparkSession, index_path: str) -> DataFrame:
+    """Per-cluster list sizes, base vs delta — the quantizer-drift
+    signal that decides when ``merge_delta_into_base`` + an offline
+    retrain (``ivf_build_index``) are due. Columns:
+
+    - ``n_base`` / ``n_delta`` / ``n_total``: list sizes;
+    - ``frac_delta``: how much of the list arrived after the build
+      (a uniformly growing index drifts everywhere a little; one
+      cluster absorbing most of the delta means the frozen quantizer
+      no longer describes the incoming distribution);
+    - ``imbalance``: n_total / mean(n_total) — probe cost skew: a
+      search probing an imbalanced cluster scans that many times the
+      average list.
+
+    Cost: two column-pruned scans (cluster column only) + one tiny
+    groupBy — safe to run on a schedule against a 100 TB index.
+    """
+    base = (
+        spark.read.parquet(f"{index_path}/lists")
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_base"))
+    )
+    delta = _delta_live(spark, index_path)
+    if delta is not None:
+        dc = delta.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_delta"))
+        per = base.join(dc, "cluster", "full_outer")
+    else:
+        per = base.withColumn("n_delta", F.lit(None).cast("long"))
+    per = per.select(
+        "cluster",
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
+        (F.coalesce("n_base", F.lit(0)) + F.coalesce("n_delta", F.lit(0))).alias(
+            "n_total"
+        ),
+    ).withColumn(
+        "frac_delta",
+        F.when(F.col("n_total") > 0, F.col("n_delta") / F.col("n_total")).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    mean_total = F.broadcast(per.agg(F.avg("n_total").alias("__mean")))
+    return (
+        per.join(mean_total)
+        .withColumn(
+            "imbalance",
+            F.when(
+                F.col("__mean") > 0, F.col("n_total") / F.col("__mean")
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("__mean")
+    )

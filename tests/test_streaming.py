@@ -1898,3 +1898,34 @@ def test_bm25_index_unseen_terms_and_quality_monitor_null_batch(
     write_batch_partition(batch_quality_row(ok_batch), 1, qp)
     tot = read_quality_total(spark, qp).collect()[0]
     assert tot["n_rows"] == 3 and tot["approx_distinct_texts"] == 1
+
+
+def test_ivf_delta_skew_report(spark, sf_small, tmp_path):
+    """The drift signal: per-cluster base/delta sizes with frac_delta
+    and imbalance; totals must tie out exactly to what was built and
+    appended, and the report works before any append (all-zero
+    deltas)."""
+    from mapreduce_task_spark.operators.similarity import ivf_build_index
+    from mapreduce_task_spark.sources.tables import load_table
+    from mapreduce_task_spark.streaming.ivf_ingest import (
+        append_batch,
+        delta_skew_report,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(base, idx, n_clusters=8, dim=64, rounds=1)
+
+    pre = delta_skew_report(spark, idx).collect()
+    assert sum(r["n_base"] for r in pre) == base.count()
+    assert all(r["n_delta"] == 0 and r["frac_delta"] == 0.0 for r in pre)
+
+    append_batch(emb.filter(F.col("vec_id") >= 300), 0, idx)
+    rep = delta_skew_report(spark, idx).collect()
+    assert sum(r["n_base"] for r in rep) == base.count()
+    assert sum(r["n_delta"] for r in rep) == emb.count() - base.count()
+    mean_total = sum(r["n_total"] for r in rep) / len(rep)
+    for r in rep:
+        assert r["imbalance"] == pytest.approx(r["n_total"] / mean_total)
+        assert 0.0 <= r["frac_delta"] <= 1.0
