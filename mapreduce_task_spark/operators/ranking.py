@@ -263,6 +263,12 @@ def bm25_build_index(
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
             "avgdl"
         ),
+        # exact integer counters alongside the derived scalars, so the
+        # streaming append log (streaming.bm25_ingest) can merge stats
+        # additively and reproduce avgdl bit-for-bit: bigint sums are
+        # order-independent where double partial sums are not
+        F.count(F.lit(1)).alias("n_docs_exact"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
     ).write.mode("overwrite").parquet(f"{path}/stats")
     (
         toks.select(id_col, "dl", F.explode("toks").alias("term"))
@@ -300,11 +306,28 @@ def bm25_search_index(
     column-per-term shape has the same contract)."""
     stats = spark.read.parquet(f"{path}/stats")
     tdf = spark.read.parquet(f"{path}/term_df").filter(F.col("term").isin(terms))
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("term").isin(terms)
+    )
+    return score_postings(postings, tdf, stats, id_col, k)
+
+
+def score_postings(
+    postings: DataFrame,
+    tdf: DataFrame,
+    stats: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """The shared BM25 scoring tail over already-restricted posting
+    rows (term, id, dl, tf): broadcast the per-term df and the 1-row
+    (n_docs, avgdl) scalars, floor each term's micro contribution
+    (``bm25_term_micro``), sum per doc, top-k with id tie-break. Both
+    the persisted-index search and the streaming-delta search
+    (``streaming.bm25_ingest``) end here, so they cannot diverge."""
     hits = (
-        spark.read.parquet(f"{path}/postings")
-        .filter(F.col("term").isin(terms))
-        .join(F.broadcast(tdf), "term")
-        .join(F.broadcast(stats))
+        postings.join(F.broadcast(tdf), "term")
+        .join(F.broadcast(stats.select("n_docs", "avgdl")))
         .select(
             id_col,
             bm25_term_micro(

@@ -1,0 +1,309 @@
+"""Streaming BM25 index maintenance: keep the persisted lexical index
+fresh as documents stream in, without rebuilding it per batch.
+
+The lexical sibling of ``ivf_ingest`` — same shape, different state.
+``operators.ranking.bm25_build_index`` pays the tokenize + explode +
+groupBy once; this module appends per-micro-batch DELTAS that merge
+exactly:
+
+- ``delta_postings``: the batch's (term, id, dl, tf) rows, partition
+  per batch, term-clustered within it (same pushdown story as the
+  base postings);
+- ``delta_df``: the batch's per-term document frequencies — ADDITIVE
+  (df counts documents, documents arrive once);
+- ``delta_stats``: the batch's (n_docs, sum_dl) counters — ADDITIVE.
+
+BM25's global scalars (n_docs, avgdl, per-term df) drift as the
+corpus grows — that is exactly why the deltas store integer COUNTERS,
+not derived doubles: bigint sums are associative, so search-time
+merging (base counters + every delta's) reproduces the scalars a full
+rebuild would compute bit-for-bit, and ``search_with_delta`` then
+scores through the same shared ``score_postings`` tail as the plain
+index search. Parity with ``bm25_topk`` over base ∪ appended is
+asserted in tests.
+
+Replay safety is the ``batchlog`` protocol: each delta row set is a
+deterministic function of the batch alone (no earlier state is read
+back at all — lexical append is even simpler than the dedup loops),
+so a crash-replayed batch overwrites its own partitions identically.
+Contract (same as the IVF delta): append each document once — this
+module indexes what it is given, dedup belongs to ``dedup_ingest``
+upstream.
+
+``compact_*`` fold old partitions by re-selection (postings), term-sum
+(df), and counter-sum (stats); ``merge_delta_into_base`` is the
+offline segment merge (side-write + crash-resumable swap, like the
+IVF one), after which the base stats/term_df/postings absorb the
+delta and a fresh delta log starts empty.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.ranking import doc_tokens, score_postings
+from .batchlog import (
+    BATCH_COL,
+    batch_ids,
+    compact_log,
+    covered_watermark,
+    live_view,
+    log_exists,
+    write_batch_partition,
+)
+
+_POSTINGS, _DF, _STATS = "delta_postings", "delta_df", "delta_stats"
+
+
+def append_text_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Index one (micro-)batch: its postings, df delta, and stat
+    counters land in the three delta logs' own batch partitions."""
+    toks = doc_tokens(batch_df, text_col).select(id_col, "toks", "dl")
+    posts = (
+        toks.select(id_col, "dl", F.explode("toks").alias("term"))
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        # two consumers (postings write + df delta) of one explode plan
+        .localCheckpoint(eager=True)
+    )
+    write_batch_partition(
+        posts.repartition("term").sortWithinPartitions("term", id_col),
+        batch_id,
+        f"{index_path}/{_POSTINGS}",
+    )
+    write_batch_partition(
+        posts.groupBy("term").agg(F.count(F.lit(1)).alias("df_delta")),
+        batch_id,
+        f"{index_path}/{_DF}",
+    )
+    write_batch_partition(
+        toks.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
+        ),
+        batch_id,
+        f"{index_path}/{_STATS}",
+    )
+
+
+def streaming_bm25_append(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Attach the append sink to a document stream; returns the
+    StreamingQuery. The base index (``bm25_build_index``) must exist
+    and carry the exact counters (``n_docs_exact``, ``sum_dl``)."""
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_text_batch(batch_df, batch_id, index_path, id_col, text_col)
+
+    return (
+        stream_df.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _live(spark: SparkSession, path: str) -> DataFrame | None:
+    if not log_exists(spark, path):
+        return None
+    log = spark.read.parquet(path)
+    return live_view(log, covered_watermark(batch_ids(log)))
+
+
+def search_with_delta(
+    spark: SparkSession,
+    index_path: str,
+    terms: list[str],
+    k: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k BM25 over the base index PLUS everything appended since
+    the build. The global scalars are re-derived from exact integer
+    counters (base + delta sums — associative, so the result equals a
+    full rebuild's), per-term df merges additively, and base + delta
+    postings score through the shared ``score_postings`` tail —
+    reproducing ``bm25_topk`` over the union corpus bit-for-bit."""
+    base_stats = spark.read.parquet(f"{index_path}/stats")
+    counters = base_stats.select(
+        F.col("n_docs_exact").alias("n"), F.col("sum_dl").alias("s")
+    )
+    ds = _live(spark, f"{index_path}/{_STATS}")
+    if ds is not None:
+        counters = counters.unionByName(
+            ds.select(F.col("n_docs").alias("n"), F.col("sum_dl").alias("s"))
+        )
+    stats = counters.agg(
+        F.sum("n").cast("double").alias("n_docs"),
+        (F.sum("s").cast("double") / F.sum("n").cast("double")).alias("avgdl"),
+    )
+
+    tdf = (
+        spark.read.parquet(f"{index_path}/term_df")
+        .filter(F.col("term").isin(terms))
+        .select("term", "df")
+    )
+    ddf = _live(spark, f"{index_path}/{_DF}")
+    if ddf is not None:
+        tdf = tdf.unionByName(
+            ddf.filter(F.col("term").isin(terms)).select(
+                "term", F.col("df_delta").cast("double").alias("df")
+            )
+        )
+    tdf = tdf.groupBy("term").agg(F.sum("df").alias("df"))
+
+    postings = spark.read.parquet(f"{index_path}/postings").filter(
+        F.col("term").isin(terms)
+    )
+    dposts = _live(spark, f"{index_path}/{_POSTINGS}")
+    if dposts is not None:
+        postings = postings.unionByName(
+            dposts.filter(F.col("term").isin(terms)).select(postings.columns)
+        )
+    return score_postings(postings, tdf, stats, id_col, k)
+
+
+def compact_postings_delta(
+    spark: SparkSession, index_path: str, up_to_batch: int
+) -> int:
+    """Fold posting partitions by re-selection (immutable rows)."""
+    return compact_log(
+        spark,
+        f"{index_path}/{_POSTINGS}",
+        up_to_batch,
+        lambda live: live.drop(BATCH_COL),
+    )
+
+
+def compact_df_delta(spark: SparkSession, index_path: str, up_to_batch: int) -> int:
+    """Fold df partitions by per-term sum (df is additive)."""
+    return compact_log(
+        spark,
+        f"{index_path}/{_DF}",
+        up_to_batch,
+        lambda live: live.groupBy("term").agg(
+            F.sum("df_delta").alias("df_delta")
+        ),
+    )
+
+
+def compact_stats_delta(
+    spark: SparkSession, index_path: str, up_to_batch: int
+) -> int:
+    """Fold stat counters by sum (both are additive)."""
+    return compact_log(
+        spark,
+        f"{index_path}/{_STATS}",
+        up_to_batch,
+        lambda live: live.agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_dl").alias("sum_dl"),
+        ),
+    )
+
+
+def merge_delta_into_base(spark: SparkSession, index_path: str) -> int:
+    """Fold the whole delta into the base index (offline; stream
+    stopped): base postings absorb the delta postings, term_df and
+    stats re-derive from merged counters, and the delta logs drop.
+    Returns the number of posting rows merged in (0 for no-op/resume).
+
+    Crash protocol (three state datasets have to move together, so a
+    bare side-write-and-swap is NOT enough — a crash halfway through
+    the delta deletes would strand counters that are in neither the
+    base nor a delta):
+
+    1. COMPUTE: side-write all three ``*_merged`` datasets from
+       (base, delta) — deterministic, re-runnable, touches nothing
+       live;
+    2. write the ``_MERGE_COMMITTED`` marker — the atomic point of no
+       return: the merged datasets are complete;
+    3. TEARDOWN: delete the delta logs, swap each ``*_merged`` in,
+       delete the marker.
+
+    A re-run recovers any crash: marker present → the deltas are
+    already folded into the side-writes, so only finish the teardown;
+    marker absent → every delta log is still intact (teardown never
+    started), so recompute from scratch.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    marker = hpath(f"{index_path}/_MERGE_COMMITTED")
+    names = ("postings", "term_df", "stats")
+    deltas = (_POSTINGS, _DF, _STATS)
+
+    def teardown() -> None:
+        for d in deltas:
+            p = hpath(f"{index_path}/{d}")
+            if fs.exists(p):
+                fs.delete(p, True)
+        for n in names:
+            cur = hpath(f"{index_path}/{n}")
+            new = hpath(f"{index_path}/{n}_merged")
+            if fs.exists(new):
+                if fs.exists(cur):
+                    fs.delete(cur, True)
+                fs.rename(new, cur)
+        fs.delete(marker, False)
+
+    if fs.exists(marker):
+        teardown()
+        return 0
+    if not any(log_exists(spark, f"{index_path}/{d}") for d in deltas):
+        return 0
+
+    dposts = _live(spark, f"{index_path}/{_POSTINGS}")
+    n = dposts.count() if dposts is not None else 0
+
+    base_posts = spark.read.parquet(f"{index_path}/postings")
+    merged_posts = (
+        base_posts.unionByName(dposts.drop(BATCH_COL))
+        if dposts is not None
+        else base_posts
+    )
+    merged_posts.repartition("term").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/postings_merged")
+
+    tdf = spark.read.parquet(f"{index_path}/term_df")
+    ddf = _live(spark, f"{index_path}/{_DF}")
+    if ddf is not None:
+        tdf = tdf.unionByName(
+            ddf.select("term", F.col("df_delta").cast("double").alias("df"))
+        )
+    tdf.groupBy("term").agg(F.sum("df").alias("df")).write.mode("overwrite").parquet(
+        f"{index_path}/term_df_merged"
+    )
+
+    base_stats = spark.read.parquet(f"{index_path}/stats")
+    counters = base_stats.select(
+        F.col("n_docs_exact").alias("n"), F.col("sum_dl").alias("s")
+    )
+    ds = _live(spark, f"{index_path}/{_STATS}")
+    if ds is not None:
+        counters = counters.unionByName(
+            ds.select(F.col("n_docs").alias("n"), F.col("sum_dl").alias("s"))
+        )
+    counters.agg(
+        F.sum("n").cast("double").alias("n_docs"),
+        (F.sum("s").cast("double") / F.sum("n").cast("double")).alias("avgdl"),
+        F.sum("n").alias("n_docs_exact"),
+        F.sum("s").alias("sum_dl"),
+    ).write.mode("overwrite").parquet(f"{index_path}/stats_merged")
+
+    fs.create(marker).close()
+    teardown()
+    return n

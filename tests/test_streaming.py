@@ -1929,3 +1929,100 @@ def test_ivf_delta_skew_report(spark, sf_small, tmp_path):
     for r in rep:
         assert r["imbalance"] == pytest.approx(r["n_total"] / mean_total)
         assert 0.0 <= r["frac_delta"] <= 1.0
+
+
+def test_streaming_bm25_append_matches_inline_full(spark, sf_small, tmp_path):
+    """Streaming lexical-index freshness: documents appended per
+    micro-batch must make search_with_delta reproduce bm25_topk over
+    base ∪ appended BIT-FOR-BIT — the global scalars re-derive from
+    exact integer counters, so growth cannot drift the scores."""
+    from mapreduce_task_spark.operators.ranking import bm25_build_index, bm25_topk
+    from mapreduce_task_spark.sources.tables import load_table
+    from mapreduce_task_spark.streaming.bm25_ingest import (
+        search_with_delta,
+        streaming_bm25_append,
+    )
+    from mapreduce_task_spark.streaming.windows import stream_from_directory
+
+    docs = load_table(spark, sf_small, "documents")
+    base = docs.filter(F.col("doc_id") < 250)
+    rest = docs.filter(F.col("doc_id") >= 250)
+    idx = str(tmp_path / "bm25")
+    bm25_build_index(base, spark, idx)
+
+    src = tmp_path / "docs_src"
+    rest.filter(F.col("doc_id") < 380).coalesce(1).write.parquet(str(src / "f0"))
+    rest.filter(F.col("doc_id") >= 380).coalesce(1).write.parquet(str(src / "f1"))
+    q = streaming_bm25_append(
+        stream_from_directory(
+            spark, f"{src}/f*", rest.schema, maxFilesPerTrigger=1
+        ),
+        idx,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    for terms in (["spark", "join", "query"], ["data", "the"]):
+        got = [
+            tuple(r)
+            for r in search_with_delta(spark, idx, terms, k=25).collect()
+        ]
+        want = [tuple(r) for r in bm25_topk(docs, spark, terms, k=25).collect()]
+        assert got == want and len(got) > 0
+
+
+def test_bm25_append_replay_compaction_and_merge(spark, sf_small, tmp_path):
+    """Replay idempotence + maintenance for the lexical delta: a
+    crash-replayed append overwrites its own partitions identically;
+    compacting all three delta logs changes nothing; merging the delta
+    into the base leaves a plain index search reproducing the same
+    top-k, with the delta gone and a second merge a no-op."""
+    import os
+
+    from mapreduce_task_spark.operators.ranking import (
+        bm25_build_index,
+        bm25_search_index,
+    )
+    from mapreduce_task_spark.sources.tables import load_table
+    from mapreduce_task_spark.streaming.bm25_ingest import (
+        append_text_batch,
+        compact_df_delta,
+        compact_postings_delta,
+        compact_stats_delta,
+        merge_delta_into_base,
+        search_with_delta,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    base = docs.filter(F.col("doc_id") < 250)
+    b0 = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 380))
+    b1 = docs.filter(F.col("doc_id") >= 380)
+    idx = str(tmp_path / "bm25")
+    bm25_build_index(base, spark, idx)
+    append_text_batch(b0, 0, idx)
+    append_text_batch(b1, 1, idx)
+
+    terms = ["spark", "join", "query"]
+
+    def topk():
+        return [
+            tuple(r) for r in search_with_delta(spark, idx, terms, k=25).collect()
+        ]
+
+    want = topk()
+    append_text_batch(b1, 1, idx)  # crash-before-checkpoint replay
+    assert topk() == want
+
+    assert compact_postings_delta(spark, idx, up_to_batch=1) == 2
+    assert compact_df_delta(spark, idx, up_to_batch=1) == 2
+    assert compact_stats_delta(spark, idx, up_to_batch=1) == 2
+    assert topk() == want
+
+    n = merge_delta_into_base(spark, idx)
+    assert n > 0
+    assert not os.path.exists(f"{idx}/delta_postings")
+    plain = [
+        tuple(r) for r in bm25_search_index(spark, idx, terms, k=25).collect()
+    ]
+    assert plain == want
+    assert merge_delta_into_base(spark, idx) == 0
