@@ -1,0 +1,133 @@
+"""The composed crawl loop: one document stream, one checkpoint —
+dedup, corpus landing, search-index freshness, and health monitoring
+advance together.
+
+This is the pipeline the per-concern sinks (``dedup_ingest``,
+``bm25_ingest``, ``ivf_ingest``, ``quality_monitor``) exist to serve,
+wired the way a production crawl actually runs: per micro-batch,
+
+1. the MONITOR row describes the RAW batch (pre-dedup — the drop rate
+   IS the signal) when ``quality_path`` is given;
+2. near-dup ingest screens the batch against the persisted signature
+   log and lands survivors + signatures (``corpus_path``/``sig_path``);
+3. the SURVIVORS — and only they; a dropped near-dup must not be
+   searchable — append to the BM25 delta index (``bm25_path``) and,
+   when the stream carries an embedding column, to the IVF delta
+   index (``ivf_path``). A freshly crawled document is immediately
+   findable by both lexical and ANN search via each index's
+   ``search_with_delta``.
+
+Why ONE foreachBatch (not N independent sinks off the same source):
+every state write above is keyed by the same batch id and is a
+deterministic function of (batch rows, strictly-earlier signature
+state) — the batchlog replay argument. With a single checkpoint, a
+crash anywhere inside the fan-out replays the whole batch and every
+sub-write overwrites its own partitions byte-identically, so the
+corpus, both search indexes, and the monitor can never disagree about
+which batches are in. Independent sinks (the ``test_crawl_pipeline_
+two_sinks_compose`` shape) remain correct but give per-sink progress:
+after a crash, the corpus may be a batch ahead of the BM25 delta until
+the laggard catches up. The composed sink trades that window away for
+free, because none of the sub-writes needs its own source rescan —
+dedup's survivor frame is pinned once and every index append derives
+from the pin.
+
+Scale shape per batch: the dedup joins touch the partition-pruned
+signature log (never the corpus), the BM25 append is one tokenize +
+explode over survivors, the IVF append is one broadcast-centroid
+argmin — all O(batch), nothing rescans history. Maintenance stays
+per-log and offline: each index's ``compact_*`` /
+``merge_delta_into_base`` and the corpus/signature compactors run
+under their own documented contracts, unchanged by composition.
+
+The IVF leg indexes only survivor rows with a non-NULL embedding —
+a document that arrives unembedded is searchable lexically right away
+and joins the ANN index whenever an embedded re-crawl lands it (the
+embedding step itself is upstream of this sink, like extraction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .batchlog import write_batch_partition
+from .bm25_ingest import append_text_batch
+from .dedup_ingest import ingest_batch_neardup
+from .ivf_ingest import append_batch as ivf_append_batch
+from .quality_monitor import batch_quality_row
+
+
+def crawl_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_path: str,
+    sig_path: str,
+    bm25_path: str | None = None,
+    ivf_path: str | None = None,
+    quality_path: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    seed_path: str | None = None,
+) -> DataFrame:
+    """Run one (micro-)batch through the full crawl loop; returns the
+    survivor frame. Usable directly for batch backfills and as the
+    foreachBatch body. The BM25/IVF base indexes must already exist
+    (``bm25_build_index`` / ``ivf_build_index`` — over the seed corpus,
+    or over an empty frame for a cold start)."""
+    if quality_path is not None:
+        write_batch_partition(
+            batch_quality_row(batch_df, id_col, text_col), batch_id, quality_path
+        )
+    fresh = ingest_batch_neardup(
+        batch_df, batch_id, corpus_path, sig_path, id_col, text_col,
+        threshold, seed_path=seed_path,
+    )
+    if bm25_path is not None:
+        append_text_batch(fresh, batch_id, bm25_path, id_col, text_col)
+    if ivf_path is not None and vec_col in fresh.columns:
+        ivf_append_batch(
+            fresh.where(F.col(vec_col).isNotNull()),
+            batch_id,
+            ivf_path,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    return fresh
+
+
+def streaming_crawl_ingest(
+    stream_df: DataFrame,
+    corpus_path: str,
+    sig_path: str,
+    checkpoint: str,
+    bm25_path: str | None = None,
+    ivf_path: str | None = None,
+    quality_path: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    seed_path: str | None = None,
+):
+    """Attach the composed crawl sink to a document stream; returns
+    the StreamingQuery. One checkpoint governs the whole fan-out (see
+    module docstring for why that is the exactly-once shape)."""
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        crawl_batch(
+            batch_df, batch_id, corpus_path, sig_path,
+            bm25_path=bm25_path, ivf_path=ivf_path, quality_path=quality_path,
+            id_col=id_col, text_col=text_col, vec_col=vec_col,
+            threshold=threshold, seed_path=seed_path,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

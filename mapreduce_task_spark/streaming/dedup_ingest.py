@@ -123,12 +123,16 @@ def ingest_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed_path: str | None = None,
-) -> None:
+) -> DataFrame:
     """Dedup one (micro-)batch against all earlier batches (and an
     optional ``bootstrap_digests`` seed) and land its survivors.
     Usable directly for batch backfills and as the foreachBatch body.
     Deterministic given (batch rows, earlier state) — see module
-    docstring for the replay argument."""
+    docstring for the replay argument.
+
+    Returns the survivor frame (already materialized by the in-body
+    checkpoint), so composed sinks (``streaming.crawl``) can index the
+    SAME rows further without re-running the dedup anti-join."""
     spark = batch_df.sparkSession
     known = (
         read_digests(spark, digest_path, before_batch=batch_id, seed_path=seed_path)
@@ -152,6 +156,7 @@ def ingest_batch(
         batch_id,
         digest_path,
     )
+    return fresh.drop("text_md5")
 
 
 def streaming_dedup_ingest(
@@ -293,11 +298,14 @@ def ingest_batch_neardup(
     text_col: str = "text",
     threshold: float = 0.5,
     seed_path: str | None = None,
-) -> None:
+) -> DataFrame:
     """Near-dup one (micro-)batch against all earlier batches (and an
     optional ``bootstrap_signatures`` seed) and land its survivors +
     their signature rows. Usable directly for batch backfills and as
-    the foreachBatch body.
+    the foreachBatch body. Returns the survivor frame (the operator
+    pins its fresh-id list, so further consumers — the composed
+    ``streaming.crawl`` sink indexing survivors into BM25/IVF deltas —
+    replay from the pin, not from the historical joins).
 
     Plan shape per batch: within-batch LSH + exact-Jaccard verify,
     then one band equi-join + one signature-agreement join against the
@@ -324,6 +332,7 @@ def ingest_batch_neardup(
     )
     write_batch_partition(fresh, batch_id, corpus_path)
     write_batch_partition(sig_delta, batch_id, sig_path)
+    return fresh
 
 
 def streaming_neardup_ingest(

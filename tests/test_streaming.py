@@ -2026,3 +2026,187 @@ def test_bm25_append_replay_compaction_and_merge(spark, sf_small, tmp_path):
     ]
     assert plain == want
     assert merge_delta_into_base(spark, idx) == 0
+
+
+def _crawl_corpus(spark, sf_small):
+    """documents ∪ embeddings as one crawl feed: (doc_id, text,
+    embedding), doc 255's embedding NULLed (an unembedded arrival)."""
+    from mapreduce_task_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    embs = load_table(spark, sf_small, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    return docs.join(embs, "doc_id", "left").select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") == 255, F.lit(None).cast("array<float>"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+
+
+def test_composed_crawl_single_checkpoint_end_to_end(spark, sf_small, tmp_path):
+    """The full crawl loop under ONE checkpoint: a document+embedding
+    stream is dedup-screened against a bootstrapped base corpus, and
+    its SURVIVORS land in the corpus AND become immediately searchable
+    — BM25 delta search reproduces an inline bm25_topk over base ∪
+    survivors bit-for-bit, the IVF delta holds exactly the embedded
+    survivors, and the monitor describes the raw stream including the
+    dropped duplicate."""
+    from mapreduce_task_spark.operators.ranking import bm25_build_index, bm25_topk
+    from mapreduce_task_spark.operators.similarity import ivf_build_index
+    from mapreduce_task_spark.streaming.crawl import streaming_crawl_ingest
+    from mapreduce_task_spark.streaming import bm25_ingest, ivf_ingest
+    from mapreduce_task_spark.streaming.dedup_ingest import (
+        bootstrap_signatures,
+        read_corpus,
+    )
+    from mapreduce_task_spark.streaming.quality_monitor import read_quality_total
+    from mapreduce_task_spark.streaming.windows import stream_from_directory
+
+    full = _crawl_corpus(spark, sf_small)
+    base = full.filter(F.col("doc_id") < 250)
+    rest = full.filter(F.col("doc_id") >= 250)
+
+    bm25_idx = str(tmp_path / "bm25")
+    ivf_idx = str(tmp_path / "ivf")
+    seed = str(tmp_path / "seed_sigs")
+    bm25_build_index(base, spark, bm25_idx)
+    ivf_build_index(
+        base.where(F.col("embedding").isNotNull()),
+        ivf_idx,
+        id_col="doc_id",
+        vec_col="embedding",
+    )
+    bootstrap_signatures(base, seed)
+
+    # two crawl files; f1 smuggles in an exact duplicate of doc 260
+    dup_text = rest.filter(F.col("doc_id") == 260).collect()[0]["text"]
+    src = tmp_path / "docs_src"
+    rest.filter(F.col("doc_id") < 380).coalesce(1).write.parquet(str(src / "f0"))
+    rest.filter(F.col("doc_id") >= 380).unionByName(
+        spark.createDataFrame(
+            [(9001, dup_text, None)],
+            "doc_id bigint, text string, embedding array<float>",
+        )
+    ).coalesce(1).write.parquet(str(src / "f1"))
+
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    q = streaming_crawl_ingest(
+        stream_from_directory(
+            spark, f"{src}/f*", rest.schema, maxFilesPerTrigger=1
+        ),
+        corpus,
+        sigs,
+        str(tmp_path / "ckpt"),
+        bm25_path=bm25_idx,
+        ivf_path=ivf_idx,
+        quality_path=str(tmp_path / "quality"),
+        seed_path=seed,
+    )
+    q.awaitTermination(180)
+
+    # the documents table carries PLANTED near-dups (the dedup queries'
+    # test bed), so the screen drops more than just our injected 9001 —
+    # expectations derive from the landed corpus, and the parity
+    # asserts below check the indexes against exactly those rows
+    landed = read_corpus(spark, corpus)
+    kept = sorted(r["doc_id"] for r in landed.collect())
+    assert 9001 not in kept          # the injected exact dup of 260
+    assert 260 in kept and 255 in kept  # the original + the unembedded doc
+    assert 0 < len(kept) <= 250 and all(250 <= i < 500 for i in kept)
+
+    # lexical freshness: delta search == inline bm25 over base ∪ landed
+    searchable = base.unionByName(landed)
+    for terms in (["spark", "join", "query"], ["data", "the"]):
+        got = [
+            tuple(r)
+            for r in bm25_ingest.search_with_delta(
+                spark, bm25_idx, terms, k=25
+            ).collect()
+        ]
+        want = [
+            tuple(r) for r in bm25_topk(searchable, spark, terms, k=25).collect()
+        ]
+        assert got == want and len(got) > 0
+
+    # ANN freshness: the delta holds exactly the embedded survivors,
+    # and a query at a streamed doc's embedding finds that doc first
+    n_embedded = landed.where(F.col("embedding").isNotNull()).count()
+    assert spark.read.parquet(f"{ivf_idx}/delta").count() == n_embedded
+    probe_id = max(i for i in kept if i != 255)
+    probe = (
+        full.filter(F.col("doc_id") == probe_id)
+        .select(F.lit(10_000).alias("doc_id"), "embedding")
+    )
+    top = (
+        ivf_ingest.search_with_delta(
+            spark, ivf_idx, probe, id_col="doc_id", k=1, nprobe=1
+        )
+        .collect()
+    )
+    assert [r["cand_id"] for r in top] == [probe_id]
+
+    t = read_quality_total(spark, str(tmp_path / "quality")).collect()[0]
+    assert t["n_rows"] == 251  # raw stream, pre-dedup, incl. the dup
+
+
+def test_composed_crawl_batch_replay_idempotent(spark, sf_small, tmp_path):
+    """Crash-before-checkpoint replay of a COMPOSED batch: re-running
+    crawl_batch with the same batch id overwrites its own partitions
+    in every log (corpus, signatures, BM25 delta ×3, IVF delta,
+    monitor) byte-identically — the single-checkpoint fan-out's
+    exactly-once argument."""
+    from mapreduce_task_spark.operators.ranking import bm25_build_index
+    from mapreduce_task_spark.operators.similarity import ivf_build_index
+    from mapreduce_task_spark.streaming import bm25_ingest
+    from mapreduce_task_spark.streaming.crawl import crawl_batch
+    from mapreduce_task_spark.streaming.dedup_ingest import read_corpus
+
+    full = _crawl_corpus(spark, sf_small)
+    base = full.filter(F.col("doc_id") < 250)
+    b0 = full.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 380))
+    b1 = full.filter(F.col("doc_id") >= 380)
+
+    bm25_idx, ivf_idx = str(tmp_path / "bm25"), str(tmp_path / "ivf")
+    bm25_build_index(base, spark, bm25_idx)
+    ivf_build_index(
+        base.where(F.col("embedding").isNotNull()),
+        ivf_idx,
+        id_col="doc_id",
+        vec_col="embedding",
+    )
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    qual = str(tmp_path / "quality")
+
+    def run(df, bid):
+        crawl_batch(
+            df, bid, corpus, sigs,
+            bm25_path=bm25_idx, ivf_path=ivf_idx, quality_path=qual,
+        )
+
+    run(b0, 0)
+    run(b1, 1)
+
+    def state():
+        return (
+            sorted(r["doc_id"] for r in read_corpus(spark, corpus).collect()),
+            sorted(
+                tuple(r)
+                for r in spark.read.parquet(f"{bm25_idx}/delta_postings")
+                .drop("__batch")
+                .collect()
+            ),
+            spark.read.parquet(f"{ivf_idx}/delta").count(),
+            [
+                tuple(r)
+                for r in bm25_ingest.search_with_delta(
+                    spark, bm25_idx, ["spark", "query"], k=10
+                ).collect()
+            ],
+        )
+
+    want = state()
+    run(b1, 1)  # replay of the last batch
+    assert state() == want
