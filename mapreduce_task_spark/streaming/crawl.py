@@ -131,3 +131,65 @@ def streaming_crawl_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_crawl(
+    spark,
+    corpus_path: str,
+    sig_path: str,
+    committed_batch: int,
+    bm25_path: str | None = None,
+    ivf_path: str | None = None,
+    quality_path: str | None = None,
+) -> dict[str, int]:
+    """One maintenance pass over every log the composed sink writes:
+    fold partitions ``__batch <= committed_batch`` in the corpus,
+    signature, BM25-delta (×3), IVF-delta, and monitor logs. Returns
+    superseded-directories-dropped per log (absent logs report 0).
+
+    ``committed_batch`` MUST be <= the stream's checkpoint-COMMITTED
+    batch id. Only the SIGNATURE log strictly requires that (the sink
+    reads it back as strictly-earlier state — folding an uncommitted
+    batch would make its own replay see itself as history and drop
+    the whole batch); the others tolerate covered replays. One
+    watermark under the strictest contract keeps the call safe for
+    all six, and the checkpoint-committed id is what a scheduler has
+    in hand anyway. Searches and rollups are unaffected mid-pass:
+    every compactor folds via the exactly-once live view, and the
+    offline index merges (``bm25_ingest.merge_delta_into_base``,
+    ``ivf_ingest.merge_delta_into_base``) remain separate,
+    stream-stopped operations."""
+    from .batchlog import log_exists
+    from .bm25_ingest import (
+        compact_df_delta,
+        compact_postings_delta,
+        compact_stats_delta,
+    )
+    from .dedup_ingest import compact_corpus, compact_signatures
+    from .ivf_ingest import compact_delta as compact_ivf_delta
+    from .quality_monitor import compact_quality
+
+    done: dict[str, int] = {}
+
+    def run(name: str, path: str | None, fn) -> None:
+        done[name] = (
+            fn() if path is not None and log_exists(spark, path) else 0
+        )
+
+    run("corpus", corpus_path,
+        lambda: compact_corpus(spark, corpus_path, committed_batch))
+    run("signatures", sig_path,
+        lambda: compact_signatures(spark, sig_path, committed_batch))
+    if bm25_path is not None:
+        run("bm25_postings", f"{bm25_path}/delta_postings",
+            lambda: compact_postings_delta(spark, bm25_path, committed_batch))
+        run("bm25_df", f"{bm25_path}/delta_df",
+            lambda: compact_df_delta(spark, bm25_path, committed_batch))
+        run("bm25_stats", f"{bm25_path}/delta_stats",
+            lambda: compact_stats_delta(spark, bm25_path, committed_batch))
+    if ivf_path is not None:
+        run("ivf_delta", f"{ivf_path}/delta",
+            lambda: compact_ivf_delta(spark, ivf_path, committed_batch))
+    run("quality", quality_path,
+        lambda: compact_quality(spark, quality_path, committed_batch))
+    return done

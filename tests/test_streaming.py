@@ -2210,3 +2210,80 @@ def test_composed_crawl_batch_replay_idempotent(spark, sf_small, tmp_path):
     want = state()
     run(b1, 1)  # replay of the last batch
     assert state() == want
+
+
+def test_compact_crawl_preserves_every_surface(spark, sf_small, tmp_path):
+    """One maintenance call folds all six crawl logs; corpus, lexical
+    search, ANN search, and monitor totals are bit-identical before
+    and after, and each batchlog's live view is the single compacted
+    partition."""
+    import os
+
+    from mapreduce_task_spark.operators.ranking import bm25_build_index
+    from mapreduce_task_spark.operators.similarity import ivf_build_index
+    from mapreduce_task_spark.streaming import bm25_ingest, ivf_ingest
+    from mapreduce_task_spark.streaming.crawl import compact_crawl, crawl_batch
+    from mapreduce_task_spark.streaming.dedup_ingest import read_corpus
+    from mapreduce_task_spark.streaming.quality_monitor import read_quality_total
+
+    full = _crawl_corpus(spark, sf_small)
+    base = full.filter(F.col("doc_id") < 250)
+    bm25_idx, ivf_idx = str(tmp_path / "bm25"), str(tmp_path / "ivf")
+    bm25_build_index(base, spark, bm25_idx)
+    ivf_build_index(
+        base.where(F.col("embedding").isNotNull()),
+        ivf_idx,
+        id_col="doc_id",
+        vec_col="embedding",
+    )
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    qual = str(tmp_path / "quality")
+    for bid, lo, hi in ((0, 250, 380), (1, 380, 500)):
+        crawl_batch(
+            full.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            bid, corpus, sigs,
+            bm25_path=bm25_idx, ivf_path=ivf_idx, quality_path=qual,
+        )
+
+    probe = full.filter(F.col("doc_id") == 490).select(
+        F.lit(10_000).alias("doc_id"), "embedding"
+    )
+
+    def state():
+        return (
+            sorted(r["doc_id"] for r in read_corpus(spark, corpus).collect()),
+            [
+                tuple(r)
+                for r in bm25_ingest.search_with_delta(
+                    spark, bm25_idx, ["spark", "query"], k=10
+                ).collect()
+            ],
+            [
+                tuple(r)
+                for r in ivf_ingest.search_with_delta(
+                    spark, ivf_idx, probe, id_col="doc_id", k=5
+                ).collect()
+            ],
+            tuple(read_quality_total(spark, qual).collect()[0]),
+        )
+
+    want = state()
+    dropped = compact_crawl(
+        spark, corpus, sigs, committed_batch=1,
+        bm25_path=bm25_idx, ivf_path=ivf_idx, quality_path=qual,
+    )
+    # every present log folded its two batch partitions
+    assert all(n == 2 for n in dropped.values()), dropped
+    assert state() == want
+    # live view is the single compacted partition per log
+    for p in (corpus, sigs, qual, f"{bm25_idx}/delta_postings",
+              f"{ivf_idx}/delta"):
+        parts = [d for d in os.listdir(p) if d.startswith("__batch=")]
+        assert parts == ["__batch=-2"], (p, parts)
+    # idempotent re-run: nothing left to fold
+    again = compact_crawl(
+        spark, corpus, sigs, committed_batch=1,
+        bm25_path=bm25_idx, ivf_path=ivf_idx, quality_path=qual,
+    )
+    assert all(n == 0 for n in again.values()), again
+    assert state() == want
