@@ -2287,3 +2287,105 @@ def test_compact_crawl_preserves_every_surface(spark, sf_small, tmp_path):
     )
     assert all(n == 0 for n in again.values()), again
     assert state() == want
+
+
+def test_composed_crawl_chaos_invariance(spark, sf_small, tmp_path):
+    """F1 map-side stragglers injected into the crawl stream slow the
+    micro-batches but must not change ANY landed state: corpus rows,
+    lexical and ANN delta-search answers, and monitor totals from the
+    chaotic run are bit-identical to the calm run's, and the injected
+    hits surface in the streaming progress metrics (F5). This is the
+    reference's fault-injection contract (latency-only, results
+    untouched) carried through the composed exactly-once fan-out."""
+    from mapreduce_task_spark.chaos import ChaosConfig, inject_map_chaos
+    from mapreduce_task_spark.operators.ranking import bm25_build_index
+    from mapreduce_task_spark.operators.similarity import ivf_build_index
+    from mapreduce_task_spark.streaming import bm25_ingest, ivf_ingest
+    from mapreduce_task_spark.streaming.crawl import streaming_crawl_ingest
+    from mapreduce_task_spark.streaming.dedup_ingest import (
+        bootstrap_signatures,
+        read_corpus,
+    )
+    from mapreduce_task_spark.streaming.quality_monitor import read_quality_total
+    from mapreduce_task_spark.streaming.windows import stream_from_directory
+
+    full = _crawl_corpus(spark, sf_small)
+    base = full.filter(F.col("doc_id") < 250)
+    feed = full.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 370))
+    src = tmp_path / "src"
+    feed.filter(F.col("doc_id") < 310).coalesce(1).write.parquet(str(src / "f0"))
+    feed.filter(F.col("doc_id") >= 310).coalesce(1).write.parquet(str(src / "f1"))
+
+    cfg = ChaosConfig.from_conf(
+        {
+            "insertindex.slow.map.partitions": "0,1,2,3,4,5,6,7",
+            "insertindex.slow.map.sleep.ms": "1",
+            "insertindex.slow.map.eachN": "10",
+        }
+    )
+
+    def run(tag, chaotic):
+        d = tmp_path / tag
+        bm25_idx, ivf_idx = str(d / "bm25"), str(d / "ivf")
+        bm25_build_index(base, spark, bm25_idx)
+        ivf_build_index(
+            base.where(F.col("embedding").isNotNull()),
+            ivf_idx,
+            id_col="doc_id",
+            vec_col="embedding",
+        )
+        seed = str(d / "seed")
+        bootstrap_signatures(base, seed)
+        stream = stream_from_directory(
+            spark, f"{src}/f*", feed.schema, maxFilesPerTrigger=1
+        )
+        if chaotic:
+            stream = inject_map_chaos(stream, cfg, observation="crawl_chaos")
+        q = streaming_crawl_ingest(
+            stream,
+            str(d / "corpus"),
+            str(d / "sigs"),
+            str(d / "ckpt"),
+            bm25_path=bm25_idx,
+            ivf_path=ivf_idx,
+            quality_path=str(d / "qual"),
+            seed_path=seed,
+        )
+        q.awaitTermination(180)
+        landed = read_corpus(spark, str(d / "corpus"))
+        kept = sorted(r["doc_id"] for r in landed.collect())
+        # probe at a landed embedded doc's embedding: derived from each
+        # run's OWN corpus, so a state divergence fails the compare
+        # below rather than hiding behind a fixed probe id
+        probe_id = max(i for i in kept if i != 255)
+        probe = full.filter(F.col("doc_id") == probe_id).select(
+            F.lit(10_000).alias("doc_id"), "embedding"
+        )
+        state = (
+            sorted((r["doc_id"], r["text"]) for r in landed.collect()),
+            [
+                tuple(r)
+                for r in bm25_ingest.search_with_delta(
+                    spark, bm25_idx, ["spark", "data", "query"], k=25
+                ).collect()
+            ],
+            [
+                tuple(r)
+                for r in ivf_ingest.search_with_delta(
+                    spark, ivf_idx, probe, id_col="doc_id", k=5
+                ).collect()
+            ],
+            tuple(read_quality_total(spark, str(d / "qual")).collect()[0]),
+        )
+        return state, q
+
+    calm, _ = run("calm", chaotic=False)
+    chaotic_state, q = run("chaos", chaotic=True)
+    assert chaotic_state == calm
+    assert len(calm[0]) > 0 and len(calm[1]) > 0 and len(calm[2]) > 0
+    hits = sum(
+        p["observedMetrics"]["crawl_chaos"]["SLOW_INJECT_MAP_HITS"] or 0
+        for p in q.recentProgress
+        if "crawl_chaos" in p.get("observedMetrics", {})
+    )
+    assert hits > 0
