@@ -1,0 +1,108 @@
+"""Learned quality-classifier stage: trains in-engine, separates held-out
+good/garbage docs, and scores with a Python-free plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_task_spark.operators.quality_model import (
+    filter_by_quality,
+    score_quality,
+    train_quality_model,
+)
+from mapreduce_task_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def labeled(spark, sf_small):
+    """Weak-labeled corpus: the real documents are the keep class; a
+    deterministic md5-derived garbage twin of each doc (disjoint
+    letter-run vocabulary after normalization) is the drop class."""
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    good = docs.withColumn("label", F.lit(1.0))
+    bad = docs.select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(40)),
+                lambda i: F.concat(
+                    F.lit("zq"),
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit(":"),
+                                i.cast("string"),
+                            )
+                        ),
+                        1,
+                        6,
+                    ),
+                ),
+            ),
+        ).alias("text"),
+        F.lit(0.0).alias("label"),
+    )
+    return good.unionByName(bad)
+
+
+def test_classifier_separates_held_out_docs(spark, labeled):
+    train = labeled.filter(F.col("doc_id") % 5 != 0)
+    test = labeled.filter(F.col("doc_id") % 5 == 0)
+    model = train_quality_model(train)
+
+    scored = score_quality(model, test, text_col="text")
+    agg = scored.select(
+        F.avg(
+            (
+                (F.col("quality_prob") >= 0.5).cast("int")
+                == F.col("label").cast("int")
+            ).cast("double")
+        ).alias("acc"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert agg["n"] > 50
+    assert agg["acc"] >= 0.95, f"held-out accuracy {agg['acc']}"
+
+
+def test_scoring_plan_is_python_free_and_schema_stable(spark, labeled):
+    model = train_quality_model(labeled.limit(200))
+    docs = labeled.select("doc_id", "text")
+    scored = score_quality(model, docs)
+    assert scored.columns == ["doc_id", "text", "quality_prob"]
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, f"Python stage {node} in scoring plan"
+    # map-only: scoring introduces no key/range shuffle over the corpus
+    # scan (the only Exchange allowed is ensure_parallelism's
+    # round-robin split of a tiny test input)
+    for bad in ("hashpartitioning", "rangepartitioning", "SinglePartition"):
+        assert bad not in plan, f"{bad} in scoring plan:\n{plan}"
+
+
+def test_filter_by_quality_keeps_mostly_good(spark, labeled):
+    model = train_quality_model(labeled)
+    kept = filter_by_quality(model, labeled, threshold=0.5)
+    n_bad_kept = kept.filter(F.col("doc_id") >= 100_000).count()
+    n_good_kept = kept.filter(F.col("doc_id") < 100_000).count()
+    assert n_good_kept > 0.9 * labeled.filter(F.col("label") == 1.0).count()
+    assert n_bad_kept < 0.05 * labeled.filter(F.col("label") == 0.0).count()
+
+
+def test_model_round_trips_through_save_load(spark, labeled, tmp_path):
+    """The train-once / score-many split: the fitted pipeline persists
+    and reloads into an identical scorer (bit-equal probabilities —
+    same coefficients, same per-row arithmetic)."""
+    from pyspark.ml import PipelineModel
+
+    model = train_quality_model(labeled.limit(300))
+    path = str(tmp_path / "qmodel")
+    model.write().save(path)
+    reloaded = PipelineModel.load(path)
+    probe = labeled.limit(40)
+    a = {r["doc_id"]: r["quality_prob"] for r in score_quality(model, probe).collect()}
+    b = {
+        r["doc_id"]: r["quality_prob"]
+        for r in score_quality(reloaded, probe).collect()
+    }
+    assert a == b and len(a) == 40
