@@ -70,15 +70,48 @@ def crawl_batch(
     vec_col: str = "embedding",
     threshold: float = 0.5,
     seed_path: str | None = None,
+    quality_model=None,
+    quality_threshold: float = 0.5,
 ) -> DataFrame:
     """Run one (micro-)batch through the full crawl loop; returns the
     survivor frame. Usable directly for batch backfills and as the
     foreachBatch body. The BM25/IVF base indexes must already exist
     (``bm25_build_index`` / ``ivf_build_index`` — over the seed corpus,
-    or over an empty frame for a cold start)."""
+    or over an empty frame for a cold start).
+
+    ``quality_model`` (a fitted ``quality_model.train_quality_model``
+    PipelineModel) inserts the learned-filter stage: the monitor row
+    still describes the RAW batch (the drop rate is the signal), but
+    documents scoring under ``quality_threshold`` are screened out
+    BEFORE the near-dup joins, so junk never enters the corpus, the
+    signature log, or either search index — and never bloats the
+    per-batch dedup state. Replay-safe: scoring with a FIXED fitted
+    model is a per-row projection (same arithmetic every run, no
+    aggregation), so the batch body stays deterministic in (batch,
+    earlier state) and a replayed batch recomputes identical
+    partitions."""
     if quality_path is not None:
         write_batch_partition(
             batch_quality_row(batch_df, id_col, text_col), batch_id, quality_path
+        )
+    if quality_model is not None:
+        from ..operators.quality_model import filter_by_quality
+
+        # NULL text carries no tokens to score; those rows bypass the
+        # classifier and keep the ingest totality contract (an
+        # extraction failure is not evidence of low quality — it
+        # survives here exactly as it survives the shingle-less
+        # near-dup screen)
+        unscoreable = batch_df.where(F.col(text_col).isNull())
+        batch_df = (
+            filter_by_quality(
+                quality_model,
+                batch_df.where(F.col(text_col).isNotNull()),
+                quality_threshold,
+                text_col=text_col,
+            )
+            .drop("quality_prob")
+            .unionByName(unscoreable)
         )
     fresh = ingest_batch_neardup(
         batch_df, batch_id, corpus_path, sig_path, id_col, text_col,
@@ -110,10 +143,15 @@ def streaming_crawl_ingest(
     vec_col: str = "embedding",
     threshold: float = 0.5,
     seed_path: str | None = None,
+    quality_model=None,
+    quality_threshold: float = 0.5,
 ):
     """Attach the composed crawl sink to a document stream; returns
     the StreamingQuery. One checkpoint governs the whole fan-out (see
-    module docstring for why that is the exactly-once shape)."""
+    module docstring for why that is the exactly-once shape).
+    ``quality_model`` adds the learned-filter stage (see
+    ``crawl_batch``); the fitted PipelineModel is captured in the sink
+    closure and reused across micro-batches."""
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -123,6 +161,7 @@ def streaming_crawl_ingest(
             bm25_path=bm25_path, ivf_path=ivf_path, quality_path=quality_path,
             id_col=id_col, text_col=text_col, vec_col=vec_col,
             threshold=threshold, seed_path=seed_path,
+            quality_model=quality_model, quality_threshold=quality_threshold,
         )
 
     return (

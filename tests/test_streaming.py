@@ -2389,3 +2389,101 @@ def test_composed_crawl_chaos_invariance(spark, sf_small, tmp_path):
         if "crawl_chaos" in p.get("observedMetrics", {})
     )
     assert hits > 0
+
+
+def test_crawl_batch_quality_model_screen(spark, sf_small, tmp_path):
+    """The learned-filter stage inside the crawl loop: garbage documents
+    (scored under the threshold by a weak-label-trained classifier)
+    never reach the corpus, the signature log, or either search index;
+    good documents land; a NULL-text arrival bypasses the unscoreable
+    filter and survives (the ingest totality contract); and the
+    monitor still describes the RAW batch — the drop rate is the
+    signal."""
+    from mapreduce_task_spark.operators.quality_model import train_quality_model
+    from mapreduce_task_spark.operators.ranking import bm25_build_index
+    from mapreduce_task_spark.operators.similarity import ivf_build_index
+    from mapreduce_task_spark.streaming.crawl import crawl_batch
+    from mapreduce_task_spark.streaming.dedup_ingest import read_corpus
+    from mapreduce_task_spark.streaming.quality_monitor import read_quality_total
+
+    full = _crawl_corpus(spark, sf_small)
+    base = full.filter(F.col("doc_id") < 250)
+
+    def garbage(ids_from, n):
+        return spark.range(ids_from, ids_from + n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(40)),
+                    lambda i: F.concat(
+                        F.lit("zq"),
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("id").cast("string"),
+                                    F.lit(":"),
+                                    i.cast("string"),
+                                )
+                            ),
+                            1,
+                            6,
+                        ),
+                    ),
+                ),
+            ).alias("text"),
+            F.lit(None).cast("array<float>").alias("embedding"),
+        )
+
+    model = train_quality_model(
+        base.select("doc_id", "text")
+        .withColumn("label", F.lit(1.0))
+        .unionByName(
+            garbage(100_000, 200).select("doc_id", "text").withColumn(
+                "label", F.lit(0.0)
+            )
+        )
+    )
+
+    good = full.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 270))
+    junk = garbage(9_100, 5)
+    null_doc = spark.createDataFrame(
+        [(9_200, None, None)], "doc_id bigint, text string, embedding array<float>"
+    )
+    feed = good.unionByName(junk).unionByName(null_doc)
+
+    bm25_idx, ivf_idx = str(tmp_path / "bm25"), str(tmp_path / "ivf")
+    bm25_build_index(base, spark, bm25_idx)
+    ivf_build_index(
+        base.where(F.col("embedding").isNotNull()),
+        ivf_idx,
+        id_col="doc_id",
+        vec_col="embedding",
+    )
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    qual = str(tmp_path / "quality")
+    crawl_batch(
+        feed, 0, corpus, sigs,
+        bm25_path=bm25_idx, ivf_path=ivf_idx, quality_path=qual,
+        quality_model=model,
+    )
+
+    kept = {r["doc_id"] for r in read_corpus(spark, corpus).collect()}
+    assert not any(9_100 <= i < 9_105 for i in kept), kept  # junk screened
+    assert 9_200 in kept                       # NULL text bypasses the filter
+    assert len(kept & set(range(250, 270))) > 10  # good docs land
+    # neither index saw a junk doc
+    assert (
+        spark.read.parquet(f"{bm25_idx}/delta_postings")
+        .where((F.col("doc_id") >= 9_100) & (F.col("doc_id") < 9_105))
+        .count()
+        == 0
+    )
+    assert (
+        spark.read.parquet(f"{ivf_idx}/delta")
+        .where((F.col("doc_id") >= 9_100) & (F.col("doc_id") < 9_105))
+        .count()
+        == 0
+    )
+    # the monitor row is PRE-filter: all 26 raw arrivals counted
+    assert read_quality_total(spark, qual).collect()[0]["n_rows"] == 26
