@@ -106,3 +106,19 @@ def test_model_round_trips_through_save_load(spark, labeled, tmp_path):
         for r in score_quality(reloaded, probe).collect()
     }
     assert a == b and len(a) == 40
+
+
+def test_score_quality_total_on_empty_and_tokenless_input(spark, labeled):
+    """Scoring is total: an empty frame scores to an empty frame, and a
+    tokenless (empty-text) row gets the intercept-only probability
+    instead of raising — at crawl scale both arrive routinely."""
+    model = train_quality_model(labeled.limit(100))
+    empty = labeled.select("doc_id", "text").limit(0)
+    assert score_quality(model, empty).count() == 0
+
+    tokenless = spark.createDataFrame(
+        [(1, ""), (2, "?!?! 123")], "doc_id bigint, text string"
+    )
+    rows = score_quality(model, tokenless).collect()
+    assert len(rows) == 2
+    assert all(0.0 <= r["quality_prob"] <= 1.0 for r in rows)
