@@ -63,3 +63,64 @@ def decontaminate(
         docs, bench, id_col, text_col, bench_text_col, n, broadcast_bench
     )
     return docs.join(bad, id_col, "left_anti")
+
+
+def semantic_contaminated_ids(
+    docs: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    bench_vec_col: str = "embedding",
+) -> DataFrame:
+    """Training doc ids whose embedding is cosine->= ``threshold`` to ANY
+    benchmark embedding — the semantic rung of decontamination
+    (paraphrased eval leakage shares no 8-gram; it does share an
+    embedding neighborhood).
+
+    Scale shape mirrors ``contaminated_ids``: the benchmark side is
+    tiny, so its quantized vectors BROADCAST and the check is one
+    map-side pass over the corpus scan (broadcast nested-loop with the
+    cosine filter inline, O(n_docs * n_bench) multiply-adds, no corpus
+    shuffle, no candidate materialization). The arithmetic is the
+    engine's exact-integer quantized cosine, so the same threshold
+    reproduces on any layout.
+
+    NULL embeddings (extraction failures) propagate a NULL cosine and
+    are NOT flagged — an unembedded doc can't be judged semantically;
+    run the n-gram rung beside this one. Zero-norm embeddings are
+    undefined input for cosine (see ``quantized_cosine``) and are
+    excluded on both sides rather than aborting the scan.
+    """
+    from .similarity import int_dot, quantized_cosine, with_quantized
+
+    qd = with_quantized(docs, vec_col).select(
+        F.col(id_col), F.col("qv"), F.col("nq")
+    ).where(F.col("nq") > 0)
+    qb = with_quantized(
+        bench.select(F.col(bench_vec_col).alias("__bvec")), "__bvec"
+    ).select(F.col("qv").alias("bqv"), F.col("nq").alias("bnq")).where(
+        F.col("bnq") > 0
+    )
+    hits = qd.crossJoin(F.broadcast(qb)).where(
+        quantized_cosine(
+            int_dot(F.col("qv"), F.col("bqv")), F.col("nq"), F.col("bnq")
+        )
+        >= threshold
+    )
+    return hits.select(id_col).distinct()
+
+
+def decontaminate_semantic(
+    docs: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    bench_vec_col: str = "embedding",
+) -> DataFrame:
+    """``docs`` minus semantically contaminated documents."""
+    bad = semantic_contaminated_ids(
+        docs, bench, threshold, id_col, vec_col, bench_vec_col
+    )
+    return docs.join(bad, id_col, "left_anti")

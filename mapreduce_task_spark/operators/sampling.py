@@ -292,3 +292,37 @@ def shuffle_shards(
         out.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .drop("__hk")
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    dim: int = 64,
+    rounds: int = 1,
+    n_per_cluster: int = 100,
+    salt: str = "clusterbal",
+) -> DataFrame:
+    """Topic-balanced subsample: k-means the embedding space (the
+    engine's deterministic seeded quantizer), then keep at most
+    ``n_per_cluster`` docs per cluster by content-hash order — so no
+    dominant topic/mode swamps the mix, the same balance FineWeb-style
+    pipelines buy with cluster-proportional selection.
+
+    Pure composition: ``kmeans_lite_clusters`` (one k x dim centroid
+    shuffle per round, shuffle-free assignment) +
+    ``stratified_fixed_n`` over the cluster column (window-per-cluster
+    row_number — parallelism scales with k, no global sort).
+    Deterministic on any layout: seeded centroids, exact-integer
+    assignment, hash-ordered selection. Returns (id, cluster) plus the
+    quantized columns; join back on ``id_col`` for payloads.
+    """
+    from .similarity import kmeans_lite_clusters
+
+    assigned = kmeans_lite_clusters(
+        df, id_col=id_col, vec_col=vec_col, k=k, dim=dim, rounds=rounds
+    )
+    return stratified_fixed_n(
+        assigned, "cluster", id_col, n_per_cluster, salt=salt
+    )

@@ -1,6 +1,6 @@
 """N-gram benchmark decontamination: planted-contamination recovery."""
 
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from mapreduce_task_spark.operators.decontam import contaminated_ids, decontaminate
 
@@ -59,3 +59,76 @@ def test_corpus_side_check_is_broadcast_semi_join(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_semantic_contamination_matches_numpy_oracle(spark, sf_small):
+    """The semantic rung flags exactly the docs a numpy float-cosine
+    replay flags (the quantized-integer arithmetic agrees with float
+    cosine far from the threshold; the planted copies sit at 1.0),
+    NULL embeddings are never flagged, and the corpus-side plan is a
+    broadcast nested-loop with no corpus shuffle."""
+    import numpy as np
+
+    from mapreduce_task_spark.operators.decontam import (
+        decontaminate_semantic,
+        semantic_contaminated_ids,
+    )
+    from mapreduce_task_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    # benchmark = exact copies of three corpus vectors (leaked eval
+    # items), plus one NULL row the guard must skip
+    bench = emb.filter(F.col("vec_id").isin(10, 20, 30)).select(
+        "embedding"
+    ).unionByName(
+        spark.createDataFrame([(None,)], "embedding array<float>")
+    )
+    t = 0.98
+    flagged = {
+        r["vec_id"]
+        for r in semantic_contaminated_ids(
+            emb, bench, threshold=t, id_col="vec_id"
+        ).collect()
+    }
+    assert {10, 20, 30} <= flagged
+
+    # numpy replay over the full corpus x bench grid
+    rows = emb.collect()
+    bvecs = [
+        np.array(r["embedding"], dtype=np.float64)
+        for r in bench.collect()
+        if r["embedding"] is not None
+    ]
+
+    def q(v):
+        return np.floor(np.array(v, dtype=np.float64) * 1e6)
+
+    want = set()
+    for r in rows:
+        if r["embedding"] is None:
+            continue
+        dv = q(r["embedding"])
+        nd = dv @ dv
+        if nd == 0:
+            continue
+        for b in bvecs:
+            qb = q(b)
+            nb = qb @ qb
+            if nb > 0 and (dv @ qb) / (np.sqrt(nd) * np.sqrt(nb)) >= t:
+                want.add(r["vec_id"])
+                break
+    assert flagged == want
+
+    clean = decontaminate_semantic(emb, bench, threshold=t, id_col="vec_id")
+    assert {r["vec_id"] for r in clean.collect()} == {
+        r["vec_id"] for r in rows
+    } - flagged
+
+    plan = (
+        semantic_contaminated_ids(emb, bench, threshold=t, id_col="vec_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "rangepartitioning" not in plan

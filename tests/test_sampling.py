@@ -341,3 +341,35 @@ def test_shuffle_shards_fails_loudly_on_null_ids(spark):
     bad = spark.createDataFrame([(1,), (None,)], "doc_id bigint")
     with pytest.raises(PySparkException, match="NULL doc_id"):
         shuffle_shards(bad, "doc_id", num_shards=2).collect()
+
+
+def test_cluster_balanced_sample_caps_each_cluster(spark, sf_small):
+    """Topic balancing: every k-means cluster contributes
+    min(cluster_size, n) docs, selection is deterministic across
+    reruns, and the sample is a subset of the corpus."""
+    from mapreduce_task_spark.operators.sampling import cluster_balanced_sample
+    from mapreduce_task_spark.operators.similarity import kmeans_lite_clusters
+    from mapreduce_task_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    n = 20
+    got = cluster_balanced_sample(emb, k=6, n_per_cluster=n, rounds=1)
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in kmeans_lite_clusters(emb, k=6, rounds=1)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    picked = {
+        r["cluster"]: r["n"]
+        for r in got.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert picked == {c: min(sz, n) for c, sz in sizes.items()}
+    ids = {r["vec_id"] for r in got.collect()}
+    assert ids <= {r["vec_id"] for r in emb.select("vec_id").collect()}
+    again = {
+        r["vec_id"]
+        for r in cluster_balanced_sample(emb, k=6, n_per_cluster=n, rounds=1).collect()
+    }
+    assert again == ids
