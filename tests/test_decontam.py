@@ -132,3 +132,28 @@ def test_semantic_contamination_matches_numpy_oracle(spark, sf_small):
     )
     assert "BroadcastNestedLoopJoin" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_semantic_decontam_total_on_empty_sides(spark, sf_small):
+    """Totality: an EMPTY benchmark flags nothing (decontamination is a
+    no-op, not an error), and an empty corpus survives the scan."""
+    from mapreduce_task_spark.operators.decontam import (
+        decontaminate_semantic,
+        semantic_contaminated_ids,
+    )
+    from mapreduce_task_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    no_bench = emb.select("embedding").limit(0)
+    assert semantic_contaminated_ids(emb, no_bench, id_col="vec_id").count() == 0
+    assert (
+        decontaminate_semantic(emb, no_bench, id_col="vec_id").count()
+        == emb.count()
+    )
+    empty_corpus = emb.limit(0)
+    assert (
+        semantic_contaminated_ids(
+            empty_corpus, emb.select("embedding").limit(3), id_col="vec_id"
+        ).count()
+        == 0
+    )

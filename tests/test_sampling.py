@@ -373,3 +373,15 @@ def test_cluster_balanced_sample_caps_each_cluster(spark, sf_small):
         for r in cluster_balanced_sample(emb, k=6, n_per_cluster=n, rounds=1).collect()
     }
     assert again == ids
+
+
+def test_cluster_balanced_sample_total_on_empty_input(spark, sf_small):
+    from mapreduce_task_spark.operators.sampling import cluster_balanced_sample
+    from mapreduce_task_spark.sources.tables import load_table
+
+    emb = (
+        load_table(spark, sf_small, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(0)
+    )
+    assert cluster_balanced_sample(emb, k=4, n_per_cluster=5).count() == 0
