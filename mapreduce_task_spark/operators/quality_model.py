@@ -82,7 +82,51 @@ def train_quality_model(
             ),
         ]
     )
-    return pipe.fit(base.persist())
+    # persist only for the fit's repeated passes (IDF count + LBFGS
+    # iterations), then release — the fitted model carries everything
+    # scoring needs, and a long-lived session must not accumulate
+    # training caches (the pagerank_int retention lesson)
+    base = base.persist()
+    try:
+        model = pipe.fit(base)
+    finally:
+        base.unpersist()
+    _strip_training_summary(model)
+    return model
+
+
+def _strip_training_summary(model: PipelineModel) -> None:
+    """Drop the fitted LR stage's training summary. The summary holds a
+    reference to the SparkSession, and the session's ObservationManager
+    is not java-serializable — so the moment ANY ``df.observe`` has
+    been registered on the session (the engine's O5 counters do this
+    constantly), every later action on ``model.transform`` output dies
+    with Task-not-serializable: the scoring UDF closure captures the
+    model, the model drags the summary, the summary drags the session.
+    Scoring needs only the coefficients; a model loaded from disk never
+    has a summary either, so stripping makes the in-memory model match
+    the persisted contract. Best-effort via the JVM setter (public at
+    the bytecode level); a Spark that renames it just keeps the summary
+    and the caller sees the original behavior."""
+    try:
+        from pyspark import SparkContext
+
+        jvm = SparkContext._active_spark_context._jvm
+        empty = jvm.scala.Option.empty()
+    except Exception:
+        return
+    for stage in model.stages:
+        jo = getattr(stage, "_java_obj", None)
+        if jo is None:
+            continue
+        # py4j resolves members lazily, so probe per stage: stages
+        # without a summary API (HashingTF, IDF) raise here and are
+        # skipped; only the classifier stage carries one
+        try:
+            if jo.hasSummary():
+                jo.setSummary(empty)
+        except Exception:
+            continue
 
 
 def score_quality(

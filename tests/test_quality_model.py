@@ -49,7 +49,7 @@ def labeled(spark, sf_small):
 def test_classifier_separates_held_out_docs(spark, labeled):
     train = labeled.filter(F.col("doc_id") % 5 != 0)
     test = labeled.filter(F.col("doc_id") % 5 == 0)
-    model = train_quality_model(train)
+    model = train_quality_model(train, dims_log2=15)
 
     scored = score_quality(model, test, text_col="text")
     agg = scored.select(
@@ -66,7 +66,7 @@ def test_classifier_separates_held_out_docs(spark, labeled):
 
 
 def test_scoring_plan_is_python_free_and_schema_stable(spark, labeled):
-    model = train_quality_model(labeled.limit(200))
+    model = train_quality_model(labeled.limit(200), dims_log2=15)
     docs = labeled.select("doc_id", "text")
     scored = score_quality(model, docs)
     assert scored.columns == ["doc_id", "text", "quality_prob"]
@@ -81,7 +81,7 @@ def test_scoring_plan_is_python_free_and_schema_stable(spark, labeled):
 
 
 def test_filter_by_quality_keeps_mostly_good(spark, labeled):
-    model = train_quality_model(labeled)
+    model = train_quality_model(labeled, dims_log2=15)
     kept = filter_by_quality(model, labeled, threshold=0.5)
     n_bad_kept = kept.filter(F.col("doc_id") >= 100_000).count()
     n_good_kept = kept.filter(F.col("doc_id") < 100_000).count()
@@ -95,7 +95,7 @@ def test_model_round_trips_through_save_load(spark, labeled, tmp_path):
     same coefficients, same per-row arithmetic)."""
     from pyspark.ml import PipelineModel
 
-    model = train_quality_model(labeled.limit(300))
+    model = train_quality_model(labeled.limit(300), dims_log2=15)
     path = str(tmp_path / "qmodel")
     model.write().save(path)
     reloaded = PipelineModel.load(path)
@@ -112,7 +112,7 @@ def test_score_quality_total_on_empty_and_tokenless_input(spark, labeled):
     """Scoring is total: an empty frame scores to an empty frame, and a
     tokenless (empty-text) row gets the intercept-only probability
     instead of raising — at crawl scale both arrive routinely."""
-    model = train_quality_model(labeled.limit(100))
+    model = train_quality_model(labeled.limit(100), dims_log2=15)
     empty = labeled.select("doc_id", "text").limit(0)
     assert score_quality(model, empty).count() == 0
 

@@ -2442,7 +2442,8 @@ def test_crawl_batch_quality_model_screen(spark, sf_small, tmp_path):
             garbage(100_000, 200).select("doc_id", "text").withColumn(
                 "label", F.lit(0.0)
             )
-        )
+        ),
+        dims_log2=15,
     )
 
     good = full.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 270))
