@@ -228,6 +228,62 @@ def main() -> int:
                 bm25_search_once() for _ in range(best_of)
             )
             shutil.rmtree(bm_dir, ignore_errors=True)
+
+            # Learned quality classifier (r8): the documented scale
+            # shape — train on a SAMPLE (weak labels: garbage twins of
+            # 5k real docs), then map-only scoring over the FULL
+            # corpus scan. Scoring throughput is the number that
+            # matters at 100 TB; training amortizes.
+            from mapreduce_task_spark.operators.quality_model import (
+                score_quality,
+                train_quality_model,
+            )
+
+            good = docs.select("doc_id", "text").where(
+                _F.col("text").isNotNull()
+            ).limit(2500)
+            garbage = good.select(
+                (_F.col("doc_id") + 10_000_000).alias("doc_id"),
+                _F.concat_ws(
+                    " ",
+                    _F.transform(
+                        _F.sequence(_F.lit(1), _F.lit(40)),
+                        lambda i: _F.concat(
+                            _F.lit("zq"),
+                            _F.substring(
+                                _F.md5(
+                                    _F.concat(
+                                        _F.col("doc_id").cast("string"),
+                                        _F.lit(":"),
+                                        i.cast("string"),
+                                    )
+                                ),
+                                1,
+                                6,
+                            ),
+                        ),
+                    ),
+                ).alias("text"),
+            )
+            labeled = good.withColumn("label", _F.lit(1.0)).unionByName(
+                garbage.withColumn("label", _F.lit(0.0))
+            )
+            t0 = time.perf_counter()
+            # 10 LBFGS iters: the garbage twin separates in far fewer,
+            # and per-iteration cost (what scales) is what's measured
+            qmodel = train_quality_model(labeled, dims_log2=16, max_iter=10)
+            extras["quality_train_sec"] = round(time.perf_counter() - t0, 3)
+
+            def score_once() -> float:
+                t0 = time.perf_counter()
+                score_quality(qmodel, docs.select("doc_id", "text")).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                return round(time.perf_counter() - t0, 3)
+
+            extras["quality_score_sec"] = min(
+                score_once() for _ in range(best_of)
+            )
         except Exception as e:
             print(f"bench: ivf split extra failed: {e!r:.200}", file=sys.stderr)
 
