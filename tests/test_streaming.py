@@ -2488,3 +2488,67 @@ def test_crawl_batch_quality_model_screen(spark, sf_small, tmp_path):
     )
     # the monitor row is PRE-filter: all 26 raw arrivals counted
     assert read_quality_total(spark, qual).collect()[0]["n_rows"] == 26
+
+
+def test_crawl_quality_screened_batch_replay_idempotent(spark, sf_small, tmp_path):
+    """The quality-screened batch body stays deterministic in (batch,
+    earlier state): scoring with a FIXED fitted model is a per-row
+    projection, so a crash-before-checkpoint replay recomputes every
+    log partition identically — the screen does not break the
+    composed sink's exactly-once argument."""
+    from mapreduce_task_spark.operators.quality_model import train_quality_model
+    from mapreduce_task_spark.operators.ranking import bm25_build_index
+    from mapreduce_task_spark.streaming import bm25_ingest
+    from mapreduce_task_spark.streaming.crawl import crawl_batch
+    from mapreduce_task_spark.streaming.dedup_ingest import read_corpus
+
+    full = _crawl_corpus(spark, sf_small)
+    base = full.filter(F.col("doc_id") < 250)
+    batch = full.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 350))
+
+    model = train_quality_model(
+        base.select("doc_id", "text").withColumn("label", F.lit(1.0)).unionByName(
+            base.select(
+                (F.col("doc_id") + 100_000).alias("doc_id"),
+                F.reverse(F.col("text")).alias("text"),
+            ).withColumn("label", F.lit(0.0))
+        ),
+        dims_log2=15,
+        max_iter=10,
+    )
+
+    bm25_idx = str(tmp_path / "bm25")
+    bm25_build_index(base, spark, bm25_idx)
+    corpus, sigs, qual = (
+        str(tmp_path / "corpus"),
+        str(tmp_path / "sigs"),
+        str(tmp_path / "quality"),
+    )
+
+    def run():
+        crawl_batch(
+            batch, 0, corpus, sigs,
+            bm25_path=bm25_idx, quality_path=qual,
+            quality_model=model, quality_threshold=0.5,
+        )
+
+    def state():
+        return (
+            sorted(tuple(r) for r in read_corpus(spark, corpus).collect()),
+            sorted(
+                tuple(r)
+                for r in spark.read.parquet(f"{sigs}").drop("__batch").collect()
+            ),
+            [
+                tuple(r)
+                for r in bm25_ingest.search_with_delta(
+                    spark, bm25_idx, ["spark", "query"], k=10
+                ).collect()
+            ],
+        )
+
+    run()
+    want = state()
+    assert len(want[0]) > 0
+    run()  # crash-before-checkpoint replay of the same batch id
+    assert state() == want
