@@ -1,7 +1,7 @@
 """Corpus-scrubbing driver queries (operators/scrub.py + operators/
 decontam.py; pytest-only until round 6).
 
-Three cleaning legs in one tagged union, each exactly SQL-replayable:
+Five cleaning legs in one tagged union, each exactly SQL-replayable:
 
 - ``redact``: the synthetic corpus carries no PII, so the leg PLANTS a
   deterministic suffix per document (email + URL + IPv4 + phone, all
@@ -17,6 +17,12 @@ Three cleaning legs in one tagged union, each exactly SQL-replayable:
   shingle with the "benchmark" (doc_id < 5 stands in for an eval set)
   are flagged; the eval docs flag themselves by construction, plus
   any near-duplicates of them.
+- ``semdecontam``: the embedding rung — docs cosine-near any
+  benchmark embedding (vec_id < 20 stands in), broadcast nested-loop
+  with the exact-integer quantized cosine; catches paraphrased
+  leakage no shingle ever would.
+- ``spans``: cross-document repeated token-span removal (see the leg
+  doc below).
 """
 
 from __future__ import annotations
@@ -26,11 +32,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.hashing import hash64_duckdb_sql
 from ..operators.scrub import redact_pii, remove_boilerplate_lines
 from ..registry import query, t
-from .llm_dedup import _PARA_CTE, _PARA_WORDS, _WORDS_CTE
+from .llm_dedup import _PARA_CTE, _PARA_WORDS, _QVEC_CTE, _WORDS_CTE
 
 _BOILER_DF_MAX = 1   # windows appearing in >1 distinct docs are removed
 _DECONTAM_N = 8      # shingle length for contamination
 _BENCH_MAX_ID = 5    # documents with doc_id < 5 stand in for the eval set
+_SEM_BENCH_MAX = 20  # embeddings with vec_id < 20 stand in for the eval set
+_SEM_T = 0.35        # semantic-contamination cosine threshold
+# (the dedup_embedding_cosine row's threshold: flags the eval
+# stand-ins plus their planted near-duplicates)
 _SPAN_N = 8          # repeated-span window length (raw whitespace tokens)
 _SPAN_DF_MAX = 1     # spans in >1 distinct docs are cut from all of them
 
@@ -102,6 +112,7 @@ WITH {_WORDS_CTE},
 {_SH8_CTE},
 {_PARA_CTE},
 {_SPANS_CTE},
+{_QVEC_CTE.strip()},
 pii AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents),
 red AS (SELECT doc_id, {_REDACT_SQL} AS text FROM pii),
 hot AS (SELECT {hash64_duckdb_sql('para')} AS h FROM ch
@@ -112,7 +123,12 @@ surv AS (SELECT doc_id, pn, para FROM ch
 reb AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pn) AS text
         FROM surv GROUP BY doc_id),
 bsh AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id < {_BENCH_MAX_ID}),
-bad AS (SELECT DISTINCT s.doc_id FROM sh8 s JOIN bsh USING (shingle))
+bad AS (SELECT DISTINCT s.doc_id FROM sh8 s JOIN bsh USING (shingle)),
+sem_bad AS (SELECT DISTINCT d.vec_id
+            FROM nv d JOIN nv b ON b.vec_id < {_SEM_BENCH_MAX}
+            WHERE d.nq > 0 AND b.nq > 0
+              AND list_dot_product(d.qv, b.qv) / (sqrt(d.nq) * sqrt(b.nq))
+                  >= {_SEM_T})
 SELECT 'redact' AS leg, doc_id, text, CAST(NULL AS BIGINT) AS n_removed
 FROM red
 UNION ALL
@@ -124,13 +140,22 @@ SELECT 'decontam' AS leg, doc_id, CAST(NULL AS VARCHAR) AS text,
        CAST(NULL AS BIGINT) AS n_removed
 FROM bad
 UNION ALL
+SELECT 'semdecontam' AS leg, vec_id AS doc_id,
+       CAST(NULL AS VARCHAR) AS text, CAST(NULL AS BIGINT) AS n_removed
+FROM sem_bad
+UNION ALL
 SELECT 'spans' AS leg, doc_id,
        coalesce(array_to_string(kept, ' '), '') AS text,
        CAST(len(t) - len(kept) AS BIGINT) AS n_removed
 FROM scl
 """,
-    doc="Corpus scrubbing as a four-leg tagged union (operators/scrub.py"
-    " + operators/decontam.py, pytest-only until r6; spans leg r8). "
+    doc="Corpus scrubbing as a five-leg tagged union (operators/scrub.py"
+    " + operators/decontam.py, pytest-only until r6; spans leg r8; "
+    "semdecontam leg r8 final — semantic_contaminated_ids over the "
+    f"embeddings table, vec_id<{_SEM_BENCH_MAX} stands in for the eval "
+    "set, broadcast nested-loop with the exact-integer quantized cosine "
+    f"at threshold {_SEM_T}; the oracle replays the identical quantize/"
+    "dot/sqrt expression tree so the >= compare is bit-consistent). "
     f"spans leg: cross-document repeated {_SPAN_N}-token-span removal "
     "(remove_repeated_spans — the substring-level dedup rung, Lee et "
     "al. shape): hot windows found by ONE distinct-doc count over "
@@ -198,6 +223,21 @@ def q_scrub_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("text"),
         nul_b.alias("n_removed"),
     )
+
+    from ..operators.decontam import semantic_contaminated_ids
+
+    emb = t(spark, sf_dir, "embeddings")
+    sem_leg = semantic_contaminated_ids(
+        emb,
+        emb.filter(F.col("vec_id") < _SEM_BENCH_MAX).select("embedding"),
+        threshold=_SEM_T,
+        id_col="vec_id",
+    ).select(
+        F.lit("semdecontam").alias("leg"),
+        F.col("vec_id").alias("doc_id"),
+        F.lit(None).cast("string").alias("text"),
+        nul_b.alias("n_removed"),
+    )
     from ..operators.pinning import lazy_checkpoint
 
     span_leg = remove_repeated_spans(
@@ -206,5 +246,6 @@ def q_scrub_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         red_leg.unionByName(boiler_leg)
         .unionByName(dec_leg)
+        .unionByName(sem_leg)
         .unionByName(span_leg)
     )
