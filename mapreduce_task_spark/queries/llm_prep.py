@@ -22,6 +22,7 @@ from ..functions.hashing import hash64_duckdb_sql
 from ..operators.chunking import chunk_documents, pack_chunks
 from ..operators.sampling import hash_sample, stratified_sample
 from ..registry import query, t
+from .llm_dedup import _QVEC_CTE, _kmeans_ctes
 
 _CHUNK_WORDS = 64
 _OVERLAP = 16
@@ -136,6 +137,9 @@ _MIX_W0 = 0.6              # mix_corpora weight: src0-src9 (4-char names)
 _MIX_W1 = 0.2              # mix_corpora weight: src10-src19
 
 _WEIGHTED_N = 200          # weighted_sample draw size
+_CLUSTERBAL_K = 8          # cluster_balanced_sample k-means clusters
+_CLUSTERBAL_ROUNDS = 1     # Lloyd rounds (oracle unrolls the same chain)
+_CLUSTERBAL_N = 30         # docs kept per cluster
 _KEY_SCALE = 10**9         # A-Res key quantization (see operators.sampling)
 _QBINS = 4                 # quality_bins quartiles over n_chars
 _QBINS_ACC = 1_000_000     # exact while n_docs <= accuracy
@@ -170,7 +174,9 @@ binned AS (SELECT doc_id, n_chars,
 @query(
     "sampling_shapes",
     f"""
-WITH {_CUTS_CTE}
+WITH {_CUTS_CTE},
+{_QVEC_CTE.strip()},
+{_kmeans_ctes(_CLUSTERBAL_K, _CLUSTERBAL_ROUNDS)}
 SELECT 'hash' AS leg, doc_id, lang, source, n_chars, CAST(NULL AS INT) AS bin
 FROM documents
 WHERE {hash64_duckdb_sql("concat('sample:', CAST(doc_id AS VARCHAR))")}
@@ -241,8 +247,23 @@ SELECT 'curriculum' AS leg, doc_id, CAST(NULL AS VARCHAR) AS lang,
 FROM binned
 WHERE {hash64_duckdb_sql("concat('curriculum:', CAST(doc_id AS VARCHAR))")}
       % 1000000 < {_CURR_CASE}
+UNION ALL
+SELECT 'clusterbal' AS leg, vec_id AS doc_id, CAST(NULL AS VARCHAR) AS lang,
+       CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n_chars,
+       CAST(cluster AS INT) AS bin
+FROM (SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY cluster
+                ORDER BY {hash64_duckdb_sql("concat('clusterbal:', CAST(vec_id AS VARCHAR))")}
+                         % 1000000, vec_id) AS rn
+      FROM m_final)
+WHERE rn <= {_CLUSTERBAL_N}
 """,
-    doc="Deterministic-sampling coverage as a ten-leg tagged union "
+    doc="Deterministic-sampling coverage as an eleven-leg tagged union "
+    "(clusterbal leg r8 final: cluster_balanced_sample — topic-balanced "
+    f"subsampling, seeded {_CLUSTERBAL_K}-means over embeddings + "
+    f"best-{_CLUSTERBAL_N}-per-cluster content-hash selection; the "
+    "oracle replays the identical k-means CTE chain the IVF/semantic "
+    "rows use plus the fixedn-style hash-order window) "
     "(merged hash_sample / stratified_sample r5; + weighted_sample / "
     "quality_bins / curriculum_mix / train_test_split / mix_corpora "
     "legs r8 — zero slot cost; every formerly-pytest-only sampler is "
@@ -368,6 +389,26 @@ def q_sampling_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_s.alias("source"), nul_b.alias("n_chars"),
         F.col("quality_bin").cast("int").alias("bin"),
     )
+    from ..operators.sampling import cluster_balanced_sample
+
+    emb = t(spark, sf_dir, "embeddings")
+    clusterbal_leg = cluster_balanced_sample(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=_CLUSTERBAL_K,
+        dim=64,
+        rounds=_CLUSTERBAL_ROUNDS,
+        n_per_cluster=_CLUSTERBAL_N,
+        salt="clusterbal",
+    ).select(
+        F.lit("clusterbal").alias("leg"),
+        F.col("vec_id").alias("doc_id"),
+        nul_s.alias("lang"),
+        nul_s.alias("source"),
+        nul_b.alias("n_chars"),
+        F.col("cluster").cast("int").alias("bin"),
+    )
     return (
         hash_leg.unionByName(strata_leg)
         .unionByName(cap_leg)
@@ -378,4 +419,5 @@ def q_sampling_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(weighted_leg)
         .unionByName(qbins_leg)
         .unionByName(curriculum_leg)
+        .unionByName(clusterbal_leg)
     )
