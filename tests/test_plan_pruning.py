@@ -53,15 +53,25 @@ def test_chunking_shapes_scans_read_only_id_and_text(spark, sf_small):
 
 
 def test_sampling_shapes_scans_prune_text_column(spark, sf_small):
-    # every leg of the merged sampling union projects only
+    # every documents leg of the merged sampling union projects only
     # (doc_id, lang, source, n_chars); text — the wide column — must
-    # never be read just to apply hash filters / window row caps
+    # never be read just to apply hash filters / window row caps. The
+    # clusterbal leg (r8) adds embeddings scans: those must read only
+    # (vec_id, embedding) — never the label column.
     df = all_queries()["sampling_shapes"].fn(spark, sf_small)
     schemas = _read_schemas(df)
     assert schemas
+    saw_docs = saw_emb = False
     for s in schemas:
-        assert "doc_id" in s
+        if "embedding" in s:
+            # the centroid-update branch even prunes vec_id away
+            saw_emb = True
+            assert "label" not in s, s
+        else:
+            saw_docs = True
+            assert "doc_id" in s
         assert "text" not in s, s
+    assert saw_docs and saw_emb
 
 
 def test_graph_analytics_scans_read_only_graph_columns(spark, sf_small):
@@ -79,10 +89,20 @@ def test_graph_analytics_scans_read_only_graph_columns(spark, sf_small):
 
 
 def test_scrub_shapes_scans_read_only_id_and_text(spark, sf_small):
+    # documents legs read only (doc_id, text); the semdecontam leg
+    # (r8) adds embeddings scans that must read only (vec_id,
+    # embedding) — never the label column
     df = all_queries()["scrub_shapes"].fn(spark, sf_small)
     schemas = _read_schemas(df)
     assert schemas
+    saw_docs = saw_emb = False
     for s in schemas:
+        if "embedding" in s:
+            saw_emb = True
+            assert "label" not in s, s
+            continue
+        saw_docs = True
         assert "doc_id" in s and "text" in s, s
         for unused in ("lang", "source", "n_chars"):
             assert unused not in s, s
+    assert saw_docs and saw_emb
