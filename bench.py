@@ -239,9 +239,14 @@ def main() -> int:
                 train_quality_model,
             )
 
+            # orderBy before limit: an unordered limit is evaluated
+            # independently in the two branches of the labeled union
+            # below (garbage twins derive from `good`), so it must be
+            # deterministic or the training sample — and the
+            # quality_train/score figures — drift across runs
             good = docs.select("doc_id", "text").where(
                 _F.col("text").isNotNull()
-            ).limit(2500)
+            ).orderBy("doc_id").limit(2500)
             garbage = good.select(
                 (_F.col("doc_id") + 10_000_000).alias("doc_id"),
                 _F.concat_ws(

@@ -91,11 +91,33 @@ def train_quality_model(
         model = pipe.fit(base)
     finally:
         base.unpersist()
-    _strip_training_summary(model)
+    if not _strip_training_summary(model):
+        model = _reload_round_trip(model)
     return model
 
 
-def _strip_training_summary(model: PipelineModel) -> None:
+def _reload_round_trip(model: PipelineModel) -> PipelineModel:
+    """Fallback when the JVM summary setter is unavailable (e.g. a
+    Spark upgrade renamed it): a save/load round trip, since a model
+    loaded from disk never carries a training summary. Local temp dir —
+    fine wherever the driver's default FS can see it; if even that
+    fails the original model is returned and the caller keeps the
+    pre-strip behavior."""
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="qm_strip_")
+    try:
+        target = f"{path}/model"
+        model.write().overwrite().save(target)
+        return PipelineModel.load(target)
+    except Exception:
+        return model
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _strip_training_summary(model: PipelineModel) -> bool:
     """Drop the fitted LR stage's training summary. The summary holds a
     reference to the SparkSession, and the session's ObservationManager
     is not java-serializable — so the moment ANY ``df.observe`` has
@@ -105,28 +127,38 @@ def _strip_training_summary(model: PipelineModel) -> None:
     model, the model drags the summary, the summary drags the session.
     Scoring needs only the coefficients; a model loaded from disk never
     has a summary either, so stripping makes the in-memory model match
-    the persisted contract. Best-effort via the JVM setter (public at
-    the bytecode level); a Spark that renames it just keeps the summary
-    and the caller sees the original behavior."""
+    the persisted contract. Uses the JVM setter (public at the
+    bytecode level); returns False when the probe fails for a stage
+    that DOES carry a summary, so the caller can fall back to a
+    save/load round trip instead of silently shipping a
+    session-entangled model."""
     try:
         from pyspark import SparkContext
 
         jvm = SparkContext._active_spark_context._jvm
         empty = jvm.scala.Option.empty()
     except Exception:
-        return
+        return False
+    ok = True
     for stage in model.stages:
         jo = getattr(stage, "_java_obj", None)
         if jo is None:
             continue
         # py4j resolves members lazily, so probe per stage: stages
-        # without a summary API (HashingTF, IDF) raise here and are
-        # skipped; only the classifier stage carries one
+        # without a summary API (HashingTF, IDF) raise on hasSummary()
+        # and are skipped; only the classifier stage carries one
         try:
-            if jo.hasSummary():
-                jo.setSummary(empty)
+            has = jo.hasSummary()
         except Exception:
             continue
+        if not has:
+            continue
+        try:
+            jo.setSummary(empty)
+            ok = ok and not jo.hasSummary()
+        except Exception:
+            ok = False
+    return ok
 
 
 def score_quality(
@@ -135,6 +167,11 @@ def score_quality(
     """Append ``quality_prob`` (P(label=1)) to every row of ``df``.
     Map-only: no shuffle, no Python workers; the model broadcast is
     one dense coefficient vector."""
+    # re-scoring a previously scored frame must REPLACE quality_prob,
+    # not produce a duplicate column name (which would make any later
+    # F.col("quality_prob") ambiguous at analysis time)
+    if "quality_prob" in df.columns:
+        df = df.drop("quality_prob")
     scored = model.transform(
         ensure_parallelism(df).withColumn(_TOKS, normalized_tokens(text_col))
     )

@@ -108,6 +108,58 @@ def test_model_round_trips_through_save_load(spark, labeled, tmp_path):
     assert a == b and len(a) == 40
 
 
+def test_in_memory_model_scores_after_session_observe(spark, labeled):
+    """The exact interaction _strip_training_summary exists for: once
+    ANY ``df.observe`` has registered on the session (the engine's O5
+    counters do this constantly), a fitted model that still drags its
+    training summary — and through it the session — dies with
+    Task-not-serializable at the first scoring action. Guard the strip
+    (or its save/load fallback) against Spark renaming the JVM
+    setter: observe first, then train, then score the IN-MEMORY model."""
+    from pyspark.sql import Observation
+
+    obs = Observation("qm_obs_guard")
+    probe = labeled.select("doc_id", "text").limit(50)
+    observed = probe.observe(obs, F.count(F.lit(1)).alias("n"))
+    assert observed.count() == 50  # registers the observation manager
+
+    model = train_quality_model(labeled.limit(200), dims_log2=15)
+    rows = score_quality(model, probe).collect()
+    assert len(rows) == 50
+    assert all(0.0 <= r["quality_prob"] <= 1.0 for r in rows)
+
+
+def test_rescore_replaces_quality_prob_column(spark, labeled):
+    """Re-scoring a previously scored frame replaces quality_prob
+    instead of appending a duplicate column (which would make any
+    downstream F.col('quality_prob') ambiguous at analysis time)."""
+    model = train_quality_model(labeled.limit(200), dims_log2=15)
+    once = score_quality(model, labeled.select("doc_id", "text").limit(30))
+    twice = score_quality(model, once)
+    assert twice.columns.count("quality_prob") == 1
+    # downstream threshold filter must analyze cleanly
+    assert twice.filter(F.col("quality_prob") >= 0.0).count() == 30
+
+
+def test_summary_strip_fallback_round_trip(spark, labeled):
+    """The save/load fallback produces a scorer bit-identical to the
+    original — exercised directly so a Spark that breaks the JVM
+    setter path still has a verified second path."""
+    from mapreduce_task_spark.operators.quality_model import (
+        _reload_round_trip,
+    )
+
+    model = train_quality_model(labeled.limit(200), dims_log2=15)
+    reloaded = _reload_round_trip(model)
+    probe = labeled.limit(30)
+    a = {r["doc_id"]: r["quality_prob"] for r in score_quality(model, probe).collect()}
+    b = {
+        r["doc_id"]: r["quality_prob"]
+        for r in score_quality(reloaded, probe).collect()
+    }
+    assert a == b and len(a) == 30
+
+
 def test_score_quality_total_on_empty_and_tokenless_input(spark, labeled):
     """Scoring is total: an empty frame scores to an empty frame, and a
     tokenless (empty-text) row gets the intercept-only probability

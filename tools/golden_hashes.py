@@ -34,7 +34,18 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 GOLDEN = REPO / "tests" / "golden" / "query_hashes_sf0001.json"
-SF_DIR = "/root/testdata/sf0.001"
+# Data dir: --sf-dir <path> wins, then $SPARK_GRAFT_GOLDEN_SF_DIR, then
+# the conftest SF_SMALL constant — the manifest is only meaningful for
+# the sf0.001 tables it was recorded against, but the PATH to them is
+# machine-specific.
+if "--sf-dir" in sys.argv:
+    SF_DIR = sys.argv[sys.argv.index("--sf-dir") + 1]
+else:
+    import os
+
+    SF_DIR = os.environ.get(
+        "SPARK_GRAFT_GOLDEN_SF_DIR", "/root/testdata/sf0.001"
+    )
 
 
 def canonical_hash(df) -> str:
