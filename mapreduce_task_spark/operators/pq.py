@@ -98,7 +98,16 @@ def _fit_codebook(
     ``operators.pinning``). Default ``lazy_checkpoint``: required for
     constant plan depth across rounds, but the blocks are unreplicated
     — an executor loss mid-fit kills the job (re-run, or pass
-    ``pinning.disk_persist`` to keep lineage recomputable)."""
+    ``pinning.disk_persist`` to keep lineage recomputable).
+
+    Measured negative results on the pin cadence (sf0.1, interleaved
+    same-session A/B): each ``localCheckpoint`` costs ~1.5-2 s of
+    driver-side Catalyst planning + codegen regardless of data size,
+    so pinning every 2nd round (or not at all) looked attractive —
+    but end-to-end ``ivfpq_topk`` came out FLAT (stride) or 2x WORSE
+    (no pins: the unpinned fit tree gets re-analyzed by each of its
+    consumers, giving back everything the skipped pins saved).
+    Per-round pinning stays."""
     if pin is None:
         pin = _lazy_checkpoint
     subs = _subvectors(qd, id_col, m, dsub)
@@ -245,18 +254,34 @@ def _fit_codebook_per_list(
 def _encode_codes_per_list(
     resid: DataFrame, cents: DataFrame, id_col: str, m: int, dsub: int
 ) -> DataFrame:
-    """Per-list code assignment: (id, cluster, codes)."""
-    assigned = _assign_codes_per_list(
-        _subvectors(resid, [id_col, "cluster"], m, dsub), cents, id_col
+    """Per-list code assignment: (id, cluster, codes). Map-only — the
+    (cluster, sub, j, cqv) codebook is packed into one broadcast row
+    and each vector computes all m argmins (over ITS cluster's book) as
+    one unrolled array expression; no explode, no re-grouping shuffle
+    (the former shape exploded m rows/vector and shuffled the corpus
+    back together on id — pure overhead once the codebook is already
+    a broadcast)."""
+    packed = cents.agg(
+        F.collect_list(F.struct("cluster", "sub", "j", "cqv")).alias("__c")
     )
-    return (
-        assigned.groupBy(id_col, "cluster")
-        .agg(F.collect_list(F.struct("sub", "code")).alias("__sc"))
-        .select(
-            id_col,
-            "cluster",
-            F.transform(F.array_sort("__sc"), lambda s: s["code"]).alias("codes"),
+
+    def best(s: int):
+        mine = F.filter(
+            F.col("__c"),
+            lambda c: (c["cluster"] == F.col("cluster")) & (c["sub"] == F.lit(s)),
         )
+        sqv = F.slice(F.col("qv"), s * dsub + 1, dsub)
+        return F.array_min(
+            F.transform(
+                mine,
+                lambda c: F.struct(
+                    _sub_dist(sqv, c["cqv"]).alias("d"), c["j"].alias("j")
+                ),
+            )
+        )["j"]
+
+    return resid.crossJoin(F.broadcast(packed)).select(
+        id_col, "cluster", F.array(*[best(s) for s in range(m)]).alias("codes")
     )
 
 
@@ -291,17 +316,39 @@ def pq_fit(
 
 
 def _encode_codes(
-    qd: DataFrame, cents: DataFrame, id_col: str, m: int, dsub: int
+    qd: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    m: int,
+    dsub: int,
+    extra: tuple = (),
 ) -> DataFrame:
-    """Code assignment over an already-quantized (id, qv) frame."""
-    assigned = _assign_codes(_subvectors(qd, id_col, m, dsub), cents, id_col)
-    return (
-        assigned.groupBy(id_col)
-        .agg(F.collect_list(F.struct("sub", "code")).alias("__sc"))
-        .select(
-            id_col,
-            F.transform(F.array_sort("__sc"), lambda s: s["code"]).alias("codes"),
-        )
+    """Code assignment over an already-quantized (id, qv) frame:
+    (id, *extra, codes). Map-only — the m x ksub codebook is packed
+    into one broadcast row and each vector computes all m subspace
+    argmins as one unrolled array expression (array_min over (d, j)
+    structs: exact int64 distance, ties to lowest code — identical
+    ordering to the former explode + groupBy(id) shape, without
+    shuffling the whole corpus back together on id). ``extra`` names
+    passthrough columns of ``qd`` (ivfpq threads ``cluster`` through,
+    which also deletes the former full-corpus codes-to-cluster
+    re-join)."""
+    packed = cents.agg(F.collect_list(F.struct("sub", "j", "cqv")).alias("__c"))
+
+    def best(s: int):
+        mine = F.filter(F.col("__c"), lambda c: c["sub"] == F.lit(s))
+        sqv = F.slice(F.col("qv"), s * dsub + 1, dsub)
+        return F.array_min(
+            F.transform(
+                mine,
+                lambda c: F.struct(
+                    _sub_dist(sqv, c["cqv"]).alias("d"), c["j"].alias("j")
+                ),
+            )
+        )["j"]
+
+    return qd.crossJoin(F.broadcast(packed)).select(
+        id_col, *extra, F.array(*[best(s) for s in range(m)]).alias("codes")
     )
 
 
@@ -349,24 +396,25 @@ def pq_adc_topk(
     codes = pq_encode(df, cents, id_col, vec_col, m, dim)
 
     qd = with_quantized(df, vec_col).select(id_col, "qv")
-    q_subs = _subvectors(
-        qd.join(query_ids.select(id_col), id_col), id_col, m, dsub
-    )
     # exact subspace distances query x (sub, j), packed per query
-    # ordered by (sub, j) for positional lookup
+    # ordered by (sub, j) for positional lookup. Map-only: the codebook
+    # is broadcast pre-sorted by (sub, j) — unique key, so array_sort
+    # is deterministic — and each query row computes its whole dtable
+    # as one transform; no explode, no groupBy(query) shuffle.
+    packed_cb = cents.agg(
+        F.array_sort(F.collect_list(F.struct("sub", "j", "cqv"))).alias("__cb")
+    )
     qdist = (
-        q_subs.join(F.broadcast(cents), "sub")
+        qd.join(query_ids.select(id_col), id_col)
+        .crossJoin(F.broadcast(packed_cb))
         .select(
             F.col(id_col).alias("query_id"),
-            F.struct("sub", "j", _sub_dist(F.col("sqv"), F.col("cqv")).alias("d")).alias(
-                "__e"
-            ),
-        )
-        .groupBy("query_id")
-        .agg(F.collect_list("__e").alias("__es"))
-        .select(
-            "query_id",
-            F.transform(F.array_sort("__es"), lambda e: e["d"]).alias("dtable"),
+            F.transform(
+                F.col("__cb"),
+                lambda c: _sub_dist(
+                    F.slice(F.col("qv"), c["sub"] * dsub + 1, dsub), c["cqv"]
+                ),
+            ).alias("dtable"),
         )
     )
     # Per-subspace entry count, read off the table itself: equals ksub
@@ -420,27 +468,40 @@ def _ivfpq_adc_scored(
     persisted-index search path (``ivfpq_search_index``) reproduces the
     inline operator bit-for-bit by construction — same expressions, same
     int64 arithmetic, same positional table layout. ``per_list=True``
-    joins the codebook on (cluster, sub) — each probed list's OWN
-    residual codebook (``_fit_codebook_per_list``) — instead of the
+    reads the codebook entries for (cluster, sub) — each probed list's
+    OWN residual codebook (``_fit_codebook_per_list``) — instead of the
     shared global (sub)-keyed one; everything downstream is identical
-    because the ADC table is already built per (query, cluster)."""
-    q_subs = _subvectors(rq, ["query_id", "cluster"], m, dsub)
-    qdist = (
-        q_subs.join(F.broadcast(cents), ["cluster", "sub"] if per_list else "sub")
-        .select(
-            "query_id",
-            "cluster",
-            F.struct(
-                "sub", "j", _sub_dist(F.col("sqv"), F.col("cqv")).alias("d")
-            ).alias("__e"),
+    because the ADC table is already built per (query, cluster).
+
+    The table build is map-only: the codebook is packed into one
+    broadcast row sorted by (sub, j) — unique key, deterministic sort —
+    and each (query, probed cluster) row computes its whole dtable as
+    one transform expression. No explode, no groupBy(query, cluster)
+    shuffle (the former shape shuffled the probe fan-out back together
+    just to re-pack what one projection can emit)."""
+    if per_list:
+        packed_cb = cents.agg(
+            F.collect_list(F.struct("cluster", "sub", "j", "cqv")).alias("__cb")
         )
-        .groupBy("query_id", "cluster")
-        .agg(F.collect_list("__e").alias("__es"))
-        .select(
-            "query_id",
-            "cluster",
-            F.transform(F.array_sort("__es"), lambda e: e["d"]).alias("dtable"),
+        # filter to THIS row's probed cluster, then sort: cluster is
+        # constant within the slice, so ordering is still (sub, j)
+        book = F.array_sort(
+            F.filter(F.col("__cb"), lambda c: c["cluster"] == F.col("cluster"))
         )
+    else:
+        packed_cb = cents.agg(
+            F.array_sort(F.collect_list(F.struct("sub", "j", "cqv"))).alias("__cb")
+        )
+        book = F.col("__cb")
+    qdist = rq.crossJoin(F.broadcast(packed_cb)).select(
+        "query_id",
+        "cluster",
+        F.transform(
+            book,
+            lambda c: _sub_dist(
+                F.slice(F.col("qv"), c["sub"] * dsub + 1, dsub), c["cqv"]
+            ),
+        ).alias("dtable"),
     )
     # per-subspace entry count read off the table itself (see pq_fit:
     # a sub-ksub corpus yields a smaller, still-uniform codebook)
@@ -560,11 +621,11 @@ def ivfpq_topk(
         cents = _fit_codebook(
             resid.select(id_col, "qv"), id_col, m, ksub, dsub, pq_rounds
         )
-        codes = _encode_codes(resid.select(id_col, "qv"), cents, id_col, m, dsub)
-        cand = (
-            resid.select(F.col(id_col).alias("cand_id"), "cluster")
-            .join(codes.withColumnRenamed(id_col, "cand_id"), "cand_id")
-        )
+        # cluster rides through the map-only encoder, so the candidate
+        # frame needs no codes-to-cluster re-join of the whole corpus
+        cand = _encode_codes(
+            resid, cents, id_col, m, dsub, extra=("cluster",)
+        ).select(F.col(id_col).alias("cand_id"), "cluster", "codes")
 
     probes = probe_clusters(
         qd.join(query_ids.select(id_col), id_col), coarse, id_col, nprobe=nprobe
@@ -652,10 +713,11 @@ def ivfpq_build_index(
             )
             cents.write.mode("overwrite").parquet(f"{path}/codebook")
             cents_l = spark.read.parquet(f"{path}/codebook")
-            codes = _encode_codes(resid.select(id_col, "qv"), cents_l, id_col, m, dsub)
-            resid.select(id_col, "cluster").join(codes, id_col).write.mode(
-                "overwrite"
-            ).partitionBy("cluster").parquet(f"{path}/codes")
+            _encode_codes(
+                resid, cents_l, id_col, m, dsub, extra=("cluster",)
+            ).write.mode("overwrite").partitionBy("cluster").parquet(
+                f"{path}/codes"
+            )
     finally:
         resid.unpersist()
 
