@@ -11,6 +11,7 @@ from .windows import (
     session_counts,
     sliding_counts,
     stateful_key_stats,
+    stateful_key_stats_v1,
     streaming_funnel,
     stateful_running_count,
     stream_from_directory,
@@ -23,6 +24,7 @@ __all__ = [
     "session_counts",
     "sliding_counts",
     "stateful_key_stats",
+    "stateful_key_stats_v1",
     "streaming_funnel",
     "stateful_running_count",
     "stream_from_directory",

@@ -280,6 +280,57 @@ def stateful_key_stats(
     )
 
 
+def stateful_key_stats_v1(
+    df: DataFrame, key_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """``stateful_key_stats`` on the ``applyInPandasWithState`` API:
+    identical output schema and per-key running (count, exact cent sum,
+    max) semantics, runnable on the default HDFS-backed state store
+    with no extra runtime dependencies.
+
+    Why both exist: the ``transformWithStateInPandas`` variant covers
+    the Spark 4 typed-state API (state handles, TTL, timers) but its
+    Python runner needs google.protobuf and the RocksDB provider —
+    absent in some environments (this container, where its runner test
+    is a recorded skip). This v1 twin pins the OPERATOR'S semantics
+    end-to-end wherever Arrow works: the batch-equivalence test drives
+    it against the same oracle aggregate, so the behavior contract the
+    TWS variant claims is verified even where its runner cannot start.
+    """
+    import pandas as pd
+
+    def update(
+        key, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            n, cents, mx = state.get
+            n, cents = int(n), int(cents)
+            mx = None if mx is None else float(mx)
+        else:
+            n, cents, mx = 0, 0, None
+        for pdf in pdfs:
+            n += len(pdf)
+            # per-row-rounded integer cents: the running sum is exact
+            # regardless of how rows slice into micro-batches
+            cents += int(pdf[value_col].mul(100).round().astype("int64").sum())
+            m = float(pdf[value_col].max())
+            mx = m if mx is None else max(mx, m)
+        state.update((n, cents, mx))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n": [n], "sum_cents": [cents], "max_value": [mx]}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} string, n bigint, sum_cents bigint, max_value double"
+        ),
+        stateStructType="n bigint, cents bigint, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_funnel(
     df: DataFrame,
     steps: list[str],

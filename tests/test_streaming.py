@@ -753,6 +753,48 @@ def test_transform_with_state_key_stats(spark, events_dir):
     assert final == expected and len(final) > 0
 
 
+def test_stateful_key_stats_v1_matches_batch_aggregate(spark, events_dir):
+    """The applyInPandasWithState twin of stateful_key_stats runs on
+    the default state store with no protobuf/RocksDB, so the operator's
+    SEMANTICS — per-key running (count, exact cent sum, max) converging
+    to the batch aggregate — are end-to-end verified in this container
+    even while the transformWithStateInPandas runner test above skips.
+    Same oracle aggregate, same monotone-final read-out."""
+    from mapreduce_task_spark.streaming import stateful_key_stats_v1
+
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        r["event_type"]: (r["n"], r["cents"], r["mx"])
+        for r in batch.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    stream = stream_from_directory(
+        spark, events_dir, batch.schema, maxFilesPerTrigger=1
+    )
+    q = (
+        stateful_key_stats_v1(stream)
+        .writeStream.format("memory")
+        .queryName("t_aipws_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {
+        r["event_type"]: (r["n"], r["cents"], r["mx"])
+        for r in spark.sql(
+            "select event_type, max(n) as n, max(sum_cents) as cents, "
+            "max(max_value) as mx from t_aipws_stats group by event_type"
+        ).collect()
+    }
+    assert final == expected and len(final) > 0
+
+
 def test_transform_with_state_plan_builds_without_runtime(spark, events_dir):
     """Plan construction for the TWS operator must not need protobuf or
     RocksDB — those are start()-time dependencies. Guards the API wiring
