@@ -392,3 +392,27 @@ def test_shuffle_shards_plans_one_exchange_no_global_sort(spark, sf_small):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_pq_encode_is_shuffle_free_map_projection(spark, sf_small):
+    """r9: PQ code assignment is a map-only broadcast projection — the
+    corpus-side plan between the vector scan and the (id, codes) output
+    must contain NO exchange at all (the pre-r9 shape exploded m
+    rows/vector and shuffled the corpus back together on id). The only
+    exchanges in the whole plan belong to the tiny codebook fit, never
+    to the corpus side; the codebook reaches the corpus as a broadcast.
+    """
+    from mapreduce_task_spark.operators.pq import pq_encode, pq_fit
+    from mapreduce_task_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    # pin the fit so the encode plan under test is ONLY the encode
+    cents = pq_fit(emb, m=8, ksub=4, dim=64, rounds=1).localCheckpoint(
+        eager=True
+    )
+    out = pq_encode(emb, cents, m=8, dim=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
