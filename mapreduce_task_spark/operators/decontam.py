@@ -124,3 +124,80 @@ def decontaminate_semantic(
         docs, bench, threshold, id_col, vec_col, bench_vec_col
     )
     return docs.join(bad, id_col, "left_anti")
+
+
+def split_leakage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    test_fraction: float = 0.3,
+    salt: str = "split",
+    k: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    pin=None,
+) -> DataFrame:
+    """Near-duplicate leakage across a deterministic train/test split:
+    (test ``id_col``, ``n_train_dups``) for every TEST-side document
+    whose exact shingle-Jaccard with some TRAIN-side document is
+    ``>= threshold``.
+
+    Why it exists: ``sampling.train_test_split`` makes the split
+    reproducible, but a hash split is oblivious to content — a test
+    document that near-duplicates a train document silently inflates
+    eval scores (the cross-split cousin of benchmark decontamination,
+    ``contaminated_ids``). This audit names the leaked test docs so a
+    pipeline can drop or re-home them before training.
+
+    Shape: ONE shingle + minhash-signature build over the whole corpus
+    (the same banded machinery as ``dedup.lsh_bands``); the split
+    predicate — the md5 ppm bucket ``train_test_split`` uses, same
+    salt semantics — lands on the tiny (id, band, band_sig) rows, so
+    candidates come from a band equi-join of the test side against the
+    train side (never all pairs, never a corpus self-join), and only
+    candidates pay the exact-Jaccard verify. At 100 TB this is the
+    standard LSH bucket-join cost plus one band-keyed shuffle —
+    content never rides the cross join.
+
+    ``pin`` materializes the shingle frame across its three consumers
+    (signature build + both verify sides); default None = no pinning
+    (see ``operators.pinning``).
+    """
+    from .dedup import (
+        BANDS,
+        NUM_HASHES,
+        jaccard_verify,
+        lsh_bands,
+        minhash_signature,
+    )
+    from .sampling import _BUCKETS, _bucket
+
+    nh = NUM_HASHES if num_hashes is None else num_hashes
+    nb = BANDS if bands is None else bands
+    thr = int(round(test_fraction * _BUCKETS))
+
+    sh = shingles(docs, id_col, text_col, k=k)
+    if pin is not None:
+        sh = pin(sh)
+    sig = minhash_signature(sh, id_col, nh)
+    banded = lsh_bands(sig, id_col, nh, nb).withColumn(
+        "__bkt", _bucket(id_col, salt)
+    )
+    test_b = banded.filter(F.col("__bkt") < thr).select(
+        F.col(id_col).alias("id_a"), "band", "band_sig"
+    )
+    train_b = banded.filter(F.col("__bkt") >= thr).select(
+        F.col(id_col).alias("id_b"), "band", "band_sig"
+    )
+    cand = (
+        test_b.join(train_b, ["band", "band_sig"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ver = jaccard_verify(cand, sh, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+    return ver.groupBy(F.col("id_a").alias(id_col)).agg(
+        F.count_distinct("id_b").alias("n_train_dups")
+    )

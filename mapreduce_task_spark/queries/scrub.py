@@ -1,7 +1,7 @@
 """Corpus-scrubbing driver queries (operators/scrub.py + operators/
 decontam.py; pytest-only until round 6).
 
-Five cleaning legs in one tagged union, each exactly SQL-replayable:
+Six cleaning legs in one tagged union, each exactly SQL-replayable:
 
 - ``redact``: the synthetic corpus carries no PII, so the leg PLANTS a
   deterministic suffix per document (email + URL + IPv4 + phone, all
@@ -23,6 +23,11 @@ Five cleaning legs in one tagged union, each exactly SQL-replayable:
   leakage no shingle ever would.
 - ``spans``: cross-document repeated token-span removal (see the leg
   doc below).
+- ``splitleak``: near-dup leakage across the deterministic train/test
+  split (decontam.split_leakage) — test docs whose exact
+  shingle-Jaccard with some train doc clears the dedup threshold, via
+  the banded minhash machinery the dedup_minhash_lsh oracle already
+  replays.
 """
 
 from __future__ import annotations
@@ -32,7 +37,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.hashing import hash64_duckdb_sql
 from ..operators.scrub import redact_pii, remove_boilerplate_lines
 from ..registry import query, t
-from .llm_dedup import _PARA_CTE, _PARA_WORDS, _QVEC_CTE, _WORDS_CTE
+from .llm_dedup import (
+    _PARA_CTE,
+    _PARA_WORDS,
+    _QVEC_CTE,
+    _SIG_CTE,
+    _band_selects_from,
+)
 
 _BOILER_DF_MAX = 1   # windows appearing in >1 distinct docs are removed
 _DECONTAM_N = 8      # shingle length for contamination
@@ -43,6 +54,40 @@ _SEM_T = 0.35        # semantic-contamination cosine threshold
 # stand-ins plus their planted near-duplicates)
 _SPAN_N = 8          # repeated-span window length (raw whitespace tokens)
 _SPAN_DF_MAX = 1     # spans in >1 distinct docs are cut from all of them
+_LEAK_FRACTION = 0.3  # test-side fraction of the deterministic split
+_LEAK_SALT = "split"  # train_test_split's default salt semantics
+_LEAK_J = 0.5         # exact shingle-Jaccard leakage threshold
+_LEAK_THR = int(round(_LEAK_FRACTION * 1_000_000))  # ppm bucket cut
+
+# Split-leakage replay: the md5 ppm split bucket lands on the banded
+# minhash signatures (sig/bands from _SIG_CTE — the SAME CTEs the
+# dedup_minhash_lsh oracle replays), test bands equi-join train bands,
+# candidates verify by exact shingle Jaccard.
+_LEAK_BKT = hash64_duckdb_sql(
+    f"concat('{_LEAK_SALT}:', CAST(doc_id AS VARCHAR))"
+)
+_LEAK_CTES = f"""
+lbands AS ({_band_selects_from('sig')}),
+lb AS (SELECT doc_id, band, band_sig, {_LEAK_BKT} % 1000000 AS bkt
+       FROM lbands),
+lcand AS (SELECT DISTINCT t.doc_id AS id_a, r.doc_id AS id_b
+          FROM lb t JOIN lb r
+            ON t.band = r.band AND t.band_sig = r.band_sig
+          WHERE t.bkt < {_LEAK_THR} AND r.bkt >= {_LEAK_THR}),
+lsz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+lint AS (SELECT c.id_a, c.id_b, count(*) AS inter
+         FROM lcand c
+         JOIN sh sa ON sa.doc_id = c.id_a
+         JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+         GROUP BY c.id_a, c.id_b),
+lleak AS (SELECT i.id_a AS doc_id, count(DISTINCT i.id_b) AS n_removed
+          FROM lint i
+          JOIN lsz na ON na.doc_id = i.id_a
+          JOIN lsz nb ON nb.doc_id = i.id_b
+          WHERE CAST(i.inter AS DOUBLE) /
+                CAST(na.n + nb.n - i.inter AS DOUBLE) >= {_LEAK_J}
+          GROUP BY i.id_a)
+"""
 
 # repeated token-span removal replay: window hashes per start position,
 # hot-window distinct-doc count, covered-index filter (DuckDB lambda
@@ -108,10 +153,11 @@ _REDACT_SQL = (
 @query(
     "scrub_shapes",
     f"""
-WITH {_WORDS_CTE},
+WITH {_SIG_CTE},
 {_SH8_CTE},
 {_PARA_CTE},
 {_SPANS_CTE},
+{_LEAK_CTES},
 {_QVEC_CTE.strip()},
 pii AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents),
 red AS (SELECT doc_id, {_REDACT_SQL} AS text FROM pii),
@@ -148,8 +194,20 @@ SELECT 'spans' AS leg, doc_id,
        coalesce(array_to_string(kept, ' '), '') AS text,
        CAST(len(t) - len(kept) AS BIGINT) AS n_removed
 FROM scl
+UNION ALL
+SELECT 'splitleak' AS leg, doc_id, CAST(NULL AS VARCHAR) AS text,
+       CAST(n_removed AS BIGINT) AS n_removed
+FROM lleak
 """,
-    doc="Corpus scrubbing as a five-leg tagged union (operators/scrub.py"
+    doc="Corpus scrubbing as a six-leg tagged union (operators/scrub.py"
+    " + operators/decontam.py). splitleak leg (r9): split_leakage — "
+    f"near-dup leakage across the deterministic {_LEAK_FRACTION} "
+    "train/test md5-ppm split (test docs whose exact shingle-Jaccard "
+    f"with a train doc >= {_LEAK_J}, found via the SAME banded minhash "
+    "machinery as dedup_minhash_lsh: one signature build, band "
+    "equi-join of test bands against train bands, exact verify on "
+    "candidates only — content never rides the cross join; the oracle "
+    "replays bucket, bands and Jaccard bit-for-bit). "
     " + operators/decontam.py, pytest-only until r6; spans leg r8; "
     "semdecontam leg r8 final — semantic_contaminated_ids over the "
     f"embeddings table, vec_id<{_SEM_BENCH_MAX} stands in for the eval "
@@ -243,9 +301,25 @@ def q_scrub_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     span_leg = remove_repeated_spans(
         docs, n=_SPAN_N, df_max=_SPAN_DF_MAX, pin=lazy_checkpoint
     ).select(F.lit("spans").alias("leg"), "doc_id", "text", "n_removed")
+
+    from ..operators.decontam import split_leakage
+
+    leak_leg = split_leakage(
+        docs,
+        test_fraction=_LEAK_FRACTION,
+        salt=_LEAK_SALT,
+        threshold=_LEAK_J,
+        pin=lazy_checkpoint,
+    ).select(
+        F.lit("splitleak").alias("leg"),
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.col("n_train_dups").alias("n_removed"),
+    )
     return (
         red_leg.unionByName(boiler_leg)
         .unionByName(dec_leg)
         .unionByName(sem_leg)
         .unionByName(span_leg)
+        .unionByName(leak_leg)
     )

@@ -157,3 +157,88 @@ def test_semantic_decontam_total_on_empty_sides(spark, sf_small):
         ).count()
         == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# split_leakage: near-dup leakage across the deterministic train/test split
+
+
+def test_split_leakage_agrees_with_exhaustive_cross_pairs(spark, sf_small):
+    """Every (test, train) pair the banded-LSH audit reports must also
+    clear the EXHAUSTIVE cross-split exact-Jaccard bar, and the audit's
+    per-doc dup counts must match the exhaustive counts restricted to
+    LSH candidates' recall — verified the other way: every exhaustive
+    pair whose signature collides in some band is found. On the
+    sf0.001 corpus the planted near-dups are close enough (j >= 0.5
+    with 16 hashes / 8 bands -> candidate probability ~0.90+ per pair)
+    that the two agree exactly; a miss here means the band join or the
+    split predicate drifted."""
+    from mapreduce_task_spark.operators.dedup import all_pairs_jaccard, shingles
+    from mapreduce_task_spark.operators.decontam import split_leakage
+    from mapreduce_task_spark.operators.sampling import _BUCKETS, _bucket
+    from mapreduce_task_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    got = {
+        r["doc_id"]: r["n_train_dups"]
+        for r in split_leakage(
+            docs, test_fraction=0.3, salt="split", threshold=0.5
+        ).collect()
+    }
+
+    # exhaustive oracle: all cross-split pairs at the same threshold
+    thr = int(round(0.3 * _BUCKETS))
+    sides = docs.select(
+        "doc_id", (_bucket("doc_id", "split") < thr).alias("is_test")
+    )
+    pairs = all_pairs_jaccard(shingles(docs), min_jaccard=0.5)
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "jaccard"
+        )
+    )
+    crossed = (
+        sym.join(sides.select(F.col("doc_id").alias("id_a"), "is_test"), "id_a")
+        .filter(F.col("is_test"))
+        .drop("is_test")
+        .join(
+            sides.select(F.col("doc_id").alias("id_b"), "is_test"), "id_b"
+        )
+        .filter(~F.col("is_test"))
+    )
+    want = {
+        r["id_a"]: r["n"]
+        for r in crossed.groupBy("id_a")
+        .agg(F.count_distinct("id_b").alias("n"))
+        .collect()
+    }
+    # LSH is a candidate filter: got ⊆ want always; equality holds on
+    # this corpus because planted dups collide in >=1 of the 8 bands
+    assert got == want and len(got) > 0
+
+
+def test_split_leakage_total_on_empty_and_disjoint_input(spark):
+    """Empty corpus -> empty audit; a corpus whose docs share nothing
+    across the split -> empty audit (no false leaks)."""
+    from pyspark.sql import Row
+
+    from mapreduce_task_spark.operators.decontam import split_leakage
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert split_leakage(empty).count() == 0
+
+    # letter-only words: token normalization strips [^a-z], so digit
+    # suffixes would collapse every doc to the same shingles
+    def letters(n: int) -> str:
+        return "".join(chr(ord("a") + int(d)) for d in str(n))
+
+    distinct_docs = spark.createDataFrame(
+        [
+            Row(
+                doc_id=i,
+                text=" ".join(f"w{letters(i)}x{letters(j)}" for j in range(12)),
+            )
+            for i in range(40)
+        ]
+    )
+    assert split_leakage(distinct_docs, test_fraction=0.5).count() == 0
