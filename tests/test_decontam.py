@@ -242,3 +242,92 @@ def test_split_leakage_total_on_empty_and_disjoint_input(spark):
         ]
     )
     assert split_leakage(distinct_docs, test_fraction=0.5).count() == 0
+
+
+def _py_bucket(doc_id: int, salt: str = "split") -> int:
+    """Python twin of sampling._bucket: md5-ppm over 'salt:id'."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:15], 16)
+    return h % 1_000_000
+
+
+def _py_shingles(text: str, k: int = 3) -> set:
+    import re as _re
+
+    toks = [
+        t
+        for t in (
+            _re.sub("[^a-z]", "", w.lower())
+            for w in _re.split(r"\s+", text, flags=_re.ASCII)
+        )
+        if t
+    ]
+    return {
+        " ".join(toks[i : i + k]) for i in range(max(0, len(toks) - k + 1))
+    }
+
+
+def test_split_leakage_sound_and_complete_on_planted_duplicates(spark):
+    """Soundness: every reported test doc has, per a pure-Python
+    reference, at least one TRAIN doc with exact shingle-Jaccard >=
+    threshold (the audit never invents leaks, never reports a
+    train-side or within-split doc). Completeness for true duplicates:
+    an EXACT copy shares the full signature, so it collides in every
+    band — whenever an (original, copy) pair straddles the split, the
+    test-side member MUST be reported. Uses planted exact dups over
+    letter-only words (token normalization strips digits)."""
+    from pyspark.sql import Row
+
+    from mapreduce_task_spark.operators.decontam import split_leakage
+
+    def letters(n: int) -> str:
+        return "".join(chr(ord("a") + int(d)) for d in str(n))
+
+    texts = {}
+    rows = []
+    for i in range(30):
+        base = " ".join(f"q{letters(i)}z{letters(j)}" for j in range(10))
+        texts[i] = base
+        texts[100 + i] = base  # exact duplicate under a different id
+        rows.append(Row(doc_id=i, text=base))
+        rows.append(Row(doc_id=100 + i, text=base))
+    docs = spark.createDataFrame(rows)
+
+    frac, thr_j = 0.5, 0.5
+    got = {
+        r["doc_id"]: r["n_train_dups"]
+        for r in split_leakage(
+            docs, test_fraction=frac, salt="split", threshold=thr_j
+        ).collect()
+    }
+
+    cut = int(round(frac * 1_000_000))
+    is_test = {d: _py_bucket(d) < cut for d in texts}
+    sh = {d: _py_shingles(t) for d, t in texts.items()}
+
+    def jac(a, b):
+        inter = len(sh[a] & sh[b])
+        u = len(sh[a] | sh[b])
+        return inter / u if u else 0.0
+
+    # soundness: every reported doc is test-side with a real train dup
+    for d in got:
+        assert is_test[d], f"{d} reported but not test-side"
+        mates = [
+            o
+            for o in texts
+            if o != d and not is_test[o] and jac(d, o) >= thr_j
+        ]
+        assert mates, f"{d} reported with no qualifying train mate"
+        assert got[d] <= len(mates)
+
+    # completeness on exact dups: straddling (i, 100+i) must be caught
+    expected_caught = {
+        (a if is_test[a] else b)
+        for a, b in ((i, 100 + i) for i in range(30))
+        if is_test[a] != is_test[b]
+    }
+    assert expected_caught, "fixture degenerate: no pair straddles the split"
+    missing = expected_caught - set(got)
+    assert not missing, f"exact dups across the split not reported: {missing}"
