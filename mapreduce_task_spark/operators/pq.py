@@ -254,35 +254,12 @@ def _fit_codebook_per_list(
 def _encode_codes_per_list(
     resid: DataFrame, cents: DataFrame, id_col: str, m: int, dsub: int
 ) -> DataFrame:
-    """Per-list code assignment: (id, cluster, codes). Map-only — the
-    (cluster, sub, j, cqv) codebook is packed into one broadcast row
-    and each vector computes all m argmins (over ITS cluster's book) as
-    one unrolled array expression; no explode, no re-grouping shuffle
-    (the former shape exploded m rows/vector and shuffled the corpus
-    back together on id — pure overhead once the codebook is already
-    a broadcast)."""
-    packed = cents.agg(
-        F.collect_list(F.struct("cluster", "sub", "j", "cqv")).alias("__c")
-    )
-
-    def best(s: int):
-        mine = F.filter(
-            F.col("__c"),
-            lambda c: (c["cluster"] == F.col("cluster")) & (c["sub"] == F.lit(s)),
-        )
-        sqv = F.slice(F.col("qv"), s * dsub + 1, dsub)
-        return F.array_min(
-            F.transform(
-                mine,
-                lambda c: F.struct(
-                    _sub_dist(sqv, c["cqv"]).alias("d"), c["j"].alias("j")
-                ),
-            )
-        )["j"]
-
-    return resid.crossJoin(F.broadcast(packed)).select(
-        id_col, "cluster", F.array(*[best(s) for s in range(m)]).alias("codes")
-    )
+    """Per-list code assignment: (id, cluster, codes) — ``_encode_codes``
+    with ``per_list=True`` (each vector argmins over ITS cluster's own
+    residual codebook)."""
+    return _encode_codes(
+        resid, cents, id_col, m, dsub, extra=("cluster",), per_list=True
+    ).select(id_col, "cluster", "codes")
 
 
 def pq_fit(
@@ -322,32 +299,65 @@ def _encode_codes(
     m: int,
     dsub: int,
     extra: tuple = (),
+    per_list: bool = False,
 ) -> DataFrame:
     """Code assignment over an already-quantized (id, qv) frame:
-    (id, *extra, codes). Map-only — the m x ksub codebook is packed
-    into one broadcast row and each vector computes all m subspace
-    argmins as one unrolled array expression (array_min over (d, j)
-    structs: exact int64 distance, ties to lowest code — identical
-    ordering to the former explode + groupBy(id) shape, without
-    shuffling the whole corpus back together on id). ``extra`` names
-    passthrough columns of ``qd`` (ivfpq threads ``cluster`` through,
-    which also deletes the former full-corpus codes-to-cluster
-    re-join)."""
-    packed = cents.agg(F.collect_list(F.struct("sub", "j", "cqv")).alias("__c"))
+    (id, *extra, codes). Map-only — the codebook is packed into one
+    broadcast row pre-sorted by (sub, j) (unique key, deterministic
+    sort) and each vector computes all m subspace argmins as one
+    unrolled array expression (array_min over (d, j) structs: exact
+    int64 distance, ties to lowest code — identical ordering to the
+    former explode + groupBy(id) shape, without shuffling the whole
+    corpus back together on id).
+
+    Because every subspace carries the SAME entry count (dense
+    codebook contract, see ``pq_fit``), subspace ``s``'s entries are a
+    positional ``slice`` of the sorted book — each codebook entry is
+    touched ONCE per vector, not once per subspace (the filter-per-
+    subspace shape did m passes over all m*ksub structs on the
+    full-corpus hot path).
+
+    ``extra`` names passthrough columns of ``qd`` (ivfpq threads
+    ``cluster`` through, which also deletes the former full-corpus
+    codes-to-cluster re-join). ``per_list=True`` packs the
+    (cluster, sub, j, cqv) per-inverted-list codebook and narrows it
+    to the row's own cluster with ONE filter pass, hoisted into its
+    own projection by hand (codegen CSE does not deduplicate lambda
+    subtrees, so referencing the filter from all m argmins would
+    re-run it m times)."""
+    if per_list:
+        packed = cents.agg(
+            F.array_sort(
+                F.collect_list(F.struct("cluster", "sub", "j", "cqv"))
+            ).alias("__cb")
+        )
+        # the row's own cluster book: cluster is constant within the
+        # filtered slice, so ordering is still (sub, j)
+        book = F.filter(F.col("__cb"), lambda c: c["cluster"] == F.col("cluster"))
+    else:
+        packed = cents.agg(
+            F.array_sort(F.collect_list(F.struct("sub", "j", "cqv"))).alias("__cb")
+        )
+        book = F.col("__cb")
+    pre = qd.crossJoin(F.broadcast(packed)).select(
+        id_col, *extra, "qv", book.alias("__bk")
+    )
+    # per-subspace entry count read off the (possibly per-cluster) book
+    nsub = (F.size("__bk") / F.lit(m)).cast("int")
 
     def best(s: int):
-        mine = F.filter(F.col("__c"), lambda c: c["sub"] == F.lit(s))
+        entries = F.slice(F.col("__bk"), s * nsub + F.lit(1), nsub)
         sqv = F.slice(F.col("qv"), s * dsub + 1, dsub)
         return F.array_min(
             F.transform(
-                mine,
+                entries,
                 lambda c: F.struct(
                     _sub_dist(sqv, c["cqv"]).alias("d"), c["j"].alias("j")
                 ),
             )
         )["j"]
 
-    return qd.crossJoin(F.broadcast(packed)).select(
+    return pre.select(
         id_col, *extra, F.array(*[best(s) for s in range(m)]).alias("codes")
     )
 

@@ -99,16 +99,20 @@ def train_quality_model(
 def _reload_round_trip(model: PipelineModel) -> PipelineModel:
     """Fallback when the JVM summary setter is unavailable (e.g. a
     Spark upgrade renamed it): a save/load round trip, since a model
-    loaded from disk never carries a training summary. Local temp dir —
-    fine wherever the driver's default FS can see it; if even that
-    fails the original model is returned and the caller keeps the
-    pre-strip behavior."""
+    loaded from disk never carries a training summary. The path is
+    pinned to the LOCAL filesystem with an explicit ``file://`` scheme
+    — without it, ML writers resolve relative to ``fs.defaultFS``, so
+    on an HDFS-defaulted cluster the model parquet would land on HDFS
+    while the local ``shutil.rmtree`` cleans only the empty temp dir,
+    leaking a model directory per fallback run. If even this fails the
+    original model is returned and the caller keeps the pre-strip
+    behavior."""
     import shutil
     import tempfile
 
     path = tempfile.mkdtemp(prefix="qm_strip_")
     try:
-        target = f"{path}/model"
+        target = f"file://{path}/model"
         model.write().overwrite().save(target)
         return PipelineModel.load(target)
     except Exception:
@@ -128,10 +132,13 @@ def _strip_training_summary(model: PipelineModel) -> bool:
     Scoring needs only the coefficients; a model loaded from disk never
     has a summary either, so stripping makes the in-memory model match
     the persisted contract. Uses the JVM setter (public at the
-    bytecode level); returns False when the probe fails for a stage
-    that DOES carry a summary, so the caller can fall back to a
-    save/load round trip instead of silently shipping a
-    session-entangled model."""
+    bytecode level); returns False when the strip cannot be PROVEN —
+    either a setter failed on a summary-bearing stage, or no stage
+    reported a summary at all (a freshly fitted pipeline always has
+    one on the classifier stage, so "none found" means the probe API
+    itself changed — e.g. hasSummary renamed — not that the model is
+    clean). Either way the caller falls back to a save/load round
+    trip instead of silently shipping a session-entangled model."""
     try:
         from pyspark import SparkContext
 
@@ -139,7 +146,7 @@ def _strip_training_summary(model: PipelineModel) -> bool:
         empty = jvm.scala.Option.empty()
     except Exception:
         return False
-    ok = True
+    ok, found = True, False
     for stage in model.stages:
         jo = getattr(stage, "_java_obj", None)
         if jo is None:
@@ -153,12 +160,13 @@ def _strip_training_summary(model: PipelineModel) -> bool:
             continue
         if not has:
             continue
+        found = True
         try:
             jo.setSummary(empty)
             ok = ok and not jo.hasSummary()
         except Exception:
             ok = False
-    return ok
+    return ok and found
 
 
 def score_quality(

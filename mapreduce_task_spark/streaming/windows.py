@@ -193,6 +193,19 @@ _STATE_SCHEMA = "n bigint"
 _OUT_SCHEMA = "event_type string, n bigint"
 
 
+def _cents_half_up(values) -> int:
+    """Sum of per-row integer cents, rounded HALF UP — the same
+    convention as Spark's ``F.round`` (and the batch oracles built on
+    it). pandas ``.round()`` is banker's half-to-even, which diverges
+    by 1 on exactly-representable .5-cent values (e.g. 0.125 * 100 =
+    12.5: pandas -> 12, Spark -> 13)."""
+    import numpy as np
+
+    c = values.to_numpy(dtype="float64") * 100.0
+    half_up = np.where(c >= 0, np.floor(c + 0.5), np.ceil(c - 0.5))
+    return int(half_up.astype("int64").sum())
+
+
 def stateful_running_count(df: DataFrame, key_col: str = "event_type") -> DataFrame:
     """Custom stateful operator: cumulative per-key count across
     micro-batches via applyInPandasWithState.
@@ -254,9 +267,7 @@ def stateful_key_stats(
                 n, cents, mx = int(prev[0]), int(prev[1]), float(prev[2])
             for pdf in rows:
                 n += len(pdf)
-                cents += int(
-                    pdf[value_col].mul(100).round().astype("int64").sum()
-                )
+                cents += _cents_half_up(pdf[value_col])
                 m = float(pdf[value_col].max())
                 mx = m if mx is None else max(mx, m)
             self._st.update((n, cents, mx))
@@ -312,7 +323,7 @@ def stateful_key_stats_v1(
             n += len(pdf)
             # per-row-rounded integer cents: the running sum is exact
             # regardless of how rows slice into micro-batches
-            cents += int(pdf[value_col].mul(100).round().astype("int64").sum())
+            cents += _cents_half_up(pdf[value_col])
             m = float(pdf[value_col].max())
             mx = m if mx is None else max(mx, m)
         state.update((n, cents, mx))

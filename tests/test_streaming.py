@@ -795,6 +795,46 @@ def test_stateful_key_stats_v1_matches_batch_aggregate(spark, events_dir):
     assert final == expected and len(final) > 0
 
 
+def test_stateful_cent_rounding_is_half_up(spark, tmp_path):
+    """Exactly-representable .5-cent values must round HALF UP like
+    Spark's F.round (the batch oracle), not banker's half-to-even:
+    0.125 * 100 = 12.5 exactly -> 13 cents, 0.375 -> 38. pandas
+    .round() gives 12/38 and quietly breaks the exact-cent-sum
+    contract on these inputs (regression for the _cents_half_up fix)."""
+    from mapreduce_task_spark.streaming import stateful_key_stats_v1
+
+    src = str(tmp_path / "halfup_src")
+    rows = [("a", 0.125), ("a", 0.375), ("b", -0.125)]
+    batch = spark.createDataFrame(rows, "event_type string, value double")
+    batch.coalesce(1).write.parquet(src)
+    expected = {
+        r["event_type"]: r["cents"]
+        for r in batch.groupBy("event_type")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+        .collect()
+    }
+    stream = stream_from_directory(spark, src, batch.schema)
+    q = (
+        stateful_key_stats_v1(stream)
+        .writeStream.format("memory")
+        .queryName("t_halfup")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_type"]: r["cents"]
+        for r in spark.sql(
+            "select event_type, max(sum_cents) as cents from t_halfup "
+            "group by event_type"
+        ).collect()
+    }
+    assert got == expected
+    # and the convention itself: 12.5 -> 13, 37.5 -> 38 (half UP)
+    assert expected["a"] == 13 + 38
+
+
 def test_transform_with_state_plan_builds_without_runtime(spark, events_dir):
     """Plan construction for the TWS operator must not need protobuf or
     RocksDB — those are start()-time dependencies. Guards the API wiring

@@ -35,11 +35,14 @@ sys.path.insert(0, str(REPO))
 
 GOLDEN = REPO / "tests" / "golden" / "query_hashes_sf0001.json"
 # Data dir: --sf-dir <path> wins, then $SPARK_GRAFT_GOLDEN_SF_DIR, then
-# the conftest SF_SMALL constant — the manifest is only meaningful for
+# the default sf0.001 location — the manifest is only meaningful for
 # the sf0.001 tables it was recorded against, but the PATH to them is
 # machine-specific.
 if "--sf-dir" in sys.argv:
-    SF_DIR = sys.argv[sys.argv.index("--sf-dir") + 1]
+    _i = sys.argv.index("--sf-dir")
+    if _i + 1 >= len(sys.argv):
+        sys.exit("usage: golden_hashes.py [--update] [--sf-dir <path>]")
+    SF_DIR = sys.argv[_i + 1]
 else:
     import os
 
