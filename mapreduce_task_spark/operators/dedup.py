@@ -594,6 +594,7 @@ def incremental_minhash_dedup(
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
     batch_shingles: DataFrame | None = None,
+    batch_sigs: DataFrame | None = None,
     pin: "Pin | None" = None,
     sigs: str = "full",
 ) -> tuple[DataFrame, DataFrame]:
@@ -627,7 +628,10 @@ def incremental_minhash_dedup(
     If the caller already holds the batch's shingle frame (the shape
     ``shingles()`` returns — e.g. a pipeline that shingled the whole
     corpus once and persisted it), pass it as ``batch_shingles`` so
-    this operator never pays a second tokenize+shingle scan.
+    this operator never pays a second tokenize+shingle scan; likewise
+    ``batch_sigs`` (the ``minhash_signature`` shape) skips the batch
+    signature aggregation when the caller already holds a corpus
+    signature table — per-doc aggregates slice exactly.
 
     ``pin`` controls how the multi-consumer intermediates (the batch
     shingle frame, the signature frame, the kept-signature frame, the
@@ -662,7 +666,16 @@ def incremental_minhash_dedup(
         if batch_shingles is not None
         else shingles(new_docs, id_col, text_col)
     )
-    sig = pin(minhash_signature(sh, id_col, num_hashes))
+    # batch_sigs: like batch_shingles, the already-computed form — a
+    # signature is a per-doc aggregate, so a caller holding a corpus
+    # signature table passes its batch slice and this operator never
+    # re-aggregates the batch shingles (filter-then-aggregate equals
+    # aggregate-then-filter on the group key, bit-for-bit)
+    sig = pin(
+        batch_sigs
+        if batch_sigs is not None
+        else minhash_signature(sh, id_col, num_hashes)
+    )
 
     # stage 1: within-batch near-dups at full fidelity
     pairs = jaccard_verify(

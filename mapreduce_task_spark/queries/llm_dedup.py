@@ -399,7 +399,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scans inside jaccard_verify (sizes + both pair sides); at cluster
     # scale this would be a DISK_ONLY persist or a checkpoint.
     sh = _persist(shingles(docs))
-    cand = lsh_candidate_pairs(lsh_bands(minhash_signature(sh)))
+    # ONE signature aggregation over the corpus; every later consumer
+    # (pairs-leg bands, the historical table stand-in, the batch side
+    # of the ingest) is a doc_id SLICE of it — a signature is a per-doc
+    # aggregate, so filter-after equals filter-before, bit-for-bit.
+    # Pre-r9 this row aggregated signatures three times.
+    sig_all = minhash_signature(sh).localCheckpoint(eager=False)
+    cand = lsh_candidate_pairs(lsh_bands(sig_all))
     nul = F.lit(None).cast("long")
     pairs_leg = (
         jaccard_verify(cand, sh)
@@ -412,19 +418,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             nul.alias("doc_id"),
         )
     )
-    # the derived stand-in for the persisted signature table feeds both
-    # the historical band derivation and the agreement join — pin it
-    # (production reads it from parquet, paying this once at write).
-    # Both legs derive from the ALREADY-persisted shingle frame `sh`:
-    # neither side re-tokenizes or re-shingles a single document.
-    hist_sigs = minhash_signature(
-        sh.filter(F.col("doc_id") < _INGEST_SPLIT)
-    ).localCheckpoint(eager=False)
+    # both ingest sides derive from the ALREADY-pinned frames: neither
+    # re-tokenizes, re-shingles, or re-aggregates a single document
+    # (production reads the signature table from parquet).
+    hist_sigs = sig_all.filter(F.col("doc_id") < _INGEST_SPLIT)
     batch = docs.filter(F.col("doc_id") >= _INGEST_SPLIT)
     fresh, _sigs = incremental_minhash_dedup(
         batch,
         hist_sigs,
         batch_shingles=sh.filter(F.col("doc_id") >= _INGEST_SPLIT),
+        batch_sigs=sig_all.filter(F.col("doc_id") >= _INGEST_SPLIT),
         pin=lazy_checkpoint,
     )
     inc_leg = fresh.select(
