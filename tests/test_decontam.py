@@ -331,3 +331,20 @@ def test_split_leakage_sound_and_complete_on_planted_duplicates(spark):
     assert expected_caught, "fixture degenerate: no pair straddles the split"
     missing = expected_caught - set(got)
     assert not missing, f"exact dups across the split not reported: {missing}"
+
+
+def test_split_leakage_drop_then_reaudit_is_clean(spark, sf_small):
+    """The audit-then-act loop closes: anti-join the reported test docs
+    out of the corpus and re-run the audit — zero leaks remain. (Only
+    TEST-side docs are dropped, so the train side — and therefore the
+    training corpus — is untouched; this is the consumer contract the
+    operator's output shape exists for.)"""
+    from mapreduce_task_spark.operators.decontam import split_leakage
+    from mapreduce_task_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    kw = dict(test_fraction=0.3, salt="split", threshold=0.5)
+    leaked = split_leakage(docs, **kw).select("doc_id")
+    assert leaked.count() > 0  # fixture must actually exercise the loop
+    cleaned = docs.join(leaked, "doc_id", "left_anti")
+    assert split_leakage(cleaned, **kw).count() == 0
