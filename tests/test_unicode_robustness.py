@@ -91,3 +91,15 @@ def test_fingerprints_total_over_unicode_shingles(spark, uni_df):
     assert {r["doc_id"] for r in got} <= {r[0] for r in ROWS}
     for r in got:
         assert r["fp"] % 8 == 0
+
+
+def test_split_leakage_total_over_unicode_corpus(spark, uni_df):
+    """The cross-split leakage audit is total over CJK/emoji/RTL/empty/
+    NULL rows: no crash, and nothing is reported from a corpus whose
+    rows share no normalized 3-gram (non-Latin text tokenizes to
+    few/zero [a-z] words — below shingle length, so it can never
+    register as a near-dup; NULL and empty text likewise)."""
+    from mapreduce_task_spark.operators.decontam import split_leakage
+
+    out = split_leakage(uni_df, test_fraction=0.5, threshold=0.5).collect()
+    assert out == []
