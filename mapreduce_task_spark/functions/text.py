@@ -55,3 +55,53 @@ def words(df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()) -> 
         exploded.select(*cols, normalize_token("__raw").alias("word"))
         .filter(F.length("word") > 0)
     )
+
+
+def unicode_normalize(
+    col: Column | str, form: str = "NFC"
+) -> Column:
+    """Unicode-normalize a string column (NFC/NFD/NFKC/NFKD).
+
+    Why it exists: the dedup ladder hashes text bytes — "Café" as
+    U+00E9 (composed) and as e+U+0301 (decomposed) are the same text
+    to a reader but different shingles, digests, and minhashes, so
+    un-normalized corpora silently under-deduplicate. Production
+    pipelines normalize (usually NFC; NFKC to also fold compatibility
+    forms like fullwidth digits and ligatures) BEFORE exact dedup /
+    shingling.
+
+    Implementation: Arrow-batched pandas UDF over ``unicodedata`` —
+    the JVM expression library has no normalizer builtin, so this is
+    the documented legitimate use of the Python slow path (one
+    C-level pass per batch, NULL-preserving). DuckDB replays NFC as
+    ``nfc_normalize``; the NFK* forms have no DuckDB twin, so
+    operators built on them stay pytest-verified.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def _norm(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    # real class objects, not strings: this module's `from __future__
+    # import annotations` would stringify inline hints, and pyspark's
+    # hint resolution can't see a function-local pandas import
+    _norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    norm_udf = pandas_udf(_norm, "string")
+    return norm_udf(F.col(col) if isinstance(col, str) else col)
+
+
+def normalize_unicode_text(
+    df: DataFrame, text_col: str = "text", form: str = "NFC"
+) -> DataFrame:
+    """``df`` with ``text_col`` replaced by its ``form``-normalized
+    text — the pre-dedup normalization pass (see ``unicode_normalize``).
+    Map-only; every other column rides through untouched."""
+    return df.withColumn(text_col, unicode_normalize(text_col, form))

@@ -1,0 +1,97 @@
+"""Unicode normalization (functions/text.py:unicode_normalize) — the
+pre-dedup pass that makes composed and decomposed text hash alike."""
+
+import unicodedata
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from mapreduce_task_spark.functions.text import (
+    normalize_unicode_text,
+    unicode_normalize,
+)
+
+# "Café" composed (U+00E9) vs decomposed (e + U+0301); fullwidth and
+# ligature forms for the NFKC compatibility fold
+COMPOSED = "Café costs １０"          # é + fullwidth 10
+DECOMPOSED = "Café costs １０"
+LIGATURE = "oﬃce"                              # oﬃce with ffi ligature
+
+ROWS = [
+    (1, COMPOSED),
+    (2, DECOMPOSED),
+    (3, LIGATURE),
+    (4, None),
+    (5, ""),
+    (6, "plain ascii stays identical"),
+]
+
+
+@pytest.fixture(scope="module")
+def uni(spark):
+    return spark.createDataFrame(ROWS, "doc_id int, text string")
+
+
+def test_nfc_makes_composed_and_decomposed_hash_alike(spark, uni):
+    """The dedup motivation: before NFC the two Café rows have
+    different md5s; after NFC they are byte-identical."""
+    pre = uni.filter(F.col("doc_id").isin(1, 2)).select(
+        F.md5(F.encode("text", "UTF-8")).alias("h")
+    )
+    assert len({r["h"] for r in pre.collect()}) == 2
+    post = normalize_unicode_text(uni.filter(F.col("doc_id").isin(1, 2))).select(
+        F.md5(F.encode("text", "UTF-8")).alias("h")
+    )
+    assert len({r["h"] for r in post.collect()}) == 1
+
+
+def test_matches_python_unicodedata_and_preserves_nulls(spark, uni):
+    for form in ("NFC", "NFD", "NFKC", "NFKD"):
+        got = {
+            r["doc_id"]: r["n"]
+            for r in uni.select(
+                "doc_id", unicode_normalize("text", form).alias("n")
+            ).collect()
+        }
+        want = {
+            i: (unicodedata.normalize(form, t) if t is not None else None)
+            for i, t in ROWS
+        }
+        assert got == want
+
+
+def test_nfkc_folds_compatibility_forms(spark, uni):
+    out = {
+        r["doc_id"]: r["n"]
+        for r in normalize_unicode_text(uni, form="NFKC")
+        .select("doc_id", F.col("text").alias("n"))
+        .collect()
+    }
+    assert out[3] == "office"          # ligature folded
+    assert out[1].endswith("10")       # fullwidth digits folded
+    assert out[6] == "plain ascii stays identical"
+
+
+def test_nfc_agrees_with_duckdb_nfc_normalize(spark, uni):
+    """Cross-engine spot check: Spark-side NFC (unicodedata) equals
+    DuckDB's nfc_normalize on the same strings — evidence an oracle
+    COULD replay NFC-built operators (NFK* forms have no DuckDB twin,
+    which is why unicode-normalizing operators stay pytest-verified)."""
+    import duckdb
+
+    got = {
+        r["doc_id"]: r["n"]
+        for r in uni.select(
+            "doc_id", unicode_normalize("text", "NFC").alias("n")
+        ).collect()
+    }
+    for i, t in ROWS:
+        if t is None:
+            continue
+        (want,) = duckdb.sql("SELECT nfc_normalize(?)", params=[t]).fetchone()
+        assert got[i] == want, f"doc {i}"
+
+
+def test_bad_form_rejected(spark):
+    with pytest.raises(ValueError):
+        unicode_normalize("text", "NFX")
