@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.hashing import affine_minhash_cols, hash64
-from ..functions.text import normalize_token, normalized_tokens, tokenize
+from ..functions.text import (
+    normalize_token,
+    normalized_tokens,
+    tokenize,
+    unicode_normalize,
+)
 from ..sources.tables import ensure_parallelism
 from .pinning import Pin, no_pin as _no_pin
 
@@ -53,7 +58,11 @@ def positioned_words(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    unicode_form: str | None = None,
 ) -> DataFrame:
     """Distinct word k-gram shingles per document: (id, shingle).
 
@@ -63,9 +72,22 @@ def shingles(
     ``concat``), then per-doc ``array_distinct`` and one explode. Zero
     shuffles, zero window sorts: a narrow map-only stage regardless of
     corpus size.
+
+    ``unicode_form`` (opt-in, e.g. "NFC"/"NFKC") unicode-normalizes
+    the text first (``functions.text.unicode_normalize``) so composed
+    and decomposed forms of the same text shingle alike — an
+    Arrow-batched Python stage, so the default None keeps the plan
+    pure-JVM (the driver queries' plan-asserted contract; the
+    [a-z]-only tokenizer makes the default safe for ASCII-ish corpora,
+    while multilingual corpora should opt in upstream or here).
     """
+    txt = (
+        unicode_normalize(text_col, unicode_form)
+        if unicode_form
+        else F.col(text_col)
+    )
     base = ensure_parallelism(df).select(
-        F.col(id_col), normalized_tokens(text_col).alias("__toks")
+        F.col(id_col), normalized_tokens(txt).alias("__toks")
     )
     toks = F.col("__toks")
     sep = F.lit(" ")
@@ -504,7 +526,10 @@ def _null_safe_digest_key(id_col: str):
 
 
 def exact_dedup_groups(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unicode_form: str | None = None,
 ) -> DataFrame:
     """Exact dedup: group by content hash, keep min-id representative.
 
@@ -519,9 +544,20 @@ def exact_dedup_groups(
     per-row grouping key and come back as their own singleton groups
     (text_md5 NULL, n_copies 1). Empty string is real (identical)
     content and still dedupes.
+
+    ``unicode_form`` (opt-in, e.g. "NFC") unicode-normalizes the text
+    before hashing so composed and decomposed forms of the same text
+    count as ONE duplicate group — md5 over raw bytes otherwise treats
+    U+00E9 and e+U+0301 as different content. Default None keeps the
+    plan pure-JVM (the normalizer is an Arrow-batched Python stage).
     """
+    txt = (
+        unicode_normalize(text_col, unicode_form)
+        if unicode_form
+        else F.col(text_col)
+    )
     return (
-        df.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        df.select(F.md5(txt).alias("text_md5"), F.col(id_col))
         .groupBy(_null_safe_digest_key(id_col).alias("__gk"))
         .agg(
             F.min("text_md5").alias("text_md5"),

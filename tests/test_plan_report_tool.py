@@ -30,3 +30,18 @@ def test_summarize_counts_plan_features():
     assert s["pushed_filters"] == 1
     assert s["scans"] == 2
     assert s["read_schema_cols"] == [2, 1]
+
+
+def test_top_level_field_count_ignores_nested_commas():
+    from_schema = plan_report._top_level_fields
+    assert from_schema("") == 0
+    assert from_schema("a:bigint") == 1
+    # decimal(p,s) and map<k,v> commas are NOT field separators
+    assert from_schema("o_orderkey:bigint,o_totalprice:decimal(12,2)") == 2
+    assert from_schema("m:map<string,int>,a:array<struct<x:int,y:int>>") == 2
+
+
+def test_python_stage_inventory_covers_future_pandas_nodes():
+    plan = "AggregateInPandas [..]\n+- WindowInPandas [..]\n+- PythonMapInArrow [..]"
+    s = plan_report.summarize(plan)
+    assert s["python_stages"]["arrow"] >= 3

@@ -95,3 +95,34 @@ def test_nfc_agrees_with_duckdb_nfc_normalize(spark, uni):
 def test_bad_form_rejected(spark):
     with pytest.raises(ValueError):
         unicode_normalize("text", "NFX")
+
+
+def test_exact_dedup_and_shingles_opt_in_normalization(spark):
+    """The wiring the helper exists for: with unicode_form='NFC' the
+    composed and decomposed Café docs fall into ONE exact-dup group
+    and produce IDENTICAL shingle sets; without it they are (wrongly
+    but by-design, plan-purity default) distinct content."""
+    from pyspark.sql import Row
+
+    from mapreduce_task_spark.operators.dedup import exact_dedup_groups, shingles
+
+    text_c = "nous allons au Café demain matin ensemble"
+    text_d = "nous allons au Café demain matin ensemble"
+    assert text_c != text_d
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=text_c), Row(doc_id=2, text=text_d)]
+    )
+
+    raw_groups = exact_dedup_groups(docs).count()
+    assert raw_groups == 2  # raw bytes differ
+    nfc_groups = exact_dedup_groups(docs, unicode_form="NFC").collect()
+    assert len(nfc_groups) == 1 and nfc_groups[0]["n_copies"] == 2
+
+    by_doc = (
+        shingles(docs, unicode_form="NFC")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("shingle")).alias("s"))
+        .collect()
+    )
+    sets = {r["doc_id"]: tuple(r["s"]) for r in by_doc}
+    assert sets[1] == sets[2] and len(sets[1]) > 0

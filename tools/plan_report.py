@@ -33,6 +33,40 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
+# every Arrow-batched Python physical node Spark can plan — not just
+# the ones today's queries use, so a future query with a grouped-agg /
+# window / cogroup / mapInArrow pandas stage can't read as "pure JVM"
+_ARROW_NODES = (
+    "ArrowEvalPython",
+    "MapInPandas",
+    "PythonMapInArrow",
+    "MapInArrow",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "AggregateInPandas",
+    "WindowInPandas",
+    "FlatMapGroupsInPandasWithState",
+    "TransformWithStateInPandas",
+)
+
+
+def _top_level_fields(schema: str) -> int:
+    """Count top-level fields of a struct<...> body: commas at angle-
+    bracket/paren depth 0 (decimal(12,2) and map<k,v> carry commas that
+    must NOT count as field separators)."""
+    if not schema:
+        return 0
+    depth, fields = 0, 1
+    for ch in schema:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fields += 1
+    return fields
+
+
 def summarize(plan: str) -> dict:
     return {
         "exchanges": {
@@ -42,10 +76,7 @@ def summarize(plan: str) -> dict:
             "broadcast": plan.count("BroadcastExchange"),
         },
         "python_stages": {
-            "arrow": sum(
-                plan.count(s)
-                for s in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
-            ),
+            "arrow": sum(plan.count(s) for s in _ARROW_NODES),
             "rowwise": plan.count("BatchEvalPython"),
         },
         "cartesian": plan.count("CartesianProduct"),
@@ -58,7 +89,7 @@ def summarize(plan: str) -> dict:
         ),
         "scans": plan.count("FileScan parquet"),
         "read_schema_cols": [
-            len(m.split(",")) if m else 0
+            _top_level_fields(m)
             for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
         ],
         # NOTE: no whole-stage-codegen count — under AQE, codegen is
@@ -75,8 +106,18 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     names = set(args[1:])
+    unknown = names - set(all_queries())
+    if unknown:
+        sys.exit(f"unknown queries: {sorted(unknown)}")
 
-    spark = get_spark()
+    # default explain metadata truncates at 100 chars, silently cutting
+    # wide scans' ReadSchema/PushedFilters before their closing bracket
+    # — exactly the scans where the pruning story matters
+    spark = get_spark(
+        extra_conf={"spark.sql.maxMetadataStringLength": "10000"}
+    )
+    # runtime-settable: also apply when an existing session was reused
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     rows, totals = [], {"rowwise_python": 0, "cartesian": 0}
     for name, q in sorted(all_queries().items()):
         if names and name not in names:
