@@ -320,6 +320,11 @@ def pagerank_int(
         )
         # ranks feeds two consumers next round (dangling + contribs);
         # the pin keeps plan depth constant without running a job at
-        # plan-build time (same discipline as operators.pq)
+        # plan-build time (same discipline as operators.pq). r9
+        # measured the row as plan-build dominated (execution of all
+        # 6 rounds is sub-second at sf0.1) and A/B'd pinning every 2nd
+        # round instead: ~1 s WORSE warm — both consumers re-analyze
+        # the unpinned round's tree, the same negative result as the
+        # PQ codebook fit. Per-round pinning stays.
         ranks = pin(ranks)
     return ranks.select("node", "rank_pu")
