@@ -173,6 +173,66 @@ def main() -> int:
             extras["ivf_search_only_sec"] = min(
                 search_once() for _ in range(best_of)
             )
+
+            # quality beside speed: recall@k of the persisted index
+            # against the exact int64 L2 ranking (the same ground
+            # truth the pytest recall gates use) — an ANN search time
+            # means nothing without its recall
+            from pyspark.sql import Window as _W
+
+            from mapreduce_task_spark.operators.similarity import (
+                ann_recall,
+                int_dot,
+                with_quantized,
+            )
+
+            def _exact_l2_topk(k: int):
+                qd = with_quantized(emb).select("vec_id", "qv", "nq")
+                qs = _F.broadcast(
+                    qd.join(queries.select("vec_id"), "vec_id").select(
+                        _F.col("vec_id").alias("query_id"),
+                        _F.col("qv").alias("qv_q"),
+                        _F.col("nq").alias("nq_q"),
+                    )
+                )
+                scored = (
+                    qs.crossJoin(
+                        qd.select(
+                            _F.col("vec_id").alias("cand_id"),
+                            _F.col("qv").alias("qv_c"),
+                            _F.col("nq").alias("nq_c"),
+                        )
+                    )
+                    .filter(_F.col("cand_id") != _F.col("query_id"))
+                    .select(
+                        "query_id",
+                        "cand_id",
+                        (
+                            _F.col("nq_q")
+                            + _F.col("nq_c")
+                            - 2 * int_dot(_F.col("qv_q"), _F.col("qv_c"))
+                        ).alias("l2"),
+                    )
+                )
+                w = _W.partitionBy("query_id").orderBy(
+                    _F.asc("l2"), _F.asc("cand_id")
+                )
+                return scored.select(
+                    "*", _F.row_number().over(w).alias("rank")
+                ).filter(_F.col("rank") <= k)
+
+            def _macro_recall(exact, approx) -> float:
+                row = (
+                    ann_recall(exact, approx)
+                    .filter(_F.col("query_id") == "MACRO")
+                    .collect()
+                )
+                return round(float(row[0]["recall"]), 3) if row else 0.0
+
+            extras["ivf_recall_at5"] = _macro_recall(
+                _exact_l2_topk(5),
+                ivf_search_index(spark, idx_dir, queries, k=5, nprobe=2),
+            )
             shutil.rmtree(idx_dir, ignore_errors=True)
 
             # Same split for IVF-PQ (r5 verdict #3): codes-at-rest index
@@ -200,6 +260,12 @@ def main() -> int:
 
             extras["ivfpq_search_only_sec"] = min(
                 pq_search_once() for _ in range(best_of)
+            )
+            extras["ivfpq_recall_at10"] = _macro_recall(
+                _exact_l2_topk(10),
+                ivfpq_search_index(
+                    spark, pq_dir, queries, k=10, nprobe=2, m=8, dim=64
+                ),
             )
             shutil.rmtree(pq_dir, ignore_errors=True)
 
