@@ -174,52 +174,17 @@ def main() -> int:
                 search_once() for _ in range(best_of)
             )
 
-            # quality beside speed: recall@k of the persisted index
-            # against the exact int64 L2 ranking (the same ground
-            # truth the pytest recall gates use) — an ANN search time
-            # means nothing without its recall
-            from pyspark.sql import Window as _W
-
+            # quality beside speed: recall@k of each persisted index
+            # against the SAME ground truth its pytest recall gate
+            # uses — cosine brute force for IVF (ivf ranks by cosine),
+            # exact int64 L2 for IVF-PQ (ADC approximates L2). Each
+            # recall is fenced in its own try so a transient failure
+            # neither leaks the temp index dir nor kills the unrelated
+            # downstream extras.
             from mapreduce_task_spark.operators.similarity import (
                 ann_recall,
-                int_dot,
-                with_quantized,
+                brute_force_topk,
             )
-
-            def _exact_l2_topk(k: int):
-                qd = with_quantized(emb).select("vec_id", "qv", "nq")
-                qs = _F.broadcast(
-                    qd.join(queries.select("vec_id"), "vec_id").select(
-                        _F.col("vec_id").alias("query_id"),
-                        _F.col("qv").alias("qv_q"),
-                        _F.col("nq").alias("nq_q"),
-                    )
-                )
-                scored = (
-                    qs.crossJoin(
-                        qd.select(
-                            _F.col("vec_id").alias("cand_id"),
-                            _F.col("qv").alias("qv_c"),
-                            _F.col("nq").alias("nq_c"),
-                        )
-                    )
-                    .filter(_F.col("cand_id") != _F.col("query_id"))
-                    .select(
-                        "query_id",
-                        "cand_id",
-                        (
-                            _F.col("nq_q")
-                            + _F.col("nq_c")
-                            - 2 * int_dot(_F.col("qv_q"), _F.col("qv_c"))
-                        ).alias("l2"),
-                    )
-                )
-                w = _W.partitionBy("query_id").orderBy(
-                    _F.asc("l2"), _F.asc("cand_id")
-                )
-                return scored.select(
-                    "*", _F.row_number().over(w).alias("rank")
-                ).filter(_F.col("rank") <= k)
 
             def _macro_recall(exact, approx) -> float:
                 row = (
@@ -229,11 +194,15 @@ def main() -> int:
                 )
                 return round(float(row[0]["recall"]), 3) if row else 0.0
 
-            extras["ivf_recall_at5"] = _macro_recall(
-                _exact_l2_topk(5),
-                ivf_search_index(spark, idx_dir, queries, k=5, nprobe=2),
-            )
-            shutil.rmtree(idx_dir, ignore_errors=True)
+            try:
+                extras["ivf_recall_at5"] = _macro_recall(
+                    brute_force_topk(emb, queries.select("vec_id"), k=5),
+                    ivf_search_index(spark, idx_dir, queries, k=5, nprobe=2),
+                )
+            except Exception:
+                pass
+            finally:
+                shutil.rmtree(idx_dir, ignore_errors=True)
 
             # Same split for IVF-PQ (r5 verdict #3): codes-at-rest index
             # built once, then ADC search against the cluster-partitioned
@@ -261,13 +230,58 @@ def main() -> int:
             extras["ivfpq_search_only_sec"] = min(
                 pq_search_once() for _ in range(best_of)
             )
-            extras["ivfpq_recall_at10"] = _macro_recall(
-                _exact_l2_topk(10),
-                ivfpq_search_index(
-                    spark, pq_dir, queries, k=10, nprobe=2, m=8, dim=64
-                ),
-            )
-            shutil.rmtree(pq_dir, ignore_errors=True)
+            try:
+                # exact int64 L2 top-10: brute_force_topk's scaffolding
+                # with the ADC metric — squared L2 over the same
+                # quantized vectors, ascending, ties to lowest cand_id
+                # (the tests/test_pq.py gate convention)
+                from pyspark.sql import Window as _W
+
+                from mapreduce_task_spark.operators.similarity import (
+                    int_dot,
+                    with_quantized,
+                )
+
+                qd = with_quantized(emb).select("vec_id", "qv", "nq")
+                qb = _F.broadcast(
+                    qd.join(queries.select("vec_id"), "vec_id").select(
+                        _F.col("vec_id").alias("query_id"),
+                        _F.col("qv").alias("qv_q"),
+                        _F.col("nq").alias("nq_q"),
+                    )
+                )
+                l2 = (
+                    _F.col("nq_q")
+                    + _F.col("nq_c")
+                    - 2 * int_dot(_F.col("qv_q"), _F.col("qv_c"))
+                )
+                scored = (
+                    qb.crossJoin(
+                        qd.select(
+                            _F.col("vec_id").alias("cand_id"),
+                            _F.col("qv").alias("qv_c"),
+                            _F.col("nq").alias("nq_c"),
+                        )
+                    )
+                    .filter(_F.col("cand_id") != _F.col("query_id"))
+                    .select("query_id", "cand_id", l2.alias("l2"))
+                )
+                w10 = _W.partitionBy("query_id").orderBy(
+                    _F.asc("l2"), _F.asc("cand_id")
+                )
+                exact10 = scored.select(
+                    "*", _F.row_number().over(w10).alias("rank")
+                ).filter(_F.col("rank") <= 10)
+                extras["ivfpq_recall_at10"] = _macro_recall(
+                    exact10,
+                    ivfpq_search_index(
+                        spark, pq_dir, queries, k=10, nprobe=2, m=8, dim=64
+                    ),
+                )
+            except Exception:
+                pass
+            finally:
+                shutil.rmtree(pq_dir, ignore_errors=True)
 
             # Same split for lexical retrieval (r8): BM25 postings
             # persisted once, then term-pushdown search against the
