@@ -111,15 +111,25 @@ def main() -> int:
 
     from mapreduce_task_spark.queries.llm_dedup import release_persists
 
-    def run_once(name) -> float:
+    def run_once(name) -> tuple[float, float, float]:
+        """One timed pass, split into BUILD (the query builder call —
+        py4j column construction, driver-side Catalyst work, and any
+        jobs iterative builders run eagerly, e.g. Lloyd/fixpoint
+        rounds) and RUN (the noop-sink action: analysis + codegen +
+        execution of the final plan). The r9 instrumented breakdowns
+        showed the heaviest rows are planning-bound at sf0.1; the
+        split makes that visible per-row in every artifact instead of
+        being re-derived each round. Returns (total, build, run)."""
         t0 = time.perf_counter()
-        qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = round(time.perf_counter() - t0, 3)
+        df = qs[name].fn(spark, sf_dir)
+        t1 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        t2 = time.perf_counter()
         # release any cached intermediates the query build persisted, so
         # the NEXT query never runs with stale storage-memory pressure
         # (the round-2 dedup_embedding_cosine regression)
         release_persists()
-        return dt
+        return round(t2 - t0, 3), round(t1 - t0, 3), round(t2 - t1, 3)
 
     # The container shares cores with a periodic heavy background task;
     # a pass that overlaps one shows a 2-10x spike on whatever queries
@@ -128,11 +138,16 @@ def main() -> int:
     # per-query comparisons reproducible.
     best_of = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    phases: dict[str, dict[str, float]] = {}
     for name in qs:
         if only and name not in only:
             continue
         try:
-            timings[name] = min(run_once(name) for _ in range(best_of))
+            total, build, run = min(
+                (run_once(name) for _ in range(best_of)), key=lambda t: t[0]
+            )
+            timings[name] = total
+            phases[name] = {"build_sec": build, "run_sec": run}
         except Exception as e:  # a broken query shouldn't kill the bench
             timings[name] = -1.0
             print(f"bench: {name} failed: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
@@ -195,12 +210,35 @@ def main() -> int:
                 return round(float(row[0]["recall"]), 3) if row else 0.0
 
             try:
+                exact5 = brute_force_topk(emb, queries.select("vec_id"), k=5)
                 extras["ivf_recall_at5"] = _macro_recall(
-                    brute_force_topk(emb, queries.select("vec_id"), k=5),
+                    exact5,
                     ivf_search_index(spark, idx_dir, queries, k=5, nprobe=2),
                 )
-            except Exception:
-                pass
+                # recall/latency frontier (r9 verdict #6): the registry
+                # row is one point; the sweep records how recall buys
+                # latency as the probe set widens, so nprobe choices are
+                # made from the recorded curve, not re-measured ad hoc.
+                sweep = {}
+                for np_ in (1, 2, 4, 8):
+                    t0 = time.perf_counter()
+                    res = ivf_search_index(spark, idx_dir, queries, k=5, nprobe=np_)
+                    res.write.format("noop").mode("overwrite").save()
+                    dt = round(time.perf_counter() - t0, 3)
+                    sweep[str(np_)] = {
+                        "recall_at5": _macro_recall(
+                            exact5,
+                            ivf_search_index(
+                                spark, idx_dir, queries, k=5, nprobe=np_
+                            ),
+                        ),
+                        "search_sec": dt,
+                    }
+                extras["ivf_nprobe_sweep"] = sweep
+            except Exception as e:
+                # a genuine regression must not degrade to a silently
+                # missing key — record it in the artifact
+                extras["ivf_recall_error"] = repr(e)[:200]
             finally:
                 shutil.rmtree(idx_dir, ignore_errors=True)
 
@@ -278,8 +316,49 @@ def main() -> int:
                         spark, pq_dir, queries, k=10, nprobe=2, m=8, dim=64
                     ),
                 )
-            except Exception:
-                pass
+                # r10: the exact-rerank refine stage (ADC shortlist of
+                # refine*k, exact int64 L2 on the index's persisted
+                # vectors) — recall AND latency recorded beside the
+                # pure-ADC point, plus the nprobe frontier for the
+                # refined search.
+                t0 = time.perf_counter()
+                refined = ivfpq_search_index(
+                    spark, pq_dir, queries, k=10, nprobe=2, m=8, dim=64,
+                    refine=10,
+                )
+                refined.write.format("noop").mode("overwrite").save()
+                extras["ivfpq_search_refined_sec"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                extras["ivfpq_recall_at10_refined"] = _macro_recall(
+                    exact10,
+                    ivfpq_search_index(
+                        spark, pq_dir, queries, k=10, nprobe=2, m=8, dim=64,
+                        refine=10,
+                    ),
+                )
+                sweep = {}
+                for np_ in (1, 2, 4, 8):
+                    t0 = time.perf_counter()
+                    res = ivfpq_search_index(
+                        spark, pq_dir, queries, k=10, nprobe=np_, m=8,
+                        dim=64, refine=10,
+                    )
+                    res.write.format("noop").mode("overwrite").save()
+                    dt = round(time.perf_counter() - t0, 3)
+                    sweep[str(np_)] = {
+                        "recall_at10": _macro_recall(
+                            exact10,
+                            ivfpq_search_index(
+                                spark, pq_dir, queries, k=10, nprobe=np_,
+                                m=8, dim=64, refine=10,
+                            ),
+                        ),
+                        "search_sec": dt,
+                    }
+                extras["ivfpq_refined_nprobe_sweep"] = sweep
+            except Exception as e:
+                extras["ivfpq_recall_error"] = repr(e)[:200]
             finally:
                 shutil.rmtree(pq_dir, ignore_errors=True)
 
@@ -380,6 +459,7 @@ def main() -> int:
                 "value": round(sum(ok.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "phases": phases,
                 "sf": sf,
                 "cpu_canary": cpu_canary(),
                 "extras": extras,

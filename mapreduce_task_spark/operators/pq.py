@@ -516,12 +516,16 @@ def _ivfpq_adc_scored(
     # per-subspace entry count read off the table itself (see pq_fit:
     # a sub-ksub corpus yields a smaller, still-uniform codebook)
     nsub = (F.size("dtable") / F.lit(m)).cast("int")
+    # the candidate's home cluster rides along (it is the join key, so
+    # it is free): the refine stage uses it to prune the original-vector
+    # read to probed list directories. Unrefined callers drop it.
     return (
         cand.join(F.broadcast(qdist), "cluster")
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
+            "cluster",
             F.aggregate(
                 F.sequence(F.lit(0), F.lit(m - 1)),
                 F.lit(0).cast("bigint"),
@@ -544,6 +548,49 @@ def _rank_topk_by_distance(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _refine_exact(
+    shortlist: DataFrame,
+    qvecs: DataFrame,
+    cvecs: DataFrame,
+    k: int,
+    on: list[str],
+) -> DataFrame:
+    """Exact-rerank refine stage: re-score an ADC shortlist with the
+    exact int64 squared L2 on the ORIGINAL quantized vectors, keep
+    top-k — the standard production IVF-PQ composition (FAISS's
+    IndexRefineFlat): ADC bounds the candidates cheaply, the refine
+    recovers the recall the residual codebook's quantization error
+    threw away. Only probe-coverage misses (true neighbors homed in
+    unprobed lists) remain.
+
+    ``shortlist`` is (query_id, cand_id, cluster, approx_d) — the
+    ADC-ranked refine*k candidates per query; ``qvecs`` is
+    (query_id, qv_q, nq_q); ``cvecs`` is (cand_id[, cluster], qv_c,
+    nq_c). Cost is bounded by the shortlist: it is |queries| *
+    refine * k rows — tiny — so it is BROADCAST against the vector
+    frame and the corpus-vector scan is one shuffle-free pass reading
+    only shortlist rows' columns; when ``cvecs`` is the
+    cluster-partitioned ``vectors`` dataset of a persisted index,
+    joining on (cluster, cand_id) prunes the scan to the probed list
+    directories exactly like the codes read. Returns
+    (query_id, cand_id, approx_d, exact_d, rank) with rank 1 =
+    exact-nearest, ties to lowest cand_id (the package-wide top-k
+    convention)."""
+    sl = shortlist.join(F.broadcast(qvecs), "query_id")
+    from .similarity import int_dot
+
+    exact = (
+        F.col("nq_q") + F.col("nq_c") - 2 * int_dot(F.col("qv_q"), F.col("qv_c"))
+    )
+    scored = cvecs.join(F.broadcast(sl), on).select(
+        "query_id", "cand_id", "approx_d", exact.alias("exact_d")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("exact_d"), F.asc("cand_id"))
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= k
+    )
+
+
 def ivfpq_topk(
     df: DataFrame,
     query_ids: DataFrame,
@@ -559,10 +606,20 @@ def ivfpq_topk(
     pq_rounds: int = 2,
     pin: "Pin | None" = None,
     per_list: bool = False,
+    refine: int = 0,
 ) -> DataFrame:
     """IVF-PQ: coarse k-means quantizer + PQ over residuals — the
     composition production ANN indexes ship (an inverted list bounds the
     scan, residual codes bound the bytes touched per candidate).
+
+    ``refine=N`` (N >= 1) adds the standard exact-rerank stage: the ADC
+    ranking keeps a shortlist of N*k candidates per query, which is then
+    re-scored with the exact int64 squared L2 on the original quantized
+    vectors (``_refine_exact``) and cut to top-k. Output gains an
+    ``exact_d`` column and ``rank``/ordering reflect the exact metric;
+    ``refine=0`` (default) keeps the pure-ADC behavior and schema
+    unchanged. Cost is bounded by the shortlist (broadcast, tiny): the
+    only extra corpus touch reads the shortlist rows' vectors.
 
     ``per_list=True`` trains one residual codebook PER inverted list
     (``_fit_codebook_per_list``) instead of the standard shared global
@@ -645,9 +702,22 @@ def ivfpq_topk(
         "cluster",
         F.zip_with("qv", "cqv", lambda a, b: a - b).alias("qv"),
     )
-    return _rank_topk_by_distance(
-        _ivfpq_adc_scored(cand, rq, cents, m, dsub, per_list=per_list), k
-    )
+    scored = _ivfpq_adc_scored(cand, rq, cents, m, dsub, per_list=per_list)
+    if refine:
+        shortlist = _rank_topk_by_distance(scored, refine * k).drop("rank")
+        qvecs = qd.join(query_ids.select(id_col), id_col).select(
+            F.col(id_col).alias("query_id"),
+            F.col("qv").alias("qv_q"),
+            F.col("nq").alias("nq_q"),
+        )
+        cvecs = homed.select(
+            F.col(id_col).alias("cand_id"),
+            "cluster",
+            F.col("qv").alias("qv_c"),
+            F.col("nq").alias("nq_c"),
+        )
+        return _refine_exact(shortlist, qvecs, cvecs, k, on=["cluster", "cand_id"])
+    return _rank_topk_by_distance(scored, k).drop("cluster")
 
 
 def ivfpq_build_index(
@@ -668,24 +738,32 @@ def ivfpq_build_index(
     output is the persistable artifact; this wires the build/search
     pair around it).
 
-    Writes three parquet datasets under ``path``:
+    Writes four parquet datasets under ``path``:
       - ``coarse``: the n_clusters-row (j, cqv, cnq) coarse quantizer,
       - ``codebook``: the dense (sub, j, cqv) residual PQ codebook
         ((cluster, sub, j, cqv) with ``per_list=True`` — one book per
         inverted list, see ``_fit_codebook_per_list``; the search side
-        must pass the same flag), and
+        must pass the same flag),
       - ``codes``: (id, codes) partitioned BY CLUSTER — each home
         cluster is a physical inverted list holding only the m-code
         compressed payload, so a probe-bounded search scans a few small
-        list directories and never touches a vector.
+        list directories and never touches a vector, and
+      - ``vectors``: (id, qv, nq) partitioned BY CLUSTER — the original
+        quantized vectors, stored for the exact-rerank refine stage
+        (``ivfpq_search_index(refine=N)``), same layout FAISS's
+        IndexRefineFlat keeps. Doubles index storage vs codes-only;
+        the refine read is pruned to probed lists and to shortlist
+        rows, so search never scans it corpus-wide.
 
     The coarse quantizer and codebook are each written and read back
-    before their consumers, so the Lloyd rounds run exactly once; the
-    residual frame (one broadcast-argmin projection of the corpus) is
-    persisted across its two consumers (codebook fit, code encoding)
-    and released before returning. Search-side ``m``/``dim`` must match
-    the build (plan-time shape parameters; a driver-side metadata read
-    at plan build is banned by the package contract)."""
+    before their consumers, so the Lloyd rounds run exactly once. The
+    corpus is scanned ONCE: the homed quantized frame is written to
+    ``vectors`` and read back, and the residual frame (a map-only
+    broadcast-join projection of that read-back) is persisted across
+    its two consumers (codebook fit, code encoding) and released
+    before returning. Search-side ``m``/``dim`` must match the build
+    (plan-time shape parameters; a driver-side metadata read at plan
+    build is banned by the package contract)."""
     from pyspark import StorageLevel
 
     from .similarity import assign_clusters, kmeans_lite_fit
@@ -699,9 +777,12 @@ def ivfpq_build_index(
     coarse_l = spark.read.parquet(f"{path}/coarse")
 
     cj = coarse_l.select(F.col("j").alias("cluster"), "cqv")
+    assign_clusters(qd, coarse_l, id_col).write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(f"{path}/vectors")
+    homed_l = spark.read.parquet(f"{path}/vectors")
     resid = (
-        assign_clusters(qd, coarse_l, id_col)
-        .join(F.broadcast(cj), "cluster")
+        homed_l.join(F.broadcast(cj), "cluster")
         .select(
             id_col,
             "cluster",
@@ -743,6 +824,7 @@ def ivfpq_search_index(
     m: int = 8,
     dim: int = 64,
     per_list: bool = False,
+    refine: int = 0,
 ) -> DataFrame:
     """Search a persisted IVF-PQ index WITHOUT rebuilding anything:
     probe each query's ``nprobe`` nearest coarse centroids (n_clusters
@@ -759,7 +841,16 @@ def ivfpq_search_index(
     a rebuilt index reproduces the inline operator bit-for-bit.
     ``m``/``dim``/``per_list`` must match the build (per_list indexes
     store a (cluster, sub, j, cqv) codebook and the ADC table joins it
-    per probed list)."""
+    per probed list).
+
+    ``refine=N`` (N >= 1) exact-reranks: the ADC ranking keeps N*k
+    candidates per query, then re-scores them with exact int64 squared
+    L2 against the index's persisted ``vectors`` dataset and cuts to
+    top-k (``_refine_exact``). The vector read is pruned to probed
+    list directories by the (cluster, cand_id) broadcast join and
+    bounded by the shortlist, so refine cost stays O(queries * N * k)
+    vector rows regardless of corpus size. Output gains ``exact_d``;
+    ``refine=0`` keeps the pure-ADC behavior and schema."""
     from .similarity import probe_clusters
 
     if dim % m:
@@ -782,6 +873,19 @@ def ivfpq_search_index(
             F.zip_with("qv", "cqv", lambda a, b: a - b).alias("qv"),
         )
     )
-    return _rank_topk_by_distance(
-        _ivfpq_adc_scored(cand, rq, cents, m, dsub, per_list=per_list), k
-    )
+    scored = _ivfpq_adc_scored(cand, rq, cents, m, dsub, per_list=per_list)
+    if refine:
+        shortlist = _rank_topk_by_distance(scored, refine * k).drop("rank")
+        qvecs = qd.select(
+            F.col(id_col).alias("query_id"),
+            F.col("qv").alias("qv_q"),
+            F.col("nq").alias("nq_q"),
+        )
+        cvecs = spark.read.parquet(f"{path}/vectors").select(
+            F.col(id_col).alias("cand_id"),
+            "cluster",
+            F.col("qv").alias("qv_c"),
+            F.col("nq").alias("nq_c"),
+        )
+        return _refine_exact(shortlist, qvecs, cvecs, k, on=["cluster", "cand_id"])
+    return _rank_topk_by_distance(scored, k).drop("cluster")

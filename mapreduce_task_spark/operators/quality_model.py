@@ -115,7 +115,19 @@ def _reload_round_trip(model: PipelineModel) -> PipelineModel:
         target = f"file://{path}/model"
         model.write().overwrite().save(target)
         return PipelineModel.load(target)
-    except Exception:
+    except Exception as e:
+        # leave a breadcrumb: when both the JVM strip AND this fallback
+        # fail, the Task-not-serializable failure reappears at first
+        # scoring action — without a warning the degraded path is
+        # undiagnosable
+        import warnings
+
+        warnings.warn(
+            "quality_model: save/load summary-strip fallback failed "
+            f"({e!r}); returning the original session-entangled model — "
+            "scoring may fail with Task-not-serializable if any "
+            "df.observe has been registered on the session"
+        )
         return model
     finally:
         shutil.rmtree(path, ignore_errors=True)

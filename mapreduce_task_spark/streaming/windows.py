@@ -18,6 +18,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -202,6 +203,10 @@ def _cents_half_up(values) -> int:
     import numpy as np
 
     c = values.to_numpy(dtype="float64") * 100.0
+    # nulls/NaN must not reach the int64 cast: astype on non-finite
+    # floats yields platform-dependent garbage (typically INT64_MIN)
+    # silently. Match the batch oracle (F.sum skips nulls) by masking.
+    c = c[np.isfinite(c)]
     half_up = np.where(c >= 0, np.floor(c + 0.5), np.ceil(c - 0.5))
     return int(half_up.astype("int64").sum())
 
@@ -324,8 +329,13 @@ def stateful_key_stats_v1(
             # per-row-rounded integer cents: the running sum is exact
             # regardless of how rows slice into micro-batches
             cents += _cents_half_up(pdf[value_col])
+            # pandas .max() on an all-null chunk is NaN, and
+            # max(mx, NaN) propagates or drops it depending on argument
+            # order — skip the update so nulls cannot poison the
+            # running max (the batch oracle's F.max skips nulls too)
             m = float(pdf[value_col].max())
-            mx = m if mx is None else max(mx, m)
+            if not math.isnan(m):
+                mx = m if mx is None else max(mx, m)
         state.update((n, cents, mx))
         yield pd.DataFrame(
             {key_col: [key[0]], "n": [n], "sum_cents": [cents], "max_value": [mx]}
