@@ -103,5 +103,25 @@ def normalize_unicode_text(
 ) -> DataFrame:
     """``df`` with ``text_col`` replaced by its ``form``-normalized
     text — the pre-dedup normalization pass (see ``unicode_normalize``).
-    Map-only; every other column rides through untouched."""
-    return df.withColumn(text_col, unicode_normalize(text_col, form))
+    Map-only; every other column rides through untouched.
+
+    ASCII fast path: pure-ASCII text is normalization-INVARIANT under
+    all four forms (every ASCII char is its own canonical and
+    compatibility decomposition), so rows without a non-ASCII byte —
+    the overwhelming majority of a real English-heavy corpus — skip
+    the Python stage entirely. The gate is a JVM-side RLIKE; only the
+    non-ASCII partition pays the Arrow round trip, and the two
+    branches are unioned back. A ``when()`` around the UDF would NOT
+    achieve this: Catalyst extracts Python UDFs into an
+    ArrowEvalPython node that evaluates on every row regardless of
+    the branch, so the split must happen at the DataFrame level.
+    NULL text rlikes to NULL -> rides the ASCII (untouched) branch,
+    preserving the UDF's NULL passthrough. Row order is not preserved
+    across the union (unspecified for DataFrames anyway)."""
+    non_ascii = F.col(text_col).isNotNull() & F.col(text_col).rlike(
+        "[^\x00-\x7F]"
+    )
+    hot = df.filter(non_ascii).withColumn(
+        text_col, unicode_normalize(text_col, form)
+    )
+    return df.filter(~non_ascii).unionByName(hot)

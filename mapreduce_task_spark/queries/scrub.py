@@ -160,6 +160,13 @@ WITH {_SIG_CTE},
 {_LEAK_CTES},
 {_QVEC_CTE.strip()},
 pii AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents),
+nfc_seed AS (SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0
+            THEN text || CASE WHEN doc_id % 2 = 0
+                              THEN ' caf' || chr(233)
+                              ELSE ' cafe' || chr(769) END
+            ELSE text END AS text
+       FROM documents),
 red AS (SELECT doc_id, {_REDACT_SQL} AS text FROM pii),
 hot AS (SELECT {hash64_duckdb_sql('para')} AS h FROM ch
         GROUP BY {hash64_duckdb_sql('para')}
@@ -198,9 +205,21 @@ UNION ALL
 SELECT 'splitleak' AS leg, doc_id, CAST(NULL AS VARCHAR) AS text,
        CAST(n_removed AS BIGINT) AS n_removed
 FROM lleak
+UNION ALL
+SELECT 'nfc' AS leg, doc_id, nfc_normalize(text) AS text,
+       CAST(NULL AS BIGINT) AS n_removed
+FROM nfc_seed
 """,
-    doc="Corpus scrubbing as a six-leg tagged union (operators/scrub.py"
-    " + operators/decontam.py). splitleak leg (r9): split_leakage — "
+    doc="Corpus scrubbing as a seven-leg tagged union (operators/scrub"
+    ".py + operators/decontam.py). nfc leg (r10): normalize_unicode_"
+    "text — the pre-dedup Unicode NFC pass; the synthetic corpus is "
+    "ASCII, so the leg PLANTS composed (U+00E9) and decomposed "
+    "(e+U+0301) café suffixes on every third doc and the oracle "
+    "replays plant + DuckDB nfc_normalize, verifying BOTH the real "
+    "normalization on the seeded rows and the ASCII fast path (a "
+    "JVM RLIKE gate feeds only non-ASCII rows to the Arrow stage; "
+    "ASCII rows must pass through byte-identical). "
+    "splitleak leg (r9): split_leakage — "
     f"near-dup leakage across the deterministic {_LEAK_FRACTION} "
     "train/test md5-ppm split (test docs whose exact shingle-Jaccard "
     f"with a train doc >= {_LEAK_J}, found via the SAME banded minhash "
@@ -316,10 +335,28 @@ def q_scrub_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("text"),
         F.col("n_train_dups").alias("n_removed"),
     )
+    from ..functions.text import normalize_unicode_text
+
+    # the corpus is ASCII, so plant composed/decomposed café suffixes on
+    # every third doc: the Arrow stage sees only those rows (fast-path
+    # gate), the rest must ride through byte-identical
+    nfc_suffix = F.when(
+        F.col("doc_id") % 2 == 0, F.lit(" caf\u00e9")
+    ).otherwise(F.lit(" cafe\u0301"))
+    seeded = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat("text", nfc_suffix))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    nfc_leg = normalize_unicode_text(seeded).select(
+        F.lit("nfc").alias("leg"), "doc_id", "text", nul_b.alias("n_removed")
+    )
     return (
         red_leg.unionByName(boiler_leg)
         .unionByName(dec_leg)
         .unionByName(sem_leg)
         .unionByName(span_leg)
         .unionByName(leak_leg)
+        .unionByName(nfc_leg)
     )

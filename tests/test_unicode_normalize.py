@@ -126,3 +126,38 @@ def test_exact_dedup_and_shingles_opt_in_normalization(spark):
     )
     sets = {r["doc_id"]: tuple(r["s"]) for r in by_doc}
     assert sets[1] == sets[2] and len(sets[1]) > 0
+
+
+def test_ascii_fast_path_plan_and_bit_identical_results(spark, uni):
+    """The r10 ASCII fast path: the Python (Arrow) stage must be fed by
+    the RLIKE-filtered non-ASCII subset — never the whole frame — and
+    results must be bit-identical to the ungated column form for every
+    form, including NULL and empty-string rows."""
+    for form in ("NFC", "NFKC"):
+        got = {
+            (r["doc_id"], r["text"])
+            for r in normalize_unicode_text(uni, form=form).collect()
+        }
+        want = {
+            (r["doc_id"], r["n"])
+            for r in uni.select(
+                "doc_id", unicode_normalize("text", form).alias("n")
+            ).collect()
+        }
+        assert got == want
+
+    plan = (
+        normalize_unicode_text(uni)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan  # the hot branch still normalizes
+    # the Arrow stage sits above the non-ASCII filter: split the plan at
+    # the Arrow node and require an RLIKE filter below it in that branch
+    import re
+
+    arrow_idx = plan.index("ArrowEvalPython")
+    assert re.search(r"RLIKE", plan[arrow_idx:]), plan
+    # and the union's other branch carries NO python stage
+    assert plan.count("ArrowEvalPython") == 1, plan
