@@ -5,12 +5,14 @@ typed metadata struct, and runs decode / feature-extraction through
 Arrow-batched ``mapInPandas`` — the pattern a 100 TB multimodal
 pipeline uses (JVM moves the bytes; Python touches each batch once).
 
-Decoders (round 8): ``decode_image`` REALLY decodes binary PNM
-(P5/P6) and ``decode_audio`` REALLY decodes RIFF/WAVE integer PCM —
-both pure python/numpy, no new dependencies — and
+Decoders (round 8; PNG round 10): ``decode_image`` REALLY decodes
+binary PNM (P5/P6) and 8-bit non-interlaced PNG (stdlib zlib inflate
++ scanline unfilter), ``decode_audio`` REALLY decodes RIFF/WAVE
+integer PCM — all pure python/numpy, no new dependencies — and
 ``decoded_image_stats`` / ``decoded_audio_stats`` run them inside the
 ``mapInPandas`` contract. Formats that genuinely need an external
-library (PNG/JPEG, compressed audio) still raise NotImplementedError:
+library (JPEG, 16-bit/palette/interlaced PNG, compressed audio) raise
+NotImplementedError:
 the container ships no PIL/soundfile, and the production entry point
 ``extract_features`` computes deterministic byte-level features for
 arbitrary payloads — the Spark-side contract (schema, batching,
@@ -89,18 +91,128 @@ def _pnm_header(buf: bytes, n_tokens: int) -> tuple[list[int], int]:
     return toks, i + 1
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit depth): gray, RGB, gray+alpha,
+# RGBA. Palette (3) needs PLTE expansion and stays unimplemented with
+# the 16-bit and interlaced cases.
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> bytearray:
+    """Invert the per-scanline PNG filters (spec §9: None/Sub/Up/
+    Average/Paeth). Sub/Average/Paeth carry a prior-PIXEL dependency
+    along the row, so those scanlines are sequential byte loops; None
+    and Up rows stay O(stride) slice ops. Fine for the mapInPandas
+    batch context: the loop is per payload, not per corpus."""
+    stride = w * bpp
+    out = bytearray(h * stride)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos : pos + stride])
+        if len(row) < stride:
+            raise ValueError("truncated PNG raster")
+        pos += stride
+        ro = y * stride
+        up = out[ro - stride : ro] if y else bytes(stride)
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub: prior pixel in this row
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up: same byte in prior row
+            for i in range(stride):
+                row[i] = (row[i] + up[i]) & 0xFF
+        elif ft == 3:  # Average of left and up
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + up[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth predictor of left/up/up-left
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = up[i]
+                c = up[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[ro : ro + stride] = row
+    return out
+
+
+def _decode_png(payload: bytes):
+    """Pure-stdlib PNG decoder: chunk walk -> IHDR validation -> one
+    zlib inflate over the concatenated IDAT stream -> per-scanline
+    unfilter. Covers the 8-bit non-interlaced gray/gray+alpha/RGB/RGBA
+    formats a real corpus overwhelmingly contains; 16-bit, palette,
+    and Adam7-interlaced files raise NotImplementedError (degrading to
+    ok=false rows in decoded_image_stats), anything structurally
+    malformed raises ValueError."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ihdr = None
+    idat: list[bytes] = []
+    i = len(_PNG_SIG)
+    while i + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body[:13])
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        i += 12 + size  # len + type + data + CRC
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError(f"bad PNG compression/filter method {comp}/{filt}")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth != 8 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth {depth} color type {color_type} needs an imaging "
+            "library; only 8-bit gray/gray+alpha/RGB/RGBA decode here"
+        )
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension PNG")
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (1 + w * ch):
+        raise ValueError(
+            f"PNG raster size mismatch: {len(raw)} != {h * (1 + w * ch)}"
+        )
+    pixels = _png_unfilter(raw, h, w, ch)
+    arr = np.frombuffer(bytes(pixels), dtype="u1")
+    return arr.reshape((h, w)) if ch == 1 else arr.reshape((h, w, ch))
+
+
 def decode_image(payload: bytes):
     """Decode an image payload to a numpy pixel array.
 
-    REAL pure-python/numpy decoder for binary PNM — P5 (grayscale,
+    REAL pure-python/numpy decoders for binary PNM — P5 (grayscale,
     returns (h, w)) and P6 (RGB, returns (h, w, 3)); maxval > 255
-    raster is big-endian uint16 per the spec. Formats that genuinely
-    need an imaging library (PNG/JPEG/...) still raise
-    NotImplementedError — the container ships no PIL, and a partial
-    inflate reimplementation is not a decoder anyone should trust.
+    raster is big-endian uint16 per the spec — and (r10) for
+    non-interlaced 8-bit PNG (gray (h, w); gray+alpha/RGB/RGBA
+    (h, w, ch)) via stdlib zlib inflate + spec §9 unfiltering.
+    Formats that genuinely need an imaging library (JPEG, 16-bit/
+    palette/interlaced PNG) still raise NotImplementedError — the
+    container ships no PIL.
     """
     import numpy as np
 
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return _decode_png(payload)
     magic = payload[:2]
     if magic in (b"P5", b"P6"):
         (w, h, maxval), off = _pnm_header(payload, 3)
@@ -111,7 +223,8 @@ def decode_image(payload: bytes):
         return arr.reshape((h, w, 3)) if ch == 3 else arr.reshape((h, w))
     raise NotImplementedError(
         f"image format {magic!r} requires an imaging library (e.g. Pillow); "
-        "only binary PNM (P5/P6) decodes without one"
+        "only binary PNM (P5/P6) and 8-bit non-interlaced PNG decode "
+        "without one"
     )
 
 

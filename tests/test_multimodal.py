@@ -162,8 +162,13 @@ def test_decode_image_pnm_real():
     head = b"P5 2 1 65535 " + (1000).to_bytes(2, "big") + (2).to_bytes(2, "big")
     wide = decode_image(head)
     assert list(wide[0]) == [1000, 2]
-    with pytest.raises(NotImplementedError):
+    # a full-signature PNG with no parseable chunks is structurally
+    # malformed (r10: PNG now REALLY decodes, so this is ValueError,
+    # not a format gap)
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg soi/app0")
 
 
 def test_decode_audio_wav_real():
@@ -212,3 +217,185 @@ def test_decoded_audio_stats_mapinpandas(spark):
     assert r0["peak_abs"] == 40
     assert r0["mean_abs_milli"] == (10 + 20 + 30 + 40) * 1000 // 4
     assert not got[1]["ok"]
+
+
+# --- PNG (r10): spec-faithful encoder used only by the tests ---------------
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_forward_filter(row, prev, bpp, ft):
+    """The spec's FORWARD filter (encoder side) — the decoder must
+    invert exactly this."""
+    out = bytearray()
+    for i, x in enumerate(row):
+        a = row[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            v = x
+        elif ft == 1:
+            v = x - a
+        elif ft == 2:
+            v = x - b
+        elif ft == 3:
+            v = x - ((a + b) >> 1)
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            v = x - pred
+        out.append(v & 0xFF)
+    return bytes(out)
+
+
+def _make_png(arr, filters=None, depth=8, interlace=0, color_type=None):
+    """Encode a numpy uint8 array ((h,w) gray or (h,w,ch)) as a PNG,
+    one filter type per scanline (default: cycle 0..4 so every filter
+    is exercised)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    ch = 1 if arr.ndim == 2 else arr.shape[2]
+    if color_type is None:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = arr.reshape(h, w * ch).astype("u1")
+    raw = bytearray()
+    prev = bytes(w * ch)
+    for y in range(h):
+        ft = (filters[y] if filters else y % 5)
+        row = bytes(flat[y])
+        raw.append(ft)
+        raw += _png_forward_filter(row, prev, ch, ft)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _px(h, w, ch, seed=7):
+    """Deterministic pseudo-random pixels (no RNG dependency)."""
+    import numpy as np
+
+    n = h * w * ch
+    v = (np.arange(n, dtype="int64") * 2654435761 + seed) % 251
+    a = v.astype("u1")
+    return a.reshape((h, w)) if ch == 1 else a.reshape((h, w, ch))
+
+
+def test_decode_png_roundtrip_all_filters_and_channels():
+    """Gray / gray+alpha / RGB / RGBA roundtrip with every filter type
+    (0..4) appearing on some scanline — decode(encode(px)) == px."""
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    for ch in (1, 2, 3, 4):
+        px = _px(7, 5, ch)
+        got = decode_image(_make_png(px))
+        assert got.shape == px.shape
+        assert np.array_equal(got, px), f"channels={ch}"
+    # multi-IDAT stream: split the compressed bytes across two chunks
+    import struct
+    import zlib
+
+    px = _px(6, 4, 3)
+    whole = _make_png(px, filters=[4] * 6)
+    # rebuild with the IDAT split in half
+    comp = zlib.compress(bytes(_rebuild_raw(px, [4] * 6)))
+    ihdr = struct.pack(">IIBBBBB", 4, 6, 8, 2, 0, 0, 0)
+    split = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", comp[: len(comp) // 2])
+        + _png_chunk(b"IDAT", comp[len(comp) // 2 :])
+        + _png_chunk(b"IEND", b"")
+    )
+    import numpy as np
+
+    assert np.array_equal(decode_image(split), px)
+    assert np.array_equal(decode_image(whole), px)
+
+
+def _rebuild_raw(arr, filters):
+    h, w = arr.shape[0], arr.shape[1]
+    ch = 1 if arr.ndim == 2 else arr.shape[2]
+    flat = arr.reshape(h, w * ch).astype("u1")
+    raw = bytearray()
+    prev = bytes(w * ch)
+    for y in range(h):
+        row = bytes(flat[y])
+        raw.append(filters[y])
+        raw += _png_forward_filter(row, prev, ch, filters[y])
+        prev = row
+    return raw
+
+
+def test_decode_png_unsupported_variants_degrade():
+    """16-bit, palette, and interlaced PNGs are format gaps
+    (NotImplementedError -> ok=false rows); truncated or corrupt
+    structure is ValueError."""
+    import pytest
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    px = _px(3, 3, 3)
+    with pytest.raises(NotImplementedError):
+        decode_image(_make_png(px, depth=16))
+    with pytest.raises(NotImplementedError):
+        decode_image(_make_png(px, color_type=3))
+    with pytest.raises(NotImplementedError):
+        decode_image(_make_png(px, interlace=1))
+    whole = _make_png(px)
+    with pytest.raises(ValueError):
+        decode_image(whole[:40])  # truncated mid-chunk
+    # raster/IHDR mismatch: lie about the height
+    import struct
+
+    bad = bytearray(whole)
+    struct.pack_into(">I", bad, 8 + 8 + 4, 99)  # IHDR height field
+    with pytest.raises(ValueError):
+        decode_image(bytes(bad))
+
+
+def test_decoded_image_stats_handles_png(spark):
+    """The driver-shaped Arrow contract over a mixed corpus: PNG and
+    PNM rows decode with exact integer stats, unsupported PNG variants
+    and junk degrade to ok=false."""
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decoded_image_stats
+
+    rgb = _px(4, 6, 3)
+    gray = _px(5, 2, 1)
+    payloads = [
+        (0, _make_png(rgb)),
+        (1, _make_png(gray)),
+        (2, _make_png(rgb, interlace=1)),
+        (3, b"not an image at all"),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in decoded_image_stats(df).collect()}
+    r0 = got[0]
+    assert r0["ok"] and (r0["width"], r0["height"], r0["channels"]) == (6, 4, 3)
+    assert r0["px_min"] == int(rgb.min()) and r0["px_max"] == int(rgb.max())
+    assert r0["px_mean_milli"] == int(rgb.sum(dtype="int64")) * 1000 // rgb.size
+    r1 = got[1]
+    assert r1["ok"] and (r1["width"], r1["height"], r1["channels"]) == (2, 5, 1)
+    assert not got[2]["ok"] and not got[3]["ok"]
