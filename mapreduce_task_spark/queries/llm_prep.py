@@ -257,8 +257,22 @@ FROM (SELECT vec_id, cluster,
                          % 1000000, vec_id) AS rn
       FROM m_final)
 WHERE rn <= {_CLUSTERBAL_N}
+UNION ALL
+SELECT 'shards' AS leg, doc_id, CAST(NULL AS VARCHAR) AS lang,
+       CAST(NULL AS VARCHAR) AS source, CAST(pos AS BIGINT) AS n_chars,
+       CAST(shard AS INT) AS bin
+FROM (SELECT doc_id, hk % {_N_SHARDS} AS shard,
+             row_number() OVER (PARTITION BY hk % {_N_SHARDS}
+                                ORDER BY hk, doc_id) - 1 AS pos
+      FROM (SELECT doc_id,
+            {hash64_duckdb_sql("concat('shuffle:', CAST(doc_id AS VARCHAR))")} AS hk
+            FROM documents))
 """,
-    doc="Deterministic-sampling coverage as an eleven-leg tagged union "
+    doc="Deterministic-sampling coverage as a twelve-leg tagged union "
+    "(shards leg r10: shuffle_shards — the reproducible global "
+    f"training-data shuffle into {_N_SHARDS} ordered shards; salted-"
+    "md5 shard assignment + per-shard row_number position, no global "
+    "window, one shuffle; shard rides `bin`, pos rides `n_chars`) "
     "(clusterbal leg r8 final: cluster_balanced_sample — topic-balanced "
     f"subsampling, seeded {_CLUSTERBAL_K}-means over embeddings + "
     f"best-{_CLUSTERBAL_N}-per-cluster content-hash selection; the "
@@ -409,6 +423,17 @@ def q_sampling_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_b.alias("n_chars"),
         F.col("cluster").cast("int").alias("bin"),
     )
+    from ..operators.sampling import shuffle_shards
+
+    # shard in `bin`, pos in `n_chars` — the tagged-union column-reuse
+    # convention every other leg follows
+    shards_leg = shuffle_shards(
+        docs.select("doc_id"), "doc_id", num_shards=_N_SHARDS
+    ).select(
+        F.lit("shards").alias("leg"), "doc_id", nul_s.alias("lang"),
+        nul_s.alias("source"), F.col("pos").alias("n_chars"),
+        F.col("shard").cast("int").alias("bin"),
+    )
     return (
         hash_leg.unionByName(strata_leg)
         .unionByName(cap_leg)
@@ -420,4 +445,5 @@ def q_sampling_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(qbins_leg)
         .unionByName(curriculum_leg)
         .unionByName(clusterbal_leg)
+        .unionByName(shards_leg)
     )
