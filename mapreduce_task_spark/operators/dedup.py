@@ -30,9 +30,9 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..functions.hashing import affine_minhash_cols, hash64
 from ..functions.text import (
     normalize_token,
+    normalize_unicode_text,
     normalized_tokens,
     tokenize,
-    unicode_normalize,
 )
 from ..sources.tables import ensure_parallelism
 from .pinning import Pin, no_pin as _no_pin
@@ -74,20 +74,23 @@ def shingles(
     corpus size.
 
     ``unicode_form`` (opt-in, e.g. "NFC"/"NFKC") unicode-normalizes
-    the text first (``functions.text.unicode_normalize``) so composed
-    and decomposed forms of the same text shingle alike — an
-    Arrow-batched Python stage, so the default None keeps the plan
-    pure-JVM (the driver queries' plan-asserted contract; the
-    [a-z]-only tokenizer makes the default safe for ASCII-ish corpora,
-    while multilingual corpora should opt in upstream or here).
+    the text first (``functions.text.normalize_unicode_text``) so
+    composed and decomposed forms of the same text shingle alike —
+    with the ASCII fast path (r10): a JVM RLIKE gate sends only
+    non-ASCII rows through the Arrow stage, so an English-heavy
+    corpus opting in pays Python for its non-ASCII sliver only. The
+    default None keeps the plan pure-JVM (the driver queries'
+    plan-asserted contract; the [a-z]-only tokenizer makes the
+    default safe for ASCII-ish corpora, while multilingual corpora
+    should opt in upstream or here).
     """
-    txt = (
-        unicode_normalize(text_col, unicode_form)
+    src = (
+        normalize_unicode_text(df, text_col, unicode_form)
         if unicode_form
-        else F.col(text_col)
+        else df
     )
-    base = ensure_parallelism(df).select(
-        F.col(id_col), normalized_tokens(txt).alias("__toks")
+    base = ensure_parallelism(src).select(
+        F.col(id_col), normalized_tokens(F.col(text_col)).alias("__toks")
     )
     toks = F.col("__toks")
     sep = F.lit(" ")
@@ -549,15 +552,16 @@ def exact_dedup_groups(
     before hashing so composed and decomposed forms of the same text
     count as ONE duplicate group — md5 over raw bytes otherwise treats
     U+00E9 and e+U+0301 as different content. Default None keeps the
-    plan pure-JVM (the normalizer is an Arrow-batched Python stage).
+    plan pure-JVM; with a form set, the ASCII fast path (r10) sends
+    only non-ASCII rows through the Arrow normalizer.
     """
-    txt = (
-        unicode_normalize(text_col, unicode_form)
+    src = (
+        normalize_unicode_text(df, text_col, unicode_form)
         if unicode_form
-        else F.col(text_col)
+        else df
     )
     return (
-        df.select(F.md5(txt).alias("text_md5"), F.col(id_col))
+        src.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
         .groupBy(_null_safe_digest_key(id_col).alias("__gk"))
         .agg(
             F.min("text_md5").alias("text_md5"),
