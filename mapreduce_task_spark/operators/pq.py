@@ -720,6 +720,54 @@ def ivfpq_topk(
     return _rank_topk_by_distance(scored, k).drop("cluster")
 
 
+def ivfpq_encode_batch(
+    df: DataFrame,
+    coarse: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    per_list: bool = False,
+) -> DataFrame:
+    """Encode NEW vectors against a FROZEN coarse quantizer + residual
+    codebook: (id, cluster, qv, nq, codes) — home cluster, original
+    quantized vector and its norm (the refine stage's payload), and
+    the m residual codes. No training anywhere: assignment is the
+    broadcast argmin, encoding the map-only broadcast-codebook pass —
+    so the whole thing is one shuffle-free batch-proportional
+    projection, the building block of streaming delta ingest
+    (``streaming/ivfpq_ingest.py``). Deterministic in (frozen coarse,
+    frozen codebook, batch rows): a crash-replayed batch re-encodes to
+    identical rows."""
+    from .similarity import assign_clusters
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    qd = with_quantized(df, vec_col).select(id_col, "qv", "nq")
+    homed = assign_clusters(qd, coarse, id_col)
+    cj = coarse.select(F.col("j").alias("cluster"), "cqv")
+    resid = homed.join(F.broadcast(cj), "cluster").select(
+        id_col,
+        "cluster",
+        F.col("qv").alias("__oqv"),
+        F.col("nq").alias("__onq"),
+        F.zip_with("qv", "cqv", lambda a, b: a - b).alias("qv"),
+    )
+    enc = _encode_codes(
+        resid, cents, id_col, m, dsub,
+        extra=("cluster", "__oqv", "__onq"), per_list=per_list,
+    )
+    return enc.select(
+        id_col,
+        "cluster",
+        F.col("__oqv").alias("qv"),
+        F.col("__onq").alias("nq"),
+        "codes",
+    )
+
+
 def ivfpq_build_index(
     df: DataFrame,
     path: str,

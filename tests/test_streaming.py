@@ -2634,3 +2634,144 @@ def test_crawl_quality_screened_batch_replay_idempotent(spark, sf_small, tmp_pat
     assert len(want[0]) > 0
     run()  # crash-before-checkpoint replay of the same batch id
     assert state() == want
+
+
+def test_streaming_ivfpq_append_matches_merged_index(spark, sf_small, tmp_path):
+    """Streaming IVF-PQ freshness (r10): batches encoded under the
+    FROZEN coarse quantizer + residual codebook and appended to the
+    delta log must make search_with_delta reproduce ivfpq_search_index
+    run after merge_delta_into_base — bit-for-bit, for both the
+    pure-ADC and the refine=N search paths. Also pins replay
+    idempotence (a crash-replayed append changes nothing) and
+    compaction invariance."""
+    import os
+
+    from mapreduce_task_spark.operators.pq import (
+        ivfpq_build_index,
+        ivfpq_search_index,
+    )
+    from mapreduce_task_spark.streaming.ivfpq_ingest import (
+        append_batch,
+        compact_delta,
+        merge_delta_into_base,
+        search_with_delta,
+    )
+
+    M, DIM, K = 8, 64, 5
+    emb = load_table(spark, sf_small, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    b0 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    b1 = emb.filter(F.col("vec_id") >= 400)
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_build_index(
+        base, idx, n_clusters=8, m=M, ksub=16, dim=DIM,
+        coarse_rounds=1, pq_rounds=2,
+    )
+    append_batch(b0, 0, idx, m=M, dim=DIM)
+    append_batch(b1, 1, idx, m=M, dim=DIM)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+
+    def adc_topk():
+        return sorted(
+            (r["query_id"], r["rank"], r["cand_id"], r["approx_d"])
+            for r in search_with_delta(
+                spark, idx, queries, k=K, nprobe=2, m=M, dim=DIM
+            ).collect()
+        )
+
+    def refined_topk(fn, **kw):
+        return sorted(
+            (r["query_id"], r["rank"], r["cand_id"], r["exact_d"])
+            for r in fn(
+                spark, idx, queries, k=K, nprobe=2, m=M, dim=DIM,
+                refine=5, **kw
+            ).collect()
+        )
+
+    got_adc = adc_topk()
+    got_ref = refined_topk(search_with_delta)
+    assert len(got_adc) == len(got_ref) > 0
+
+    # crash-before-checkpoint replay: identical rows land in the same
+    # partition tree
+    append_batch(b1, 1, idx, m=M, dim=DIM)
+    assert adc_topk() == got_adc and refined_topk(search_with_delta) == got_ref
+
+    # compaction folds batches without changing either search
+    assert compact_delta(spark, idx, up_to_batch=1) == 2
+    parts = {p for p in os.listdir(f"{idx}/delta") if p.startswith("__batch=")}
+    assert parts == {"__batch=-2"}
+    assert adc_topk() == got_adc and refined_topk(search_with_delta) == got_ref
+
+    # segment merge: delta folds into codes AND vectors; the plain
+    # persisted-index search now reproduces the delta search bit-for-bit
+    merged = merge_delta_into_base(spark, idx)
+    assert merged == b0.count() + b1.count()
+    assert not os.path.exists(f"{idx}/delta")
+    want_adc = sorted(
+        (r["query_id"], r["rank"], r["cand_id"], r["approx_d"])
+        for r in ivfpq_search_index(
+            spark, idx, queries, k=K, nprobe=2, m=M, dim=DIM
+        ).collect()
+    )
+    want_ref = sorted(
+        (r["query_id"], r["rank"], r["cand_id"], r["exact_d"])
+        for r in ivfpq_search_index(
+            spark, idx, queries, k=K, nprobe=2, m=M, dim=DIM, refine=5
+        ).collect()
+    )
+    assert want_adc == got_adc
+    assert want_ref == got_ref
+    # search_with_delta without a delta degrades to the plain path
+    assert adc_topk() == got_adc
+    assert merge_delta_into_base(spark, idx) == 0  # no-op without a delta
+
+
+def test_streaming_ivfpq_append_sink_and_pruning(spark, sf_small, tmp_path):
+    """The foreachBatch sink wires the encode-append body; the delta
+    search plan keeps DYNAMIC cluster pruning on base codes AND delta
+    scans (each side joins the broadcast ADC tables itself), with the
+    batchlog watermark on the delta side."""
+    from mapreduce_task_spark.operators.pq import ivfpq_build_index
+    from mapreduce_task_spark.streaming.ivfpq_ingest import (
+        search_with_delta,
+        streaming_ivfpq_append,
+    )
+    from mapreduce_task_spark.streaming.windows import stream_from_directory
+
+    M, DIM = 8, 64
+    emb = load_table(spark, sf_small, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    stream_rows = emb.filter(F.col("vec_id") >= 300)
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_build_index(
+        base, idx, n_clusters=8, m=M, ksub=16, dim=DIM,
+        coarse_rounds=1, pq_rounds=2,
+    )
+    src = tmp_path / "emb_src"
+    stream_rows.coalesce(1).write.parquet(str(src / "f0"))
+    q = streaming_ivfpq_append(
+        stream_from_directory(
+            spark, f"{src}/f*", stream_rows.schema, maxFilesPerTrigger=1
+        ),
+        idx,
+        str(tmp_path / "ckpt"),
+        m=M,
+        dim=DIM,
+    )
+    q.awaitTermination(120)
+
+    res = search_with_delta(
+        spark, idx, emb.filter(F.col("vec_id") % 100 == 0),
+        k=5, nprobe=2, m=M, dim=DIM,
+    )
+    assert res.count() > 0
+    pf_lines = [
+        ln
+        for ln in res._jdf.queryExecution().executedPlan().toString().splitlines()
+        if "PartitionFilters" in ln and "dynamicpruning" in ln
+    ]
+    delta_scans = [ln for ln in pf_lines if "__batch" in ln]
+    base_scans = [ln for ln in pf_lines if "__batch" not in ln]
+    assert delta_scans, "delta scan lost cluster DPP or the __batch watermark"
+    assert base_scans, "base codes scan lost cluster DPP"
