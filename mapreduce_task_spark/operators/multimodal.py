@@ -166,6 +166,9 @@ def _decode_png(payload: bytes):
         if len(body) < size:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
+            if len(body) < 13:
+                # struct.error would escape decoded_image_stats' catch
+                raise ValueError("short PNG IHDR chunk")
             ihdr = struct.unpack(">IIBBBBB", body[:13])
         elif ctype == b"IDAT":
             idat.append(body)
@@ -187,7 +190,13 @@ def _decode_png(payload: bytes):
     if w == 0 or h == 0:
         raise ValueError("zero-dimension PNG")
     ch = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # corrupt deflate stream is malformed data, not a format gap —
+        # normalize to ValueError so decoded_image_stats degrades the
+        # row (ok=false) instead of the zlib.error killing the task
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     if len(raw) != h * (1 + w * ch):
         raise ValueError(
             f"PNG raster size mismatch: {len(raw)} != {h * (1 + w * ch)}"

@@ -334,6 +334,23 @@ def _encode_codes(
         # the row's own cluster book: cluster is constant within the
         # filtered slice, so ordering is still (sub, j)
         book = F.filter(F.col("__cb"), lambda c: c["cluster"] == F.col("cluster"))
+        # a vector homed to a cluster with NO per-list codebook (a list
+        # empty at build time — only reachable when encoding NEW
+        # vectors against a frozen index, e.g. streaming ingest) would
+        # otherwise encode to all-NULL codes, and NULL approx_d ranks
+        # FIRST under asc ordering — garbage at rank 1. Loud beats
+        # silently poisoned top-k; the message names the fix (retrain).
+        book = F.when(
+            F.size(book) == 0,
+            F.raise_error(
+                F.lit(
+                    "per-list PQ encode: vector assigned to a cluster "
+                    "with no codebook entries (list was empty at build "
+                    "time) — retrain the index (ivfpq_build_index) or "
+                    "use the shared global codebook"
+                )
+            ),
+        ).otherwise(book)
     else:
         packed = cents.agg(
             F.array_sort(F.collect_list(F.struct("sub", "j", "cqv"))).alias("__cb")
@@ -591,6 +608,40 @@ def _refine_exact(
     )
 
 
+def _refine_stage(
+    scored: DataFrame,
+    qd: DataFrame,
+    cvecs: DataFrame,
+    id_col: str,
+    k: int,
+    refine: int,
+) -> DataFrame:
+    """The ONE refine recipe every refined search path shares: ADC-rank
+    ``scored`` to a refine*k shortlist, rename the quantized query
+    frame ``qd`` (id, qv, nq) to refine's (query_id, qv_q, nq_q), and
+    exact-rerank against ``cvecs`` (cand_id, cluster, qv_c, nq_c).
+    Factored so the inline operator, the persisted-index search, and
+    the streaming delta search cannot drift apart — their bit-for-bit
+    equality guarantees are by construction."""
+    shortlist = _rank_topk_by_distance(scored, refine * k).drop("rank")
+    qvecs = qd.select(
+        F.col(id_col).alias("query_id"),
+        F.col("qv").alias("qv_q"),
+        F.col("nq").alias("nq_q"),
+    )
+    return _refine_exact(shortlist, qvecs, cvecs, k, on=["cluster", "cand_id"])
+
+
+def _vectors_as_cvecs(vectors: DataFrame, id_col: str) -> DataFrame:
+    """(id, cluster, qv, nq) -> refine's candidate frame naming."""
+    return vectors.select(
+        F.col(id_col).alias("cand_id"),
+        "cluster",
+        F.col("qv").alias("qv_c"),
+        F.col("nq").alias("nq_c"),
+    )
+
+
 def ivfpq_topk(
     df: DataFrame,
     query_ids: DataFrame,
@@ -704,19 +755,14 @@ def ivfpq_topk(
     )
     scored = _ivfpq_adc_scored(cand, rq, cents, m, dsub, per_list=per_list)
     if refine:
-        shortlist = _rank_topk_by_distance(scored, refine * k).drop("rank")
-        qvecs = qd.join(query_ids.select(id_col), id_col).select(
-            F.col(id_col).alias("query_id"),
-            F.col("qv").alias("qv_q"),
-            F.col("nq").alias("nq_q"),
+        return _refine_stage(
+            scored,
+            qd.join(query_ids.select(id_col), id_col),
+            _vectors_as_cvecs(homed, id_col),
+            id_col,
+            k,
+            refine,
         )
-        cvecs = homed.select(
-            F.col(id_col).alias("cand_id"),
-            "cluster",
-            F.col("qv").alias("qv_c"),
-            F.col("nq").alias("nq_c"),
-        )
-        return _refine_exact(shortlist, qvecs, cvecs, k, on=["cluster", "cand_id"])
     return _rank_topk_by_distance(scored, k).drop("cluster")
 
 
@@ -923,17 +969,12 @@ def ivfpq_search_index(
     )
     scored = _ivfpq_adc_scored(cand, rq, cents, m, dsub, per_list=per_list)
     if refine:
-        shortlist = _rank_topk_by_distance(scored, refine * k).drop("rank")
-        qvecs = qd.select(
-            F.col(id_col).alias("query_id"),
-            F.col("qv").alias("qv_q"),
-            F.col("nq").alias("nq_q"),
+        return _refine_stage(
+            scored,
+            qd,
+            _vectors_as_cvecs(spark.read.parquet(f"{path}/vectors"), id_col),
+            id_col,
+            k,
+            refine,
         )
-        cvecs = spark.read.parquet(f"{path}/vectors").select(
-            F.col(id_col).alias("cand_id"),
-            "cluster",
-            F.col("qv").alias("qv_c"),
-            F.col("nq").alias("nq_c"),
-        )
-        return _refine_exact(shortlist, qvecs, cvecs, k, on=["cluster", "cand_id"])
     return _rank_topk_by_distance(scored, k).drop("cluster")

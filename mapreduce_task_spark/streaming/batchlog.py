@@ -77,6 +77,17 @@ def live_view(log: DataFrame, covered: int) -> DataFrame:
     )
 
 
+def log_live(spark, path: str) -> DataFrame | None:
+    """The log's exactly-once live view, or None when no readable
+    ``__batch=`` partition exists — the read-side one-liner every
+    delta-log consumer (IVF, IVF-PQ, BM25 ingest search paths) shares,
+    so the watermark/coverage discipline cannot drift per consumer."""
+    if not log_exists(spark, path):
+        return None
+    log = spark.read.parquet(path)
+    return live_view(log, covered_watermark(batch_ids(log)))
+
+
 def read_before(log: DataFrame, before_batch: int | None = None) -> DataFrame:
     """The live view, optionally restricted to batches STRICTLY before
     ``before_batch`` — the replay-safe state batch N may read: if a
@@ -204,3 +215,101 @@ def drop_partitions(spark, path: str, ids: list[int]) -> int:
             fs.delete(p, True)
             dropped += 1
     return dropped
+
+
+def merge_log_into_base(
+    spark, index_path: str, log_subdir: str, targets: list, write_merged
+) -> int:
+    """The shared OFFLINE segment-merge skeleton: fold the delta log's
+    live view into one or more base datasets, then drop exactly the
+    merged batch partitions — crash-safe at every step, INCLUDING the
+    operator mistake of restarting the append stream before finishing
+    a crashed merge (the naive "resume iff the side dir exists and the
+    delta is gone" protocol silently loses the merged rows there: a
+    recreated delta makes the next merge read the stale base and
+    overwrite the side dirs).
+
+    ``targets`` are base dataset names under ``index_path``;
+    ``write_merged(live, name)`` must write base[name] ∪ live to
+    ``<index_path>/<name>_merged`` (mode overwrite). Protocol:
+
+    1. If a COMMITTED marker exists (``<log>_merge_marker``, written
+       only after every side dir completed), a previous merge owns the
+       batch ids it recorded: finish the swaps, delete exactly those
+       partitions from the log (batches appended since the crash
+       survive untouched), drop the marker, return 0.
+    2. Compute the live view; list ALL current partition ids (dead
+       covered partitions are equally superseded by the merge).
+    3. Write every ``<name>_merged`` side dir (recomputable until the
+       marker commits — a half-written side dir without a marker is
+       garbage the next run overwrites).
+    4. Commit the marker (the merged ids as one JSON dataset — tiny,
+       bounded by compaction).
+    5. Finish: per-target delete-final + rename-side (each swap
+       independently resumable), targeted partition deletes, log dir
+       removal when empty, marker delete.
+
+    Searches between a crash and the re-run may see a stale base
+    and/or partial delta — the documented OFFLINE contract (stream
+    stopped, searches paused or staleness-tolerant); what the protocol
+    guarantees is that NO merge ever reads a base missing committed
+    merged rows, and codes/vectors-style multi-dataset bases can never
+    end half-swapped after recovery. Returns the merged live row
+    count (0 for resume/no-op)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    log_path = f"{index_path}/{log_subdir}"
+    marker = f"{index_path}/{log_subdir}_merge_marker"
+    marker_p = hpath(marker)
+
+    def marker_ids() -> list | None:
+        """The committed merge's batch ids, or None when no marker is
+        readable (absent, or a torn write without _SUCCESS/data)."""
+        if not fs.exists(marker_p):
+            return None
+        try:
+            return [r["id"] for r in spark.read.json(marker).collect()]
+        except Exception:
+            # torn marker write: the merge it belonged to never
+            # committed, so its side dirs are garbage; clear and redo
+            fs.delete(marker_p, True)
+            return None
+
+    def finish(ids: list) -> None:
+        for name in targets:
+            tmp_p = hpath(f"{index_path}/{name}_merged")
+            final_p = hpath(f"{index_path}/{name}")
+            if fs.exists(tmp_p):
+                if fs.exists(final_p):
+                    fs.delete(final_p, True)
+                fs.rename(tmp_p, final_p)
+        drop_partitions(spark, log_path, ids)
+        log_p = hpath(log_path)
+        if fs.exists(log_p):
+            leftover = [
+                s.getPath().getName()
+                for s in fs.listStatus(log_p)
+                if s.getPath().getName().startswith(f"{BATCH_COL}=")
+            ]
+            if not leftover:
+                fs.delete(log_p, True)
+        fs.delete(marker_p, True)
+
+    committed = marker_ids()
+    if committed is not None:
+        finish(committed)
+        return 0
+    live = log_live(spark, log_path)
+    if live is None:
+        return 0
+    ids = batch_ids(spark.read.parquet(log_path))
+    live = live.drop(BATCH_COL)
+    n = live.count()
+    for name in targets:
+        write_merged(live, name)
+    spark.createDataFrame(
+        [(int(b),) for b in ids], "id long"
+    ).coalesce(1).write.mode("overwrite").json(marker)
+    finish(ids)
+    return n

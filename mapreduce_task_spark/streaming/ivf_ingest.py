@@ -54,10 +54,8 @@ from ..operators.similarity import (
 from .batchlog import (
     BATCH_COL,
     compact_log,
-    live_view,
-    log_exists,
-    batch_ids,
-    covered_watermark,
+    log_live,
+    merge_log_into_base,
     write_batch_partition,
 )
 
@@ -108,11 +106,7 @@ def streaming_ivf_append(
 
 
 def _delta_live(spark: SparkSession, index_path: str) -> DataFrame | None:
-    path = f"{index_path}/delta"
-    if not log_exists(spark, path):
-        return None
-    log = spark.read.parquet(path)
-    return live_view(log, covered_watermark(batch_ids(log)))
+    return log_live(spark, f"{index_path}/delta")
 
 
 def search_with_delta(
@@ -193,46 +187,27 @@ def compact_delta(spark: SparkSession, index_path: str, up_to_batch: int) -> int
 
 def merge_delta_into_base(spark: SparkSession, index_path: str) -> int:
     """Rewrite the base inverted lists as base ∪ delta live view and
-    drop the delta log — the offline segment-merge. Returns the number
-    of rows merged in from the delta (0 on a no-op or resume call).
+    drop the merged delta partitions — the offline segment-merge, on
+    the shared marker-committed protocol (``batchlog.
+    merge_log_into_base``): side-directory write, marker commit,
+    independently resumable swap, targeted partition deletes. Crash
+    recovery is a re-run of this function — safe even if the append
+    stream was restarted first (batches appended after a crashed
+    merge survive; the committed merge's rows can never be lost to a
+    stale-base re-merge). Returns the number of rows merged in from
+    the delta (0 on a no-op or resume call). True multi-writer
+    atomicity needs a table format (Delta/Iceberg) — out of scope by
+    design."""
 
-    OFFLINE op: run with the append stream stopped and searches
-    paused/tolerant of staleness. The merged lists are written to a
-    SIDE directory and swapped in by rename — never checkpointed
-    through driver/executor memory and never overwriting a path the
-    plan reads from, so the rewrite streams at any index size. Crash
-    recovery is a re-run: each step is idempotent or detectable
-    (a finished side write with the delta already gone means "finish
-    the swap"). True multi-writer atomicity needs a table format
-    (Delta/Iceberg) — out of scope here by design.
-    """
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
-    lists_p, tmp_p = hpath(f"{index_path}/lists"), hpath(f"{index_path}/lists_merged")
-    delta_p = hpath(f"{index_path}/delta")
+    def write_merged(live: DataFrame, name: str) -> None:
+        base = spark.read.parquet(f"{index_path}/{name}")
+        base.unionByName(live.select(*base.columns)).write.mode(
+            "overwrite"
+        ).partitionBy("cluster").parquet(f"{index_path}/{name}_merged")
 
-    def finish_swap() -> None:
-        if fs.exists(lists_p):
-            fs.delete(lists_p, True)
-        fs.rename(tmp_p, lists_p)
-
-    if fs.exists(tmp_p) and not fs.exists(delta_p):
-        # resume a crash between the delta drop and the swap
-        finish_swap()
-        return 0
-    delta = _delta_live(spark, index_path)
-    if delta is None:
-        return 0
-    delta = delta.drop(BATCH_COL)
-    n = delta.count()
-    base = spark.read.parquet(f"{index_path}/lists")
-    base.unionByName(delta).write.mode("overwrite").partitionBy("cluster").parquet(
-        f"{index_path}/lists_merged"
+    return merge_log_into_base(
+        spark, index_path, "delta", ["lists"], write_merged
     )
-    fs.delete(delta_p, True)
-    finish_swap()
-    return n
 
 
 def delta_skew_report(spark: SparkSession, index_path: str) -> DataFrame:

@@ -52,17 +52,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.pq import (
     _ivfpq_adc_scored,
     _rank_topk_by_distance,
-    _refine_exact,
+    _refine_stage,
+    _vectors_as_cvecs,
     ivfpq_encode_batch,
 )
 from ..operators.similarity import probe_clusters, with_quantized
 from .batchlog import (
     BATCH_COL,
-    batch_ids,
     compact_log,
-    covered_watermark,
-    live_view,
-    log_exists,
+    log_live,
+    merge_log_into_base,
     write_batch_partition,
 )
 
@@ -125,11 +124,7 @@ def streaming_ivfpq_append(
 
 
 def _delta_live(spark: SparkSession, index_path: str) -> DataFrame | None:
-    path = f"{index_path}/delta"
-    if not log_exists(spark, path):
-        return None
-    log = spark.read.parquet(path)
-    return live_view(log, covered_watermark(batch_ids(log)))
+    return log_live(spark, f"{index_path}/delta")
 
 
 def search_with_delta(
@@ -188,28 +183,14 @@ def search_with_delta(
             _ivfpq_adc_scored(delta_cand, rq, cents, m, dsub, per_list=per_list)
         )
     if refine:
-        shortlist = _rank_topk_by_distance(scored, refine * k).drop("rank")
-        qvecs = qd.select(
-            F.col(id_col).alias("query_id"),
-            F.col("qv").alias("qv_q"),
-            F.col("nq").alias("nq_q"),
-        )
-        cvecs = spark.read.parquet(f"{index_path}/vectors").select(
-            F.col(id_col).alias("cand_id"),
-            "cluster",
-            F.col("qv").alias("qv_c"),
-            F.col("nq").alias("nq_c"),
+        cvecs = _vectors_as_cvecs(
+            spark.read.parquet(f"{index_path}/vectors"), id_col
         )
         if delta is not None:
             cvecs = cvecs.unionByName(
-                delta.select(
-                    F.col(id_col).alias("cand_id"),
-                    "cluster",
-                    F.col("qv").alias("qv_c"),
-                    F.col("nq").alias("nq_c"),
-                )
+                _vectors_as_cvecs(delta.select(id_col, "cluster", "qv", "nq"), id_col)
             )
-        return _refine_exact(shortlist, qvecs, cvecs, k, on=["cluster", "cand_id"])
+        return _refine_stage(scored, qd, cvecs, id_col, k, refine)
     return _rank_topk_by_distance(scored, k).drop("cluster")
 
 
@@ -231,61 +212,26 @@ def compact_delta(spark: SparkSession, index_path: str, up_to_batch: int) -> int
 
 def merge_delta_into_base(spark: SparkSession, index_path: str) -> int:
     """Rewrite the base ``codes`` AND ``vectors`` datasets as
-    base ∪ delta live view and drop the delta log — the offline
-    segment merge. Returns the number of delta rows merged in (0 on a
-    no-op or resume call).
+    base ∪ delta live view and drop the merged delta partitions — the
+    offline segment merge, on the shared marker-committed protocol
+    (``batchlog.merge_log_into_base``). The marker commit is what
+    makes a TWO-dataset base safe: after a crash anywhere past it,
+    recovery finishes both swaps from the recorded state, so codes and
+    vectors can never end half-swapped (a half-swap would silently
+    drop refine candidates at the (cluster, cand_id) join) and a
+    committed merge's rows can never be lost to a stale-base re-merge
+    even if the append stream was restarted first. Returns the number
+    of delta rows merged in (0 on a no-op or resume call)."""
 
-    OFFLINE op (append stream stopped, searches paused or
-    staleness-tolerant). Both rewrites go to SIDE directories and swap
-    in by rename — never through driver/executor memory, never
-    overwriting a path the plan reads from. Crash recovery is a
-    re-run: both side writes are recomputable while the delta exists;
-    once the delta is dropped, any remaining side directory means
-    "finish that swap" (each swap is independently resumable, so a
-    crash between the two swaps converges on re-run). True
-    multi-writer atomicity needs a table format — out of scope by
-    design, matching ivf_ingest."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
-    delta_p = hpath(f"{index_path}/delta")
-    swaps = [
-        (hpath(f"{index_path}/codes_merged"), hpath(f"{index_path}/codes")),
-        (hpath(f"{index_path}/vectors_merged"), hpath(f"{index_path}/vectors")),
-    ]
+    def write_merged(live: DataFrame, name: str) -> None:
+        # each base dataset holds its own column subset of the delta
+        # rows ((id, codes) vs (id, qv, nq), cluster-partitioned) —
+        # align before the union
+        base = spark.read.parquet(f"{index_path}/{name}")
+        base.unionByName(live.select(*base.columns)).write.mode(
+            "overwrite"
+        ).partitionBy("cluster").parquet(f"{index_path}/{name}_merged")
 
-    def finish_swaps() -> None:
-        for tmp_p, final_p in swaps:
-            if fs.exists(tmp_p):
-                if fs.exists(final_p):
-                    fs.delete(final_p, True)
-                fs.rename(tmp_p, final_p)
-
-    if not fs.exists(delta_p):
-        # resume a crash between the delta drop and the swaps (or no-op)
-        pending = any(fs.exists(t) for t, _ in swaps)
-        if pending:
-            finish_swaps()
-        return 0
-    delta = _delta_live(spark, index_path)
-    if delta is None:
-        return 0
-    delta = delta.drop(BATCH_COL)
-    n = delta.count()
-    # base codes files hold (id, codes) under cluster partitions; align
-    # column sets before the union
-    base_codes = spark.read.parquet(f"{index_path}/codes")
-    base_codes.unionByName(
-        delta.select(*base_codes.columns)
-    ).write.mode("overwrite").partitionBy("cluster").parquet(
-        f"{index_path}/codes_merged"
+    return merge_log_into_base(
+        spark, index_path, "delta", ["codes", "vectors"], write_merged
     )
-    base_vecs = spark.read.parquet(f"{index_path}/vectors")
-    base_vecs.unionByName(
-        delta.select(*base_vecs.columns)
-    ).write.mode("overwrite").partitionBy("cluster").parquet(
-        f"{index_path}/vectors_merged"
-    )
-    fs.delete(delta_p, True)
-    finish_swaps()
-    return n

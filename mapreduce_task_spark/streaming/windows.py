@@ -304,6 +304,17 @@ def stateful_key_stats_v1(
     max) semantics, runnable on the default HDFS-backed state store
     with no extra runtime dependencies.
 
+    Null/NaN contract: NULL values are skipped in both the cent sum
+    and the running max — matching the batch oracle's F.sum/F.max.
+    A GENUINE double NaN (not null) is treated the same as NULL here,
+    because the Arrow-to-pandas conversion makes the two
+    indistinguishable in the worker — whereas batch F.sum would
+    propagate NaN and F.max would rank it greatest. Corpora that
+    encode missing-as-NaN get the oracle-matching skip; corpora that
+    use NaN as a real sentinel value diverge from the batch twin on
+    exactly those rows (the one place "identical semantics" has an
+    environment-imposed asterisk).
+
     Why both exist: the ``transformWithStateInPandas`` variant covers
     the Spark 4 typed-state API (state handles, TTL, timers) but its
     Python runner needs google.protobuf and the RocksDB provider —

@@ -365,6 +365,13 @@ def test_decode_png_unsupported_variants_degrade():
     whole = _make_png(px)
     with pytest.raises(ValueError):
         decode_image(whole[:40])  # truncated mid-chunk
+    # corrupt deflate bytes inside IDAT must be ValueError (zlib.error
+    # would escape decoded_image_stats' degradation catch and kill the
+    # task)
+    corrupt = bytearray(whole)
+    corrupt[len(whole) // 2] ^= 0xFF
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_image(bytes(corrupt))
     # raster/IHDR mismatch: lie about the height
     import struct
 

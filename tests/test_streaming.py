@@ -2775,3 +2775,93 @@ def test_streaming_ivfpq_append_sink_and_pruning(spark, sf_small, tmp_path):
     base_scans = [ln for ln in pf_lines if "__batch" not in ln]
     assert delta_scans, "delta scan lost cluster DPP or the __batch watermark"
     assert base_scans, "base codes scan lost cluster DPP"
+
+
+def test_ivfpq_merge_marker_recovery_preserves_new_appends(
+    spark, sf_small, tmp_path
+):
+    """The crash window the naive merge protocol lost data in: a merge
+    that committed its marker (side dirs complete) but crashed before
+    finishing, followed by the operator mistake of restarting appends
+    BEFORE re-running the merge. Recovery must finish the swaps from
+    the marker, delete exactly the merged batch partitions, keep the
+    post-crash batch, and leave search results equal to
+    base ∪ crashed-merge rows ∪ new batch."""
+    import os
+
+    from mapreduce_task_spark.operators.pq import (
+        ivfpq_build_index,
+        ivfpq_search_index,
+    )
+    from mapreduce_task_spark.streaming.batchlog import (
+        BATCH_COL,
+        batch_ids,
+        log_live,
+    )
+    from mapreduce_task_spark.streaming.ivfpq_ingest import (
+        append_batch,
+        merge_delta_into_base,
+        search_with_delta,
+    )
+
+    M, DIM, K = 8, 64, 5
+    emb = load_table(spark, sf_small, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    b0 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    b1 = emb.filter(F.col("vec_id") >= 400)
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_build_index(
+        base, idx, n_clusters=8, m=M, ksub=16, dim=DIM,
+        coarse_rounds=1, pq_rounds=2,
+    )
+    append_batch(b0, 0, idx, m=M, dim=DIM)
+
+    # simulate merge #1 crashing right after its marker commit: side
+    # dirs written, marker recorded, but no swap / no partition delete
+    live = log_live(spark, f"{idx}/delta")
+    ids = batch_ids(spark.read.parquet(f"{idx}/delta"))
+    for name in ("codes", "vectors"):
+        b = spark.read.parquet(f"{idx}/{name}")
+        b.unionByName(live.drop(BATCH_COL).select(*b.columns)).write.mode(
+            "overwrite"
+        ).partitionBy("cluster").parquet(f"{idx}/{name}_merged")
+    spark.createDataFrame([(int(i),) for i in ids], "id long").coalesce(
+        1
+    ).write.mode("overwrite").json(f"{idx}/delta_merge_marker")
+
+    # operator restarts the append stream before re-running the merge
+    append_batch(b1, 1, idx, m=M, dim=DIM)
+
+    # recovery: resume branch — finish swaps, drop ONLY batch 0, keep 1
+    assert merge_delta_into_base(spark, idx) == 0
+    assert not os.path.exists(f"{idx}/codes_merged")
+    assert not os.path.exists(f"{idx}/vectors_merged")
+    assert not os.path.exists(f"{idx}/delta_merge_marker")
+    parts = {
+        p for p in os.listdir(f"{idx}/delta") if p.startswith("__batch=")
+    }
+    assert parts == {"__batch=1"}, parts
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+
+    def snap(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["cand_id"], r["exact_d"])
+            for r in df.collect()
+        )
+
+    got = snap(
+        search_with_delta(
+            spark, idx, queries, k=K, nprobe=2, m=M, dim=DIM, refine=5
+        )
+    )
+    # merge #2 folds the surviving batch; the plain search must then
+    # reproduce the delta search over base ∪ b0 ∪ b1 exactly
+    assert merge_delta_into_base(spark, idx) == b1.count()
+    assert not os.path.exists(f"{idx}/delta")
+    want = snap(
+        ivfpq_search_index(
+            spark, idx, queries, k=K, nprobe=2, m=M, dim=DIM, refine=5
+        )
+    )
+    assert got == want and len(got) > 0
