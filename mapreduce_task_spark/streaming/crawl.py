@@ -13,9 +13,10 @@ wired the way a production crawl actually runs: per micro-batch,
 3. the SURVIVORS — and only they; a dropped near-dup must not be
    searchable — append to the BM25 delta index (``bm25_path``) and,
    when the stream carries an embedding column, to the IVF delta
-   index (``ivf_path``). A freshly crawled document is immediately
-   findable by both lexical and ANN search via each index's
-   ``search_with_delta``.
+   index (``ivf_path``) and/or the compressed IVF-PQ delta index
+   (``ivfpq_path``, r10 — frozen quantizer + codebook encode). A
+   freshly crawled document is immediately findable by lexical and
+   ANN search via each index's ``search_with_delta``.
 
 Why ONE foreachBatch (not N independent sinks off the same source):
 every state write above is keyed by the same batch id and is a
@@ -64,6 +65,7 @@ def crawl_batch(
     sig_path: str,
     bm25_path: str | None = None,
     ivf_path: str | None = None,
+    ivfpq_path: str | None = None,
     quality_path: str | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -72,12 +74,20 @@ def crawl_batch(
     seed_path: str | None = None,
     quality_model=None,
     quality_threshold: float = 0.5,
+    ivfpq_m: int = 8,
+    ivfpq_dim: int = 64,
 ) -> DataFrame:
     """Run one (micro-)batch through the full crawl loop; returns the
     survivor frame. Usable directly for batch backfills and as the
-    foreachBatch body. The BM25/IVF base indexes must already exist
-    (``bm25_build_index`` / ``ivf_build_index`` — over the seed corpus,
-    or over an empty frame for a cold start).
+    foreachBatch body. The BM25/IVF/IVF-PQ base indexes must already
+    exist (``bm25_build_index`` / ``ivf_build_index`` /
+    ``ivfpq_build_index`` — over the seed corpus, or over an empty
+    frame for a cold start). ``ivfpq_path`` appends survivors to the
+    COMPRESSED index's delta (frozen coarse quantizer + codebook, see
+    ``ivfpq_ingest``); ``ivfpq_m``/``ivfpq_dim`` must match its build.
+    Both ANN legs may run side by side — a deployment typically keeps
+    one, but the replay argument is identical (each append is
+    deterministic in batch rows + frozen index).
 
     ``quality_model`` (a fitted ``quality_model.train_quality_model``
     PipelineModel) inserts the learned-filter stage: the monitor row
@@ -127,6 +137,18 @@ def crawl_batch(
             id_col=id_col,
             vec_col=vec_col,
         )
+    if ivfpq_path is not None and vec_col in fresh.columns:
+        from .ivfpq_ingest import append_batch as ivfpq_append_batch
+
+        ivfpq_append_batch(
+            fresh.where(F.col(vec_col).isNotNull()),
+            batch_id,
+            ivfpq_path,
+            id_col=id_col,
+            vec_col=vec_col,
+            m=ivfpq_m,
+            dim=ivfpq_dim,
+        )
     return fresh
 
 
@@ -137,6 +159,7 @@ def streaming_crawl_ingest(
     checkpoint: str,
     bm25_path: str | None = None,
     ivf_path: str | None = None,
+    ivfpq_path: str | None = None,
     quality_path: str | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -145,6 +168,8 @@ def streaming_crawl_ingest(
     seed_path: str | None = None,
     quality_model=None,
     quality_threshold: float = 0.5,
+    ivfpq_m: int = 8,
+    ivfpq_dim: int = 64,
 ):
     """Attach the composed crawl sink to a document stream; returns
     the StreamingQuery. One checkpoint governs the whole fan-out (see
@@ -158,10 +183,12 @@ def streaming_crawl_ingest(
             return
         crawl_batch(
             batch_df, batch_id, corpus_path, sig_path,
-            bm25_path=bm25_path, ivf_path=ivf_path, quality_path=quality_path,
+            bm25_path=bm25_path, ivf_path=ivf_path, ivfpq_path=ivfpq_path,
+            quality_path=quality_path,
             id_col=id_col, text_col=text_col, vec_col=vec_col,
             threshold=threshold, seed_path=seed_path,
             quality_model=quality_model, quality_threshold=quality_threshold,
+            ivfpq_m=ivfpq_m, ivfpq_dim=ivfpq_dim,
         )
 
     return (
@@ -179,6 +206,7 @@ def compact_crawl(
     committed_batch: int,
     bm25_path: str | None = None,
     ivf_path: str | None = None,
+    ivfpq_path: str | None = None,
     quality_path: str | None = None,
 ) -> dict[str, int]:
     """One maintenance pass over every log the composed sink writes:
@@ -229,6 +257,11 @@ def compact_crawl(
     if ivf_path is not None:
         run("ivf_delta", f"{ivf_path}/delta",
             lambda: compact_ivf_delta(spark, ivf_path, committed_batch))
+    if ivfpq_path is not None:
+        from .ivfpq_ingest import compact_delta as compact_ivfpq_delta
+
+        run("ivfpq_delta", f"{ivfpq_path}/delta",
+            lambda: compact_ivfpq_delta(spark, ivfpq_path, committed_batch))
     run("quality", quality_path,
         lambda: compact_quality(spark, quality_path, committed_batch))
     return done

@@ -2136,10 +2136,11 @@ def test_composed_crawl_single_checkpoint_end_to_end(spark, sf_small, tmp_path):
     survivors bit-for-bit, the IVF delta holds exactly the embedded
     survivors, and the monitor describes the raw stream including the
     dropped duplicate."""
+    from mapreduce_task_spark.operators.pq import ivfpq_build_index
     from mapreduce_task_spark.operators.ranking import bm25_build_index, bm25_topk
     from mapreduce_task_spark.operators.similarity import ivf_build_index
     from mapreduce_task_spark.streaming.crawl import streaming_crawl_ingest
-    from mapreduce_task_spark.streaming import bm25_ingest, ivf_ingest
+    from mapreduce_task_spark.streaming import bm25_ingest, ivf_ingest, ivfpq_ingest
     from mapreduce_task_spark.streaming.dedup_ingest import (
         bootstrap_signatures,
         read_corpus,
@@ -2153,6 +2154,7 @@ def test_composed_crawl_single_checkpoint_end_to_end(spark, sf_small, tmp_path):
 
     bm25_idx = str(tmp_path / "bm25")
     ivf_idx = str(tmp_path / "ivf")
+    ivfpq_idx = str(tmp_path / "ivfpq")
     seed = str(tmp_path / "seed_sigs")
     bm25_build_index(base, spark, bm25_idx)
     ivf_build_index(
@@ -2160,6 +2162,16 @@ def test_composed_crawl_single_checkpoint_end_to_end(spark, sf_small, tmp_path):
         ivf_idx,
         id_col="doc_id",
         vec_col="embedding",
+    )
+    ivfpq_build_index(
+        base.where(F.col("embedding").isNotNull()),
+        ivfpq_idx,
+        id_col="doc_id",
+        vec_col="embedding",
+        n_clusters=8,
+        m=8,
+        ksub=16,
+        dim=64,
     )
     bootstrap_signatures(base, seed)
 
@@ -2184,6 +2196,7 @@ def test_composed_crawl_single_checkpoint_end_to_end(spark, sf_small, tmp_path):
         str(tmp_path / "ckpt"),
         bm25_path=bm25_idx,
         ivf_path=ivf_idx,
+        ivfpq_path=ivfpq_idx,
         quality_path=str(tmp_path / "quality"),
         seed_path=seed,
     )
@@ -2229,6 +2242,16 @@ def test_composed_crawl_single_checkpoint_end_to_end(spark, sf_small, tmp_path):
         .collect()
     )
     assert [r["cand_id"] for r in top] == [probe_id]
+
+    # compressed-index freshness: the IVF-PQ delta holds exactly the
+    # embedded survivors, and a refined search at a streamed doc's own
+    # embedding must put that doc at rank 1 (exact L2 distance 0)
+    assert spark.read.parquet(f"{ivfpq_idx}/delta").count() == n_embedded
+    pq_top = ivfpq_ingest.search_with_delta(
+        spark, ivfpq_idx, probe, id_col="doc_id", k=1, nprobe=2, refine=5
+    ).collect()
+    assert [r["cand_id"] for r in pq_top] == [probe_id]
+    assert pq_top[0]["exact_d"] == 0
 
     t = read_quality_total(spark, str(tmp_path / "quality")).collect()[0]
     assert t["n_rows"] == 251  # raw stream, pre-dedup, incl. the dup
