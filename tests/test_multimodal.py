@@ -406,3 +406,33 @@ def test_decoded_image_stats_handles_png(spark):
     r1 = got[1]
     assert r1["ok"] and (r1["width"], r1["height"], r1["channels"]) == (2, 5, 1)
     assert not got[2]["ok"] and not got[3]["ok"]
+
+
+def test_decode_png_roundtrip_property():
+    """Hypothesis: ANY 8-bit pixel array under ANY per-scanline filter
+    assignment roundtrips bit-exactly through encode -> decode — the
+    unfilter inverts the spec's forward filter for every (shape,
+    channels, filter-sequence) combination, not just the fixtures."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 6),
+        w=st.integers(1, 6),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+        data=st.data(),
+    )
+    def roundtrip(h, w, ch, seed, data):
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        px = _px(h, w, ch, seed=seed)
+        got = decode_image(_make_png(px, filters=filters))
+        assert got.shape == px.shape
+        assert np.array_equal(got, px)
+
+    roundtrip()
