@@ -269,12 +269,17 @@ def merge_log_into_base(
         if not fs.exists(marker_p):
             return None
         try:
-            return [r["id"] for r in spark.read.json(marker).collect()]
+            ids = [r["id"] for r in spark.read.json(marker).collect()]
         except Exception:
-            # torn marker write: the merge it belonged to never
-            # committed, so its side dirs are garbage; clear and redo
+            ids = []
+        if not ids:
+            # torn marker write (unreadable, or readable-but-empty —
+            # a committed marker always records >= 1 merged id): the
+            # merge it belonged to never committed, so its side dirs
+            # are garbage; clear and redo
             fs.delete(marker_p, True)
             return None
+        return ids
 
     def finish(ids: list) -> None:
         for name in targets:

@@ -2888,3 +2888,47 @@ def test_ivfpq_merge_marker_recovery_preserves_new_appends(
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_merge_torn_marker_discarded_and_remerged(spark, sf_small, tmp_path):
+    """A marker directory whose write was torn (no readable rows — the
+    crash happened mid-commit) must NOT be trusted: recovery discards
+    it and re-runs the merge from the intact base + delta, ending in
+    the same state as an uninterrupted merge."""
+    import os
+
+    from mapreduce_task_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_search_index,
+    )
+    from mapreduce_task_spark.streaming.ivf_ingest import (
+        append_batch,
+        merge_delta_into_base,
+        search_with_delta,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    rest = emb.filter(F.col("vec_id") >= 300)
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(base, idx, n_clusters=8, dim=64, rounds=2)
+    append_batch(rest, 0, idx)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    want = sorted(
+        (r["query_id"], r["rank"], r["cand_id"], r["cos"])
+        for r in search_with_delta(spark, idx, queries, k=5, nprobe=2).collect()
+    )
+
+    # torn marker: the directory exists but holds no readable dataset
+    os.makedirs(f"{idx}/delta_merge_marker", exist_ok=True)
+    with open(f"{idx}/delta_merge_marker/_partial", "w") as f:
+        f.write("")
+
+    assert merge_delta_into_base(spark, idx) == rest.count()
+    assert not os.path.exists(f"{idx}/delta")
+    assert not os.path.exists(f"{idx}/delta_merge_marker")
+    got = sorted(
+        (r["query_id"], r["rank"], r["cand_id"], r["cos"])
+        for r in ivf_search_index(spark, idx, queries, k=5, nprobe=2).collect()
+    )
+    assert got == want and len(got) > 0
