@@ -433,3 +433,38 @@ def test_ivfpq_index_refine_split_matches_inline(spark, sf_small, tmp_path):
         F.col("cluster").isin(1, 2)
     )
     assert "cluster" in partition_filters(probed)
+
+
+def test_ivfpq_refined_search_prunes_codes_and_vectors(spark, sf_small, tmp_path):
+    """The refine stage's scale contract plan-asserted: in the refined
+    persisted-index search, BOTH cluster-partitioned scans — the codes
+    lists (ADC side) and the vectors dataset (exact-rerank side) —
+    must carry DYNAMIC partition pruning on cluster, so neither side
+    ever scans an unprobed list directory."""
+    from mapreduce_task_spark.operators.pq import (
+        ivfpq_build_index,
+        ivfpq_search_index,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    queries = emb.join(qids, "vec_id")
+    path = str(tmp_path / "ivfpq_dpp")
+    ivfpq_build_index(
+        emb, path, n_clusters=8, m=M, ksub=KSUB, dim=DIM,
+        coarse_rounds=1, pq_rounds=2,
+    )
+    res = ivfpq_search_index(
+        spark, path, queries, k=K, nprobe=2, m=M, dim=DIM, refine=10
+    )
+    res.collect()
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "dynamicpruning" in ln
+    ]
+    assert any("qv" in ln and "nq" in ln for ln in pruned), (
+        "vectors scan lost cluster DPP"
+    )
+    assert any("codes" in ln for ln in pruned), "codes scan lost cluster DPP"
