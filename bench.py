@@ -344,6 +344,28 @@ def main() -> int:
                 extras["ivfpq_refined_nprobe_sweep"] = sweep
                 extras["ivfpq_search_refined_sec"] = sweep["2"]["search_sec"]
                 extras["ivfpq_recall_at10_refined"] = sweep["2"]["recall_at10"]
+                # ceiling point: all lists probed, 5*10*k shortlist —
+                # shows the compressed index's knobs reach near-exact
+                # recall (the residual loss is shortlist truncation,
+                # recoverable with refine; probe coverage is already 1)
+                t0 = time.perf_counter()
+                hi = ivfpq_search_index(
+                    spark, pq_dir, queries, k=10, nprobe=8, m=8, dim=64,
+                    refine=50,
+                )
+                hi.write.format("noop").mode("overwrite").save()
+                extras["ivfpq_refine_ceiling"] = {
+                    "nprobe": 8,
+                    "refine": 50,
+                    "recall_at10": _macro_recall(
+                        exact10,
+                        ivfpq_search_index(
+                            spark, pq_dir, queries, k=10, nprobe=8, m=8,
+                            dim=64, refine=50,
+                        ),
+                    ),
+                    "search_sec": round(time.perf_counter() - t0, 3),
+                }
             except Exception as e:
                 extras["ivfpq_recall_error"] = repr(e)[:200]
             finally:
