@@ -354,9 +354,14 @@ def main() -> int:
                     refine=50,
                 )
                 hi.write.format("noop").mode("overwrite").save()
+                # timing captured BEFORE the recall pass (its second
+                # search would otherwise inflate search_sec ~2x and
+                # break comparability with the sweep entries)
+                hi_sec = round(time.perf_counter() - t0, 3)
                 extras["ivfpq_refine_ceiling"] = {
                     "nprobe": 8,
                     "refine": 50,
+                    "search_sec": hi_sec,
                     "recall_at10": _macro_recall(
                         exact10,
                         ivfpq_search_index(
@@ -364,7 +369,6 @@ def main() -> int:
                             dim=64, refine=50,
                         ),
                     ),
-                    "search_sec": round(time.perf_counter() - t0, 3),
                 }
             except Exception as e:
                 extras["ivfpq_recall_error"] = repr(e)[:200]

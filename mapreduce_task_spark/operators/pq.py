@@ -334,23 +334,6 @@ def _encode_codes(
         # the row's own cluster book: cluster is constant within the
         # filtered slice, so ordering is still (sub, j)
         book = F.filter(F.col("__cb"), lambda c: c["cluster"] == F.col("cluster"))
-        # a vector homed to a cluster with NO per-list codebook (a list
-        # empty at build time — only reachable when encoding NEW
-        # vectors against a frozen index, e.g. streaming ingest) would
-        # otherwise encode to all-NULL codes, and NULL approx_d ranks
-        # FIRST under asc ordering — garbage at rank 1. Loud beats
-        # silently poisoned top-k; the message names the fix (retrain).
-        book = F.when(
-            F.size(book) == 0,
-            F.raise_error(
-                F.lit(
-                    "per-list PQ encode: vector assigned to a cluster "
-                    "with no codebook entries (list was empty at build "
-                    "time) — retrain the index (ivfpq_build_index) or "
-                    "use the shared global codebook"
-                )
-            ),
-        ).otherwise(book)
     else:
         packed = cents.agg(
             F.array_sort(F.collect_list(F.struct("sub", "j", "cqv"))).alias("__cb")
@@ -359,6 +342,35 @@ def _encode_codes(
     pre = qd.crossJoin(F.broadcast(packed)).select(
         id_col, *extra, "qv", book.alias("__bk")
     )
+    if per_list:
+        # a vector homed to a cluster with NO per-list codebook (a list
+        # empty at build time — only reachable when encoding NEW
+        # vectors against a frozen index, e.g. streaming ingest) would
+        # otherwise encode to all-NULL codes, and NULL approx_d ranks
+        # FIRST under asc ordering — garbage at rank 1. Loud beats
+        # silently poisoned top-k; the message names the fix (retrain).
+        # Guarded in its OWN projection over the materialized __bk so
+        # the hand-hoisted filter pass above still runs exactly once
+        # per row (inlining the guard would re-run it twice — codegen
+        # CSE does not deduplicate lambda subtrees).
+        pre = pre.select(
+            id_col,
+            *extra,
+            "qv",
+            F.when(
+                F.size("__bk") == 0,
+                F.raise_error(
+                    F.lit(
+                        "per-list PQ encode: vector assigned to a cluster "
+                        "with no codebook entries (list was empty at build "
+                        "time) — retrain the index (ivfpq_build_index) or "
+                        "use the shared global codebook"
+                    )
+                ),
+            )
+            .otherwise(F.col("__bk"))
+            .alias("__bk"),
+        )
     # per-subspace entry count read off the (possibly per-cluster) book
     nsub = (F.size("__bk") / F.lit(m)).cast("int")
 

@@ -168,6 +168,20 @@ def compact_log(
     """
     if up_to_batch < 0:
         raise ValueError(f"up_to_batch must be >= 0 (got {up_to_batch})")
+    # a committed-but-unfinished segment merge owns this log's listed
+    # partitions by exact id; compacting now would rehome those rows
+    # into a fresh negative partition the merge recovery cannot see,
+    # and the NEXT merge would fold them into the base a second time
+    # (duplicate index rows). Refuse until the merge is finished.
+    jvm = spark._jvm
+    marker_p = jvm.org.apache.hadoop.fs.Path(f"{path}_merge_marker")
+    mfs = marker_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if mfs.exists(marker_p):
+        raise RuntimeError(
+            f"crashed segment merge pending at {path}_merge_marker — "
+            "re-run merge_delta_into_base to finish recovery before "
+            "compacting this log"
+        )
     log = spark.read.parquet(path)
     ids = batch_ids(log)
     covered = covered_watermark(ids)
@@ -305,11 +319,20 @@ def merge_log_into_base(
     if committed is not None:
         finish(committed)
         return 0
-    live = log_live(spark, log_path)
-    if live is None:
+    if not log_exists(spark, log_path):
+        # pre-marker-protocol crash state: a legacy merge deleted the
+        # whole log before swapping — a side dir here is that merge's
+        # completed output, not garbage (under THIS protocol a side
+        # dir can only coexist with a missing log while the marker
+        # exists, handled above). Finish the legacy swap.
+        if any(
+            fs.exists(hpath(f"{index_path}/{name}_merged")) for name in targets
+        ):
+            finish([])
         return 0
-    ids = batch_ids(spark.read.parquet(log_path))
-    live = live.drop(BATCH_COL)
+    log = spark.read.parquet(log_path)
+    ids = batch_ids(log)
+    live = live_view(log, covered_watermark(ids)).drop(BATCH_COL)
     n = live.count()
     for name in targets:
         write_merged(live, name)

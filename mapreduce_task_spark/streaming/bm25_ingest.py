@@ -44,11 +44,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.ranking import doc_tokens, score_postings
 from .batchlog import (
     BATCH_COL,
-    batch_ids,
     compact_log,
-    covered_watermark,
-    live_view,
     log_exists,
+    log_live,
     write_batch_partition,
 )
 
@@ -117,10 +115,7 @@ def streaming_bm25_append(
 
 
 def _live(spark: SparkSession, path: str) -> DataFrame | None:
-    if not log_exists(spark, path):
-        return None
-    log = spark.read.parquet(path)
-    return live_view(log, covered_watermark(batch_ids(log)))
+    return log_live(spark, path)
 
 
 def search_with_delta(

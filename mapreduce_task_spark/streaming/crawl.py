@@ -76,6 +76,7 @@ def crawl_batch(
     quality_threshold: float = 0.5,
     ivfpq_m: int = 8,
     ivfpq_dim: int = 64,
+    ivfpq_per_list: bool = False,
 ) -> DataFrame:
     """Run one (micro-)batch through the full crawl loop; returns the
     survivor frame. Usable directly for batch backfills and as the
@@ -84,7 +85,9 @@ def crawl_batch(
     ``ivfpq_build_index`` — over the seed corpus, or over an empty
     frame for a cold start). ``ivfpq_path`` appends survivors to the
     COMPRESSED index's delta (frozen coarse quantizer + codebook, see
-    ``ivfpq_ingest``); ``ivfpq_m``/``ivfpq_dim`` must match its build.
+    ``ivfpq_ingest``); ``ivfpq_m``/``ivfpq_dim``/``ivfpq_per_list``
+    must ALL match its build (a per-list index encoded through the
+    global-codebook path would write silently wrong codes).
     Both ANN legs may run side by side — a deployment typically keeps
     one, but the replay argument is identical (each append is
     deterministic in batch rows + frozen index).
@@ -148,6 +151,7 @@ def crawl_batch(
             vec_col=vec_col,
             m=ivfpq_m,
             dim=ivfpq_dim,
+            per_list=ivfpq_per_list,
         )
     return fresh
 
@@ -170,6 +174,7 @@ def streaming_crawl_ingest(
     quality_threshold: float = 0.5,
     ivfpq_m: int = 8,
     ivfpq_dim: int = 64,
+    ivfpq_per_list: bool = False,
 ):
     """Attach the composed crawl sink to a document stream; returns
     the StreamingQuery. One checkpoint governs the whole fan-out (see
@@ -189,6 +194,7 @@ def streaming_crawl_ingest(
             threshold=threshold, seed_path=seed_path,
             quality_model=quality_model, quality_threshold=quality_threshold,
             ivfpq_m=ivfpq_m, ivfpq_dim=ivfpq_dim,
+            ivfpq_per_list=ivfpq_per_list,
         )
 
     return (

@@ -33,14 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.textstats import ws_token_count
-from .batchlog import (
-    BATCH_COL,
-    batch_ids,
-    compact_log,
-    covered_watermark,
-    live_view,
-    write_batch_partition,
-)
+from .batchlog import compact_log, log_live, write_batch_partition
 
 _MERGE = [
     F.sum("n_rows").alias("n_rows"),
@@ -124,16 +117,19 @@ def _rates(df: DataFrame) -> DataFrame:
 def read_quality_trend(spark: SparkSession, path: str) -> DataFrame:
     """Per-batch health rows with derived rates, through the live view
     (compacted history appears as one merged row at its negative id)."""
-    log = spark.read.parquet(path)
-    return _rates(live_view(log, covered_watermark(batch_ids(log))))
+    live = log_live(spark, path)
+    if live is None:
+        raise FileNotFoundError(f"no quality log at {path}")
+    return _rates(live)
 
 
 def read_quality_total(spark: SparkSession, path: str) -> DataFrame:
     """One corpus-level row merging every live batch — counters sum,
     sketches union; no landed data is ever rescanned."""
-    log = spark.read.parquet(path)
-    merged = live_view(log, covered_watermark(batch_ids(log))).agg(*_MERGE)
-    return _rates(merged)
+    live = log_live(spark, path)
+    if live is None:
+        raise FileNotFoundError(f"no quality log at {path}")
+    return _rates(live.agg(*_MERGE))
 
 
 def compact_quality(spark: SparkSession, path: str, up_to_batch: int) -> int:
