@@ -2932,3 +2932,40 @@ def test_merge_torn_marker_discarded_and_remerged(spark, sf_small, tmp_path):
         for r in ivf_search_index(spark, idx, queries, k=5, nprobe=2).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_compaction_refuses_while_merge_marker_pending(spark, sf_small, tmp_path):
+    """compact_delta must refuse while a committed-but-unfinished merge
+    marker exists: compaction would rehome the marker-listed partitions
+    into a fresh negative id the merge recovery cannot see, and the
+    next merge would double-fold those rows into the base. After
+    recovery, compaction is allowed again."""
+    import pytest as _pytest
+
+    from mapreduce_task_spark.operators.similarity import ivf_build_index
+    from mapreduce_task_spark.streaming.batchlog import batch_ids
+    from mapreduce_task_spark.streaming.ivf_ingest import (
+        append_batch,
+        compact_delta,
+        merge_delta_into_base,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(emb.filter(F.col("vec_id") < 300), idx, n_clusters=8, dim=64)
+    append_batch(emb.filter(F.col("vec_id") >= 300), 0, idx)
+
+    # a committed marker (as merge_log_into_base writes it, mid-crash)
+    ids = batch_ids(spark.read.parquet(f"{idx}/delta"))
+    spark.createDataFrame([(int(i),) for i in ids], "id long").coalesce(
+        1
+    ).write.mode("overwrite").json(f"{idx}/delta_merge_marker")
+
+    with _pytest.raises(RuntimeError, match="merge pending"):
+        compact_delta(spark, idx, up_to_batch=0)
+
+    # recovery first, then the log is gone and compaction is a no-op
+    # question that never arises; with a fresh append it works again
+    assert merge_delta_into_base(spark, idx) == 0  # resume path
+    append_batch(emb.filter(F.col("vec_id") >= 450), 1, idx)
+    assert compact_delta(spark, idx, up_to_batch=1) == 1
