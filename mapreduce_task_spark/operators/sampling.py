@@ -181,6 +181,61 @@ def mix_corpora(
     return out
 
 
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    salt: str = "tempmix",
+) -> DataFrame:
+    """Temperature-scaled domain sampling — the GPT-3/PaLM data-recipe
+    primitive: keep rows so that the EXPECTED kept count per domain is
+    proportional to ``n_domain ** alpha``. ``alpha=1`` keeps everything
+    (natural proportions); ``alpha=0`` equalizes expected counts across
+    domains; values between interpolate, damping dominant domains
+    without the hard cutoff of ``cap_per_group``.
+
+    Mechanism: per-domain keep fraction
+    ``f_d = (n_d / n_ref) ** (alpha - 1)`` with ``n_ref`` the smallest
+    (alpha < 1) or largest (alpha > 1) domain count, so the most
+    up-weighted domain is kept in full and every fraction is <= 1;
+    ``E[kept_d] = n_d * f_d ∝ n_d ** alpha``. Selection is the
+    engine-wide content-hash ppm bucket against
+    ``floor(f_d * 1e6)``, so the sample is deterministic across
+    reruns, partitionings, and engines (one ``pow`` per DOMAIN, not
+    per row — the libm last-ulp caveat of ``weighted_sample`` applies
+    only at exact ppm boundaries).
+
+    Plan shape: one tiny count aggregation (|domains| rows), its
+    1-row min/max, both broadcast back — then the corpus pays a
+    map-side hash filter. No corpus shuffle at any scale. NULL
+    ``domain_col`` rows are EXCLUDED (an inner join on NULL matches
+    nothing, identically in any engine): a row without a domain has
+    no temperature weight — assign or coalesce a domain upstream.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0 (got {alpha})")
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    ref = counts.agg(
+        (F.min("__n") if alpha <= 1 else F.max("__n")).alias("__nref")
+    )
+    thr = F.floor(
+        F.pow(
+            F.col("__n").cast("double") / F.col("__nref").cast("double"),
+            F.lit(alpha - 1.0),
+        )
+        * F.lit(float(_BUCKETS))
+    )
+    th = counts.crossJoin(F.broadcast(ref)).select(
+        domain_col, thr.alias("__thr")
+    )
+    return (
+        df.join(F.broadcast(th), domain_col)
+        .filter(_bucket(id_col, salt) < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

@@ -143,6 +143,7 @@ _CLUSTERBAL_N = 30         # docs kept per cluster
 _KEY_SCALE = 10**9         # A-Res key quantization (see operators.sampling)
 _QBINS = 4                 # quality_bins quartiles over n_chars
 _QBINS_ACC = 1_000_000     # exact while n_docs <= accuracy
+_TEMPMIX_ALPHA = 0.5       # temperature_mix exponent (E[kept] ∝ n^alpha)
 _CURR_FRACS = {0: 0.1, 1: 0.25, 2: 0.5, 3: 1.0}  # curriculum keep-fractions
 
 _CURR_CASE = (
@@ -267,8 +268,29 @@ FROM (SELECT doc_id, hk % {_N_SHARDS} AS shard,
       FROM (SELECT doc_id,
             {hash64_duckdb_sql("concat('shuffle:', CAST(doc_id AS VARCHAR))")} AS hk
             FROM documents))
+UNION ALL
+SELECT 'tempmix' AS leg, doc_id, CAST(NULL AS VARCHAR) AS lang, source,
+       CAST(NULL AS BIGINT) AS n_chars, CAST(NULL AS INT) AS bin
+FROM (SELECT d.doc_id, d.source,
+             {hash64_duckdb_sql("concat('tempmix:', CAST(doc_id AS VARCHAR))")}
+               % 1000000 AS h,
+             floor(pow(CAST(c.n AS DOUBLE) / CAST(r.nref AS DOUBLE),
+                       {_TEMPMIX_ALPHA - 1.0}) * 1000000.0) AS thr
+      FROM documents d
+      JOIN (SELECT source, count(*) AS n FROM documents GROUP BY source) c
+        USING (source)
+      CROSS JOIN (SELECT min(n) AS nref
+                  FROM (SELECT count(*) AS n FROM documents
+                        GROUP BY source)) r)
+WHERE h < thr
 """,
-    doc="Deterministic-sampling coverage as a twelve-leg tagged union "
+    doc="Deterministic-sampling coverage as a thirteen-leg tagged union "
+    "(tempmix leg r10: temperature_mix — the GPT-3/PaLM temperature-"
+    f"scaled domain sampler at alpha={_TEMPMIX_ALPHA}: per-domain keep "
+    "fraction (n_d/n_min)^(alpha-1) so E[kept] ∝ n^alpha, one tiny "
+    "count agg broadcast back + a map-side content-hash ppm filter — "
+    "no corpus shuffle; the oracle replays counts, pow threshold, and "
+    "hash cut) "
     "(shards leg r10: shuffle_shards — the reproducible global "
     f"training-data shuffle into {_N_SHARDS} ordered shards; salted-"
     "md5 shard assignment + per-shard row_number position, no global "
@@ -423,7 +445,7 @@ def q_sampling_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_b.alias("n_chars"),
         F.col("cluster").cast("int").alias("bin"),
     )
-    from ..operators.sampling import shuffle_shards
+    from ..operators.sampling import shuffle_shards, temperature_mix
 
     # shard in `bin`, pos in `n_chars` — the tagged-union column-reuse
     # convention every other leg follows
@@ -433,6 +455,15 @@ def q_sampling_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("shards").alias("leg"), "doc_id", nul_s.alias("lang"),
         nul_s.alias("source"), F.col("pos").alias("n_chars"),
         F.col("shard").cast("int").alias("bin"),
+    )
+    tempmix_leg = temperature_mix(
+        docs.select("doc_id", "source"),
+        domain_col="source",
+        id_col="doc_id",
+        alpha=_TEMPMIX_ALPHA,
+    ).select(
+        F.lit("tempmix").alias("leg"), "doc_id", nul_s.alias("lang"),
+        "source", nul_b.alias("n_chars"), nul_i.alias("bin"),
     )
     return (
         hash_leg.unionByName(strata_leg)
@@ -446,4 +477,5 @@ def q_sampling_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(curriculum_leg)
         .unionByName(clusterbal_leg)
         .unionByName(shards_leg)
+        .unionByName(tempmix_leg)
     )

@@ -385,3 +385,51 @@ def test_cluster_balanced_sample_total_on_empty_input(spark, sf_small):
         .limit(0)
     )
     assert cluster_balanced_sample(emb, k=4, n_per_cluster=5).count() == 0
+
+
+def test_temperature_mix_proportions_and_determinism(spark, sf_small):
+    """E[kept_d] ∝ n_d^alpha: with alpha=0.5 a domain 4x the size of
+    another should keep ~2x the rows (sqrt damping), the smallest
+    domain keeps everything, alpha=1 is the identity, and the
+    selection is layout-invariant (content-hash, not RNG)."""
+    from mapreduce_task_spark.operators.sampling import temperature_mix
+    from mapreduce_task_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "source")
+    n_by = {r["source"]: r["n"] for r in
+            docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_min = min(n_by.values())
+
+    out = temperature_mix(docs, alpha=0.5)
+    kept = {r["source"]: r["n"] for r in
+            out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for s, n in n_by.items():
+        expect = n * (n / n_min) ** -0.5  # = sqrt(n * n_min)
+        got = kept.get(s, 0)
+        # ppm-hash binomial tolerance: generous but catches wrong math
+        assert abs(got - expect) <= max(10, 0.25 * expect), (s, got, expect)
+    # the smallest domain's threshold is exactly 1e6: kept in full
+    smallest = min(n_by, key=n_by.get)
+    assert kept[smallest] == n_by[smallest]
+
+    # alpha=1 identity
+    assert temperature_mix(docs, alpha=1.0).count() == docs.count()
+
+    # layout invariance: same rows under any partitioning
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in
+         temperature_mix(docs.repartition(7, "doc_id"), alpha=0.5).collect()}
+    assert a == b and len(a) > 0
+
+    # alpha > 1 normalizes by the LARGEST domain (fractions <= 1) and
+    # up-weights big domains: largest kept in full
+    up = temperature_mix(docs, alpha=2.0)
+    kept2 = {r["source"]: r["n"] for r in
+             up.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    largest = max(n_by, key=n_by.get)
+    assert kept2[largest] == n_by[largest]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_mix(docs, alpha=-0.1)
