@@ -67,9 +67,13 @@ def test_sampling_shapes_scans_prune_text_column(spark, sf_small):
             # the centroid-update branch even prunes vec_id away
             saw_emb = True
             assert "label" not in s, s
-        else:
+        elif "doc_id" in s:
             saw_docs = True
-            assert "doc_id" in s
+        else:
+            # tempmix's per-domain count scans (r10) prune doc_id away
+            # entirely — the narrowest possible documents read; they
+            # carry only the domain column
+            assert s.strip() == "struct<source:string>", s
         assert "text" not in s, s
     assert saw_docs and saw_emb
 
