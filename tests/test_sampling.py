@@ -433,3 +433,21 @@ def test_temperature_mix_proportions_and_determinism(spark, sf_small):
 
     with _pytest.raises(ValueError):
         temperature_mix(docs, alpha=-0.1)
+
+
+def test_temperature_mix_total_on_empty_and_null_domains(spark, sf_small):
+    """Totality: empty input returns empty (no 1-row collect, no ANSI
+    division trap), and NULL-domain rows are excluded per the
+    documented contract (inner join on NULL matches nothing)."""
+    from mapreduce_task_spark.operators.sampling import temperature_mix
+
+    empty = spark.createDataFrame([], "doc_id bigint, source string")
+    assert temperature_mix(empty, alpha=0.5).count() == 0
+
+    mixed = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b")],
+        "doc_id bigint, source string",
+    )
+    out = temperature_mix(mixed, alpha=1.0)  # identity fractions
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 3 not in ids and ids == {1, 2, 4}
