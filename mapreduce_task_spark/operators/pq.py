@@ -416,6 +416,7 @@ def pq_adc_topk(
     ksub: int = 16,
     dim: int = 64,
     rounds: int = 2,
+    refine: int = 0,
 ) -> DataFrame:
     """ADC top-k: exact query subvectors against candidate codes.
 
@@ -426,7 +427,14 @@ def pq_adc_topk(
     summed in one aggregate expression. Returns
     (query_id, cand_id, approx_d, rank); rank 1 = nearest. The
     codes-only scan is the PQ payoff: candidate vectors are never
-    read at search time."""
+    read at search time.
+
+    ``refine=N`` (N >= 1) adds the same exact-rerank stage as the IVF
+    variants (``ivfpq_topk``): the ADC ranking keeps N*k candidates
+    per query, re-scored with exact int64 squared L2 on the original
+    quantized vectors (shortlist-bounded — the broadcast shortlist is
+    the only extra vector read), output gains ``exact_d`` and ranks by
+    it. Every ADC search path in the package carries the same knob."""
     dsub = dim // m
     # codebook lineage is truncated per Lloyd round inside _fit_codebook
     # (lazy localCheckpoint), so both consumers below read the m*ksub-row
@@ -483,6 +491,20 @@ def pq_adc_topk(
             ).alias("approx_d"),
         )
     )
+    if refine:
+        shortlist = _rank_topk_by_distance(scored, refine * k).drop("rank")
+        full = with_quantized(df, vec_col).select(id_col, "qv", "nq")
+        qvecs = full.join(query_ids.select(id_col), id_col).select(
+            F.col(id_col).alias("query_id"),
+            F.col("qv").alias("qv_q"),
+            F.col("nq").alias("nq_q"),
+        )
+        cvecs = full.select(
+            F.col(id_col).alias("cand_id"),
+            F.col("qv").alias("qv_c"),
+            F.col("nq").alias("nq_c"),
+        )
+        return _refine_exact(shortlist, qvecs, cvecs, k, on=["cand_id"])
     w = Window.partitionBy("query_id").orderBy(F.asc("approx_d"), F.asc("cand_id"))
     return scored.select("*", F.row_number().over(w).alias("rank")).filter(
         F.col("rank") <= k

@@ -468,3 +468,66 @@ def test_ivfpq_refined_search_prunes_codes_and_vectors(spark, sf_small, tmp_path
         "vectors scan lost cluster DPP"
     )
     assert any("codes" in ln for ln in pruned), "codes scan lost cluster DPP"
+
+
+def test_pq_adc_refine_exhaustive_equals_exact_and_lifts_recall(spark, sf_small):
+    """Flat-PQ refine (the same knob as the IVF variants): a shortlist
+    covering the corpus makes refined ADC equal brute-force int64 L2
+    bit-for-bit, and at the default shortlist the refined recall must
+    beat pure ADC."""
+    emb = load_table(spark, sf_small, "embeddings")
+    n = emb.count()
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    exact_sets = _exact_l2_topsets(emb, qids, K)
+
+    def recall_of(res):
+        got = {}
+        for r in res.collect():
+            got.setdefault(r["query_id"], set()).add(r["cand_id"])
+        return sum(len(exact_sets[q] & got[q]) / K for q in exact_sets) / len(
+            exact_sets
+        )
+
+    plain = recall_of(
+        pq_adc_topk(emb, qids, k=K, m=M, ksub=KSUB, dim=DIM, rounds=2)
+    )
+    refined = recall_of(
+        pq_adc_topk(emb, qids, k=K, m=M, ksub=KSUB, dim=DIM, rounds=2, refine=10)
+    )
+    assert refined > plain, (plain, refined)
+
+    # exhaustive shortlist == brute force (ids AND exact distances)
+    from mapreduce_task_spark.operators.similarity import int_dot, with_quantized
+    from pyspark.sql import Window as _W
+
+    qd = with_quantized(emb)
+    q = qd.join(qids, "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qv_q"),
+        F.col("nq").alias("nq_q"),
+    )
+    c = qd.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("qv").alias("qv_c"),
+        F.col("nq").alias("nq_c"),
+    )
+    d = F.col("nq_q") + F.col("nq_c") - 2 * int_dot(F.col("qv_q"), F.col("qv_c"))
+    w = _W.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cand_id"))
+    want = sorted(
+        (r["query_id"], r["cand_id"], r["d"], r["rank"])
+        for r in (
+            F.broadcast(q)
+            .join(c, F.col("cand_id") != F.col("query_id"))
+            .select("query_id", "cand_id", d.alias("d"))
+            .select("*", F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= K)
+        ).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["cand_id"], r["exact_d"], r["rank"])
+        for r in pq_adc_topk(
+            emb, qids, k=K, m=M, ksub=KSUB, dim=DIM, rounds=2,
+            refine=-(-n // K),
+        ).collect()
+    )
+    assert got == want and len(got) == 10 * K
