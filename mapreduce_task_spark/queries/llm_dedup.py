@@ -738,6 +738,7 @@ _PQ_DSUB = _EMB_DIM // _PQ_M
 _PQ_ROUNDS = 2     # PQ Lloyd rounds
 _IVFPQ_K = 10      # top-k per query
 _IVFPQ_NPROBE = 2
+_IVFPQ_REFINE = 3  # exact-rerank shortlist depth (refine * k candidates)
 
 
 def _pq_dist_sql(a: str, b: str) -> str:
@@ -823,11 +824,22 @@ scored AS (SELECT q.query_id, e.vec_id AS cand_id,
            JOIN qtab q ON q.cluster = r.cluster AND q.sub = e.sub
                       AND q.j = e.code
            WHERE e.vec_id != q.query_id
-           GROUP BY q.query_id, e.vec_id)
-SELECT query_id, cand_id, approx_d, CAST(rank AS INT) AS rank
+           GROUP BY q.query_id, e.vec_id),
+short AS (SELECT query_id, cand_id, approx_d
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY approx_d, cand_id) AS rn
+                FROM scored)
+          WHERE rn <= {_IVFPQ_REFINE * _IVFPQ_K}),
+refined AS (SELECT s.query_id, s.cand_id, s.approx_d,
+                   CAST(q.nq + c.nq
+                        - 2 * list_dot_product(q.qv, c.qv) AS BIGINT) AS exact_d
+            FROM short s
+            JOIN nv q ON q.vec_id = s.query_id
+            JOIN m_final c ON c.vec_id = s.cand_id)
+SELECT query_id, cand_id, approx_d, exact_d, CAST(rank AS INT) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY approx_d, cand_id) AS rank
-      FROM scored)
+                                   ORDER BY exact_d, cand_id) AS rank
+      FROM refined)
 WHERE rank <= {_IVFPQ_K}
 """
 
@@ -843,9 +855,12 @@ WHERE rank <= {_IVFPQ_K}
     f"rounds); each query probes {_IVFPQ_NPROBE} lists and scores every "
     "candidate as m positional lookups into its per-(query, cluster) "
     "ADC table — candidates ship (id, cluster, codes) only, never "
-    "vectors. The oracle replays the entire build (seeds, floor-"
-    "division means, dead-centroid retention, tie-breaks) and search "
-    "in exact integer-valued-double arithmetic.",
+    f"vectors; the ADC top {_IVFPQ_REFINE}*k per query are then "
+    "exact-reranked with int64 L2 on the original quantized vectors "
+    "(refine stage, driver-verified r10 — the FAISS IndexRefineFlat "
+    "composition). The oracle replays the entire build (seeds, floor-"
+    "division means, dead-centroid retention, tie-breaks), search, and "
+    "refine in exact integer-valued-double arithmetic.",
 )
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pinning import lazy_checkpoint
@@ -865,9 +880,14 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         coarse_rounds=1,
         pq_rounds=_PQ_ROUNDS,
         pin=lazy_checkpoint,
+        refine=_IVFPQ_REFINE,
     )
     return out.select(
-        "query_id", "cand_id", "approx_d", F.col("rank").cast("int").alias("rank")
+        "query_id",
+        "cand_id",
+        "approx_d",
+        "exact_d",
+        F.col("rank").cast("int").alias("rank"),
     )
 
 
