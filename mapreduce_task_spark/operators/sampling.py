@@ -381,3 +381,152 @@ def cluster_balanced_sample(
     return stratified_fixed_n(
         assigned, "cluster", id_col, n_per_cluster, salt=salt
     )
+
+
+def importance_weights(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = _BUCKETS,
+) -> DataFrame:
+    """Integer-exact per-document importance weights against a target
+    subset — the selection signal behind DSIR-style data curation
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): documents whose unigram distribution
+    looks like the ``target`` rows (e.g. a trusted/high-quality
+    domain) weigh more than documents that look like the raw-corpus
+    background.
+
+    Formulation (the engine's driver-replayable twin of the paper's
+    log-likelihood ratio — see ``dsir_logratio_weights`` for the
+    faithful float version): per corpus token t,
+
+        s_t = ((ct_t + 1) * scale) div cr_t
+
+    with ``ct_t`` the token's occurrence count inside the target rows
+    (add-one smoothed, so unseen-in-target tokens score ``scale div
+    cr_t``, vanishing for common background tokens), ``cr_t`` its
+    whole-corpus occurrence count (>= 1 by construction — the vocab IS
+    the corpus), and the global normalizers dropped (they scale every
+    document identically, and every consumer of the weight is
+    scale-invariant). Per document: ``weight = sum(s_t over token
+    occurrences) div n_tokens`` — the mean per-token target affinity.
+    All arithmetic is int64 (ratios floored onto the ``scale`` grid),
+    so any engine replays the weights bit-for-bit; at corpora where
+    ``(max ct + 1) * scale`` approaches 2^63 widen ``s_t`` to
+    decimal(38,0) — the synthetic tables sit ~9 orders below that.
+
+    Plan shape: tokens explode once; ONE corpus-wide token aggregation
+    computes ``cr`` and ``ct`` together (the target indicator rides
+    the exploded rows — no second scan); the vocab-sized score table
+    joins back on the token (broadcast while it fits, hash join
+    beyond) and ONE per-document aggregation emits the weights. Two
+    shuffles total at any scale, both on natural keys (token, id).
+    Documents with no tokens are dropped (no distribution to weigh).
+
+    Returns (id_col, n_tokens, weight).
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    dtok = df.select(
+        id_col, target.alias("__tgt"), F.explode(toks).alias("__tok")
+    )
+    vocab = dtok.groupBy("__tok").agg(
+        F.count(F.lit(1)).alias("__cr"),
+        F.count(F.when(F.col("__tgt"), F.lit(1))).alias("__ct"),
+    )
+    scores = vocab.select(
+        "__tok",
+        F.expr(f"((__ct + 1) * CAST({scale} AS BIGINT)) div __cr").alias("__s"),
+    )
+    return (
+        dtok.join(scores, "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("sum(__s) div count(1)").alias("weight"),
+        )
+    )
+
+
+def importance_resample(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR-style importance resampling: keep each document with
+    probability proportional to its ``importance_weights`` weight
+    (``E[kept] ∝ weight``, the sampling analogue of the paper's
+    importance-resampled selection), via the engine-wide deterministic
+    content-hash ppm bucket.
+
+    The keep test cross-multiplies integers — ``bucket * w_max <
+    weight * scale`` — so no division, no floats: the 1-row global
+    max is broadcast and the corpus side pays one map-side filter on
+    top of the two ``importance_weights`` shuffles. Deterministic
+    across reruns, partitionings, and engines. Returns
+    (id_col, n_tokens, weight) for the kept rows; join back on
+    ``id_col`` for payloads.
+    """
+    w = importance_weights(df, target, id_col, text_col)
+    wmax = w.agg(F.max("weight").alias("__wmax"))
+    return (
+        w.crossJoin(F.broadcast(wmax))
+        .filter(
+            _bucket(id_col, salt) * F.col("__wmax")
+            < F.col("weight") * F.lit(_BUCKETS).cast("bigint")
+        )
+        .drop("__wmax")
+    )
+
+
+def dsir_logratio_weights(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The faithful DSIR importance weight: per-document mean
+    log-likelihood ratio ``mean_t[log p_target(t) - log p_raw(t)]``
+    under add-one-smoothed unigram LMs fit on the target rows vs the
+    whole corpus.
+
+    This is the paper's estimator (up to the per-document length
+    normalization, which makes weights comparable across lengths); it
+    is float-valued — ``ln`` is not a correctly-rounded libm op, so
+    sums of logs are NOT bit-replayable across engines. It therefore
+    stays pytest-verified against a python replay (the
+    ``unigram_logprob_score`` precedent), while ``importance_weights``
+    is the integer-exact driver twin ranking documents by the same
+    target-affinity signal in linear space. Plan shape is identical:
+    one token aggregation, one vocab join, one per-document
+    aggregation. Returns (id_col, n_tokens, logratio).
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    dtok = df.select(
+        id_col, target.alias("__tgt"), F.explode(toks).alias("__tok")
+    )
+    vocab = dtok.groupBy("__tok").agg(
+        F.count(F.lit(1)).alias("__cr"),
+        F.count(F.when(F.col("__tgt"), F.lit(1))).alias("__ct"),
+    )
+    tot = dtok.agg(
+        F.count(F.lit(1)).alias("__crtot"),
+        F.count(F.when(F.col("__tgt"), F.lit(1))).alias("__cttot"),
+        F.countDistinct("__tok").alias("__vocab"),
+    )
+    lr = (
+        F.log((F.col("__ct") + 1) / (F.col("__cttot") + F.col("__vocab")))
+        - F.log((F.col("__cr") + 1) / (F.col("__crtot") + F.col("__vocab")))
+    ).alias("__lr")
+    scores = vocab.crossJoin(F.broadcast(tot)).select("__tok", lr)
+    return (
+        dtok.join(scores, "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("__lr") / F.count(F.lit(1))).alias("logratio"),
+        )
+    )

@@ -144,6 +144,7 @@ _KEY_SCALE = 10**9         # A-Res key quantization (see operators.sampling)
 _QBINS = 4                 # quality_bins quartiles over n_chars
 _QBINS_ACC = 1_000_000     # exact while n_docs <= accuracy
 _TEMPMIX_ALPHA = 0.5       # temperature_mix exponent (E[kept] ∝ n^alpha)
+_DSIR_TARGET_LANG = "en"   # importance_resample target subset predicate
 _CURR_FRACS = {0: 0.1, 1: 0.25, 2: 0.5, 3: 1.0}  # curriculum keep-fractions
 
 _CURR_CASE = (
@@ -177,7 +178,20 @@ binned AS (SELECT doc_id, n_chars,
     f"""
 WITH {_CUTS_CTE},
 {_QVEC_CTE.strip()},
-{_kmeans_ctes(_CLUSTERBAL_K, _CLUSTERBAL_ROUNDS)}
+{_kmeans_ctes(_CLUSTERBAL_K, _CLUSTERBAL_ROUNDS)},
+dtok_dsir AS (SELECT doc_id, lang,
+                     unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                        t -> t != '')) AS tok
+              FROM documents),
+vocab_dsir AS (SELECT tok,
+                      ((count(CASE WHEN lang = '{_DSIR_TARGET_LANG}'
+                                   THEN 1 END) + 1) * 1000000)
+                      // count(*) AS s
+               FROM dtok_dsir GROUP BY tok),
+docw_dsir AS (SELECT d.doc_id, CAST(sum(v.s) // count(*) AS BIGINT) AS w
+              FROM dtok_dsir d JOIN vocab_dsir v USING (tok)
+              GROUP BY d.doc_id),
+wmax_dsir AS (SELECT max(w) AS wmax FROM docw_dsir)
 SELECT 'hash' AS leg, doc_id, lang, source, n_chars, CAST(NULL AS INT) AS bin
 FROM documents
 WHERE {hash64_duckdb_sql("concat('sample:', CAST(doc_id AS VARCHAR))")}
@@ -283,8 +297,23 @@ FROM (SELECT d.doc_id, d.source,
                   FROM (SELECT count(*) AS n FROM documents
                         GROUP BY source)) r)
 WHERE h < thr
+UNION ALL
+SELECT 'dsir' AS leg, doc_id, CAST(NULL AS VARCHAR) AS lang,
+       CAST(NULL AS VARCHAR) AS source, w AS n_chars, CAST(NULL AS INT) AS bin
+FROM docw_dsir CROSS JOIN wmax_dsir
+WHERE ({hash64_duckdb_sql("concat('dsir:', CAST(doc_id AS VARCHAR))")}
+       % 1000000) * wmax < w * 1000000
 """,
-    doc="Deterministic-sampling coverage as a thirteen-leg tagged union "
+    doc="Deterministic-sampling coverage as a fourteen-leg tagged union "
+    "(dsir leg r10: importance_resample — DSIR-style importance "
+    f"resampling toward the lang='{_DSIR_TARGET_LANG}' target subset: "
+    "integer add-1-smoothed target/corpus unigram ratio scores, mean "
+    "per-token weight per doc (rides `n_chars`), then E[kept] ∝ weight "
+    "via cross-multiplied hash-ppm keep — one token aggregation, one "
+    "vocab join, one doc aggregation, no floats anywhere so the oracle "
+    "replays weights AND selection bit-for-bit; the faithful float "
+    "log-likelihood-ratio estimator is dsir_logratio_weights, pytest-"
+    "gated like unigram_logprob_score) "
     "(tempmix leg r10: temperature_mix — the GPT-3/PaLM temperature-"
     f"scaled domain sampler at alpha={_TEMPMIX_ALPHA}: per-domain keep "
     "fraction (n_d/n_min)^(alpha-1) so E[kept] ∝ n^alpha, one tiny "
@@ -465,6 +494,20 @@ def q_sampling_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("tempmix").alias("leg"), "doc_id", nul_s.alias("lang"),
         "source", nul_b.alias("n_chars"), nul_i.alias("bin"),
     )
+    from ..operators.sampling import importance_resample
+
+    # integer importance weight in `n_chars` — the kept set AND the
+    # weight that selected it are both hash-verified
+    dsir_leg = importance_resample(
+        docs.select("doc_id", "lang", "text"),
+        target=F.col("lang") == _DSIR_TARGET_LANG,
+        id_col="doc_id",
+        text_col="text",
+    ).select(
+        F.lit("dsir").alias("leg"), "doc_id", nul_s.alias("lang"),
+        nul_s.alias("source"), F.col("weight").alias("n_chars"),
+        nul_i.alias("bin"),
+    )
     return (
         hash_leg.unionByName(strata_leg)
         .unionByName(cap_leg)
@@ -478,4 +521,5 @@ def q_sampling_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(clusterbal_leg)
         .unionByName(shards_leg)
         .unionByName(tempmix_leg)
+        .unionByName(dsir_leg)
     )

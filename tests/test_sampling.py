@@ -451,3 +451,122 @@ def test_temperature_mix_total_on_empty_and_null_domains(spark, sf_small):
     out = temperature_mix(mixed, alpha=1.0)  # identity fractions
     ids = {r["doc_id"] for r in out.collect()}
     assert 3 not in ids and ids == {1, 2, 4}
+
+
+def _dsir_docs(spark):
+    """Planted corpus: target (t=True) docs speak alpha/beta, background
+    docs speak gamma/delta, one mixed doc speaks both."""
+    rows = [
+        (1, True, "alpha beta alpha beta"),
+        (2, True, "beta alpha beta alpha"),
+        (3, False, "gamma delta gamma delta"),
+        (4, False, "delta gamma delta gamma"),
+        (5, False, "gamma delta delta gamma"),
+        (6, False, "alpha beta gamma delta"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, t boolean, text string")
+
+
+def _dsir_weights_python(rows, scale=1_000_000):
+    """Integer replay of importance_weights: (ct+1)*scale div cr per
+    token, mean per doc (floor div) — the oracle's arithmetic."""
+    from collections import Counter
+
+    cr, ct = Counter(), Counter()
+    for _, tgt, text in rows:
+        for tok in text.split():
+            cr[tok] += 1
+            if tgt:
+                ct[tok] += 1
+    s = {tok: ((ct[tok] + 1) * scale) // cr[tok] for tok in cr}
+    out = {}
+    for doc_id, _, text in rows:
+        toks = text.split()
+        out[doc_id] = sum(s[t] for t in toks) // len(toks)
+    return out
+
+
+def test_importance_weights_match_integer_replay_and_separate(spark):
+    from mapreduce_task_spark.operators.sampling import importance_weights
+
+    docs = _dsir_docs(spark)
+    got = {
+        r["doc_id"]: r["weight"]
+        for r in importance_weights(docs, F.col("t")).collect()
+    }
+    rows = [(r["doc_id"], r["t"], r["text"]) for r in docs.collect()]
+    assert got == _dsir_weights_python(rows)
+    # target-affine docs weigh strictly more than background docs,
+    # the mixed doc strictly between
+    lo = max(got[3], got[4], got[5])
+    hi = min(got[1], got[2])
+    assert lo < got[6] < hi
+
+
+def test_importance_resample_proportional_deterministic(spark):
+    from mapreduce_task_spark.operators.sampling import importance_resample
+
+    docs = _dsir_docs(spark)
+    kept = {r["doc_id"] for r in importance_resample(docs, F.col("t")).collect()}
+    # a max-weight doc passes the keep test for EVERY hash value
+    # (bucket * wmax < wmax * 1e6 <=> bucket < 1e6, always true)
+    assert {1, 2} <= kept
+    # layout must not change the selection
+    kept2 = {
+        r["doc_id"]
+        for r in importance_resample(docs.repartition(5), F.col("t")).collect()
+    }
+    assert kept2 == kept
+
+
+def test_dsir_logratio_matches_python_replay(spark):
+    import math
+    from collections import Counter
+
+    from mapreduce_task_spark.operators.sampling import dsir_logratio_weights
+
+    docs = _dsir_docs(spark)
+    rows = [(r["doc_id"], r["t"], r["text"]) for r in docs.collect()]
+    cr, ct = Counter(), Counter()
+    for _, tgt, text in rows:
+        for tok in text.split():
+            cr[tok] += 1
+            if tgt:
+                ct[tok] += 1
+    Cr, Ct, V = sum(cr.values()), sum(ct.values()), len(cr)
+    lr = {
+        tok: math.log((ct[tok] + 1) / (Ct + V)) - math.log((cr[tok] + 1) / (Cr + V))
+        for tok in cr
+    }
+    want = {
+        doc_id: sum(lr[t] for t in text.split()) / len(text.split())
+        for doc_id, _, text in rows
+    }
+    got = {
+        r["doc_id"]: r["logratio"]
+        for r in dsir_logratio_weights(docs, F.col("t")).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == __import__("pytest").approx(want[d], rel=1e-12)
+    # the float estimator ranks documents the same way the integer
+    # driver twin does on this fixture: targets above mixed above bg
+    assert min(got[1], got[2]) > got[6] > max(got[3], got[4], got[5])
+
+
+def test_importance_ops_total_on_empty_input(spark):
+    from mapreduce_task_spark.operators.sampling import (
+        dsir_logratio_weights,
+        importance_resample,
+        importance_weights,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, t boolean, text string")
+    assert importance_weights(empty, F.col("t")).count() == 0
+    assert importance_resample(empty, F.col("t")).count() == 0
+    assert dsir_logratio_weights(empty, F.col("t")).count() == 0
+    # all-null text degrades to empty (no tokens), not an error
+    nulls = spark.createDataFrame(
+        [(1, True, None), (2, False, None)], "doc_id long, t boolean, text string"
+    )
+    assert importance_weights(nulls, F.col("t")).count() == 0
