@@ -455,6 +455,7 @@ def importance_resample(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "dsir",
+    pin=None,
 ) -> DataFrame:
     """DSIR-style importance resampling: keep each document with
     probability proportional to its ``importance_weights`` weight
@@ -469,8 +470,16 @@ def importance_resample(
     across reruns, partitionings, and engines. Returns
     (id_col, n_tokens, weight) for the kept rows; join back on
     ``id_col`` for payloads.
+
+    ``pin`` materializes the weight frame once for its TWO consumers
+    (the kept rows and the 1-row global max) instead of re-deriving
+    the token pipeline per consumer (see ``operators.pinning``).
+    Default ``None`` = no pinning: unchanged caller failure semantics;
+    the benchmark query opts in to ``lazy_checkpoint``.
     """
     w = importance_weights(df, target, id_col, text_col)
+    if pin is not None:
+        w = pin(w)
     wmax = w.agg(F.max("weight").alias("__wmax"))
     return (
         w.crossJoin(F.broadcast(wmax))

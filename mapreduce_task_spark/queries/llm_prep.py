@@ -494,6 +494,7 @@ def q_sampling_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("tempmix").alias("leg"), "doc_id", nul_s.alias("lang"),
         "source", nul_b.alias("n_chars"), nul_i.alias("bin"),
     )
+    from ..operators.pinning import lazy_checkpoint
     from ..operators.sampling import importance_resample
 
     # integer importance weight in `n_chars` — the kept set AND the
@@ -503,6 +504,7 @@ def q_sampling_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         target=F.col("lang") == _DSIR_TARGET_LANG,
         id_col="doc_id",
         text_col="text",
+        pin=lazy_checkpoint,
     ).select(
         F.lit("dsir").alias("leg"), "doc_id", nul_s.alias("lang"),
         nul_s.alias("source"), F.col("weight").alias("n_chars"),
