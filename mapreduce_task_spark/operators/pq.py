@@ -754,6 +754,11 @@ def ivfpq_topk(
     cj = coarse.select(F.col("j").alias("cluster"), "cqv")
 
     homed = assign_clusters(qd, coarse, id_col)
+    if refine and pin is not None:
+        # refine adds a second homed consumer (the exact-rerank's
+        # original-vector frame) beside the residual chain — pin it so
+        # the corpus scan + argmin run once, not per consumer
+        homed = pin(homed)
     resid = (
         homed.join(F.broadcast(cj), "cluster")
         .select(
