@@ -958,6 +958,7 @@ def ivfpq_search_index(
     dim: int = 64,
     per_list: bool = False,
     refine: int = 0,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Search a persisted IVF-PQ index WITHOUT rebuilding anything:
     probe each query's ``nprobe`` nearest coarse centroids (n_clusters
@@ -983,7 +984,17 @@ def ivfpq_search_index(
     list directories by the (cluster, cand_id) broadcast join and
     bounded by the shortlist, so refine cost stays O(queries * N * k)
     vector rows regardless of corpus size. Output gains ``exact_d``;
-    ``refine=0`` keeps the pure-ADC behavior and schema."""
+    ``refine=0`` keeps the pure-ADC behavior and schema.
+
+    ``filter_ids`` (a frame carrying ``id_col``) restricts candidates
+    to an allow-list BEFORE the ADC ranking — filtered vector search
+    (FAISS's IDSelector / metadata pre-filter): every query still gets
+    up to k results from the allowed subset, and with ``refine`` the
+    shortlist is drawn from allowed candidates only, so the refine
+    budget is never spent on rows a post-filter would discard. A
+    left-semi join on the candidate id right after the pruned codes
+    scan (duplicates in the allow-list are harmless; AQE broadcasts it
+    while it fits). Queries are NOT filtered."""
     from .similarity import probe_clusters
 
     if dim % m:
@@ -994,6 +1005,12 @@ def ivfpq_search_index(
     cand = spark.read.parquet(f"{path}/codes").select(
         F.col(id_col).alias("cand_id"), "cluster", "codes"
     )
+    if filter_ids is not None:
+        cand = cand.join(
+            filter_ids.select(F.col(id_col).alias("cand_id")),
+            "cand_id",
+            "leftsemi",
+        )
 
     qd = with_quantized(queries, vec_col).select(id_col, "qv", "nq")
     cj = coarse.select(F.col("j").alias("cluster"), "cqv")

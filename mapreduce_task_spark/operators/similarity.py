@@ -542,6 +542,7 @@ def ivf_search_index(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 1,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Search a persisted IVF index WITHOUT rebuilding or rescanning the
     raw corpus: rank each query's ``nprobe`` nearest centroids from the
@@ -552,7 +553,17 @@ def ivf_search_index(
     restricts the scan to the probed lists — the search cost is
     |probed lists|, independent of corpus size. Same scoring and
     tie-break as ``ivf_topk`` (exact quantized cosine, rank by
-    (-cos, cand_id)), so a rebuilt index reproduces it bit-for-bit."""
+    (-cos, cand_id)), so a rebuilt index reproduces it bit-for-bit.
+
+    ``filter_ids`` (a frame carrying ``id_col``) restricts candidates
+    to an allow-list BEFORE ranking — filtered vector search (FAISS's
+    IDSelector / a vector store's metadata pre-filter): every query
+    still gets up to k results drawn from the allowed subset, never a
+    post-filtered hole. A left-semi join on the candidate id right
+    after the pruned scan, so disallowed rows drop before any scoring
+    and the allow-list never widens rows (duplicates in it are
+    harmless); AQE broadcasts it while it fits and hash-joins beyond.
+    Queries are NOT filtered — restrict ``queries`` upstream."""
     cents = spark.read.parquet(f"{path}/centroids")
     lists = spark.read.parquet(f"{path}/lists")
     qd = with_quantized(queries, vec_col).select(id_col, "qv", "nq")
@@ -568,6 +579,12 @@ def ivf_search_index(
         F.col("nq").alias("nq_c"),
         "cluster",
     )
+    if filter_ids is not None:
+        cand = cand.join(
+            filter_ids.select(F.col(id_col).alias("cand_id")),
+            "cand_id",
+            "leftsemi",
+        )
     scored = (
         F.broadcast(probes)
         .join(cand, "cluster")

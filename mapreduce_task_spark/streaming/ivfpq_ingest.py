@@ -139,6 +139,7 @@ def search_with_delta(
     dim: int = 64,
     per_list: bool = False,
     refine: int = 0,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ top-k over base lists PLUS everything appended since the
     build — identical ADC arithmetic, tie-breaks, and (with
@@ -152,7 +153,12 @@ def search_with_delta(
     merged candidates feed one top-k window. The refine shortlist is
     taken over the MERGED candidates and re-scored against base ∪
     delta vectors (the delta rows already carry qv/nq — no second
-    encode, no corpus read)."""
+    encode, no corpus read).
+
+    ``filter_ids`` pre-filters candidates on BOTH sides to an
+    allow-list before any ranking — the same filtered-search contract
+    as ``ivfpq_search_index(filter_ids=)``, here spanning base and
+    streamed-in rows alike."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
@@ -170,15 +176,24 @@ def search_with_delta(
             F.zip_with("qv", "cqv", lambda a, b: a - b).alias("qv"),
         )
     )
+    allowed = (
+        None
+        if filter_ids is None
+        else filter_ids.select(F.col(id_col).alias("cand_id"))
+    )
     base_cand = spark.read.parquet(f"{index_path}/codes").select(
         F.col(id_col).alias("cand_id"), "cluster", "codes"
     )
+    if allowed is not None:
+        base_cand = base_cand.join(allowed, "cand_id", "leftsemi")
     scored = _ivfpq_adc_scored(base_cand, rq, cents, m, dsub, per_list=per_list)
     delta = _delta_live(spark, index_path)
     if delta is not None:
         delta_cand = delta.select(
             F.col(id_col).alias("cand_id"), "cluster", "codes"
         )
+        if allowed is not None:
+            delta_cand = delta_cand.join(allowed, "cand_id", "leftsemi")
         scored = scored.unionByName(
             _ivfpq_adc_scored(delta_cand, rq, cents, m, dsub, per_list=per_list)
         )

@@ -531,3 +531,59 @@ def test_pq_adc_refine_exhaustive_equals_exact_and_lifts_recall(spark, sf_small)
         ).collect()
     )
     assert got == want and len(got) == 10 * K
+
+
+def test_ivfpq_search_index_filter_ids_prefilters_adc_and_refine(
+    spark, sf_small, tmp_path
+):
+    """Filtered IVF-PQ search: the allow-list must restrict BOTH the
+    ADC ranking and the refine shortlist (pre-filter — the refine
+    budget is spent on allowed candidates only, never burned on rows a
+    post-filter would then discard). Oracle: post-filter the exhaustive
+    ADC ranking of the same index in python."""
+    from mapreduce_task_spark.operators.pq import (
+        ivfpq_build_index,
+        ivfpq_search_index,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    n = emb.count()
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    queries = emb.join(qids, "vec_id")
+    allow = emb.select("vec_id").filter(F.col("vec_id") % 2 == 0)
+    path = str(tmp_path / "ivfpq_filter_index")
+    ivfpq_build_index(
+        emb, path, n_clusters=8, m=M, ksub=KSUB, dim=DIM,
+        coarse_rounds=1, pq_rounds=2,
+    )
+
+    got = ivfpq_search_index(
+        spark, path, queries, k=K, nprobe=2, m=M, dim=DIM, filter_ids=allow
+    ).collect()
+    full = ivfpq_search_index(
+        spark, path, queries, k=n, nprobe=2, m=M, dim=DIM
+    ).collect()
+    want = {}
+    for r in sorted(full, key=lambda r: (r["query_id"], r["rank"])):
+        if r["cand_id"] % 2 == 0:
+            want.setdefault(r["query_id"], [])
+            if len(want[r["query_id"]]) < K:
+                want[r["query_id"]].append((r["cand_id"], r["approx_d"]))
+    assert {
+        (r["query_id"], r["rank"]): (r["cand_id"], r["approx_d"]) for r in got
+    } == {
+        (q, i + 1): rc for q, rcs in want.items() for i, rc in enumerate(rcs)
+    }
+    assert got and all(r["cand_id"] % 2 == 0 for r in got)
+
+    # refined: still k allowed-only results per query, exact_d present,
+    # and the refined top-k is drawn from the filtered ADC shortlist
+    refined = ivfpq_search_index(
+        spark, path, queries, k=K, nprobe=2, m=M, dim=DIM,
+        refine=10, filter_ids=allow,
+    ).collect()
+    per_q = {}
+    for r in refined:
+        assert r["cand_id"] % 2 == 0 and r["exact_d"] is not None
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert per_q and all(sorted(v) == list(range(1, K + 1)) for v in per_q.values())

@@ -422,3 +422,55 @@ def test_degenerate_embedding_contract(spark):
     )
     with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
         brute_force_topk(bad, q, k=5).collect()
+
+
+def test_ivf_search_index_filter_ids_prefilters_candidates(spark, sf_small, tmp_path):
+    """Filtered vector search (FAISS IDSelector analogue): searching
+    with an allow-list must equal post-filtering the exhaustive ranking
+    of the SAME index — every query still gets k results drawn from the
+    allowed subset (pre-filter, never a post-filtered hole), with ranks
+    renumbered within it."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_task_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_search_index,
+    )
+    from mapreduce_task_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    n = emb.count()
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    queries = emb.join(qids, "vec_id")
+    allow = emb.select("vec_id").filter(F.col("vec_id") % 2 == 0)
+    path = str(tmp_path / "ivf_index")
+    ivf_build_index(emb, path, n_clusters=8, dim=64, rounds=1)
+
+    got = ivf_search_index(
+        spark, path, queries, k=5, nprobe=8, filter_ids=allow
+    ).collect()
+    # exhaustive ranking over the same probes, post-filtered in python
+    full = ivf_search_index(spark, path, queries, k=n, nprobe=8).collect()
+    want = {}
+    for r in sorted(full, key=lambda r: (r["query_id"], r["rank"])):
+        if r["cand_id"] % 2 == 0:
+            want.setdefault(r["query_id"], [])
+            if len(want[r["query_id"]]) < 5:
+                want[r["query_id"]].append((r["cand_id"], r["cos"]))
+    assert {
+        (r["query_id"], r["rank"]): (r["cand_id"], r["cos"]) for r in got
+    } == {
+        (q, i + 1): rc for q, rcs in want.items() for i, rc in enumerate(rcs)
+    }
+    # pre-filter, not post-filter: every query keeps a full top-5
+    # (the allowed subset is plenty large) and only allowed ids appear
+    per_q = {}
+    for r in got:
+        assert r["cand_id"] % 2 == 0
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert per_q and all(c == 5 for c in per_q.values())
+    # duplicates in the allow-list must not widen or rerank anything
+    dup = ivf_search_index(
+        spark, path, queries, k=5, nprobe=8, filter_ids=allow.union(allow)
+    ).collect()
+    assert sorted(map(tuple, dup)) == sorted(map(tuple, got))

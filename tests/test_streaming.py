@@ -2969,3 +2969,48 @@ def test_compaction_refuses_while_merge_marker_pending(spark, sf_small, tmp_path
     assert merge_delta_into_base(spark, idx) == 0  # resume path
     append_batch(emb.filter(F.col("vec_id") >= 450), 1, idx)
     assert compact_delta(spark, idx, up_to_batch=1) == 1
+
+
+def test_streaming_ivfpq_delta_search_filter_ids(spark, sf_small, tmp_path):
+    """Filtered search over base + delta: the allow-list pre-filters
+    candidates on BOTH sides, and the filtered delta search equals the
+    filtered plain search after the segment merge — the
+    ivfpq_search_index(filter_ids=) contract extends to streamed rows."""
+    from mapreduce_task_spark.operators.pq import (
+        ivfpq_build_index,
+        ivfpq_search_index,
+    )
+    from mapreduce_task_spark.streaming.ivfpq_ingest import (
+        append_batch,
+        merge_delta_into_base,
+        search_with_delta,
+    )
+
+    M, DIM, K = 8, 64, 5
+    emb = load_table(spark, sf_small, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    delta_rows = emb.filter(F.col("vec_id") >= 400)
+    allow = emb.select("vec_id").filter(F.col("vec_id") % 2 == 0)
+    idx = str(tmp_path / "ivfpq_filter")
+    ivfpq_build_index(
+        base, idx, n_clusters=8, m=M, ksub=16, dim=DIM,
+        coarse_rounds=1, pq_rounds=2,
+    )
+    append_batch(delta_rows, 0, idx, m=M, dim=DIM)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+
+    def rows(fn, **kw):
+        return sorted(
+            (r["query_id"], r["rank"], r["cand_id"], r["exact_d"])
+            for r in fn(
+                spark, idx, queries, k=K, nprobe=2, m=M, dim=DIM,
+                refine=5, filter_ids=allow, **kw
+            ).collect()
+        )
+
+    got = rows(search_with_delta)
+    assert got and all(cand % 2 == 0 for _, _, cand, _ in got)
+    # delta-side candidates can win: some result id sits in the delta
+    assert any(cand >= 400 for _, _, cand, _ in got)
+    merge_delta_into_base(spark, idx)
+    assert rows(ivfpq_search_index) == got
