@@ -474,3 +474,25 @@ def test_ivf_search_index_filter_ids_prefilters_candidates(spark, sf_small, tmp_
         spark, path, queries, k=5, nprobe=8, filter_ids=allow.union(allow)
     ).collect()
     assert sorted(map(tuple, dup)) == sorted(map(tuple, got))
+
+
+def test_ivf_search_index_empty_allow_list_is_total(spark, sf_small, tmp_path):
+    """An empty allow-list is a valid (if useless) filter: the search
+    returns zero rows rather than erroring — a crawl-time predicate
+    that matches nothing degrades gracefully."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_task_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_search_index,
+    )
+    from mapreduce_task_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf_empty_allow")
+    ivf_build_index(emb, path, n_clusters=8, dim=64, rounds=1)
+    none = emb.select("vec_id").filter(F.lit(False))
+    assert ivf_search_index(
+        spark, path, queries, k=5, nprobe=2, filter_ids=none
+    ).count() == 0

@@ -103,3 +103,33 @@ def test_split_leakage_total_over_unicode_corpus(spark, uni_df):
 
     out = split_leakage(uni_df, test_fraction=0.5, threshold=0.5).collect()
     assert out == []
+
+
+def test_importance_resample_total_over_unicode_corpus(spark, uni_df):
+    """DSIR importance weighting is total over CJK/emoji/RTL/NULL rows:
+    whitespace tokens carry any script, NULL/empty/whitespace-only text
+    yields no tokens (those docs drop from the weight frame rather than
+    crash or poison the global max), and the kept set is layout-
+    invariant."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_task_spark.operators.sampling import (
+        importance_resample,
+        importance_weights,
+    )
+
+    target = F.col("doc_id") <= 3
+    w = _by_id(importance_weights(uni_df, target))
+    # tokenizable rows weigh in, token-free rows drop (6, 7, 9)
+    assert set(w) == {1, 2, 3, 4, 5, 8, 10}
+    assert all(r["weight"] > 0 for r in w.values())
+    kept = {r["doc_id"] for r in importance_resample(uni_df, target).collect()}
+    assert kept <= set(w)
+    # the max-weight doc always survives (bucket < 1e6 is always true)
+    wmax = max(r["weight"] for r in w.values())
+    assert {d for d, r in w.items() if r["weight"] == wmax} <= kept
+    kept2 = {
+        r["doc_id"]
+        for r in importance_resample(uni_df.repartition(7), target).collect()
+    }
+    assert kept2 == kept
