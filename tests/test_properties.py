@@ -154,3 +154,45 @@ def test_remove_repeated_spans_matches_python(spark, token_lists, n):
         for r in remove_repeated_spans(df, n=n, df_max=1).collect()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=12),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_importance_weights_match_integer_replay_property(spark, docs):
+    """importance_weights == the integer replay on ARBITRARY small
+    corpora (token multisets + target flags), not just the planted
+    fixture: per token s = (ct+1)*1e6 div cr over the whole-corpus
+    vocab, per doc weight = sum(s over occurrences) div n_tokens."""
+    from collections import Counter
+
+    from mapreduce_task_spark.operators.sampling import importance_weights
+
+    rows = [
+        (i, tgt, " ".join(toks)) for i, (toks, tgt) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t boolean, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["weight"])
+        for r in importance_weights(df, F.col("t")).collect()
+    }
+    cr, ct = Counter(), Counter()
+    for _, tgt, text in rows:
+        for tok in text.split():
+            cr[tok] += 1
+            if tgt:
+                ct[tok] += 1
+    s = {tok: ((ct[tok] + 1) * 1_000_000) // cr[tok] for tok in cr}
+    want = {}
+    for doc_id, _, text in rows:
+        toks = text.split()
+        want[doc_id] = (len(toks), sum(s[t] for t in toks) // len(toks))
+    assert got == want
