@@ -117,6 +117,7 @@ def search_with_delta(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 1,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k over base lists PLUS everything appended since the
     build — identical scoring/tie-break to ``ivf_search_index``, so
@@ -126,7 +127,12 @@ def search_with_delta(
     Each side is scored through its own join against the broadcast
     probe set (rather than a union of scans before the join), so
     partition pruning to the probed clusters holds on base AND delta
-    independently; the merged candidates feed one top-k window."""
+    independently; the merged candidates feed one top-k window.
+
+    ``filter_ids`` pre-filters candidates on BOTH sides to an
+    allow-list before scoring — the
+    ``ivf_search_index(filter_ids=)`` filtered-search contract
+    extended over base and streamed-in rows alike."""
     cents = spark.read.parquet(f"{index_path}/centroids")
     qd = with_quantized(queries, vec_col).select(id_col, "qv", "nq")
     probes = probe_clusters(qd, cents, id_col, nprobe=nprobe).select(
@@ -136,6 +142,12 @@ def search_with_delta(
         "cluster",
     )
 
+    allowed = (
+        None
+        if filter_ids is None
+        else filter_ids.select(F.col(id_col).alias("cand_id"))
+    )
+
     def scored(lists: DataFrame) -> DataFrame:
         cand = lists.select(
             F.col(id_col).alias("cand_id"),
@@ -143,6 +155,8 @@ def search_with_delta(
             F.col("nq").alias("nq_c"),
             "cluster",
         )
+        if allowed is not None:
+            cand = cand.join(allowed, "cand_id", "leftsemi")
         return (
             F.broadcast(probes)
             .join(cand, "cluster")

@@ -3014,3 +3014,42 @@ def test_streaming_ivfpq_delta_search_filter_ids(spark, sf_small, tmp_path):
     assert any(cand >= 400 for _, _, cand, _ in got)
     merge_delta_into_base(spark, idx)
     assert rows(ivfpq_search_index) == got
+
+
+def test_streaming_ivf_delta_search_filter_ids(spark, sf_small, tmp_path):
+    """Filtered IVF search over base + delta mirrors the IVF-PQ
+    contract: the allow-list pre-filters candidates on both sides, and
+    the filtered delta search equals the filtered plain search after
+    merge_delta_into_base."""
+    from mapreduce_task_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_search_index,
+    )
+    from mapreduce_task_spark.streaming.ivf_ingest import (
+        append_batch,
+        merge_delta_into_base,
+        search_with_delta,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    delta_rows = emb.filter(F.col("vec_id") >= 400)
+    allow = emb.select("vec_id").filter(F.col("vec_id") % 2 == 0)
+    idx = str(tmp_path / "ivf_filter")
+    ivf_build_index(base, idx, n_clusters=8, dim=64, rounds=1)
+    append_batch(delta_rows, 0, idx)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+
+    def rows(fn):
+        return sorted(
+            (r["query_id"], r["rank"], r["cand_id"], r["cos"])
+            for r in fn(
+                spark, idx, queries, k=5, nprobe=2, filter_ids=allow
+            ).collect()
+        )
+
+    got = rows(search_with_delta)
+    assert got and all(cand % 2 == 0 for _, _, cand, _ in got)
+    assert any(cand >= 400 for _, _, cand, _ in got)
+    merge_delta_into_base(spark, idx)
+    assert rows(ivf_search_index) == got
