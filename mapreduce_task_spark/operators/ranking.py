@@ -294,6 +294,7 @@ def bm25_search_index(
     terms: list[str],
     k: int = 50,
     id_col: str = "doc_id",
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 against a persisted index WITHOUT touching the
     corpus: reads the 1-row stats, the queried terms' df rows, and the
@@ -303,12 +304,24 @@ def bm25_search_index(
     same scalars, same shared ``bm25_term_micro`` expression, same
     floor-before-sum and (score desc, id) tie-break. ``terms`` must be
     distinct (duplicates would double-count a term; the inline path's
-    column-per-term shape has the same contract)."""
+    column-per-term shape has the same contract).
+
+    ``filter_ids`` (a frame carrying ``id_col``) restricts the result
+    to an allow-list — filtered lexical search (e.g. only docs past the
+    quality gate): a left-semi join on the posting's doc id BEFORE
+    scoring, so every query still fills its top-k from allowed docs
+    and per-doc scores are unchanged (df / n_docs / avgdl stay the
+    index's frozen corpus-wide statistics — the standard pre-filter
+    semantics; duplicates in the allow-list are harmless)."""
     stats = spark.read.parquet(f"{path}/stats")
     tdf = spark.read.parquet(f"{path}/term_df").filter(F.col("term").isin(terms))
     postings = spark.read.parquet(f"{path}/postings").filter(
         F.col("term").isin(terms)
     )
+    if filter_ids is not None:
+        postings = postings.join(
+            filter_ids.select(id_col), id_col, "leftsemi"
+        )
     return score_postings(postings, tdf, stats, id_col, k)
 
 

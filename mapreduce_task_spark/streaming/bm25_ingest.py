@@ -124,13 +124,19 @@ def search_with_delta(
     terms: list[str],
     k: int = 50,
     id_col: str = "doc_id",
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 over the base index PLUS everything appended since
     the build. The global scalars are re-derived from exact integer
     counters (base + delta sums — associative, so the result equals a
     full rebuild's), per-term df merges additively, and base + delta
     postings score through the shared ``score_postings`` tail —
-    reproducing ``bm25_topk`` over the union corpus bit-for-bit."""
+    reproducing ``bm25_topk`` over the union corpus bit-for-bit.
+
+    ``filter_ids`` pre-filters the merged posting rows to an
+    allow-list — the ``bm25_search_index(filter_ids=)`` filtered-search
+    contract spanning base and streamed-in docs (corpus statistics
+    stay corpus-wide, per the standard pre-filter semantics)."""
     base_stats = spark.read.parquet(f"{index_path}/stats")
     counters = base_stats.select(
         F.col("n_docs_exact").alias("n"), F.col("sum_dl").alias("s")
@@ -166,6 +172,10 @@ def search_with_delta(
     if dposts is not None:
         postings = postings.unionByName(
             dposts.filter(F.col("term").isin(terms)).select(postings.columns)
+        )
+    if filter_ids is not None:
+        postings = postings.join(
+            filter_ids.select(id_col), id_col, "leftsemi"
         )
     return score_postings(postings, tdf, stats, id_col, k)
 

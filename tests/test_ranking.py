@@ -184,3 +184,46 @@ def test_bm25_index_search_pushes_term_filter(spark, sf_small, tmp_path):
     ]
     assert pushed, "term IN predicate not pushed to the postings scan"
     assert "text" not in plan  # the corpus is never touched at search time
+
+
+def test_bm25_search_index_filter_ids_prefilters_docs(spark, sf_small, tmp_path):
+    """Filtered lexical search: the allow-list must equal post-filtering
+    the exhaustive ranking of the same index with ranks renumbered —
+    per-doc scores unchanged (corpus statistics stay frozen corpus-wide,
+    the standard pre-filter semantics), every query fills its top-k
+    from allowed docs, duplicates in the allow-list are harmless."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_task_spark.operators.ranking import (
+        bm25_build_index,
+        bm25_search_index,
+    )
+    from mapreduce_task_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    n = docs.count()
+    allow = docs.select("doc_id").filter(F.col("doc_id") % 2 == 0)
+    path = str(tmp_path / "bm25_filter")
+    bm25_build_index(docs, spark, path)
+
+    got = [
+        (r["doc_id"], r["n_terms_hit"], r["score_micro"])
+        for r in bm25_search_index(
+            spark, path, TERMS, k=10, filter_ids=allow
+        ).collect()
+    ]
+    full = bm25_search_index(spark, path, TERMS, k=n).collect()
+    want = [
+        (r["doc_id"], r["n_terms_hit"], r["score_micro"])
+        for r in full
+        if r["doc_id"] % 2 == 0
+    ][:10]
+    assert got == want and len(got) == 10
+    assert all(d % 2 == 0 for d, _, _ in got)
+    dup = [
+        (r["doc_id"], r["n_terms_hit"], r["score_micro"])
+        for r in bm25_search_index(
+            spark, path, TERMS, k=10, filter_ids=allow.union(allow)
+        ).collect()
+    ]
+    assert dup == got

@@ -3053,3 +3053,43 @@ def test_streaming_ivf_delta_search_filter_ids(spark, sf_small, tmp_path):
     assert any(cand >= 400 for _, _, cand, _ in got)
     merge_delta_into_base(spark, idx)
     assert rows(ivf_search_index) == got
+
+
+def test_streaming_bm25_delta_search_filter_ids(spark, sf_small, tmp_path):
+    """Filtered BM25 over base + delta: the allow-list pre-filters
+    merged postings while the corpus statistics stay corpus-wide, so
+    the filtered delta search equals post-filtering the exhaustive
+    delta ranking — spanning base and streamed-in docs."""
+    from mapreduce_task_spark.operators.ranking import bm25_build_index
+    from mapreduce_task_spark.streaming.bm25_ingest import (
+        append_text_batch,
+        search_with_delta,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    n = docs.count()
+    base = docs.filter(F.col("doc_id") < 250)
+    rest = docs.filter(F.col("doc_id") >= 250)
+    allow = docs.select("doc_id").filter(F.col("doc_id") % 2 == 0)
+    idx = str(tmp_path / "bm25_filter_delta")
+    bm25_build_index(base, spark, idx)
+    append_text_batch(rest, 0, idx)
+
+    terms = ["spark", "join", "query"]
+    got = [
+        (r["doc_id"], r["n_terms_hit"], r["score_micro"])
+        for r in search_with_delta(
+            spark, idx, terms, k=10, filter_ids=allow
+        ).collect()
+    ]
+    full = search_with_delta(spark, idx, terms, k=n).collect()
+    want = [
+        (r["doc_id"], r["n_terms_hit"], r["score_micro"])
+        for r in full
+        if r["doc_id"] % 2 == 0
+    ][:10]
+    assert got == want and len(got) == 10
+    assert all(d % 2 == 0 for d, _, _ in got)
+    assert any(d >= 250 for d, _, _ in got) or any(
+        r["doc_id"] >= 250 for r in full
+    )
