@@ -454,20 +454,37 @@ def test_ivfpq_refined_search_prunes_codes_and_vectors(spark, sf_small, tmp_path
         emb, path, n_clusters=8, m=M, ksub=KSUB, dim=DIM,
         coarse_rounds=1, pq_rounds=2,
     )
-    res = ivfpq_search_index(
-        spark, path, queries, k=K, nprobe=2, m=M, dim=DIM, refine=10
+    def assert_dpp(res, label):
+        res.collect()
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        pruned = [
+            ln
+            for ln in plan.splitlines()
+            if "PartitionFilters" in ln and "dynamicpruning" in ln
+        ]
+        assert any("qv" in ln and "nq" in ln for ln in pruned), (
+            f"vectors scan lost cluster DPP ({label})"
+        )
+        assert any("codes" in ln for ln in pruned), (
+            f"codes scan lost cluster DPP ({label})"
+        )
+
+    assert_dpp(
+        ivfpq_search_index(
+            spark, path, queries, k=K, nprobe=2, m=M, dim=DIM, refine=10
+        ),
+        "unfiltered",
     )
-    res.collect()
-    plan = res._jdf.queryExecution().executedPlan().toString()
-    pruned = [
-        ln
-        for ln in plan.splitlines()
-        if "PartitionFilters" in ln and "dynamicpruning" in ln
-    ]
-    assert any("qv" in ln and "nq" in ln for ln in pruned), (
-        "vectors scan lost cluster DPP"
+    # the filter_ids left-semi join must not break pruning on either
+    # side — the filtered-search scale contract
+    allow = emb.select("vec_id").filter(F.col("vec_id") % 2 == 0)
+    assert_dpp(
+        ivfpq_search_index(
+            spark, path, queries, k=K, nprobe=2, m=M, dim=DIM,
+            refine=10, filter_ids=allow,
+        ),
+        "filtered",
     )
-    assert any("codes" in ln for ln in pruned), "codes scan lost cluster DPP"
 
 
 def test_pq_adc_refine_exhaustive_equals_exact_and_lifts_recall(spark, sf_small):
