@@ -370,6 +370,23 @@ def main() -> int:
                         ),
                     ),
                 }
+                # r10: filtered search (IDSelector-style allow-list
+                # pre-filter) — latency of the refined search
+                # restricted to half the corpus; the semi-join must
+                # not cost more than the unfiltered refined point
+                # (DPP on both scans is plan-asserted in tests)
+                allow = emb.select("vec_id").filter(
+                    _F.col("vec_id") % 2 == 0
+                )
+                t0 = time.perf_counter()
+                fres = ivfpq_search_index(
+                    spark, pq_dir, queries, k=10, nprobe=2, m=8, dim=64,
+                    refine=10, filter_ids=allow,
+                )
+                fres.write.format("noop").mode("overwrite").save()
+                extras["ivfpq_filtered_search_sec"] = round(
+                    time.perf_counter() - t0, 3
+                )
             except Exception as e:
                 extras["ivfpq_recall_error"] = repr(e)[:200]
             finally:
