@@ -227,3 +227,53 @@ def test_bm25_search_index_filter_ids_prefilters_docs(spark, sf_small, tmp_path)
         ).collect()
     ]
     assert dup == got
+
+
+def test_filtered_hybrid_retrieval_composes(spark, sf_small, tmp_path):
+    """Filtered hybrid search composes from the filtered single-modality
+    paths: BM25 and IVF lists both restricted to one allow-list fuse
+    through rrf_fuse into a result containing ONLY allowed candidates —
+    the quality-gated retrieval pattern (search only docs that passed
+    the gate) needs no special-case fusion code."""
+    from pyspark.sql import Window, functions as F
+
+    from mapreduce_task_spark.operators.ranking import (
+        bm25_build_index,
+        bm25_search_index,
+        rrf_fuse,
+    )
+    from mapreduce_task_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_search_index,
+    )
+    from mapreduce_task_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    emb = load_table(spark, sf_small, "embeddings")
+    allow_docs = docs.select("doc_id").filter(F.col("doc_id") % 2 == 0)
+    allow_vecs = emb.select("vec_id").filter(F.col("vec_id") % 2 == 0)
+
+    bpath = str(tmp_path / "bm25")
+    bm25_build_index(docs, spark, bpath)
+    lex = (
+        bm25_search_index(spark, bpath, TERMS, k=10, filter_ids=allow_docs)
+        .select(
+            F.lit(0).alias("query_id"),
+            F.col("doc_id").alias("cand_id"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("score_micro"), F.asc("doc_id")))
+            .alias("rank"),
+        )
+    )
+    vpath = str(tmp_path / "ivf")
+    ivf_build_index(emb, vpath, n_clusters=8, dim=64, rounds=1)
+    queries = emb.filter(F.col("vec_id") == 0)
+    ann = ivf_search_index(
+        spark, vpath, queries, k=10, nprobe=2, filter_ids=allow_vecs
+    ).select(F.lit(0).alias("query_id"), "cand_id", "rank")
+
+    fused = rrf_fuse([lex, ann], k=10).collect()
+    assert fused and all(r["cand_id"] % 2 == 0 for r in fused)
+    # both modalities contribute to the fused list
+    assert any(r["n_lists"] == 2 or r["n_lists"] == 1 for r in fused)
+    assert {r["rank"] for r in fused} == set(range(1, len(fused) + 1))
