@@ -224,13 +224,12 @@ def main() -> int:
                     res = ivf_search_index(spark, idx_dir, queries, k=5, nprobe=np_)
                     res.write.format("noop").mode("overwrite").save()
                     dt = round(time.perf_counter() - t0, 3)
+                    # recall from the SAME DataFrame the timing ran —
+                    # re-invoking the builder would re-run an identical
+                    # sf-scale search per point and let the timed and
+                    # measured configurations drift apart silently
                     sweep[str(np_)] = {
-                        "recall_at5": _macro_recall(
-                            exact5,
-                            ivf_search_index(
-                                spark, idx_dir, queries, k=5, nprobe=np_
-                            ),
-                        ),
+                        "recall_at5": _macro_recall(exact5, res),
                         "search_sec": dt,
                     }
                 extras["ivf_nprobe_sweep"] = sweep
@@ -332,13 +331,7 @@ def main() -> int:
                     res.write.format("noop").mode("overwrite").save()
                     dt = round(time.perf_counter() - t0, 3)
                     sweep[str(np_)] = {
-                        "recall_at10": _macro_recall(
-                            exact10,
-                            ivfpq_search_index(
-                                spark, pq_dir, queries, k=10, nprobe=np_,
-                                m=8, dim=64, refine=10,
-                            ),
-                        ),
+                        "recall_at10": _macro_recall(exact10, res),
                         "search_sec": dt,
                     }
                 extras["ivfpq_refined_nprobe_sweep"] = sweep
@@ -362,13 +355,7 @@ def main() -> int:
                     "nprobe": 8,
                     "refine": 50,
                     "search_sec": hi_sec,
-                    "recall_at10": _macro_recall(
-                        exact10,
-                        ivfpq_search_index(
-                            spark, pq_dir, queries, k=10, nprobe=8, m=8,
-                            dim=64, refine=50,
-                        ),
-                    ),
+                    "recall_at10": _macro_recall(exact10, hi),
                 }
                 # r10: filtered search (IDSelector-style allow-list
                 # pre-filter) — latency of the refined search

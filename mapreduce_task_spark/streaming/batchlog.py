@@ -105,6 +105,60 @@ def read_before(log: DataFrame, before_batch: int | None = None) -> DataFrame:
     return live
 
 
+def _watermark_path(path: str) -> str:
+    return f"{path}_merged_watermark"
+
+
+def merged_watermark(spark, path: str) -> int:
+    """The highest batch id a completed segment merge has folded into
+    this log's base datasets (``merge_log_into_base``), or -1 when no
+    merge ever completed. Read from the tiny sibling file
+    ``<log>_merged_watermark``."""
+    jvm = spark._jvm
+    wp = jvm.org.apache.hadoop.fs.Path(_watermark_path(path))
+    fs = wp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(wp):
+        return -1
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(wp))
+    )
+    try:
+        raw = reader.readLine()
+    finally:
+        reader.close()
+    if raw is None or not raw.strip():
+        raise RuntimeError(
+            f"unreadable merged watermark {_watermark_path(path)}"
+        )
+    return int(raw.strip())
+
+
+def _write_merged_watermark(spark, path: str, up_to: int) -> None:
+    """Persist the merged watermark (monotone max with any existing
+    value) via create-temp-then-rename, so readers never see a partial
+    file: the final path either holds the previous complete value or
+    the new one."""
+    up_to = max(up_to, merged_watermark(spark, path))
+    if up_to < 0:
+        return
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    wp = hpath(_watermark_path(path))
+    tmp = hpath(_watermark_path(path) + "._tmp")
+    fs = wp.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(str(int(up_to)).encode()))
+    finally:
+        out.close()
+    if fs.exists(wp):
+        fs.delete(wp, False)
+    if not fs.rename(tmp, wp):
+        raise RuntimeError(
+            f"could not commit merged watermark {_watermark_path(path)}"
+        )
+
+
 def write_batch_partition(
     df: DataFrame, batch_id: int, path: str, sub_partition_cols: tuple = ()
 ) -> None:
@@ -114,13 +168,27 @@ def write_batch_partition(
     partitioning WITHIN the batch partition (e.g. by cluster for
     inverted lists) — since ``__batch`` leads, the dynamic overwrite
     still replaces exactly the batch's own directory tree, and readers
-    keep partition pruning on the sub columns."""
+    keep partition pruning on the sub columns.
+
+    Merged-log replay guard: when a completed segment merge has folded
+    batches up to ``<log>_merged_watermark`` into the base datasets
+    (``merge_log_into_base``), a replayed batch at or below it is
+    SKIPPED — its rows already live in the base, and recreating its
+    partition would make every delta reader double-count them (the
+    partition no longer exists for the live view's watermark to
+    exclude). Logs that never merge have no watermark file and are
+    unaffected. Contract: like the positive/negative id split, this
+    assumes one checkpoint lineage per log — a FRESH checkpoint
+    against an already-merged index must not reuse folded batch ids
+    (they would read as replays and be dropped)."""
     if batch_id < 0:
         raise ValueError(
             f"batch_id must be >= 0 (got {batch_id}); negative ids are "
             "reserved for compacted partitions"
         )
     spark = df.sparkSession
+    if batch_id <= merged_watermark(spark, path):
+        return
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         df.withColumn(BATCH_COL, F.lit(int(batch_id)))
@@ -260,8 +328,14 @@ def merge_log_into_base(
     4. Commit the marker (the merged ids as one JSON dataset — tiny,
        bounded by compaction).
     5. Finish: per-target delete-final + rename-side (each swap
-       independently resumable), targeted partition deletes, log dir
-       removal when empty, marker delete.
+       independently resumable, with rename/delete FALSE returns
+       raised loudly — the marker survives and a re-run resumes),
+       then persist the merged watermark (``<log>_merged_watermark``
+       — ``write_batch_partition`` skips replayed batches at or below
+       it, closing the window where a stream crash before its
+       checkpoint commit + a merge + a restart would recreate an
+       already-folded partition and double-count its rows), targeted
+       partition deletes, log dir removal when empty, marker delete.
 
     Searches between a crash and the re-run may see a stale base
     and/or partial delta — the documented OFFLINE contract (stream
@@ -279,20 +353,28 @@ def merge_log_into_base(
 
     def marker_ids() -> list | None:
         """The committed merge's batch ids, or None when no marker is
-        readable (absent, or a torn write without _SUCCESS/data)."""
+        committed. Torn vs committed is decided by the _SUCCESS file
+        Spark writes LAST: a marker dir without it is a mid-commit
+        crash (its side dirs are garbage — clear and redo), while a
+        marker WITH it is a committed merge whose ids must be
+        honored — a read failure there is transient (object-store
+        hiccup, not a torn write) and must ABORT, never silently fall
+        back to a fresh merge: recovery may already have swapped some
+        targets, and re-folding the still-present delta into them
+        would duplicate every merged row."""
         if not fs.exists(marker_p):
             return None
-        try:
-            ids = [r["id"] for r in spark.read.json(marker).collect()]
-        except Exception:
-            ids = []
-        if not ids:
-            # torn marker write (unreadable, or readable-but-empty —
-            # a committed marker always records >= 1 merged id): the
-            # merge it belonged to never committed, so its side dirs
-            # are garbage; clear and redo
+        if not fs.exists(hpath(f"{marker}/_SUCCESS")):
+            # torn marker write: the merge never committed
             fs.delete(marker_p, True)
             return None
+        ids = [r["id"] for r in spark.read.json(marker).collect()]
+        if not ids:
+            raise RuntimeError(
+                f"committed merge marker {marker} records no batch ids "
+                "— refusing to guess which partitions a previous merge "
+                "owns; inspect/remove the marker manually"
+            )
         return ids
 
     def finish(ids: list) -> None:
@@ -300,9 +382,32 @@ def merge_log_into_base(
             tmp_p = hpath(f"{index_path}/{name}_merged")
             final_p = hpath(f"{index_path}/{name}")
             if fs.exists(tmp_p):
-                if fs.exists(final_p):
-                    fs.delete(final_p, True)
-                fs.rename(tmp_p, final_p)
+                # Hadoop FS reports most rename/delete failures by
+                # RETURNING FALSE, not raising — treating those as
+                # success would delete the log partitions below with
+                # the merged rows stranded in a side dir nothing will
+                # ever swap. Fail LOUDLY instead: the marker (or the
+                # side dir, on the legacy path) survives, so a re-run
+                # resumes this exact swap.
+                if fs.exists(final_p) and not fs.delete(final_p, True):
+                    raise RuntimeError(
+                        f"segment merge could not delete {index_path}/"
+                        f"{name} before the swap — re-run to resume"
+                    )
+                if not fs.rename(tmp_p, final_p):
+                    raise RuntimeError(
+                        f"segment merge could not rename {index_path}/"
+                        f"{name}_merged into place — re-run to resume"
+                    )
+        if ids:
+            _write_merged_watermark(
+                spark,
+                log_path,
+                max(
+                    max((b for b in ids if b >= 0), default=-1),
+                    covered_watermark(ids),
+                ),
+            )
         drop_partitions(spark, log_path, ids)
         log_p = hpath(log_path)
         if fs.exists(log_p):

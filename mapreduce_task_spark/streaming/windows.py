@@ -273,8 +273,12 @@ def stateful_key_stats(
             for pdf in rows:
                 n += len(pdf)
                 cents += _cents_half_up(pdf[value_col])
+                # same non-finite contract as the v1 twin below: an
+                # all-null chunk's NaN max (or a +/-inf value) must not
+                # poison the running max the sum already excludes
                 m = float(pdf[value_col].max())
-                mx = m if mx is None else max(mx, m)
+                if math.isfinite(m):
+                    mx = m if mx is None else max(mx, m)
             self._st.update((n, cents, mx))
             yield pd.DataFrame(
                 {
@@ -343,9 +347,14 @@ def stateful_key_stats_v1(
             # pandas .max() on an all-null chunk is NaN, and
             # max(mx, NaN) propagates or drops it depending on argument
             # order — skip the update so nulls cannot poison the
-            # running max (the batch oracle's F.max skips nulls too)
+            # running max (the batch oracle's F.max skips nulls too).
+            # +/-inf is skipped with the same isfinite test the cent
+            # sum uses, so the two stats stay mutually consistent:
+            # non-finite values are ignored EVERYWHERE (documented
+            # divergence from batch F.sum/F.max, which would propagate
+            # a pathological inf instead of int64 garbage)
             m = float(pdf[value_col].max())
-            if not math.isnan(m):
+            if math.isfinite(m):
                 mx = m if mx is None else max(mx, m)
         state.update((n, cents, mx))
         yield pd.DataFrame(

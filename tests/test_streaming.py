@@ -3093,3 +3093,59 @@ def test_streaming_bm25_delta_search_filter_ids(spark, sf_small, tmp_path):
     assert any(d >= 250 for d, _, _ in got) or any(
         r["doc_id"] >= 250 for r in full
     )
+
+
+def test_merge_then_stream_replay_does_not_duplicate(spark, sf_small, tmp_path):
+    """The replay-after-merge crash window: a stream that wrote its
+    batch partition but crashed BEFORE the checkpoint commit, followed
+    by a segment merge and the stream restart, replays the folded
+    batch. The merged watermark must make the replayed
+    write_batch_partition a no-op — otherwise the recreated partition
+    duplicates every folded row in the delta search and the NEXT merge
+    bakes the duplicates into the base."""
+    import os
+
+    from mapreduce_task_spark.operators.similarity import ivf_build_index
+    from mapreduce_task_spark.streaming.batchlog import merged_watermark
+    from mapreduce_task_spark.streaming.ivf_ingest import (
+        append_batch,
+        merge_delta_into_base,
+        search_with_delta,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    b0 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    b1 = emb.filter(F.col("vec_id") >= 400)
+    idx = str(tmp_path / "ivf_replay")
+    ivf_build_index(base, idx, n_clusters=8, dim=64, rounds=1)
+    append_batch(b0, 0, idx)
+    assert merged_watermark(spark, f"{idx}/delta") == -1
+    assert merge_delta_into_base(spark, idx) == b0.count()
+    assert merged_watermark(spark, f"{idx}/delta") == 0
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+
+    def snap():
+        return sorted(
+            (r["query_id"], r["rank"], r["cand_id"], r["cos"])
+            for r in search_with_delta(
+                spark, idx, queries, k=5, nprobe=2
+            ).collect()
+        )
+
+    want = snap()
+    # checkpoint-uncommitted batch 0 replays after the merge: must be
+    # a no-op (its rows already live in the base lists)
+    append_batch(b0, 0, idx)
+    assert not os.path.exists(f"{idx}/delta/__batch=0")
+    assert snap() == want
+    # genuinely new batches (ids above the watermark) still land
+    append_batch(b1, 1, idx)
+    assert os.path.exists(f"{idx}/delta/__batch=1")
+    got = snap()
+    assert any(cand >= 400 for _, _, cand, _ in got)
+    # ...and the second merge folds ONLY the new batch
+    assert merge_delta_into_base(spark, idx) == b1.count()
+    assert merged_watermark(spark, f"{idx}/delta") == 1
+    assert snap() == got
