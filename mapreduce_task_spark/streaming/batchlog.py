@@ -109,54 +109,74 @@ def _watermark_path(path: str) -> str:
     return f"{path}_merged_watermark"
 
 
-def merged_watermark(spark, path: str) -> int:
-    """The highest batch id a completed segment merge has folded into
-    this log's base datasets (``merge_log_into_base``), or -1 when no
-    merge ever completed. Read from the tiny sibling file
-    ``<log>_merged_watermark``."""
+def read_small_file(spark, path: str) -> str | None:
+    """First line of a tiny FS file, or None when the file is absent.
+    The writer side (``write_small_file``) commits via temp+rename, so
+    an existing file is never partial; an unreadable/empty existing
+    file is an invariant violation and raises."""
     jvm = spark._jvm
-    wp = jvm.org.apache.hadoop.fs.Path(_watermark_path(path))
-    fs = wp.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(wp):
-        return -1
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
     reader = jvm.java.io.BufferedReader(
-        jvm.java.io.InputStreamReader(fs.open(wp))
+        jvm.java.io.InputStreamReader(fs.open(p))
     )
     try:
         raw = reader.readLine()
     finally:
         reader.close()
     if raw is None or not raw.strip():
-        raise RuntimeError(
-            f"unreadable merged watermark {_watermark_path(path)}"
-        )
-    return int(raw.strip())
+        raise RuntimeError(f"unreadable protocol file {path}")
+    return raw.strip()
+
+
+def write_small_file(spark, path: str, content: str) -> None:
+    """Atomically (re)place a tiny FS file via create-temp-then-rename:
+    readers see either the previous complete content or the new one,
+    never a partial write. Rename failures raise (Hadoop reports most
+    of them by returning false)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    p = hpath(path)
+    tmp = hpath(path + "._tmp")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(content.encode()))
+    finally:
+        out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise RuntimeError(f"could not commit protocol file {path}")
+
+
+def max_folded_id(ids: list[int]) -> int:
+    """The highest batch id a fold over these partitions covers: the
+    max non-negative id, or the compaction coverage when only negative
+    partitions remain. -1 for an empty list."""
+    return max(
+        max((b for b in ids if b >= 0), default=-1), covered_watermark(ids)
+    )
+
+
+def merged_watermark(spark, path: str) -> int:
+    """The highest batch id a completed segment merge has folded into
+    this log's base datasets (``merge_log_into_base``), or -1 when no
+    merge ever completed. Read from the tiny sibling file
+    ``<log>_merged_watermark``."""
+    raw = read_small_file(spark, _watermark_path(path))
+    return -1 if raw is None else int(raw)
 
 
 def _write_merged_watermark(spark, path: str, up_to: int) -> None:
     """Persist the merged watermark (monotone max with any existing
-    value) via create-temp-then-rename, so readers never see a partial
-    file: the final path either holds the previous complete value or
-    the new one."""
+    value); see ``write_small_file`` for the atomicity contract."""
     up_to = max(up_to, merged_watermark(spark, path))
     if up_to < 0:
         return
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    wp = hpath(_watermark_path(path))
-    tmp = hpath(_watermark_path(path) + "._tmp")
-    fs = wp.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(str(int(up_to)).encode()))
-    finally:
-        out.close()
-    if fs.exists(wp):
-        fs.delete(wp, False)
-    if not fs.rename(tmp, wp):
-        raise RuntimeError(
-            f"could not commit merged watermark {_watermark_path(path)}"
-        )
+    write_small_file(spark, _watermark_path(path), str(int(up_to)))
 
 
 def write_batch_partition(
@@ -400,14 +420,7 @@ def merge_log_into_base(
                         f"{name}_merged into place — re-run to resume"
                     )
         if ids:
-            _write_merged_watermark(
-                spark,
-                log_path,
-                max(
-                    max((b for b in ids if b >= 0), default=-1),
-                    covered_watermark(ids),
-                ),
-            )
+            _write_merged_watermark(spark, log_path, max_folded_id(ids))
         drop_partitions(spark, log_path, ids)
         log_p = hpath(log_path)
         if fs.exists(log_p):

@@ -234,41 +234,88 @@ def merge_delta_into_base(spark: SparkSession, index_path: str) -> int:
        (base, delta) — deterministic, re-runnable, touches nothing
        live;
     2. write the ``_MERGE_COMMITTED`` marker — the atomic point of no
-       return: the merged datasets are complete;
-    3. TEARDOWN: delete the delta logs, swap each ``*_merged`` in,
-       delete the marker.
+       return: the merged datasets are complete. The marker RECORDS
+       the max folded batch id (temp+rename commit, never partial);
+    3. TEARDOWN: persist each delta log's merged watermark (so a
+       checkpoint-uncommitted batch replayed after the merge is
+       skipped by ``write_batch_partition`` instead of recreating an
+       already-folded partition — duplicate postings/counters), delete
+       the delta logs, swap each ``*_merged`` in, delete the marker.
+       Every FS delete/rename checks its boolean return and raises
+       loudly (Hadoop reports most failures that way); the surviving
+       marker makes a re-run resume this exact teardown.
 
     A re-run recovers any crash: marker present → the deltas are
     already folded into the side-writes, so only finish the teardown;
     marker absent → every delta log is still intact (teardown never
     started), so recompute from scratch.
     """
+    from .batchlog import (
+        _write_merged_watermark,
+        batch_ids,
+        max_folded_id,
+        read_small_file,
+        write_small_file,
+    )
+
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
-    marker = hpath(f"{index_path}/_MERGE_COMMITTED")
+    marker_path = f"{index_path}/_MERGE_COMMITTED"
+    marker = hpath(marker_path)
     names = ("postings", "term_df", "stats")
     deltas = (_POSTINGS, _DF, _STATS)
 
-    def teardown() -> None:
+    def teardown(folded_max: int | None) -> None:
+        if folded_max is not None and folded_max >= 0:
+            for d in deltas:
+                _write_merged_watermark(
+                    spark, f"{index_path}/{d}", folded_max
+                )
         for d in deltas:
             p = hpath(f"{index_path}/{d}")
-            if fs.exists(p):
-                fs.delete(p, True)
+            if fs.exists(p) and not fs.delete(p, True):
+                raise RuntimeError(
+                    f"bm25 merge could not delete delta log "
+                    f"{index_path}/{d} — re-run to resume"
+                )
         for n in names:
             cur = hpath(f"{index_path}/{n}")
             new = hpath(f"{index_path}/{n}_merged")
             if fs.exists(new):
-                if fs.exists(cur):
-                    fs.delete(cur, True)
-                fs.rename(new, cur)
+                if fs.exists(cur) and not fs.delete(cur, True):
+                    raise RuntimeError(
+                        f"bm25 merge could not delete {index_path}/{n} "
+                        "before the swap — re-run to resume"
+                    )
+                if not fs.rename(new, cur):
+                    raise RuntimeError(
+                        f"bm25 merge could not rename {index_path}/"
+                        f"{n}_merged into place — re-run to resume"
+                    )
         fs.delete(marker, False)
 
     if fs.exists(marker):
-        teardown()
+        # marker content = max folded batch id; legacy empty markers
+        # (pre-watermark rounds) finish the teardown without one
+        try:
+            raw = read_small_file(spark, marker_path)
+        except RuntimeError:
+            raw = None
+        teardown(int(raw) if raw is not None else None)
         return 0
     if not any(log_exists(spark, f"{index_path}/{d}") for d in deltas):
         return 0
+
+    folded_max = -1
+    for d in deltas:
+        if log_exists(spark, f"{index_path}/{d}"):
+            folded_max = max(
+                folded_max,
+                max_folded_id(
+                    batch_ids(spark.read.parquet(f"{index_path}/{d}"))
+                ),
+            )
 
     dposts = _live(spark, f"{index_path}/{_POSTINGS}")
     n = dposts.count() if dposts is not None else 0
@@ -309,6 +356,6 @@ def merge_delta_into_base(spark: SparkSession, index_path: str) -> int:
         F.sum("s").alias("sum_dl"),
     ).write.mode("overwrite").parquet(f"{index_path}/stats_merged")
 
-    fs.create(marker).close()
-    teardown()
+    write_small_file(spark, marker_path, str(int(folded_max)))
+    teardown(folded_max)
     return n

@@ -3149,3 +3149,53 @@ def test_merge_then_stream_replay_does_not_duplicate(spark, sf_small, tmp_path):
     assert merge_delta_into_base(spark, idx) == b1.count()
     assert merged_watermark(spark, f"{idx}/delta") == 1
     assert snap() == got
+
+
+def test_bm25_merge_then_stream_replay_does_not_duplicate(
+    spark, sf_small, tmp_path
+):
+    """The replay-after-merge window for the THREE-log BM25 index: a
+    checkpoint-uncommitted batch replayed after merge_delta_into_base
+    must be skipped on ALL three delta logs (recreating any of them
+    would double-count postings, df, or the exact corpus counters)."""
+    import os
+
+    from mapreduce_task_spark.operators.ranking import bm25_build_index
+    from mapreduce_task_spark.streaming.batchlog import merged_watermark
+    from mapreduce_task_spark.streaming.bm25_ingest import (
+        append_text_batch,
+        merge_delta_into_base,
+        search_with_delta,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    base = docs.filter(F.col("doc_id") < 250)
+    b0 = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 380))
+    b1 = docs.filter(F.col("doc_id") >= 380)
+    idx = str(tmp_path / "bm25_replay")
+    bm25_build_index(base, spark, idx)
+    append_text_batch(b0, 0, idx)
+    assert merge_delta_into_base(spark, idx) > 0
+    for d in ("delta_postings", "delta_df", "delta_stats"):
+        assert merged_watermark(spark, f"{idx}/{d}") == 0
+
+    terms = ["spark", "join", "query"]
+
+    def snap():
+        return sorted(
+            (r["doc_id"], r["n_terms_hit"], r["score_micro"])
+            for r in search_with_delta(spark, idx, terms, k=25).collect()
+        )
+
+    want = snap()
+    # replayed batch 0: all three partition writes must be no-ops
+    append_text_batch(b0, 0, idx)
+    for d in ("delta_postings", "delta_df", "delta_stats"):
+        assert not os.path.exists(f"{idx}/{d}/__batch=0")
+    assert snap() == want
+    # a genuinely new batch still lands and scores
+    append_text_batch(b1, 1, idx)
+    got = snap()
+    assert got != want or b1.count() == 0
+    assert merge_delta_into_base(spark, idx) > 0
+    assert snap() == got
