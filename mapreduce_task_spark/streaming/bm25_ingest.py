@@ -180,10 +180,30 @@ def search_with_delta(
     return score_postings(postings, tdf, stats, id_col, k)
 
 
+def _refuse_compact_while_merge_pending(spark: SparkSession, index_path: str):
+    """The bm25 analogue of compact_log's own marker refusal (which
+    checks ``<log>_merge_marker`` — a different name from this index's
+    shared ``_MERGE_COMMITTED``): compacting while a crashed merge's
+    marker is pending would rehome partitions the marker's teardown
+    owns by id into a fresh negative partition it cannot see, leaving
+    folded rows alive in the delta — double-counted by every search
+    and baked into the base next merge."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/_MERGE_COMMITTED")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        raise RuntimeError(
+            f"crashed bm25 segment merge pending at {index_path}/"
+            "_MERGE_COMMITTED — re-run merge_delta_into_base to finish "
+            "recovery before compacting"
+        )
+
+
 def compact_postings_delta(
     spark: SparkSession, index_path: str, up_to_batch: int
 ) -> int:
     """Fold posting partitions by re-selection (immutable rows)."""
+    _refuse_compact_while_merge_pending(spark, index_path)
     return compact_log(
         spark,
         f"{index_path}/{_POSTINGS}",
@@ -194,6 +214,7 @@ def compact_postings_delta(
 
 def compact_df_delta(spark: SparkSession, index_path: str, up_to_batch: int) -> int:
     """Fold df partitions by per-term sum (df is additive)."""
+    _refuse_compact_while_merge_pending(spark, index_path)
     return compact_log(
         spark,
         f"{index_path}/{_DF}",
@@ -208,6 +229,7 @@ def compact_stats_delta(
     spark: SparkSession, index_path: str, up_to_batch: int
 ) -> int:
     """Fold stat counters by sum (both are additive)."""
+    _refuse_compact_while_merge_pending(spark, index_path)
     return compact_log(
         spark,
         f"{index_path}/{_STATS}",
@@ -253,6 +275,7 @@ def merge_delta_into_base(spark: SparkSession, index_path: str) -> int:
     from .batchlog import (
         _write_merged_watermark,
         batch_ids,
+        drop_partitions,
         max_folded_id,
         read_small_file,
         write_small_file,
@@ -273,12 +296,35 @@ def merge_delta_into_base(spark: SparkSession, index_path: str) -> int:
                     spark, f"{index_path}/{d}", folded_max
                 )
         for d in deltas:
-            p = hpath(f"{index_path}/{d}")
-            if fs.exists(p) and not fs.delete(p, True):
-                raise RuntimeError(
-                    f"bm25 merge could not delete delta log "
-                    f"{index_path}/{d} — re-run to resume"
+            log_path = f"{index_path}/{d}"
+            if log_exists(spark, log_path):
+                # delete ONLY the partitions the marker's merge owns —
+                # batches appended since the crash survive untouched
+                # (the ``merge_log_into_base`` contract; whole-dir
+                # deletes would lose them). Negative partitions always
+                # qualify: the compact_* helpers refuse while the
+                # marker is pending, so none can postdate the fold. A
+                # legacy id-less marker owns everything listed (its
+                # merge folded the whole log and nothing postdating it
+                # can be distinguished — the pre-watermark behavior).
+                ids = batch_ids(spark.read.parquet(log_path))
+                owned = (
+                    ids
+                    if folded_max is None
+                    else [b for b in ids if b < 0 or b <= folded_max]
                 )
+                drop_partitions(spark, log_path, owned)
+            p = hpath(log_path)
+            if fs.exists(p):
+                leftover = any(
+                    st.getPath().getName().startswith("__batch=")
+                    for st in fs.listStatus(p)
+                )
+                if not leftover and not fs.delete(p, True):
+                    raise RuntimeError(
+                        f"bm25 merge could not delete delta log "
+                        f"{log_path} — re-run to resume"
+                    )
         for n in names:
             cur = hpath(f"{index_path}/{n}")
             new = hpath(f"{index_path}/{n}_merged")

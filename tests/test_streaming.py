@@ -3199,3 +3199,98 @@ def test_bm25_merge_then_stream_replay_does_not_duplicate(
     assert got != want or b1.count() == 0
     assert merge_delta_into_base(spark, idx) > 0
     assert snap() == got
+
+
+def test_bm25_merge_recovery_preserves_post_crash_appends(
+    spark, sf_small, tmp_path
+):
+    """The bm25 analogue of the IVF marker-recovery guarantee: a merge
+    that committed its marker but crashed before teardown, followed by
+    an append, must finish recovery WITHOUT deleting the post-crash
+    batch — the old whole-dir teardown lost those rows entirely (in
+    neither base nor delta). Compaction refuses while the marker is
+    pending."""
+    import os
+
+    import pytest as _pytest
+
+    from mapreduce_task_spark.operators.ranking import bm25_build_index
+    from mapreduce_task_spark.streaming.bm25_ingest import (
+        append_text_batch,
+        compact_postings_delta,
+        merge_delta_into_base,
+        search_with_delta,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    base = docs.filter(F.col("doc_id") < 250)
+    b0 = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 380))
+    b1 = docs.filter(F.col("doc_id") >= 380)
+    idx = str(tmp_path / "bm25_crash")
+    bm25_build_index(base, spark, idx)
+    append_text_batch(b0, 0, idx)
+
+    # simulate the crash window: side-writes + committed marker, no
+    # teardown — by running the merge and rolling its teardown back is
+    # impossible, so build the state by hand the way the protocol does
+    from mapreduce_task_spark.streaming.bm25_ingest import _DF, _POSTINGS, _STATS
+    from mapreduce_task_spark.streaming.batchlog import (
+        BATCH_COL,
+        log_live,
+        write_small_file,
+    )
+
+    dposts = log_live(spark, f"{idx}/{_POSTINGS}")
+    spark.read.parquet(f"{idx}/postings").unionByName(
+        dposts.drop(BATCH_COL)
+    ).write.parquet(f"{idx}/postings_merged")
+    ddf = log_live(spark, f"{idx}/{_DF}")
+    tdf = spark.read.parquet(f"{idx}/term_df").unionByName(
+        ddf.select("term", F.col("df_delta").cast("double").alias("df")).drop(
+            BATCH_COL
+        ),
+        allowMissingColumns=False,
+    )
+    tdf.groupBy("term").agg(F.sum("df").alias("df")).write.parquet(
+        f"{idx}/term_df_merged"
+    )
+    ds = log_live(spark, f"{idx}/{_STATS}")
+    counters = spark.read.parquet(f"{idx}/stats").select(
+        F.col("n_docs_exact").alias("n"), F.col("sum_dl").alias("s")
+    ).unionByName(
+        ds.select(F.col("n_docs").alias("n"), F.col("sum_dl").alias("s"))
+    )
+    counters.agg(
+        F.sum("n").cast("double").alias("n_docs"),
+        (F.sum("s").cast("double") / F.sum("n").cast("double")).alias("avgdl"),
+        F.sum("n").alias("n_docs_exact"),
+        F.sum("s").alias("sum_dl"),
+    ).write.parquet(f"{idx}/stats_merged")
+    write_small_file(spark, f"{idx}/_MERGE_COMMITTED", "0")
+
+    # compaction refuses while the marker is pending
+    with _pytest.raises(RuntimeError, match="merge pending"):
+        compact_postings_delta(spark, idx, up_to_batch=0)
+
+    # operator appends a new batch before re-running the merge
+    append_text_batch(b1, 1, idx)
+
+    # recovery: finish the teardown, keep batch 1
+    assert merge_delta_into_base(spark, idx) == 0
+    assert not os.path.exists(f"{idx}/_MERGE_COMMITTED")
+    assert not os.path.exists(f"{idx}/{_POSTINGS}/__batch=0")
+    assert os.path.exists(f"{idx}/{_POSTINGS}/__batch=1")
+
+    # base ∪ b0 merged; b1 still served from the delta — the second
+    # merge folds it and nothing is lost or doubled
+    terms = ["spark", "join", "query"]
+
+    def snap():
+        return sorted(
+            (r["doc_id"], r["n_terms_hit"], r["score_micro"])
+            for r in search_with_delta(spark, idx, terms, k=25).collect()
+        )
+
+    got = snap()
+    assert merge_delta_into_base(spark, idx) > 0
+    assert snap() == got
