@@ -132,10 +132,18 @@ def read_small_file(spark, path: str) -> str | None:
 
 
 def write_small_file(spark, path: str, content: str) -> None:
-    """Atomically (re)place a tiny FS file via create-temp-then-rename:
-    readers see either the previous complete content or the new one,
-    never a partial write. Rename failures raise (Hadoop reports most
-    of them by returning false)."""
+    """(Re)place a tiny FS file via create-temp-then-rename. The file
+    content is never PARTIAL (the rename only exposes a fully-written
+    temp), but replacement is delete-then-rename — Hadoop rename
+    cannot atomically overwrite on every FS — so there is a window
+    (and a crash state) where the path is ABSENT with the new value
+    stranded in ``._tmp``. Every current caller tolerates absent-reads
+    as "no value yet" AND sits inside a protocol whose marker forces a
+    re-run that rewrites the file (merge watermarks/markers, offline
+    contract — no concurrent readers); a future caller without that
+    umbrella must not rely on read-availability across the swap.
+    Delete/rename failures raise (Hadoop reports most by returning
+    false)."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     p = hpath(path)
@@ -146,8 +154,8 @@ def write_small_file(spark, path: str, content: str) -> None:
         out.write(bytearray(content.encode()))
     finally:
         out.close()
-    if fs.exists(p):
-        fs.delete(p, False)
+    if fs.exists(p) and not fs.delete(p, False):
+        raise RuntimeError(f"could not replace protocol file {path}")
     if not fs.rename(tmp, p):
         raise RuntimeError(f"could not commit protocol file {path}")
 
@@ -161,22 +169,39 @@ def max_folded_id(ids: list[int]) -> int:
     )
 
 
+# merged-watermark cache: write_batch_partition consults the watermark
+# on EVERY micro-batch write, and most logs (dedup, sketch, monitor)
+# never merge — without a cache they would pay an object-store
+# existence check per batch forever. Safe to cache per process: merges
+# are offline (the stream is stopped — a running stream's process
+# cannot race a merge in another process, and a merge in THIS process
+# write-throughs below). Keyed by watermark path.
+_WM_CACHE: dict[str, int] = {}
+
+
 def merged_watermark(spark, path: str) -> int:
     """The highest batch id a completed segment merge has folded into
     this log's base datasets (``merge_log_into_base``), or -1 when no
     merge ever completed. Read from the tiny sibling file
-    ``<log>_merged_watermark``."""
-    raw = read_small_file(spark, _watermark_path(path))
-    return -1 if raw is None else int(raw)
+    ``<log>_merged_watermark`` (cached per process — see _WM_CACHE)."""
+    wp = _watermark_path(path)
+    if wp in _WM_CACHE:
+        return _WM_CACHE[wp]
+    raw = read_small_file(spark, wp)
+    val = -1 if raw is None else int(raw)
+    _WM_CACHE[wp] = val
+    return val
 
 
 def _write_merged_watermark(spark, path: str, up_to: int) -> None:
     """Persist the merged watermark (monotone max with any existing
     value); see ``write_small_file`` for the atomicity contract."""
+    _WM_CACHE.pop(_watermark_path(path), None)  # re-read from disk
     up_to = max(up_to, merged_watermark(spark, path))
     if up_to < 0:
         return
     write_small_file(spark, _watermark_path(path), str(int(up_to)))
+    _WM_CACHE[_watermark_path(path)] = up_to
 
 
 def write_batch_partition(
@@ -303,9 +328,15 @@ def compact_log(
 
 
 def drop_partitions(spark, path: str, ids: list[int]) -> int:
-    """Delete the given partition directories (space reclamation after
-    compaction; readers already exclude them). Returns how many
-    existed and were dropped."""
+    """Delete the given partition directories. For compaction this is
+    space reclamation (readers already exclude them), but the merge
+    protocols delete partitions whose rows now live in the BASE — a
+    silently-failed delete there leaves the partition in the live view
+    (double-counted by every search, re-folded next merge) after the
+    marker is gone. Hadoop reports most delete failures by returning
+    FALSE, so a false return raises; the caller's marker (or a
+    compaction retry) resumes. Returns how many existed and were
+    dropped."""
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
         spark._jsc.hadoopConfiguration()
@@ -314,9 +345,61 @@ def drop_partitions(spark, path: str, ids: list[int]) -> int:
     for b in ids:
         p = jvm.org.apache.hadoop.fs.Path(f"{path}/{BATCH_COL}={b}")
         if fs.exists(p):
-            fs.delete(p, True)
+            if not fs.delete(p, True):
+                raise RuntimeError(
+                    f"could not delete partition {path}/{BATCH_COL}={b}"
+                    " — re-run to resume"
+                )
             dropped += 1
     return dropped
+
+
+def swap_merged_into_base(spark, index_path: str, names) -> None:
+    """Swap each ``<name>_merged`` side dir into ``<name>`` —
+    delete-final then rename-side, each swap independently resumable.
+    Hadoop FS reports most rename/delete failures by RETURNING FALSE,
+    not raising — treating those as success would let a caller delete
+    its log partitions with the merged rows stranded in a side dir
+    nothing will ever swap. Fail LOUDLY instead: the caller's marker
+    survives, so a re-run resumes this exact swap. Shared by
+    ``merge_log_into_base`` and the bm25 three-log merge so the
+    crash-protocol swap step cannot drift between them."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    for name in names:
+        tmp_p = hpath(f"{index_path}/{name}_merged")
+        final_p = hpath(f"{index_path}/{name}")
+        if fs.exists(tmp_p):
+            if fs.exists(final_p) and not fs.delete(final_p, True):
+                raise RuntimeError(
+                    f"segment merge could not delete {index_path}/{name}"
+                    " before the swap — re-run to resume"
+                )
+            if not fs.rename(tmp_p, final_p):
+                raise RuntimeError(
+                    f"segment merge could not rename {index_path}/"
+                    f"{name}_merged into place — re-run to resume"
+                )
+
+
+def remove_log_dir_if_empty(spark, log_path: str) -> None:
+    """Drop a delta log directory once no ``__batch=`` partition
+    remains (pure cleanup — an empty dir is already 'no history' to
+    ``log_exists``). A FALSE delete raises like every other protocol
+    step."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(log_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        leftover = any(
+            s.getPath().getName().startswith(f"{BATCH_COL}=")
+            for s in fs.listStatus(p)
+        )
+        if not leftover and not fs.delete(p, True):
+            raise RuntimeError(
+                f"could not remove empty delta log {log_path}"
+            )
 
 
 def merge_log_into_base(
@@ -345,8 +428,10 @@ def merge_log_into_base(
     3. Write every ``<name>_merged`` side dir (recomputable until the
        marker commits — a half-written side dir without a marker is
        garbage the next run overwrites).
-    4. Commit the marker (the merged ids as one JSON dataset — tiny,
-       bounded by compaction).
+    4. Commit the marker (the merged ids as one JSON line in a single
+       file, temp+rename committed — existence IS commitment, with no
+       dependence on a job-committer's _SUCCESS config; tiny, bounded
+       by compaction).
     5. Finish: per-target delete-final + rename-side (each swap
        independently resumable, with rename/delete FALSE returns
        raised loudly — the marker survives and a re-run resumes),
@@ -364,6 +449,8 @@ def merge_log_into_base(
     merged rows, and codes/vectors-style multi-dataset bases can never
     end half-swapped after recovery. Returns the merged live row
     count (0 for resume/no-op)."""
+    import json
+
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -373,64 +460,40 @@ def merge_log_into_base(
 
     def marker_ids() -> list | None:
         """The committed merge's batch ids, or None when no marker is
-        committed. Torn vs committed is decided by the _SUCCESS file
-        Spark writes LAST: a marker dir without it is a mid-commit
-        crash (its side dirs are garbage — clear and redo), while a
-        marker WITH it is a committed merge whose ids must be
-        honored — a read failure there is transient (object-store
-        hiccup, not a torn write) and must ABORT, never silently fall
+        committed. Current markers are single FILES committed via
+        ``write_small_file`` (temp+rename — existence IS commitment,
+        independent of any job-committer config); a read failure on an
+        existing file is transient and must ABORT, never silently fall
         back to a fresh merge: recovery may already have swapped some
         targets, and re-folding the still-present delta into them
-        would duplicate every merged row."""
+        would duplicate every merged row. Legacy DIRECTORY markers
+        (spark JSON datasets, pre-r10-late) are classified by the
+        _SUCCESS their committer wrote last: without it the write was
+        torn mid-commit (side dirs are garbage — clear and redo)."""
         if not fs.exists(marker_p):
             return None
-        if not fs.exists(hpath(f"{marker}/_SUCCESS")):
-            # torn marker write: the merge never committed
-            fs.delete(marker_p, True)
-            return None
-        ids = [r["id"] for r in spark.read.json(marker).collect()]
+        if fs.getFileStatus(marker_p).isDirectory():
+            if not fs.exists(hpath(f"{marker}/_SUCCESS")):
+                # torn legacy marker write: the merge never committed
+                fs.delete(marker_p, True)
+                return None
+            ids = [r["id"] for r in spark.read.json(marker).collect()]
+        else:
+            ids = json.loads(read_small_file(spark, marker))
         if not ids:
             raise RuntimeError(
                 f"committed merge marker {marker} records no batch ids "
                 "— refusing to guess which partitions a previous merge "
                 "owns; inspect/remove the marker manually"
             )
-        return ids
+        return [int(b) for b in ids]
 
     def finish(ids: list) -> None:
-        for name in targets:
-            tmp_p = hpath(f"{index_path}/{name}_merged")
-            final_p = hpath(f"{index_path}/{name}")
-            if fs.exists(tmp_p):
-                # Hadoop FS reports most rename/delete failures by
-                # RETURNING FALSE, not raising — treating those as
-                # success would delete the log partitions below with
-                # the merged rows stranded in a side dir nothing will
-                # ever swap. Fail LOUDLY instead: the marker (or the
-                # side dir, on the legacy path) survives, so a re-run
-                # resumes this exact swap.
-                if fs.exists(final_p) and not fs.delete(final_p, True):
-                    raise RuntimeError(
-                        f"segment merge could not delete {index_path}/"
-                        f"{name} before the swap — re-run to resume"
-                    )
-                if not fs.rename(tmp_p, final_p):
-                    raise RuntimeError(
-                        f"segment merge could not rename {index_path}/"
-                        f"{name}_merged into place — re-run to resume"
-                    )
+        swap_merged_into_base(spark, index_path, targets)
         if ids:
             _write_merged_watermark(spark, log_path, max_folded_id(ids))
         drop_partitions(spark, log_path, ids)
-        log_p = hpath(log_path)
-        if fs.exists(log_p):
-            leftover = [
-                s.getPath().getName()
-                for s in fs.listStatus(log_p)
-                if s.getPath().getName().startswith(f"{BATCH_COL}=")
-            ]
-            if not leftover:
-                fs.delete(log_p, True)
+        remove_log_dir_if_empty(spark, log_path)
         fs.delete(marker_p, True)
 
     committed = marker_ids()
@@ -454,8 +517,6 @@ def merge_log_into_base(
     n = live.count()
     for name in targets:
         write_merged(live, name)
-    spark.createDataFrame(
-        [(int(b),) for b in ids], "id long"
-    ).coalesce(1).write.mode("overwrite").json(marker)
+    write_small_file(spark, marker, json.dumps([int(b) for b in ids]))
     finish(ids)
     return n

@@ -257,27 +257,38 @@ def merge_delta_into_base(spark: SparkSession, index_path: str) -> int:
        live;
     2. write the ``_MERGE_COMMITTED`` marker — the atomic point of no
        return: the merged datasets are complete. The marker RECORDS
-       the max folded batch id (temp+rename commit, never partial);
+       each delta log's OWN max folded batch id (one JSON line,
+       temp+rename commit, never partial) — PER LOG, not one global
+       max: a crash mid-``append_text_batch`` leaves the three logs at
+       different depths (postings lands before df before stats), and a
+       cross-log max would watermark the lagging logs past batches
+       they never folded, silently dropping the replayed batch's
+       counters forever;
     3. TEARDOWN: persist each delta log's merged watermark (so a
        checkpoint-uncommitted batch replayed after the merge is
        skipped by ``write_batch_partition`` instead of recreating an
        already-folded partition — duplicate postings/counters), delete
-       the delta logs, swap each ``*_merged`` in, delete the marker.
-       Every FS delete/rename checks its boolean return and raises
-       loudly (Hadoop reports most failures that way); the surviving
-       marker makes a re-run resume this exact teardown.
+       ONLY the partitions each log's own folded max owns, swap each
+       ``*_merged`` in (the shared checked-swap helper), delete the
+       marker. Every FS delete/rename checks its boolean return and
+       raises loudly (Hadoop reports most failures that way); the
+       surviving marker makes a re-run resume this exact teardown.
 
     A re-run recovers any crash: marker present → the deltas are
     already folded into the side-writes, so only finish the teardown;
     marker absent → every delta log is still intact (teardown never
     started), so recompute from scratch.
     """
+    import json
+
     from .batchlog import (
         _write_merged_watermark,
         batch_ids,
         drop_partitions,
         max_folded_id,
         read_small_file,
+        remove_log_dir_if_empty,
+        swap_merged_into_base,
         write_small_file,
     )
 
@@ -289,79 +300,60 @@ def merge_delta_into_base(spark: SparkSession, index_path: str) -> int:
     names = ("postings", "term_df", "stats")
     deltas = (_POSTINGS, _DF, _STATS)
 
-    def teardown(folded_max: int | None) -> None:
-        if folded_max is not None and folded_max >= 0:
-            for d in deltas:
-                _write_merged_watermark(
-                    spark, f"{index_path}/{d}", folded_max
-                )
+    def teardown(folded: dict | None) -> None:
         for d in deltas:
             log_path = f"{index_path}/{d}"
+            wm = -1 if folded is None else int(folded.get(d, -1))
+            if wm >= 0:
+                _write_merged_watermark(spark, log_path, wm)
             if log_exists(spark, log_path):
-                # delete ONLY the partitions the marker's merge owns —
-                # batches appended since the crash survive untouched
-                # (the ``merge_log_into_base`` contract; whole-dir
-                # deletes would lose them). Negative partitions always
-                # qualify: the compact_* helpers refuse while the
-                # marker is pending, so none can postdate the fold. A
-                # legacy id-less marker owns everything listed (its
-                # merge folded the whole log and nothing postdating it
-                # can be distinguished — the pre-watermark behavior).
+                # delete ONLY the partitions this log's own folded max
+                # owns — batches appended since the crash survive
+                # untouched (the ``merge_log_into_base`` contract;
+                # whole-dir deletes would lose them). Negative
+                # partitions always qualify: the compact_* helpers
+                # refuse while the marker is pending, so none can
+                # postdate the fold. A legacy id-less marker owns
+                # everything listed (its merge folded the whole log
+                # and nothing postdating it can be distinguished —
+                # the pre-watermark behavior).
                 ids = batch_ids(spark.read.parquet(log_path))
                 owned = (
                     ids
-                    if folded_max is None
-                    else [b for b in ids if b < 0 or b <= folded_max]
+                    if folded is None
+                    else [b for b in ids if b < 0 or b <= wm]
                 )
                 drop_partitions(spark, log_path, owned)
-            p = hpath(log_path)
-            if fs.exists(p):
-                leftover = any(
-                    st.getPath().getName().startswith("__batch=")
-                    for st in fs.listStatus(p)
-                )
-                if not leftover and not fs.delete(p, True):
-                    raise RuntimeError(
-                        f"bm25 merge could not delete delta log "
-                        f"{log_path} — re-run to resume"
-                    )
-        for n in names:
-            cur = hpath(f"{index_path}/{n}")
-            new = hpath(f"{index_path}/{n}_merged")
-            if fs.exists(new):
-                if fs.exists(cur) and not fs.delete(cur, True):
-                    raise RuntimeError(
-                        f"bm25 merge could not delete {index_path}/{n} "
-                        "before the swap — re-run to resume"
-                    )
-                if not fs.rename(new, cur):
-                    raise RuntimeError(
-                        f"bm25 merge could not rename {index_path}/"
-                        f"{n}_merged into place — re-run to resume"
-                    )
+            remove_log_dir_if_empty(spark, log_path)
+        swap_merged_into_base(spark, index_path, names)
         fs.delete(marker, False)
 
     if fs.exists(marker):
-        # marker content = max folded batch id; legacy empty markers
-        # (pre-watermark rounds) finish the teardown without one
+        # marker content = per-log max folded batch ids (JSON object);
+        # legacy markers (pre-watermark empty files, or a single int
+        # from the first hardening pass) degrade as documented
         try:
             raw = read_small_file(spark, marker_path)
         except RuntimeError:
             raw = None
-        teardown(int(raw) if raw is not None else None)
+        if raw is None:
+            folded = None
+        elif raw.lstrip().startswith("{"):
+            folded = json.loads(raw)
+        else:
+            folded = {d: int(raw) for d in deltas}
+        teardown(folded)
         return 0
     if not any(log_exists(spark, f"{index_path}/{d}") for d in deltas):
         return 0
 
-    folded_max = -1
+    folded = {}
     for d in deltas:
-        if log_exists(spark, f"{index_path}/{d}"):
-            folded_max = max(
-                folded_max,
-                max_folded_id(
-                    batch_ids(spark.read.parquet(f"{index_path}/{d}"))
-                ),
-            )
+        folded[d] = (
+            max_folded_id(batch_ids(spark.read.parquet(f"{index_path}/{d}")))
+            if log_exists(spark, f"{index_path}/{d}")
+            else -1
+        )
 
     dposts = _live(spark, f"{index_path}/{_POSTINGS}")
     n = dposts.count() if dposts is not None else 0
@@ -402,6 +394,6 @@ def merge_delta_into_base(spark: SparkSession, index_path: str) -> int:
         F.sum("s").alias("sum_dl"),
     ).write.mode("overwrite").parquet(f"{index_path}/stats_merged")
 
-    write_small_file(spark, marker_path, str(int(folded_max)))
-    teardown(folded_max)
+    write_small_file(spark, marker_path, json.dumps(folded))
+    teardown(folded)
     return n

@@ -264,6 +264,7 @@ def stateful_key_stats(
             )
 
         def handleInputRows(self, key, rows, timerValues):
+            import numpy as _np
             import pandas as pd
 
             n, cents, mx = 0, 0, None
@@ -273,11 +274,15 @@ def stateful_key_stats(
             for pdf in rows:
                 n += len(pdf)
                 cents += _cents_half_up(pdf[value_col])
-                # same non-finite contract as the v1 twin below: an
-                # all-null chunk's NaN max (or a +/-inf value) must not
-                # poison the running max the sum already excludes
-                m = float(pdf[value_col].max())
-                if math.isfinite(m):
+                # same non-finite contract as the v1 twin below: mask
+                # non-finite ROWS (exactly like the cent sum) before
+                # taking the chunk max — a chunk-level isfinite test
+                # would throw away finite values that merely SHARE a
+                # chunk with an inf/null
+                vals = pdf[value_col].to_numpy(dtype="float64")
+                vals = vals[_np.isfinite(vals)]
+                if vals.size:
+                    m = float(vals.max())
                     mx = m if mx is None else max(mx, m)
             self._st.update((n, cents, mx))
             yield pd.DataFrame(
@@ -328,6 +333,7 @@ def stateful_key_stats_v1(
     it against the same oracle aggregate, so the behavior contract the
     TWS variant claims is verified even where its runner cannot start.
     """
+    import numpy as _np
     import pandas as pd
 
     def update(
@@ -344,17 +350,19 @@ def stateful_key_stats_v1(
             # per-row-rounded integer cents: the running sum is exact
             # regardless of how rows slice into micro-batches
             cents += _cents_half_up(pdf[value_col])
-            # pandas .max() on an all-null chunk is NaN, and
-            # max(mx, NaN) propagates or drops it depending on argument
-            # order — skip the update so nulls cannot poison the
-            # running max (the batch oracle's F.max skips nulls too).
-            # +/-inf is skipped with the same isfinite test the cent
-            # sum uses, so the two stats stay mutually consistent:
-            # non-finite values are ignored EVERYWHERE (documented
+            # non-finite ROWS are masked before the chunk max with
+            # the same per-row isfinite test the cent sum uses, so the
+            # two stats stay mutually consistent: non-finite values
+            # are ignored EVERYWHERE, per row — a chunk-level test
+            # would throw away finite values sharing a chunk with an
+            # inf, and an unguarded pandas .max() would let an
+            # all-null chunk's NaN poison the running max. (Documented
             # divergence from batch F.sum/F.max, which would propagate
-            # a pathological inf instead of int64 garbage)
-            m = float(pdf[value_col].max())
-            if math.isfinite(m):
+            # a pathological inf instead of int64 garbage.)
+            vals = pdf[value_col].to_numpy(dtype="float64")
+            vals = vals[_np.isfinite(vals)]
+            if vals.size:
+                m = float(vals.max())
                 mx = m if mx is None else max(mx, m)
         state.update((n, cents, mx))
         yield pd.DataFrame(

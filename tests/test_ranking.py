@@ -272,8 +272,14 @@ def test_filtered_hybrid_retrieval_composes(spark, sf_small, tmp_path):
         spark, vpath, queries, k=10, nprobe=2, filter_ids=allow_vecs
     ).select(F.lit(0).alias("query_id"), "cand_id", "rank")
 
+    lex_ids = {r["cand_id"] for r in lex.collect()}
+    ann_ids = {r["cand_id"] for r in ann.collect()}
+    assert lex_ids and ann_ids  # both filtered modalities returned rows
     fused = rrf_fuse([lex, ann], k=10).collect()
     assert fused and all(r["cand_id"] % 2 == 0 for r in fused)
-    # both modalities contribute to the fused list
-    assert any(r["n_lists"] == 2 or r["n_lists"] == 1 for r in fused)
+    # both modalities actually contribute rows to the fused list, and
+    # nothing outside the two input lists appears
+    fused_ids = {r["cand_id"] for r in fused}
+    assert fused_ids <= lex_ids | ann_ids
+    assert fused_ids & lex_ids and fused_ids & ann_ids
     assert {r["rank"] for r in fused} == set(range(1, len(fused) + 1))

@@ -3294,3 +3294,80 @@ def test_bm25_merge_recovery_preserves_post_crash_appends(
     got = snap()
     assert merge_delta_into_base(spark, idx) > 0
     assert snap() == got
+
+
+def test_bm25_merge_watermarks_each_log_independently(spark, sf_small, tmp_path):
+    """The mid-append crash window: append_text_batch lands postings
+    before df before stats, so a crash can leave batch N folded in ONE
+    log and absent from the others. The merge must watermark each log
+    with its OWN folded max — a cross-log max would mark the lagging
+    logs past batch N, and the replay's df/stat counters would be
+    skipped as 'already folded' and lost forever (idf/avgdl silently
+    wrong from then on)."""
+    import os
+
+    from mapreduce_task_spark.operators.ranking import (
+        bm25_build_index,
+        bm25_topk,
+        doc_tokens,
+    )
+    from mapreduce_task_spark.streaming.batchlog import (
+        merged_watermark,
+        write_batch_partition,
+    )
+    from mapreduce_task_spark.streaming.bm25_ingest import (
+        _DF,
+        _POSTINGS,
+        _STATS,
+        append_text_batch,
+        merge_delta_into_base,
+        search_with_delta,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    base = docs.filter(F.col("doc_id") < 250)
+    b0 = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 380))
+    b1 = docs.filter(F.col("doc_id") >= 380)
+    idx = str(tmp_path / "bm25_lag")
+    bm25_build_index(base, spark, idx)
+    append_text_batch(b0, 0, idx)
+    # crashed batch 1: ONLY the postings write landed (the exact rows
+    # append_text_batch would have written), df/stats never did
+    toks = doc_tokens(b1, "text").select("doc_id", "toks", "dl")
+    posts = (
+        toks.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    write_batch_partition(
+        posts.repartition("term").sortWithinPartitions("term", "doc_id"),
+        1,
+        f"{idx}/{_POSTINGS}",
+    )
+
+    assert merge_delta_into_base(spark, idx) > 0
+    # per-log watermarks: postings folded through batch 1, df/stats
+    # only through batch 0
+    assert merged_watermark(spark, f"{idx}/{_POSTINGS}") == 1
+    assert merged_watermark(spark, f"{idx}/{_DF}") == 0
+    assert merged_watermark(spark, f"{idx}/{_STATS}") == 0
+
+    # the restarted stream replays batch 1 in full: the postings write
+    # must be skipped (already folded), the df/stat writes must LAND
+    append_text_batch(b1, 1, idx)
+    assert not os.path.exists(f"{idx}/{_POSTINGS}/__batch=1")
+    assert os.path.exists(f"{idx}/{_DF}/__batch=1")
+    assert os.path.exists(f"{idx}/{_STATS}/__batch=1")
+
+    # nothing lost, nothing doubled: the delta search over the healed
+    # index reproduces a from-scratch BM25 over the full corpus
+    terms = ["spark", "join", "query"]
+    got = sorted(
+        (r["doc_id"], r["n_terms_hit"], r["score_micro"])
+        for r in search_with_delta(spark, idx, terms, k=25).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["n_terms_hit"], r["score_micro"])
+        for r in bm25_topk(docs, spark, terms, k=25).collect()
+    )
+    assert got == want and len(got) > 0
