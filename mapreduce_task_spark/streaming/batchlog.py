@@ -494,7 +494,14 @@ def merge_log_into_base(
             _write_merged_watermark(spark, log_path, max_folded_id(ids))
         drop_partitions(spark, log_path, ids)
         remove_log_dir_if_empty(spark, log_path)
-        fs.delete(marker_p, True)
+        # a silently-failed marker delete is RECOVERABLE (the next
+        # merge call resumes this idempotent finish) but would make
+        # compaction refuse with no visible cause — fail loudly
+        if fs.exists(marker_p) and not fs.delete(marker_p, True):
+            raise RuntimeError(
+                f"could not remove committed merge marker {marker}"
+                " — re-run to resume"
+            )
 
     committed = marker_ids()
     if committed is not None:

@@ -326,7 +326,13 @@ def merge_delta_into_base(spark: SparkSession, index_path: str) -> int:
                 drop_partitions(spark, log_path, owned)
             remove_log_dir_if_empty(spark, log_path)
         swap_merged_into_base(spark, index_path, names)
-        fs.delete(marker, False)
+        # loud like every other protocol step: a surviving marker is
+        # recoverable (re-run resumes) but silently blocks compaction
+        if fs.exists(marker) and not fs.delete(marker, False):
+            raise RuntimeError(
+                f"could not remove committed merge marker {marker_path}"
+                " — re-run to resume"
+            )
 
     if fs.exists(marker):
         # marker content = per-log max folded batch ids (JSON object);
