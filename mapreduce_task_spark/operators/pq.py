@@ -25,11 +25,84 @@ codegen expressions end to end.
 
 from __future__ import annotations
 
+import json as _json
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.hashing import hash64
 from .pinning import Pin, lazy_checkpoint as _lazy_checkpoint
-from .similarity import with_quantized
+from .similarity import VALID_METRICS, with_quantized
+
+_META_FILE = "_INDEX_META.json"
+
+
+def write_index_meta(spark, path: str, meta: dict) -> None:
+    """Record index-level facts (metric, shape) as a tiny JSON file
+    beside the index data, via the Hadoop FileSystem API so it works
+    on any Spark-supported storage. ~100 bytes; written last in a
+    build so a crashed build leaves no meta (and is re-built anyway —
+    build is mode=overwrite throughout)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{_META_FILE}")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(_json.dumps(meta, sort_keys=True).encode()))
+    finally:
+        out.close()
+
+
+def read_index_meta(spark, path: str) -> dict | None:
+    """Read the index meta file; None for a legacy (pre-meta) index."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{_META_FILE}")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        buf = bytearray()
+        b = stream.read()
+        while b != -1 and len(buf) < 65536:
+            buf.append(b)
+            b = stream.read()
+    finally:
+        stream.close()
+    return _json.loads(buf.decode())
+
+
+def check_index_meta(spark, path: str, *, metric: str, **shape) -> None:
+    """Refuse a search/append whose parameters contradict what the
+    index was built with. Metric is the safety-critical one — scoring
+    un-normalized vectors as cosine (or vice versa) returns silently
+    wrong rankings, the exact failure a persisted index invites. The
+    meta read is a one-time ~100-byte driver-side file read per plan
+    build, the deliberate exception to the no-metadata-read contract
+    (recorded here): shape params stay caller-supplied (plan-time),
+    meta only VETOES a contradiction. Legacy indexes without a meta
+    file were all built metric="l2": l2 searches proceed, cosine
+    searches are refused (their vectors are not normalized)."""
+    meta = read_index_meta(spark, path)
+    if meta is None:
+        if metric != "l2":
+            raise ValueError(
+                f"index at {path} has no recorded metric (legacy build, "
+                f"l2-only); rebuild with metric={metric!r} to search it "
+                f"as {metric}"
+            )
+        return
+    built = meta.get("metric", "l2")
+    if built != metric:
+        raise ValueError(
+            f"index at {path} was built with metric={built!r}; "
+            f"search requested metric={metric!r}"
+        )
+    for key, val in shape.items():
+        if key in meta and meta[key] != val:
+            raise ValueError(
+                f"index at {path} was built with {key}={meta[key]!r}; "
+                f"caller passed {key}={val!r}"
+            )
 
 
 def _subvectors(
@@ -692,6 +765,7 @@ def ivfpq_topk(
     pin: "Pin | None" = None,
     per_list: bool = False,
     refine: int = 0,
+    metric: str = "l2",
 ) -> DataFrame:
     """IVF-PQ: coarse k-means quantizer + PQ over residuals — the
     composition production ANN indexes ship (an inverted list bounds the
@@ -713,6 +787,14 @@ def ivfpq_topk(
     an n_clusters-times-larger codebook broadcast — the recorded
     per-list-vs-global tradeoff. Search-side arithmetic is unchanged;
     the ADC table is per (query, probed cluster) either way.
+
+    ``metric="cosine"`` serves cosine-similarity corpora through the
+    same L2 machinery: corpus and queries are unit-normalized on the
+    integer grid (``with_quantized(metric="cosine")``, which documents
+    the L2≡cosine equivalence), then quantizer fit, residual PQ, ADC,
+    and exact refine all proceed unchanged — ascending exact-L2 rank
+    over unit vectors IS descending-cosine rank. Default ``"l2"``
+    keeps existing behavior bit-for-bit.
 
     Build: (1) kmeans_lite coarse quantizer assigns every vector a home
     cluster; (2) the residual (vector - home centroid, exact int64) is
@@ -748,7 +830,9 @@ def ivfpq_topk(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    qd, coarse = kmeans_lite_fit(df, id_col, vec_col, n_clusters, dim, coarse_rounds)
+    qd, coarse = kmeans_lite_fit(
+        df, id_col, vec_col, n_clusters, dim, coarse_rounds, metric=metric
+    )
     if pin is not None:
         coarse = pin(coarse)
     cj = coarse.select(F.col("j").alias("cluster"), "cqv")
@@ -814,6 +898,7 @@ def ivfpq_encode_batch(
     m: int = 8,
     dim: int = 64,
     per_list: bool = False,
+    metric: str = "l2",
 ) -> DataFrame:
     """Encode NEW vectors against a FROZEN coarse quantizer + residual
     codebook: (id, cluster, qv, nq, codes) — home cluster, original
@@ -824,13 +909,16 @@ def ivfpq_encode_batch(
     projection, the building block of streaming delta ingest
     (``streaming/ivfpq_ingest.py``). Deterministic in (frozen coarse,
     frozen codebook, batch rows): a crash-replayed batch re-encodes to
-    identical rows."""
+    identical rows. ``metric`` must match the index build (cosine
+    indexes hold unit-grid vectors; encoding a delta un-normalized
+    would corrupt every ranking the delta touches — the ingest layer
+    enforces it against the persisted meta)."""
     from .similarity import assign_clusters
 
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    qd = with_quantized(df, vec_col).select(id_col, "qv", "nq")
+    qd = with_quantized(df, vec_col, metric=metric).select(id_col, "qv", "nq")
     homed = assign_clusters(qd, coarse, id_col)
     cj = coarse.select(F.col("j").alias("cluster"), "cqv")
     resid = homed.join(F.broadcast(cj), "cluster").select(
@@ -865,6 +953,7 @@ def ivfpq_build_index(
     coarse_rounds: int = 1,
     pq_rounds: int = 2,
     per_list: bool = False,
+    metric: str = "l2",
 ) -> None:
     """Build the IVF-PQ index ONCE and persist it — the codes-at-rest
     counterpart of ``similarity.ivf_build_index`` (r4 TODO: ``pq_encode``
@@ -895,17 +984,26 @@ def ivfpq_build_index(
     broadcast-join projection of that read-back) is persisted across
     its two consumers (codebook fit, code encoding) and released
     before returning. Search-side ``m``/``dim`` must match the build
-    (plan-time shape parameters; a driver-side metadata read at plan
-    build is banned by the package contract)."""
+    (plan-time shape parameters; the ~100-byte ``_INDEX_META.json``
+    written here is the recorded exception — search reads it only to
+    VETO a contradiction, see ``check_index_meta``).
+
+    ``metric="cosine"`` builds the index over unit-grid normalized
+    vectors (see ``ivfpq_topk``); the metric is recorded in the meta
+    file and ``ivfpq_search_index`` refuses a mismatched search."""
     from pyspark import StorageLevel
 
     from .similarity import assign_clusters, kmeans_lite_fit
 
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if metric not in VALID_METRICS:
+        raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
     dsub = dim // m
     spark = df.sparkSession
-    qd, coarse = kmeans_lite_fit(df, id_col, vec_col, n_clusters, dim, coarse_rounds)
+    qd, coarse = kmeans_lite_fit(
+        df, id_col, vec_col, n_clusters, dim, coarse_rounds, metric=metric
+    )
     coarse.write.mode("overwrite").parquet(f"{path}/coarse")
     coarse_l = spark.read.parquet(f"{path}/coarse")
 
@@ -944,6 +1042,19 @@ def ivfpq_build_index(
             )
     finally:
         resid.unpersist()
+    write_index_meta(
+        spark,
+        path,
+        {
+            "kind": "ivfpq",
+            "metric": metric,
+            "m": m,
+            "dim": dim,
+            "ksub": ksub,
+            "n_clusters": n_clusters,
+            "per_list": per_list,
+        },
+    )
 
 
 def ivfpq_search_index(
@@ -959,6 +1070,7 @@ def ivfpq_search_index(
     per_list: bool = False,
     refine: int = 0,
     filter_ids: DataFrame | None = None,
+    metric: str = "l2",
 ) -> DataFrame:
     """Search a persisted IVF-PQ index WITHOUT rebuilding anything:
     probe each query's ``nprobe`` nearest coarse centroids (n_clusters
@@ -994,12 +1106,21 @@ def ivfpq_search_index(
     budget is never spent on rows a post-filter would discard. A
     left-semi join on the candidate id right after the pruned codes
     scan (duplicates in the allow-list are harmless; AQE broadcasts it
-    while it fits). Queries are NOT filtered."""
+    while it fits). Queries are NOT filtered.
+
+    ``metric`` must name the metric the index was built with —
+    validated against the persisted ``_INDEX_META.json``
+    (``check_index_meta``): a cosine search of an l2 index (or vice
+    versa) is refused loudly instead of returning silently wrong
+    rankings. ``metric="cosine"`` unit-normalizes the QUERIES on the
+    same integer grid the build normalized the corpus on; everything
+    downstream is the unchanged L2 machinery (see ``ivfpq_topk``)."""
     from .similarity import probe_clusters
 
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
+    check_index_meta(spark, path, metric=metric, m=m, dim=dim, per_list=per_list)
     coarse = spark.read.parquet(f"{path}/coarse")
     cents = spark.read.parquet(f"{path}/codebook")
     cand = spark.read.parquet(f"{path}/codes").select(
@@ -1012,7 +1133,7 @@ def ivfpq_search_index(
             "leftsemi",
         )
 
-    qd = with_quantized(queries, vec_col).select(id_col, "qv", "nq")
+    qd = with_quantized(queries, vec_col, metric=metric).select(id_col, "qv", "nq")
     cj = coarse.select(F.col("j").alias("cluster"), "cqv")
     rq = (
         probe_clusters(qd, coarse, id_col, nprobe=nprobe)

@@ -80,10 +80,48 @@ def quantized_cosine(dot: Column, na: Column, nb: Column) -> Column:
     return dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
 
 
-def with_quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Attach the quantized vector and its exact self-dot norm term."""
+VALID_METRICS = ("l2", "cosine")
+
+
+def with_quantized(
+    df: DataFrame, vec_col: str = "embedding", metric: str = "l2"
+) -> DataFrame:
+    """Attach the quantized vector and its exact self-dot norm term.
+
+    ``metric="cosine"`` unit-normalizes on the integer grid FIRST:
+    ``qv_i = floor(q_i * 1e6 / sqrt(sum(q_j^2)))`` where ``q`` is the
+    plain fixed-point quantization. Every step is IEEE-deterministic
+    (the int64 self-dot is exact and < 2^53, so its double cast, the
+    sqrt, one division, and the floor each have a single correctly-
+    rounded result) — a SQL oracle replays it bit-for-bit, same
+    determinism contract as ``quantize`` itself. The result lives on a
+    radius-1e6 integer sphere, so EXACT SQUARED L2 IS A MONOTONE
+    TRANSFORM OF COSINE: ||a-b||^2 = |a|^2+|b|^2-2(a.b) with
+    |a|^2 ~ |b|^2 ~ 1e12 constant, hence ascending-L2 rank ==
+    descending-cosine rank (up to the 1e-6 normalization grid). This
+    is how the L2-only compressed ANN stack (IVF-PQ ADC + exact
+    refine) serves cosine corpora — FAISS's normalize-then-L2
+    equivalence, here on the engine's integer grid. Zero vectors are
+    undefined input (no direction to normalize), same contract as
+    ``quantized_cosine``.
+    """
+    if metric not in VALID_METRICS:
+        raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
     q = quantize(vec_col).alias("qv")
     out = df.select("*", q)
+    if metric == "cosine":
+        out = out.select("*", int_dot(F.col("qv"), F.col("qv")).alias("__n0"))
+        out = out.select(
+            *df.columns,
+            F.transform(
+                "qv",
+                lambda x: F.floor(
+                    x.cast("double")
+                    * F.lit(float(QUANT))
+                    / F.sqrt(F.col("__n0").cast("double"))
+                ),
+            ).alias("qv"),
+        )
     return out.select("*", int_dot(F.col("qv"), F.col("qv")).alias("nq"))
 
 
@@ -375,6 +413,7 @@ def kmeans_lite_fit(
     k: int = 8,
     dim: int = 64,
     rounds: int = 1,
+    metric: str = "l2",
 ) -> tuple[DataFrame, DataFrame]:
     """Run the seeded-k-means build and return (quantized corpus,
     final centroids) — the pieces an IVF search composes: assign the
@@ -382,12 +421,21 @@ def kmeans_lite_fit(
     with ``probe_clusters`` (nprobe nearest lists). Persist the k-row
     centroid frame when both sides consume it, so the Lloyd rounds run
     once. See ``kmeans_lite_clusters`` for the algorithm contract.
+
+    ``metric="cosine"`` fits the quantizer over the unit-grid
+    normalized corpus (``with_quantized(metric="cosine")``): plain
+    L2 k-means over normalized vectors, the standard
+    normalize-then-L2 recipe — the inverted lists become an L2
+    Voronoi partition OF THE SPHERE, on which exact L2 between data
+    points is a monotone transform of cosine. Centroid means are not
+    re-normalized (probing quality is gated empirically by the recall
+    tests, exactly as for L2).
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     from ..functions.hashing import hash64
 
-    qd = with_quantized(df, vec_col).select(id_col, "qv", "nq")
+    qd = with_quantized(df, vec_col, metric=metric).select(id_col, "qv", "nq")
 
     seed_rows = qd.select(id_col, "qv", "nq", hash64(id_col).alias("__h")).orderBy(
         "__h", id_col

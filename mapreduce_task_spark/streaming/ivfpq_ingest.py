@@ -38,6 +38,11 @@ vectors the exact-rerank refine stage reads:
   codebook drift: residuals of drifted data quantize worse, which
   shows up as falling refined-vs-unrefined recall gap, not wrong
   results — the refine stage scores exact distances regardless).
+  Since r11 that failure mode is MEASURED, not just named: every
+  appended batch lands a mergeable drift row (assignment distance +
+  PQ reconstruction error), ``drift_baseline`` records the build
+  corpus's own numbers, and ``drift_signal`` turns the ratio into a
+  documented retrain trigger.
 
 At 100 TB: per-batch cost is O(batch) map-only work; searches stay
 partition-pruned on base and delta; merges stream through parquet
@@ -54,12 +59,14 @@ from ..operators.pq import (
     _rank_topk_by_distance,
     _refine_stage,
     _vectors_as_cvecs,
+    check_index_meta,
     ivfpq_encode_batch,
 )
 from ..operators.similarity import probe_clusters, with_quantized
 from .batchlog import (
     BATCH_COL,
     compact_log,
+    invalidate_watermark_cache,
     log_live,
     merge_log_into_base,
     write_batch_partition,
@@ -75,23 +82,45 @@ def append_batch(
     m: int = 8,
     dim: int = 64,
     per_list: bool = False,
+    metric: str = "l2",
+    drift: bool = True,
 ) -> None:
     """Encode one (micro-)batch against the index's frozen coarse
     quantizer + residual codebook and land it in the delta log's own
     batch partition, sub-partitioned by cluster (same physical shape
     as the base lists, so searches prune identically). ``m``/``dim``/
-    ``per_list`` must match the build (same plan-time contract as
-    ``ivfpq_search_index``)."""
+    ``per_list``/``metric`` must match the build (same plan-time
+    contract as ``ivfpq_search_index``; metric is validated against
+    the persisted meta — appending un-normalized rows to a cosine
+    index would silently corrupt every ranking the delta touches).
+
+    ``drift=True`` (default) also lands one mergeable drift-monitor
+    row for the batch (see the drift section below) — one extra
+    map-only pass + 1-row aggregate over the micro-batch, the price of
+    a frozen-quantizer design NOT degrading silently. The drift row is
+    written even when the delta write is a merged-watermark replay
+    skip: the batch's vectors are part of the appended-since-build
+    population either way, and a replay overwrites its own drift
+    partition with identical numbers (deterministic encode)."""
     spark = batch_df.sparkSession
+    check_index_meta(
+        spark, index_path, metric=metric, m=m, dim=dim, per_list=per_list
+    )
     coarse = spark.read.parquet(f"{index_path}/coarse")
     cents = spark.read.parquet(f"{index_path}/codebook")
     rows = ivfpq_encode_batch(
         batch_df, coarse, cents, id_col, vec_col, m=m, dim=dim,
-        per_list=per_list,
+        per_list=per_list, metric=metric,
     )
     write_batch_partition(
         rows, batch_id, f"{index_path}/delta", sub_partition_cols=("cluster",)
     )
+    if drift:
+        write_batch_partition(
+            _drift_stats_row(rows, coarse, cents, m, dim // m, per_list),
+            batch_id,
+            f"{index_path}/drift",
+        )
 
 
 def streaming_ivfpq_append(
@@ -103,16 +132,20 @@ def streaming_ivfpq_append(
     m: int = 8,
     dim: int = 64,
     per_list: bool = False,
+    metric: str = "l2",
+    drift: bool = True,
 ):
     """Attach the append sink to an embedding stream; returns the
     StreamingQuery. The index (``ivfpq_build_index``) must exist."""
+    invalidate_watermark_cache(f"{index_path}/delta")
+    invalidate_watermark_cache(f"{index_path}/drift")
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         append_batch(
             batch_df, batch_id, index_path, id_col, vec_col,
-            m=m, dim=dim, per_list=per_list,
+            m=m, dim=dim, per_list=per_list, metric=metric, drift=drift,
         )
 
     return (
@@ -140,6 +173,7 @@ def search_with_delta(
     per_list: bool = False,
     refine: int = 0,
     filter_ids: DataFrame | None = None,
+    metric: str = "l2",
 ) -> DataFrame:
     """IVF-PQ top-k over base lists PLUS everything appended since the
     build — identical ADC arithmetic, tie-breaks, and (with
@@ -162,10 +196,13 @@ def search_with_delta(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
+    check_index_meta(
+        spark, index_path, metric=metric, m=m, dim=dim, per_list=per_list
+    )
     coarse = spark.read.parquet(f"{index_path}/coarse")
     cents = spark.read.parquet(f"{index_path}/codebook")
 
-    qd = with_quantized(queries, vec_col).select(id_col, "qv", "nq")
+    qd = with_quantized(queries, vec_col, metric=metric).select(id_col, "qv", "nq")
     cj = coarse.select(F.col("j").alias("cluster"), "cqv")
     rq = (
         probe_clusters(qd, coarse, id_col, nprobe=nprobe)
@@ -249,4 +286,210 @@ def merge_delta_into_base(spark: SparkSession, index_path: str) -> int:
 
     return merge_log_into_base(
         spark, index_path, "delta", ["codes", "vectors"], write_merged
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantizer/codebook drift monitor
+#
+# A frozen-quantizer append design degrades SILENTLY as the data
+# distribution moves away from what the quantizer was trained on:
+# results stay exactly-correct per the ADC/refine contracts, but
+# recall falls because residuals quantize worse and vectors land in
+# less discriminating lists. The module doc above names the failure
+# mode; these functions make it OBSERVABLE, per the quality_monitor
+# pattern: one tiny mergeable row per appended batch, a recorded
+# baseline from the build-time corpus, and a documented retrain signal
+# (the ratio of delta means to base means).
+#
+# Two signals per row, both exact int64-per-row sums (decimal(38,0)
+# across rows so a 100 TB corpus's sums cannot overflow):
+#   sum_assign_d:  sum ||v - centroid(home)||^2 — coarse-quantizer fit.
+#   sum_quant_err: sum ||residual - decode(codes)||^2 — codebook fit
+#                  (the PQ reconstruction error ADC rankings degrade
+#                  with).
+# Ratios near 1.0 mean the stream still looks like the build corpus;
+# sustained growth means falling recall at equal nprobe/refine — the
+# retrain trigger. Rows merge by pure sum (compact_drift), so any time
+# range re-aggregates without rescanning vectors.
+# ---------------------------------------------------------------------------
+
+def _drift_sums() -> list:
+    # built per call: classic-mode Column creation needs a live session
+    return [
+        F.sum("n").alias("n"),
+        F.sum("sum_assign_d").alias("sum_assign_d"),
+        F.sum("sum_quant_err").alias("sum_quant_err"),
+    ]
+
+
+def _drift_stats_row(
+    encoded: DataFrame,
+    coarse: DataFrame,
+    cents: DataFrame,
+    m: int,
+    dsub: int,
+    per_list: bool = False,
+) -> DataFrame:
+    """One mergeable drift row over encoded (cluster, qv, nq, codes)
+    rows: (n, sum_assign_d, sum_quant_err). Map-only against the two
+    broadcast tables the encode already used, then a 1-row aggregate —
+    O(batch) work, nothing new touches the base index."""
+    from ..operators.pq import _sub_dist
+
+    cj = coarse.select(F.col("j").alias("cluster"), "cqv")
+    if per_list:
+        packed = cents.agg(
+            F.array_sort(
+                F.collect_list(F.struct("cluster", "sub", "j", "cqv"))
+            ).alias("__cb")
+        )
+        book = F.filter(F.col("__cb"), lambda c: c["cluster"] == F.col("cluster"))
+    else:
+        packed = cents.agg(
+            F.array_sort(F.collect_list(F.struct("sub", "j", "cqv"))).alias("__cb")
+        )
+        book = F.col("__cb")
+    pre = (
+        encoded.join(F.broadcast(cj), "cluster")
+        .crossJoin(F.broadcast(packed))
+        .select(
+            _sub_dist(F.col("qv"), F.col("cqv")).alias("__ad"),
+            F.zip_with("qv", "cqv", lambda a, b: a - b).alias("__rv"),
+            "codes",
+            book.alias("__bk"),
+        )
+    )
+    nsub = (F.size("__bk") / F.lit(m)).cast("int")
+
+    def err(s: int):
+        entry = F.element_at(
+            "__bk", (nsub * s + F.element_at("codes", s + 1)).cast("int")
+        )
+        return _sub_dist(F.slice("__rv", s * dsub + 1, dsub), entry["cqv"])
+
+    qerr = err(0)
+    for s in range(1, m):
+        qerr = qerr + err(s)
+    return pre.select(
+        F.col("__ad").cast("decimal(38,0)").alias("__ad"),
+        qerr.cast("decimal(38,0)").alias("__qe"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__ad").alias("sum_assign_d"),
+        F.sum("__qe").alias("sum_quant_err"),
+    )
+
+
+def drift_baseline(
+    spark: SparkSession,
+    index_path: str,
+    id_col: str = "vec_id",
+    m: int = 8,
+    dim: int = 64,
+    per_list: bool = False,
+) -> None:
+    """Record the build-time corpus's own drift stats as the
+    comparison base, from the INDEX's persisted datasets (one read of
+    vectors ⋈ codes — the raw corpus is never rescanned). Run once
+    after ``ivfpq_build_index`` (or after a retrain); readers join it
+    to per-batch rows to turn absolute errors into ratios."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    coarse = spark.read.parquet(f"{index_path}/coarse")
+    cents = spark.read.parquet(f"{index_path}/codebook")
+    vectors = spark.read.parquet(f"{index_path}/vectors")
+    codes = spark.read.parquet(f"{index_path}/codes").select(id_col, "codes")
+    encoded = vectors.join(codes, id_col)
+    _drift_stats_row(encoded, coarse, cents, m, dim // m, per_list).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/drift_base")
+
+
+def read_drift_trend(spark: SparkSession, index_path: str) -> DataFrame | None:
+    """Per-batch drift trend: (__batch, n, mean_assign_d,
+    mean_quant_err, assign_ratio, quant_ratio), ratios against the
+    recorded baseline means. None until a drift row exists. The
+    numbers to watch are the ratios: ~1.0 = the stream matches the
+    build corpus; sustained growth = the frozen quantizer/codebook no
+    longer fit the data and recall is silently degrading — schedule
+    ``ivfpq_build_index`` + ``drift_baseline`` (retrain)."""
+    live = log_live(spark, f"{index_path}/drift")
+    if live is None:
+        return None
+    base = (
+        spark.read.parquet(f"{index_path}/drift_base")
+        .select(
+            (F.col("sum_assign_d") / F.col("n")).cast("double").alias("__bad"),
+            (F.col("sum_quant_err") / F.col("n")).cast("double").alias("__bqe"),
+        )
+    )
+    per = live.groupBy(BATCH_COL).agg(*_drift_sums())
+    return per.crossJoin(F.broadcast(base)).select(
+        BATCH_COL,
+        "n",
+        (F.col("sum_assign_d") / F.col("n")).cast("double").alias("mean_assign_d"),
+        (F.col("sum_quant_err") / F.col("n")).cast("double").alias("mean_quant_err"),
+        (F.col("sum_assign_d") / F.col("n") / F.col("__bad"))
+        .cast("double")
+        .alias("assign_ratio"),
+        (F.col("sum_quant_err") / F.col("n") / F.col("__bqe"))
+        .cast("double")
+        .alias("quant_ratio"),
+    )
+
+
+def drift_signal(
+    spark: SparkSession, index_path: str, retrain_ratio: float = 1.5
+) -> DataFrame | None:
+    """The retrain trigger, as one row over ALL appended-so-far rows:
+    (n, assign_ratio, quant_ratio, retrain). ``retrain`` is true when
+    either ratio exceeds ``retrain_ratio`` — i.e. the streamed data's
+    mean coarse-assignment distance or PQ reconstruction error has
+    grown that much past the build corpus's own. 1.5 is a conservative
+    default (50% more reconstruction error than trained-on data);
+    tighten for recall-critical serving. None until a drift row
+    exists. Pure merge of the mergeable rows — cost is independent of
+    how much data was appended."""
+    live = log_live(spark, f"{index_path}/drift")
+    if live is None:
+        return None
+    base = (
+        spark.read.parquet(f"{index_path}/drift_base")
+        .select(
+            (F.col("sum_assign_d") / F.col("n")).cast("double").alias("__bad"),
+            (F.col("sum_quant_err") / F.col("n")).cast("double").alias("__bqe"),
+        )
+    )
+    total = live.agg(*_drift_sums())
+    out = total.crossJoin(F.broadcast(base)).select(
+        "n",
+        (F.col("sum_assign_d") / F.col("n") / F.col("__bad"))
+        .cast("double")
+        .alias("assign_ratio"),
+        (F.col("sum_quant_err") / F.col("n") / F.col("__bqe"))
+        .cast("double")
+        .alias("quant_ratio"),
+    )
+    return out.select(
+        "*",
+        (
+            (F.col("assign_ratio") > F.lit(retrain_ratio))
+            | (F.col("quant_ratio") > F.lit(retrain_ratio))
+        ).alias("retrain"),
+    )
+
+
+def compact_drift(spark: SparkSession, index_path: str, up_to_batch: int) -> int:
+    """Fold old drift rows into the negative-id partition by pure sum
+    — the per-batch trend for folded batches collapses into one
+    merged row, the overall ``drift_signal`` is unchanged (sums are
+    associative). Same sketch-store-grade contract as the other
+    monitor logs: never read back by a sink body, so ``up_to_batch``
+    need not be checkpoint-committed."""
+    return compact_log(
+        spark,
+        f"{index_path}/drift",
+        up_to_batch,
+        lambda live: live.agg(*_drift_sums()),
     )

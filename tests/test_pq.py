@@ -604,3 +604,202 @@ def test_ivfpq_search_index_filter_ids_prefilters_adc_and_refine(
         assert r["cand_id"] % 2 == 0 and r["exact_d"] is not None
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert per_q and all(sorted(v) == list(range(1, K + 1)) for v in per_q.values())
+
+
+def _exact_cosine_topsets(emb, qids, k):
+    """True cosine brute-force top-k sets (the metric users bring)."""
+    from mapreduce_task_spark.operators.similarity import brute_force_topk
+
+    out = {}
+    for r in brute_force_topk(emb, qids, k=k).collect():
+        out.setdefault(r["query_id"], set()).add(r["cand_id"])
+    return out
+
+
+def test_ivfpq_cosine_exhaustive_equals_unit_grid_exact(spark, sf_small):
+    """metric="cosine" with every list probed and a corpus-covering
+    shortlist must equal the exact int64 L2^2 brute force over the
+    SAME unit-grid normalized vectors bit-for-bit — proves the metric
+    threads through quantizer fit, residual PQ, ADC, and refine with
+    no leak of un-normalized vectors anywhere."""
+    from mapreduce_task_spark.operators.pq import ivfpq_topk
+    from mapreduce_task_spark.operators.similarity import int_dot, with_quantized
+
+    emb = load_table(spark, sf_small, "embeddings")
+    n = emb.count()
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+
+    qd = with_quantized(emb, metric="cosine")
+    q = qd.join(qids, "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qv_q"),
+        F.col("nq").alias("nq_q"),
+    )
+    c = qd.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("qv").alias("qv_c"),
+        F.col("nq").alias("nq_c"),
+    )
+    d = F.col("nq_q") + F.col("nq_c") - 2 * int_dot(F.col("qv_q"), F.col("qv_c"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cand_id"))
+    exact = sorted(
+        (r["query_id"], r["cand_id"], r["d"], r["rank"])
+        for r in (
+            F.broadcast(q)
+            .join(c, F.col("cand_id") != F.col("query_id"))
+            .select("query_id", "cand_id", d.alias("d"))
+            .select("*", F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= K)
+        ).collect()
+    )
+
+    refine = -(-n // K)
+    res = ivfpq_topk(
+        emb, qids, k=K, n_clusters=8, nprobe=8, m=M, ksub=KSUB, dim=DIM,
+        refine=refine, metric="cosine",
+    )
+    got = sorted(
+        (r["query_id"], r["cand_id"], r["exact_d"], r["rank"])
+        for r in res.collect()
+    )
+    assert got == exact and len(got) == 10 * K
+
+
+def test_ivfpq_cosine_recall_vs_true_cosine(spark, sf_small):
+    """The normalize-then-L2 equivalence against the metric users
+    actually bring: exhaustive-probe + full-refine cosine IVF-PQ must
+    recover the TRUE cosine brute-force top-k almost perfectly (only
+    the 1e-6 normalization grid separates them), and a moderate-nprobe
+    search must stay far above the random floor and not beat the
+    exhaustive one."""
+    from mapreduce_task_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_small, "embeddings")
+    n = emb.count()
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    truth = _exact_cosine_topsets(emb, qids, K)
+
+    def recall(res):
+        got = {}
+        for r in res.collect():
+            got.setdefault(r["query_id"], set()).add(r["cand_id"])
+        assert set(got) == set(truth)
+        return sum(len(truth[q] & got[q]) / K for q in truth) / len(truth)
+
+    full = recall(
+        ivfpq_topk(
+            emb, qids, k=K, n_clusters=8, nprobe=8, m=M, ksub=KSUB,
+            dim=DIM, refine=-(-n // K), metric="cosine",
+        )
+    )
+    assert full >= 0.98, f"exhaustive cosine recall@{K} only {full}"
+
+    part = recall(
+        ivfpq_topk(
+            emb, qids, k=K, n_clusters=8, nprobe=2, m=M, ksub=KSUB,
+            dim=DIM, refine=3, metric="cosine",
+        )
+    )
+    random_floor = K / (n - 1)
+    assert part > 5 * random_floor and part <= full + 1e-9, (part, full)
+
+
+def test_ivfpq_index_records_metric_and_refuses_mismatch(
+    spark, sf_small, tmp_path
+):
+    """The persisted index must record its metric and refuse a
+    mismatched search/append loudly (a silent metric mix returns wrong
+    rankings). Legacy indexes without a meta file stay l2-searchable
+    but refuse cosine."""
+    import pytest as _pytest
+
+    from mapreduce_task_spark.operators.pq import (
+        ivfpq_build_index,
+        ivfpq_search_index,
+        ivfpq_topk,
+        read_index_meta,
+    )
+    from mapreduce_task_spark.streaming.ivfpq_ingest import append_batch
+
+    emb = load_table(spark, sf_small, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    queries = emb.join(qids, "vec_id")
+    path = str(tmp_path / "ivfpq_cosine_index")
+    ivfpq_build_index(
+        emb, path, n_clusters=8, m=M, ksub=KSUB, dim=DIM,
+        coarse_rounds=1, pq_rounds=2, metric="cosine",
+    )
+    meta = read_index_meta(spark, path)
+    assert meta["metric"] == "cosine" and meta["m"] == M and meta["dim"] == DIM
+
+    with _pytest.raises(ValueError, match="metric"):
+        ivfpq_search_index(spark, path, queries, k=K, nprobe=2, m=M, dim=DIM)
+    with _pytest.raises(ValueError, match="metric"):
+        append_batch(queries, 0, path, m=M, dim=DIM)  # default l2
+    with _pytest.raises(ValueError, match="m="):
+        ivfpq_search_index(
+            spark, path, queries, k=K, nprobe=2, m=4, dim=DIM, metric="cosine"
+        )
+
+    # the matched search reproduces the inline operator bit-for-bit
+    got = sorted(
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in ivfpq_search_index(
+            spark, path, queries, k=K, nprobe=2, m=M, dim=DIM,
+            refine=3, metric="cosine",
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in ivfpq_topk(
+            emb, qids, k=K, n_clusters=8, nprobe=2, m=M, ksub=KSUB,
+            dim=DIM, refine=3, metric="cosine",
+        ).collect()
+    )
+    assert got == want and got
+
+    # legacy (no meta) index: l2 proceeds, cosine is refused
+    legacy = str(tmp_path / "ivfpq_legacy_index")
+    ivfpq_build_index(
+        emb, legacy, n_clusters=8, m=M, ksub=KSUB, dim=DIM,
+        coarse_rounds=1, pq_rounds=2,
+    )
+    import os
+
+    os.remove(os.path.join(legacy, "_INDEX_META.json"))
+    assert read_index_meta(spark, legacy) is None
+    assert (
+        ivfpq_search_index(spark, legacy, queries, k=K, nprobe=2, m=M, dim=DIM)
+        .limit(1)
+        .count()
+        == 1
+    )
+    with _pytest.raises(ValueError, match="legacy"):
+        ivfpq_search_index(
+            spark, legacy, queries, k=K, nprobe=2, m=M, dim=DIM, metric="cosine"
+        )
+
+
+def test_unit_grid_normalization_python_replay(spark, sf_small):
+    """with_quantized(metric="cosine") must equal the documented
+    IEEE-deterministic formula floor(q * 1e6 / sqrt(sum(q^2))) replayed
+    in python float64 — the same replay a SQL oracle would run."""
+    import math
+
+    from mapreduce_task_spark.operators.similarity import with_quantized
+
+    emb = load_table(spark, sf_small, "embeddings").limit(50)
+    rows = (
+        with_quantized(emb, metric="cosine")
+        .select("vec_id", "embedding", "qv", "nq")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        q = [math.floor(float(x) * 1e6) for x in r["embedding"]]
+        n0 = sum(v * v for v in q)
+        want = [math.floor(v * 1e6 / math.sqrt(n0)) for v in q]
+        assert list(r["qv"]) == want
+        assert r["nq"] == sum(v * v for v in want)
+        # unit grid: norm within one grid step of 1e6
+        assert abs(math.sqrt(r["nq"]) - 1e6) < len(q) ** 0.5 + 1
