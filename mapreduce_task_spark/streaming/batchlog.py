@@ -172,11 +172,30 @@ def max_folded_id(ids: list[int]) -> int:
 # merged-watermark cache: write_batch_partition consults the watermark
 # on EVERY micro-batch write, and most logs (dedup, sketch, monitor)
 # never merge — without a cache they would pay an object-store
-# existence check per batch forever. Safe to cache per process: merges
-# are offline (the stream is stopped — a running stream's process
-# cannot race a merge in another process, and a merge in THIS process
-# write-throughs below). Keyed by watermark path.
+# existence check per batch forever. Safe to cache per process WHILE A
+# STREAM RUNS: merges are offline (the stream is stopped — a running
+# stream's process cannot race a merge in another process, and a merge
+# in THIS process write-throughs below). The remaining hazard is
+# stop-stream -> merge in ANOTHER process -> restart-stream in this
+# same long-lived process: the restarted stream would trust a stale
+# pre-merge value and re-write already-folded replayed batches. Hence
+# ``invalidate_watermark_cache``: every streaming attach wrapper pops
+# the key at (re)start, so the first write of each stream incarnation
+# re-reads the file. Keyed by watermark path.
 _WM_CACHE: dict[str, int] = {}
+
+
+def invalidate_watermark_cache(path: str) -> None:
+    """Drop the cached merged watermark for log ``path``, forcing the
+    next consult to re-read the watermark file. MUST be called when an
+    ingest stream (re)starts in a long-lived process (the streaming_*
+    attach wrappers do) — a segment merge run in a different process
+    while this one's stream was merely stopped would otherwise leave
+    this process trusting a stale pre-merge value, re-writing replayed
+    folded batches and double-counting their rows in every delta
+    read. Callers wiring ``append_*``/``write_batch_partition`` into
+    their own foreachBatch must call this at stream start themselves."""
+    _WM_CACHE.pop(_watermark_path(path), None)
 
 
 def merged_watermark(spark, path: str) -> int:
@@ -232,7 +251,24 @@ def write_batch_partition(
             "reserved for compacted partitions"
         )
     spark = df.sparkSession
-    if batch_id <= merged_watermark(spark, path):
+    wm = merged_watermark(spark, path)
+    if batch_id <= wm:
+        # loud, not silent: a legitimate replay skip and a fresh
+        # checkpoint lineage wrongly reusing folded batch ids look
+        # identical here — the warning is the only signal that rows
+        # are being dropped in the latter (contract-violation) case
+        import warnings
+
+        warnings.warn(
+            f"batchlog: skipping write of batch {batch_id} <= merged "
+            f"watermark {wm} at {path} — its rows are assumed already "
+            "folded into the base. If this stream is a FRESH checkpoint "
+            "lineage reusing old batch ids, this is silently dropping "
+            "data: use fresh batch ids (new checkpoint => new log) "
+            "instead.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
@@ -474,10 +510,26 @@ def merge_log_into_base(
             return None
         if fs.getFileStatus(marker_p).isDirectory():
             if not fs.exists(hpath(f"{marker}/_SUCCESS")):
-                # torn legacy marker write: the merge never committed
-                fs.delete(marker_p, True)
-                return None
-            ids = [r["id"] for r in spark.read.json(marker).collect()]
+                # No _SUCCESS: EITHER a torn legacy write OR a
+                # completed one under a committer configured with
+                # marksuccessfuljobs=false. Distinguish by CONTENT
+                # before destroying anything: readable non-empty ids
+                # mean the dataset committed (a torn job leaves no
+                # complete part files), and deleting a committed
+                # marker when recovery had already swapped some
+                # targets would let a fresh re-merge fold the
+                # remaining delta into an already-merged base and
+                # duplicate its rows. Only a genuinely unreadable or
+                # empty dataset is torn garbage to clear.
+                try:
+                    ids = [r["id"] for r in spark.read.json(marker).collect()]
+                except Exception:
+                    ids = []
+                if not ids:
+                    fs.delete(marker_p, True)
+                    return None
+            else:
+                ids = [r["id"] for r in spark.read.json(marker).collect()]
         else:
             ids = json.loads(read_small_file(spark, marker))
         if not ids:

@@ -45,6 +45,7 @@ from ..operators.ranking import doc_tokens, score_postings
 from .batchlog import (
     BATCH_COL,
     compact_log,
+    invalidate_watermark_cache,
     log_exists,
     log_live,
     write_batch_partition,
@@ -100,6 +101,9 @@ def streaming_bm25_append(
     """Attach the append sink to a document stream; returns the
     StreamingQuery. The base index (``bm25_build_index``) must exist
     and carry the exact counters (``n_docs_exact``, ``sum_dl``)."""
+
+    for d in (_POSTINGS, _DF, _STATS):
+        invalidate_watermark_cache(f"{index_path}/{d}")
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -303,7 +307,13 @@ def merge_delta_into_base(spark: SparkSession, index_path: str) -> int:
     def teardown(folded: dict | None) -> None:
         for d in deltas:
             log_path = f"{index_path}/{d}"
-            wm = -1 if folded is None else int(folded.get(d, -1))
+            # a per-log value of None means "full ownership" for THAT
+            # log only (legacy single-int markers — see below); a
+            # wholly-None folded means full ownership everywhere (the
+            # pre-watermark empty-file markers)
+            wm_val = None if folded is None else folded.get(d, -1)
+            full = wm_val is None
+            wm = -1 if full else int(wm_val)
             if wm >= 0:
                 _write_merged_watermark(spark, log_path, wm)
             if log_exists(spark, log_path):
@@ -319,9 +329,7 @@ def merge_delta_into_base(spark: SparkSession, index_path: str) -> int:
                 # the pre-watermark behavior).
                 ids = batch_ids(spark.read.parquet(log_path))
                 owned = (
-                    ids
-                    if folded is None
-                    else [b for b in ids if b < 0 or b <= wm]
+                    ids if full else [b for b in ids if b < 0 or b <= wm]
                 )
                 drop_partitions(spark, log_path, owned)
             remove_log_dir_if_empty(spark, log_path)
@@ -347,7 +355,19 @@ def merge_delta_into_base(spark: SparkSession, index_path: str) -> int:
         elif raw.lstrip().startswith("{"):
             folded = json.loads(raw)
         else:
-            folded = {d: int(raw) for d in deltas}
+            # legacy single-int marker (first hardening pass): the one
+            # recorded max is the POSTINGS log's — expanding it to all
+            # three logs is exactly the cross-log hazard the step-2
+            # docstring warns about (a crash with postings at batch N
+            # but df/stats at N-1 would watermark the lagging logs
+            # past a batch they never folded, silently dropping its
+            # replayed counters forever). The int applies to postings
+            # only; term_df/stats fall back to full-ownership teardown
+            # (None: drop everything listed, write no watermark — the
+            # documented pre-watermark degradation, which can lose
+            # post-crash appends but never double-counts or drops a
+            # replay).
+            folded = {_POSTINGS: int(raw), _DF: None, _STATS: None}
         teardown(folded)
         return 0
     if not any(log_exists(spark, f"{index_path}/{d}") for d in deltas):

@@ -51,7 +51,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .batchlog import write_batch_partition
+from .batchlog import invalidate_watermark_cache, write_batch_partition
 from .bm25_ingest import append_text_batch
 from .dedup_ingest import ingest_batch_neardup
 from .ivf_ingest import append_batch as ivf_append_batch
@@ -182,6 +182,24 @@ def streaming_crawl_ingest(
     ``quality_model`` adds the learned-filter stage (see
     ``crawl_batch``); the fitted PipelineModel is captured in the sink
     closure and reused across micro-batches."""
+    for log in [
+        corpus_path,
+        sig_path,
+        quality_path,
+        *(
+            [f"{bm25_path}/{d}" for d in ("delta_postings", "delta_df", "delta_stats")]
+            if bm25_path is not None
+            else []
+        ),
+        *([f"{ivf_path}/delta"] if ivf_path is not None else []),
+        *(
+            [f"{ivfpq_path}/delta", f"{ivfpq_path}/drift"]
+            if ivfpq_path is not None
+            else []
+        ),
+    ]:
+        if log is not None:
+            invalidate_watermark_cache(log)
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

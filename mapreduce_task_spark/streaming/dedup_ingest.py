@@ -58,6 +58,7 @@ from ..operators.pinning import lazy_checkpoint as _lazy_checkpoint
 from .batchlog import (
     BATCH_COL,
     compact_log,
+    invalidate_watermark_cache,
     log_exists,
     read_before,
     write_batch_partition,
@@ -171,6 +172,8 @@ def streaming_dedup_ingest(
     """Attach the dedup-ingest sink to a document stream; returns the
     StreamingQuery. ``seed_path`` points at a ``bootstrap_digests``
     dataset to dedup against a pre-existing corpus from batch 0."""
+    invalidate_watermark_cache(corpus_path)
+    invalidate_watermark_cache(digest_path)
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -349,6 +352,8 @@ def streaming_neardup_ingest(
     the StreamingQuery. ``seed_path`` points at a
     ``bootstrap_signatures`` dataset to screen against a pre-existing
     corpus from batch 0."""
+    invalidate_watermark_cache(corpus_path)
+    invalidate_watermark_cache(sig_path)
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -54,6 +54,7 @@ from ..operators.similarity import (
 from .batchlog import (
     BATCH_COL,
     compact_log,
+    invalidate_watermark_cache,
     log_live,
     merge_log_into_base,
     write_batch_partition,
@@ -91,6 +92,8 @@ def streaming_ivf_append(
 ):
     """Attach the append sink to an embedding stream; returns the
     StreamingQuery. The index (``ivf_build_index``) must exist."""
+
+    invalidate_watermark_cache(f"{index_path}/delta")
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

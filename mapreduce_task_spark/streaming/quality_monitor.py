@@ -33,7 +33,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.textstats import ws_token_count
-from .batchlog import compact_log, log_live, write_batch_partition
+from .batchlog import (
+    compact_log,
+    invalidate_watermark_cache,
+    log_live,
+    write_batch_partition,
+)
 
 _MERGE = [
     F.sum("n_rows").alias("n_rows"),
@@ -73,6 +78,7 @@ def streaming_quality_monitor(
     """Attach the monitor sink to a document stream; returns the
     StreamingQuery. Composes with the ingest sinks (attach both to the
     same source) — this one observes, it never filters."""
+    invalidate_watermark_cache(path)
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

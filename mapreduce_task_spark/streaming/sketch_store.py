@@ -43,6 +43,7 @@ from .batchlog import (
     batch_ids as _batch_ids,
     compact_log,
     covered_watermark as _covered,
+    invalidate_watermark_cache,
     live_view as _live,
     write_batch_partition,
 )
@@ -100,6 +101,7 @@ def streaming_sketch_store(
     val_col: str,
 ):
     """Attach the sketch-store sink; returns the StreamingQuery."""
+    invalidate_watermark_cache(path)
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

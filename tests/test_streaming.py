@@ -3266,7 +3266,16 @@ def test_bm25_merge_recovery_preserves_post_crash_appends(
         F.sum("n").alias("n_docs_exact"),
         F.sum("s").alias("sum_dl"),
     ).write.parquet(f"{idx}/stats_merged")
-    write_small_file(spark, f"{idx}/_MERGE_COMMITTED", "0")
+    # the marker the CURRENT protocol writes: per-log folded maxima
+    # (r11: the legacy single-int form degrades differently — see
+    # test_bm25_legacy_int_marker_protects_lagging_logs)
+    import json as _json
+
+    write_small_file(
+        spark,
+        f"{idx}/_MERGE_COMMITTED",
+        _json.dumps({_POSTINGS: 0, _DF: 0, _STATS: 0}),
+    )
 
     # compaction refuses while the marker is pending
     with _pytest.raises(RuntimeError, match="merge pending"):
@@ -3371,3 +3380,353 @@ def test_bm25_merge_watermarks_each_log_independently(spark, sf_small, tmp_path)
         for r in bm25_topk(docs, spark, terms, k=25).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_ivfpq_drift_monitor_detects_synthetic_drift(spark, sf_small, tmp_path):
+    """r11: the frozen-quantizer drift monitor. An in-distribution
+    batch and a synthetically drifted batch (constant embedding shift)
+    are appended; the drifted batch's mergeable drift row must show
+    clearly higher assignment-distance and PQ-reconstruction-error
+    ratios vs the recorded build baseline, drift_signal must fire at a
+    threshold between the two, and — the other half of the contract —
+    search RESULTS stay exactly correct while the metric moves
+    (exhaustive-probe + corpus-covering refine over base ∪ delta still
+    equals the exact int64 L2 brute force)."""
+    from pyspark.sql import Window
+
+    from mapreduce_task_spark.operators.pq import ivfpq_build_index
+    from mapreduce_task_spark.operators.similarity import int_dot, with_quantized
+    from mapreduce_task_spark.streaming.ivfpq_ingest import (
+        append_batch,
+        compact_drift,
+        drift_baseline,
+        drift_signal,
+        read_drift_trend,
+        search_with_delta,
+    )
+
+    M, DIM, K = 8, 64, 5
+    emb = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 300)
+    b_in = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    b_drift = emb.filter(F.col("vec_id") >= 400).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.8)).alias("embedding"),
+    )
+    idx = str(tmp_path / "ivfpq_drift")
+    ivfpq_build_index(
+        base, idx, n_clusters=8, m=M, ksub=16, dim=DIM,
+        coarse_rounds=1, pq_rounds=2,
+    )
+    drift_baseline(spark, idx, m=M, dim=DIM)
+    append_batch(b_in, 0, idx, m=M, dim=DIM)
+    append_batch(b_drift, 1, idx, m=M, dim=DIM)
+
+    trend = {r["__batch"]: r for r in read_drift_trend(spark, idx).collect()}
+    assert set(trend) == {0, 1}
+    assert trend[0]["n"] == b_in.count() and trend[1]["n"] == b_drift.count()
+    # in-distribution batch: same corpus distribution, ratios near 1
+    assert 0.5 < trend[0]["assign_ratio"] < 1.5, trend[0]
+    assert 0.5 < trend[0]["quant_ratio"] < 1.5, trend[0]
+    # drifted batch: both signals move, and move well past the
+    # in-distribution batch
+    assert trend[1]["assign_ratio"] > 2 * trend[0]["assign_ratio"], trend
+    assert trend[1]["quant_ratio"] > 2 * trend[0]["quant_ratio"], trend
+
+    # the retrain trigger fires at a threshold between the two regimes
+    sig = drift_signal(spark, idx, retrain_ratio=2.0).collect()[0]
+    assert sig["n"] == b_in.count() + b_drift.count()
+    assert bool(sig["retrain"]) is True
+    calm = drift_signal(spark, idx, retrain_ratio=1e9).collect()[0]
+    assert bool(calm["retrain"]) is False
+
+    # replay idempotence: a crash-replayed append rewrites identical
+    # drift numbers
+    append_batch(b_drift, 1, idx, m=M, dim=DIM)
+    replayed = {r["__batch"]: r for r in read_drift_trend(spark, idx).collect()}
+    assert replayed[1] == trend[1]
+
+    # results stay EXACT while the metric moves: exhaustive probe +
+    # corpus-covering refine over base ∪ delta == exact L2 brute force
+    full = base.unionByName(b_in).unionByName(b_drift)
+    n = full.count()
+    queries = full.filter(F.col("vec_id") % 100 == 0)
+    qd = with_quantized(full)
+    q = qd.join(queries.select("vec_id"), "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qv_q"),
+        F.col("nq").alias("nq_q"),
+    )
+    c = qd.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("qv").alias("qv_c"),
+        F.col("nq").alias("nq_c"),
+    )
+    d = F.col("nq_q") + F.col("nq_c") - 2 * int_dot(F.col("qv_q"), F.col("qv_c"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cand_id"))
+    want = sorted(
+        (r["query_id"], r["cand_id"], r["d"], r["rank"])
+        for r in (
+            F.broadcast(q)
+            .join(c, F.col("cand_id") != F.col("query_id"))
+            .select("query_id", "cand_id", d.alias("d"))
+            .select("*", F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= K)
+        ).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["cand_id"], r["exact_d"], r["rank"])
+        for r in search_with_delta(
+            spark, idx, queries, k=K, nprobe=8, m=M, dim=DIM,
+            refine=-(-n // K),
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # drift rows compact by pure merge: the overall signal is unchanged
+    assert compact_drift(spark, idx, up_to_batch=1) == 2
+    after = drift_signal(spark, idx, retrain_ratio=2.0).collect()[0]
+    assert after == sig
+
+
+def test_bm25_legacy_int_marker_protects_lagging_logs(spark, sf_small, tmp_path):
+    """r11 ADVICE fix: a legacy single-int _MERGE_COMMITTED marker must
+    apply its recorded max to the POSTINGS log only. Expanding it to
+    all three logs would watermark df/stats past a batch they never
+    folded (the mid-append crash leaves them lagging), and the
+    restarted stream's replayed df/stat counters would be skipped as
+    'already folded' — lost forever. With the fix, df/stats fall back
+    to full-ownership teardown (no watermark), so the replay LANDS and
+    the healed index reproduces a from-scratch BM25."""
+    import os
+
+    from mapreduce_task_spark.operators.ranking import (
+        bm25_build_index,
+        bm25_topk,
+        doc_tokens,
+    )
+    from mapreduce_task_spark.streaming.batchlog import (
+        BATCH_COL,
+        log_live,
+        merged_watermark,
+        write_batch_partition,
+        write_small_file,
+    )
+    from mapreduce_task_spark.streaming.bm25_ingest import (
+        _DF,
+        _POSTINGS,
+        _STATS,
+        append_text_batch,
+        merge_delta_into_base,
+        search_with_delta,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    base = docs.filter(F.col("doc_id") < 250)
+    b0 = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 380))
+    b1 = docs.filter(F.col("doc_id") >= 380)
+    idx = str(tmp_path / "bm25_legacy_int")
+    bm25_build_index(base, spark, idx)
+    append_text_batch(b0, 0, idx)
+    # crashed batch 1 append: ONLY the postings write landed
+    toks = doc_tokens(b1, "text").select("doc_id", "toks", "dl")
+    posts = (
+        toks.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    write_batch_partition(
+        posts.repartition("term").sortWithinPartitions("term", "doc_id"),
+        1,
+        f"{idx}/{_POSTINGS}",
+    )
+
+    # hand-build the crashed merge's state: side dirs complete (they
+    # folded postings through batch 1, df/stats through batch 0), then
+    # a LEGACY single-int marker (first-hardening-pass format) — its
+    # one number is the postings log's folded max
+    dposts = log_live(spark, f"{idx}/{_POSTINGS}")
+    spark.read.parquet(f"{idx}/postings").unionByName(
+        dposts.drop(BATCH_COL)
+    ).write.parquet(f"{idx}/postings_merged")
+    ddf = log_live(spark, f"{idx}/{_DF}")
+    tdf = spark.read.parquet(f"{idx}/term_df").unionByName(
+        ddf.select("term", F.col("df_delta").cast("double").alias("df")).drop(
+            BATCH_COL
+        )
+    )
+    tdf.groupBy("term").agg(F.sum("df").alias("df")).write.parquet(
+        f"{idx}/term_df_merged"
+    )
+    ds = log_live(spark, f"{idx}/{_STATS}")
+    counters = spark.read.parquet(f"{idx}/stats").select(
+        F.col("n_docs_exact").alias("n"), F.col("sum_dl").alias("s")
+    ).unionByName(
+        ds.select(F.col("n_docs").alias("n"), F.col("sum_dl").alias("s"))
+    )
+    counters.agg(
+        F.sum("n").cast("double").alias("n_docs"),
+        (F.sum("s").cast("double") / F.sum("n").cast("double")).alias("avgdl"),
+        F.sum("n").alias("n_docs_exact"),
+        F.sum("s").alias("sum_dl"),
+    ).write.parquet(f"{idx}/stats_merged")
+    write_small_file(spark, f"{idx}/_MERGE_COMMITTED", "1")
+
+    # recovery from the legacy marker
+    assert merge_delta_into_base(spark, idx) == 0
+    assert not os.path.exists(f"{idx}/_MERGE_COMMITTED")
+    # postings watermarked at the recorded max; df/stats NOT
+    # watermarked (full-ownership fallback — the cross-log hazard fix)
+    assert merged_watermark(spark, f"{idx}/{_POSTINGS}") == 1
+    assert merged_watermark(spark, f"{idx}/{_DF}") == -1
+    assert merged_watermark(spark, f"{idx}/{_STATS}") == -1
+
+    # the restarted stream replays batch 1 in full: postings skipped
+    # (folded), df/stats LAND — they were never folded
+    append_text_batch(b1, 1, idx)
+    assert not os.path.exists(f"{idx}/{_POSTINGS}/__batch=1")
+    assert os.path.exists(f"{idx}/{_DF}/__batch=1")
+    assert os.path.exists(f"{idx}/{_STATS}/__batch=1")
+
+    terms = ["spark", "join", "query"]
+    got = sorted(
+        (r["doc_id"], r["n_terms_hit"], r["score_micro"])
+        for r in search_with_delta(spark, idx, terms, k=25).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["n_terms_hit"], r["score_micro"])
+        for r in bm25_topk(docs, spark, terms, k=25).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_marker_dir_without_success_but_readable_is_committed(
+    spark, sf_small, tmp_path
+):
+    """r11 ADVICE fix: a legacy DIRECTORY marker written under a
+    committer with marksuccessfuljobs=false has no _SUCCESS yet is a
+    COMMITTED merge. Deleting it as torn after recovery already
+    swapped one of two targets would let a fresh re-merge fold the
+    still-present delta into the already-merged target and duplicate
+    its rows. The fix reads the ids: readable non-empty content means
+    committed — recovery must RESUME (finish the second swap, drop
+    exactly the owned partitions), not re-merge."""
+    import os
+
+    from mapreduce_task_spark.operators.pq import (
+        ivfpq_build_index,
+        ivfpq_search_index,
+    )
+    from mapreduce_task_spark.streaming.batchlog import BATCH_COL, batch_ids, log_live
+    from mapreduce_task_spark.streaming.ivfpq_ingest import (
+        append_batch,
+        merge_delta_into_base,
+    )
+
+    M, DIM, K = 8, 64, 5
+    emb = load_table(spark, sf_small, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    b0 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    idx = str(tmp_path / "ivfpq_nosuccess")
+    ivfpq_build_index(
+        base, idx, n_clusters=8, m=M, ksub=16, dim=DIM,
+        coarse_rounds=1, pq_rounds=2,
+    )
+    append_batch(b0, 0, idx, m=M, dim=DIM)
+
+    # committed merge: both side dirs written, marker dir committed —
+    # but the committer was configured not to write _SUCCESS
+    live = log_live(spark, f"{idx}/delta")
+    ids = batch_ids(spark.read.parquet(f"{idx}/delta"))
+    for name in ("codes", "vectors"):
+        b = spark.read.parquet(f"{idx}/{name}")
+        b.unionByName(live.drop(BATCH_COL).select(*b.columns)).write.mode(
+            "overwrite"
+        ).partitionBy("cluster").parquet(f"{idx}/{name}_merged")
+    spark.createDataFrame([(int(i),) for i in ids], "id long").coalesce(
+        1
+    ).write.mode("overwrite").json(f"{idx}/delta_merge_marker")
+    os.remove(f"{idx}/delta_merge_marker/_SUCCESS")
+
+    # recovery crashed again mid-finish: the codes swap completed, the
+    # vectors swap did not
+    import shutil as _sh
+
+    _sh.rmtree(f"{idx}/codes")
+    os.rename(f"{idx}/codes_merged", f"{idx}/codes")
+
+    # the _SUCCESS-less marker must be trusted (readable ids), so this
+    # run RESUMES: finishes vectors, drops batch 0, removes the marker
+    assert merge_delta_into_base(spark, idx) == 0
+    assert not os.path.exists(f"{idx}/delta_merge_marker")
+    assert not os.path.exists(f"{idx}/vectors_merged")
+    assert not os.path.exists(f"{idx}/delta")
+
+    # no duplicates anywhere: every id appears exactly once per dataset
+    n_expected = base.count() + b0.count()
+    for name in ("codes", "vectors"):
+        d = spark.read.parquet(f"{idx}/{name}")
+        assert d.count() == n_expected == d.select("vec_id").distinct().count()
+
+    # and the healed index searches like a cleanly merged one
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    res = ivfpq_search_index(
+        spark, idx, queries, k=K, nprobe=2, m=M, dim=DIM, refine=3
+    )
+    per_q = {}
+    for r in res.collect():
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert per_q and all(sorted(v) == list(range(1, K + 1)) for v in per_q.values())
+
+
+def test_watermark_cache_invalidation_and_replay_warning(
+    spark, sf_small, tmp_path
+):
+    """r11 ADVICE fixes on the merged-watermark guard: (1) the
+    per-process cache must be invalidatable so a stream restarting in
+    a long-lived driver after an EXTERNAL-process merge re-reads the
+    watermark instead of trusting a stale pre-merge value (re-writing
+    already-folded batches = double-counted rows); (2) a skipped
+    replay write warns — a fresh checkpoint lineage reusing folded
+    batch ids would otherwise silently drop data."""
+    import os
+    import warnings as _warnings
+
+    from mapreduce_task_spark.streaming.batchlog import (
+        invalidate_watermark_cache,
+        merged_watermark,
+        write_batch_partition,
+        write_small_file,
+        _watermark_path,
+    )
+
+    log = str(tmp_path / "wmlog")
+    df = spark.range(5).select(F.col("id").alias("k"))
+    write_batch_partition(df, 0, log)  # caches watermark -1
+    assert merged_watermark(spark, log) == -1
+
+    # external process merges and writes the watermark file directly
+    # (this process's cache still says -1)
+    write_small_file(spark, _watermark_path(log), "0")
+    os.rename(f"{log}/__batch=0", str(tmp_path / "folded_elsewhere"))
+
+    # the stale cache would re-create the folded partition...
+    # a restarting stream invalidates first (the streaming_* wrappers
+    # do), so the replayed write is SKIPPED — with a warning
+    invalidate_watermark_cache(log)
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        write_batch_partition(df, 0, log)
+    assert any(
+        issubclass(x.category, RuntimeWarning)
+        and "merged watermark" in str(x.message)
+        for x in w
+    ), [str(x.message) for x in w]
+    assert not os.path.exists(f"{log}/__batch=0")
+
+    # a genuinely new batch still lands, silently
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        write_batch_partition(df, 1, log)
+    assert not any("merged watermark" in str(x.message) for x in w)
+    assert os.path.exists(f"{log}/__batch=1")
