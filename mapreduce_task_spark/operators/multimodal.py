@@ -5,14 +5,17 @@ typed metadata struct, and runs decode / feature-extraction through
 Arrow-batched ``mapInPandas`` — the pattern a 100 TB multimodal
 pipeline uses (JVM moves the bytes; Python touches each batch once).
 
-Decoders (round 8; PNG round 10): ``decode_image`` REALLY decodes
-binary PNM (P5/P6) and 8-bit non-interlaced PNG (stdlib zlib inflate
-+ scanline unfilter), ``decode_audio`` REALLY decodes RIFF/WAVE
-integer PCM — all pure python/numpy, no new dependencies — and
+Decoders (round 8; PNG round 10; JPEG round 11): ``decode_image``
+REALLY decodes binary PNM (P5/P6), 8-bit non-interlaced PNG (stdlib
+zlib inflate + scanline unfilter), and BASELINE SEQUENTIAL JPEG
+(marker walk, canonical-Huffman entropy decode with restart markers,
+dequant + zigzag + numpy 8x8 IDCT, chroma upsampling, JFIF
+YCbCr->RGB); ``decode_audio`` REALLY decodes RIFF/WAVE integer PCM —
+all pure python/numpy, no new dependencies — and
 ``decoded_image_stats`` / ``decoded_audio_stats`` run them inside the
 ``mapInPandas`` contract. Formats that genuinely need an external
-library (JPEG, 16-bit/palette/interlaced PNG, compressed audio) raise
-NotImplementedError:
+library (progressive/arithmetic JPEG, 16-bit/palette/interlaced PNG,
+compressed audio) raise NotImplementedError:
 the container ships no PIL/soundfile, and the production entry point
 ``extract_features`` computes deterministic byte-level features for
 arbitrary payloads — the Spark-side contract (schema, batching,
@@ -89,6 +92,307 @@ def _pnm_header(buf: bytes, n_tokens: int) -> tuple[list[int], int]:
         toks.append(int(buf[i:j]))
         i = j
     return toks, i + 1
+
+
+# zigzag scan order: entry k is the NATURAL (row-major) index of the
+# k-th zigzag coefficient (JPEG spec figure A.6)
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_huffman_table(bits: list, vals: bytes) -> dict:
+    """Canonical Huffman decode table from a DHT segment's BITS (count
+    of codes per length 1..16) and HUFFVAL: {(length, code): value}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals):
+                raise ValueError("JPEG DHT counts exceed HUFFVAL length")
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded segment (byte
+    stuffing already removed). Running past the end is malformed data
+    -> ValueError (degrades to ok=false in decoded_image_stats)."""
+
+    __slots__ = ("d", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.d):
+            raise ValueError("truncated JPEG entropy stream")
+        b = (self.d[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_decode_huff(br: "_JpegBits", table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """JPEG EXTEND (spec F.2.2.1): map a t-bit magnitude to its signed
+    value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _idct_matrix():
+    """The 8x8 type-III DCT basis C with C[u, x] = c(u)/2 *
+    cos((2x+1) u pi / 16); spatial = C.T @ coefs @ C."""
+    import math
+
+    import numpy as np
+
+    c = np.empty((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            c[u, x] = cu / 2.0 * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return c
+
+
+def _jpeg_entropy_segments(data: bytes, start: int) -> list:
+    """Split the scan's entropy-coded bytes into restart segments:
+    0xFF00 unstuffs to a literal 0xFF, 0xFFD0-0xFFD7 ends a segment,
+    any other marker ends the scan."""
+    segs = []
+    cur = bytearray()
+    i = start
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < len(data) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # restart marker
+                segs.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or another marker: scan over
+        cur.append(b)
+        i += 1
+    segs.append(bytes(cur))
+    return segs
+
+
+def _decode_jpeg(payload: bytes):
+    """Pure-stdlib/numpy BASELINE JPEG decoder (SOF0/SOF1, Huffman,
+    8-bit): marker walk -> DQT/DHT/SOF/SOS -> per-MCU Huffman decode
+    (restart-interval aware) -> dequantize -> inverse zigzag -> 8x8
+    IDCT (one numpy matmul pair per block) -> plane assembly with
+    nearest-neighbor chroma upsampling -> JFIF YCbCr->RGB. Grayscale
+    returns (h, w) uint8; color (h, w, 3) uint8. Progressive (SOF2),
+    arithmetic-coded, hierarchical, and 12-bit files raise
+    NotImplementedError (ok=false degradation); structural damage
+    raises ValueError. The bit loop is per payload inside a
+    mapInPandas batch — slow-but-bounded python, the same posture as
+    the PNG unfilter loops."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("missing JPEG SOI marker")
+    qt: dict[int, list] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    sof = None
+    dri = 0
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[i + 1]
+        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                      0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/arithmetic/hierarchical JPEG needs an imaging "
+                "library; only baseline sequential Huffman decodes here"
+            )
+        (size,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        body = payload[i + 4 : i + 2 + size]
+        if len(body) != size - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(body):
+                prec, tid = body[j] >> 4, body[j] & 15
+                n = 64 * (2 if prec else 1)
+                raw = body[j + 1 : j + 1 + n]
+                if len(raw) < n:
+                    raise ValueError("truncated JPEG DQT")
+                if prec:
+                    qt[tid] = list(struct.unpack(f">{64}H", raw))
+                else:
+                    qt[tid] = list(raw)
+                j += 1 + n
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j + 17 <= len(body):
+                cls, tid = body[j] >> 4, body[j] & 15
+                bits = list(body[j + 1 : j + 17])
+                n = sum(bits)
+                vals = body[j + 17 : j + 17 + n]
+                if len(vals) < n:
+                    raise ValueError("truncated JPEG DHT")
+                (ac_tabs if cls else dc_tabs)[tid] = _jpeg_huffman_table(
+                    bits, vals
+                )
+                j += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+            depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if depth != 8:
+                raise NotImplementedError("only 8-bit JPEG decodes here")
+            if w == 0 or h == 0:
+                raise ValueError("zero-dimension JPEG")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            sof = (h, w, comps)
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = {}
+            for c in range(ns):
+                cid, tt = body[1 + 2 * c : 3 + 2 * c]
+                scan[cid] = (tt >> 4, tt & 15)
+            return _jpeg_decode_scan(
+                payload, i + 2 + size, sof, scan, qt, dc_tabs, ac_tabs, dri
+            )
+        i += 2 + size
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _jpeg_decode_scan(payload, start, sof, scan, qt, dc_tabs, ac_tabs, dri):
+    import numpy as np
+
+    h, w, comps = sof
+    if any(cid not in scan for cid, *_ in comps):
+        raise NotImplementedError(
+            "multi-scan (non-interleaved) JPEG not supported"
+        )
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("bad JPEG sampling factors")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-w // mcu_w)
+    mcus_y = -(-h // mcu_h)
+    cmat = _idct_matrix()
+    # per-component natural-order dequant tables and MCU-aligned planes
+    planes = {}
+    deq = {}
+    for cid, ch_, cv, tq in comps:
+        if tq not in qt:
+            raise ValueError(f"JPEG component references missing DQT {tq}")
+        q = np.zeros(64)
+        for k in range(64):
+            q[_JPEG_ZIGZAG[k]] = qt[tq][k]
+        deq[cid] = q.reshape(8, 8)
+        planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch_ * 8))
+
+    segs = _jpeg_entropy_segments(payload, start)
+    seg_idx = 0
+    br = _JpegBits(segs[0])
+    preds = {cid: 0 for cid, *_ in comps}
+    total = mcus_x * mcus_y
+    for m in range(total):
+        if dri and m and m % dri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("JPEG missing restart segment")
+            br = _JpegBits(segs[seg_idx])
+            preds = {cid: 0 for cid, *_ in comps}
+        my, mx = divmod(m, mcus_x)
+        for cid, ch_, cv, _tq in comps:
+            dsel, asel = scan[cid]
+            if dsel not in dc_tabs or asel not in ac_tabs:
+                raise ValueError("JPEG scan references missing DHT")
+            for v in range(cv):
+                for hh in range(ch_):
+                    coefs = np.zeros(64)
+                    t = _jpeg_decode_huff(br, dc_tabs[dsel])
+                    if t > 11:
+                        raise ValueError("bad JPEG DC category")
+                    diff = _jpeg_extend(br.read_bits(t), t) if t else 0
+                    preds[cid] += diff
+                    coefs[0] = preds[cid]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_decode_huff(br, ac_tabs[asel])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        coefs[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                            br.read_bits(s), s
+                        )
+                        k += 1
+                    block = (coefs.reshape(8, 8)) * deq[cid]
+                    spatial = cmat.T @ block @ cmat + 128.0
+                    by = (my * cv + v) * 8
+                    bx = (mx * ch_ + hh) * 8
+                    planes[cid][by : by + 8, bx : bx + 8] = spatial
+    # upsample each component to full resolution, crop, stack
+    out = []
+    for cid, ch_, cv, _tq in comps:
+        p = planes[cid]
+        if ch_ < hmax or cv < vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch_, axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        return np.clip(np.round(out[0]), 0, 255).astype("u1")
+    if len(out) != 3:
+        raise NotImplementedError(
+            f"{len(out)}-component JPEG (CMYK?) needs an imaging library"
+        )
+    y, cb, cr = out
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype("u1")
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -222,6 +526,8 @@ def decode_image(payload: bytes):
 
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     magic = payload[:2]
     if magic in (b"P5", b"P6"):
         (w, h, maxval), off = _pnm_header(payload, 3)
@@ -232,8 +538,8 @@ def decode_image(payload: bytes):
         return arr.reshape((h, w, 3)) if ch == 3 else arr.reshape((h, w))
     raise NotImplementedError(
         f"image format {magic!r} requires an imaging library (e.g. Pillow); "
-        "only binary PNM (P5/P6) and 8-bit non-interlaced PNG decode "
-        "without one"
+        "only binary PNM (P5/P6), 8-bit non-interlaced PNG, and baseline "
+        "sequential JPEG decode without one"
     )
 
 

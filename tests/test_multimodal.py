@@ -167,7 +167,9 @@ def test_decode_image_pnm_real():
     # not a format gap)
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
-    with pytest.raises(NotImplementedError):
+    # r11: baseline JPEG now REALLY decodes, so a truncated SOI/APP0
+    # fragment is structural damage (ValueError), not a format gap
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg soi/app0")
 
 
@@ -436,3 +438,296 @@ def test_decode_png_roundtrip_property():
         assert np.array_equal(got, px)
 
     roundtrip()
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG (r11): an INDEPENDENT test-side encoder (forward DCT +
+# canonical-Huffman entropy coding, all-ones quant tables so the only
+# loss is DCT float rounding) exercises the module's decoder — the
+# reverse path is written from the spec, not from this encoder.
+# --------------------------------------------------------------------------
+
+
+def _jpeg_enc_tables():
+    """Simple VALID canonical Huffman tables: 12 DC categories at code
+    length 4, and EOB/ZRL/every (run, size<=10) at length 8."""
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    dc_vals = bytes(range(12))
+    ac_vals = bytes(
+        sorted([0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+    )
+    ac_bits = [0] * 7 + [len(ac_vals)] + [0] * 8
+    return dc_bits, dc_vals, ac_bits, ac_vals
+
+
+def _enc_huff_map(bits, vals):
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def align(self):
+        while self.nbits:
+            self.put(1, 1)  # pad with 1-bits per spec
+
+
+def _encode_jpeg(px, subsample=False, restart_interval=0):
+    """Minimal baseline JFIF encoder. px: (h, w) gray or (h, w, 3) RGB
+    uint8. subsample=True uses 4:2:0 (2x2 Y + averaged chroma)."""
+    import struct
+
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _idct_matrix,
+    )
+
+    h, w = px.shape[:2]
+    gray = px.ndim == 2
+    if gray:
+        planes = {1: px.astype(np.float64)}
+        comps = [(1, 1, 1)]
+    else:
+        r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            # pad to even dims, then 2x2 mean for chroma
+            ye = np.pad(y, ((0, h % 2), (0, w % 2)), mode="edge")
+            cbe = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
+            cre = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
+            cb2 = cbe.reshape(ye.shape[0] // 2, 2, ye.shape[1] // 2, 2).mean((1, 3))
+            cr2 = cre.reshape(ye.shape[0] // 2, 2, ye.shape[1] // 2, 2).mean((1, 3))
+            planes = {1: y, 2: cb2, 3: cr2}
+            comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+        else:
+            planes = {1: y, 2: cb, 3: cr}
+            comps = [(1, 1, 1), (2, 1, 1), (3, 1, 1)]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # pad every plane to its MCU-aligned size by edge replication
+    for cid, ch_, cv in comps:
+        p = planes[cid]
+        th, tw = mcus_y * cv * 8, mcus_x * ch_ * 8
+        planes[cid] = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        )
+
+    cmat = _idct_matrix()
+    dc_bits, dc_vals, ac_bits, ac_vals = _jpeg_enc_tables()
+    dc_map = _enc_huff_map(dc_bits, dc_vals)
+    ac_map = _enc_huff_map(ac_bits, ac_vals)
+
+    def emit_block(bw, block, pred):
+        coefs = cmat @ (block - 128.0) @ cmat.T  # forward DCT
+        zz = [int(round(coefs.flat[_JPEG_ZIGZAG[k]])) for k in range(64)]
+        diff = zz[0] - pred
+        t = diff.bit_length() if diff else 0
+        ln, code = dc_map[t]
+        bw.put(code, ln)
+        if t:
+            bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_map[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            s = abs(zz[k]).bit_length()
+            ln, code = ac_map[(run << 4) | s]
+            bw.put(code, ln)
+            v = zz[k]
+            bw.put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            ln, code = ac_map[0x00]
+            bw.put(code, ln)
+        return zz[0]
+
+    bw = _JpegBitWriter()
+    preds = {cid: 0 for cid, *_ in comps}
+    entropy_parts = []
+    rst = 0
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.align()
+            entropy_parts.append(bytes(bw.out))
+            entropy_parts.append(bytes([0xFF, 0xD0 + (rst % 8)]))
+            rst += 1
+            bw = _JpegBitWriter()
+            preds = {cid: 0 for cid, *_ in comps}
+        my, mx = divmod(m, mcus_x)
+        for cid, ch_, cv in comps:
+            for v in range(cv):
+                for hh in range(ch_):
+                    by, bx = (my * cv + v) * 8, (mx * ch_ + hh) * 8
+                    blk = planes[cid][by : by + 8, bx : bx + 8]
+                    preds[cid] = emit_block(bw, blk, preds[cid])
+    bw.align()
+    entropy_parts.append(bytes(bw.out))
+    entropy = b"".join(entropy_parts)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT id 0, all ones
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, ch_, cv in comps:
+        sof += bytes([cid, (ch_ << 4) | cv, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)  # DC id 0
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals)  # AC id 0
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(comps)])
+    for cid, *_ in comps:
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy + b"\xff\xd9"
+    return out
+
+
+def _test_image(h, w, ch, seed=1):
+    import numpy as np
+
+    x = seed
+    vals = []
+    for _ in range(h * w * (ch if ch > 1 else 1)):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        vals.append((x >> 7) % 256)
+    a = np.array(vals, dtype="u1")
+    return a.reshape((h, w)) if ch == 1 else a.reshape((h, w, ch))
+
+
+def test_decode_jpeg_roundtrip_grayscale():
+    """decode(encode(px)) within DCT float-rounding tolerance, exact
+    dims, non-multiple-of-8 sizes included."""
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    for (h, w) in ((8, 8), (13, 21)):
+        px = _test_image(h, w, 1, seed=h * 100 + w)
+        got = decode_image(_encode_jpeg(px))
+        assert got.shape == (h, w) and got.dtype == np.uint8
+        assert int(np.abs(got.astype(int) - px.astype(int)).max()) <= 1
+
+
+def test_decode_jpeg_roundtrip_color_444():
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    px = _test_image(11, 18, 3, seed=7)
+    got = decode_image(_encode_jpeg(px))
+    assert got.shape == (11, 18, 3) and got.dtype == np.uint8
+    # YCbCr roundtrip + DCT rounding: small but not zero
+    assert int(np.abs(got.astype(int) - px.astype(int)).max()) <= 3
+
+
+def test_decode_jpeg_420_subsampling_and_restarts():
+    """2x2-subsampled chroma with a constant-color image decodes back
+    exactly (flat blocks are DC-only, quant 1); restart markers reset
+    DC predictors and must not disturb the result."""
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    px = np.zeros((20, 25, 3), dtype="u1")
+    px[..., 0], px[..., 1], px[..., 2] = 180, 90, 40
+    for ri in (0, 1, 2):
+        got = decode_image(_encode_jpeg(px, subsample=True, restart_interval=ri))
+        assert got.shape == (20, 25, 3)
+        assert int(np.abs(got.astype(int) - px.astype(int)).max()) <= 2, ri
+
+    # gradient + 4:2:0: chroma is smooth so the 2x2 averaging loss is
+    # bounded; Y carries the detail at full resolution
+    grad = np.empty((16, 16, 3), dtype="u1")
+    for yy in range(16):
+        for xx in range(16):
+            grad[yy, xx] = (yy * 16, 128, xx * 16)
+    got = decode_image(_encode_jpeg(grad, subsample=True))
+    assert int(np.abs(got.astype(int) - grad.astype(int)).max()) <= 14
+
+
+def test_decode_jpeg_unsupported_and_corrupt_degrade():
+    import pytest as _pytest
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    px = _test_image(8, 8, 1)
+    good = _encode_jpeg(px)
+    # progressive: flip SOF0 (0xC0) to SOF2 (0xC2)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(NotImplementedError):
+        decode_image(prog)
+    # truncated entropy stream
+    with _pytest.raises(ValueError):
+        decode_image(good[: len(good) - (len(good) - good.find(b"\xff\xda")) // 2])
+    # bad marker alignment
+    with _pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\x00\x00\x00\x00")
+
+
+def test_decoded_image_stats_handles_jpeg(spark):
+    """The mapInPandas stats operator over a mixed batch: baseline
+    JPEGs decode (ok=true with exact dims), a progressive JPEG and a
+    corrupt one degrade to ok=false."""
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decoded_image_stats
+
+    g = _test_image(10, 12, 1, seed=3)
+    c = _test_image(9, 8, 3, seed=4)
+    good_g = _encode_jpeg(g)
+    good_c = _encode_jpeg(c, subsample=True)
+    prog = good_g.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    corrupt = good_c[:40]
+    rows = [
+        Row(doc_id=1, payload=bytearray(good_g)),
+        Row(doc_id=2, payload=bytearray(good_c)),
+        Row(doc_id=3, payload=bytearray(prog)),
+        Row(doc_id=4, payload=bytearray(corrupt)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r["doc_id"]: r for r in decoded_image_stats(df).collect()}
+    assert got[1]["ok"] and (got[1]["width"], got[1]["height"], got[1]["channels"]) == (12, 10, 1)
+    assert got[2]["ok"] and (got[2]["width"], got[2]["height"], got[2]["channels"]) == (8, 9, 3)
+    exp_mean = int(np.int64(g.astype("int64").sum()) * 1000 // g.size)
+    assert abs(got[1]["px_mean_milli"] - exp_mean) <= 1000  # ±1 pixel-unit
+    assert not got[3]["ok"] and not got[4]["ok"]
