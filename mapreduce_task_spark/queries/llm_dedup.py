@@ -36,6 +36,7 @@ from ..operators.similarity import (
     int_dot,
     quantized_cosine,
     srp_buckets,
+    with_quantized,
 )
 from ..registry import query, t
 
@@ -502,19 +503,82 @@ WITH {_QVEC_CTE},
 scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                   list_dot_product(q.qv, c.qv) / (sqrt(q.nq) * sqrt(c.nq)) AS cos
            FROM nv q JOIN nv c ON c.vec_id != q.vec_id
-           WHERE q.vec_id < {_N_QUERIES})
-SELECT query_id, cand_id, cos, CAST(rank AS INTEGER) AS rank
+           WHERE q.vec_id < {_N_QUERIES}),
+un AS (SELECT vec_id,
+              list_transform(qv, v -> floor(v * 1000000 / sqrt(nq))) AS uqv
+       FROM nv),
+uv AS (SELECT vec_id, uqv, list_dot_product(uqv, uqv) AS unq FROM un),
+uscored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   CAST(q.unq + c.unq
+                        - 2 * list_dot_product(q.uqv, c.uqv) AS BIGINT) AS d
+            FROM uv q JOIN uv c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < {_N_QUERIES})
+SELECT 'cosine' AS leg, query_id, cand_id, cos, CAST(NULL AS BIGINT) AS d,
+       CAST(rank AS INTEGER) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
       FROM scored) r
 WHERE rank <= {_TOPK_K}
+UNION ALL
+SELECT 'unitgrid' AS leg, query_id, cand_id, CAST(NULL AS DOUBLE) AS cos, d,
+       CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d ASC, cand_id) AS rank
+      FROM uscored) r
+WHERE rank <= {_TOPK_K}
 """,
-    doc=f"Brute-force cosine top-{_TOPK_K} for {_N_QUERIES} query vectors "
-    "(broadcast queries x full scan; exact quantized arithmetic).",
+    doc=f"Brute-force similarity top-{_TOPK_K} for {_N_QUERIES} query "
+    "vectors as a two-leg tagged union. cosine leg: broadcast queries x "
+    "full scan, exact quantized arithmetic. unitgrid leg (r11): the "
+    "same top-k by ASCENDING exact int64 squared L2 over UNIT-GRID "
+    "normalized vectors (floor(q*1e6/sqrt(sum q^2)) — "
+    "with_quantized(metric='cosine'), the normalization the cosine "
+    "IVF-PQ stack builds on); the oracle replays the normalization and "
+    "the L2 ranking bit-for-bit, driver-verifying the normalize-then-L2 "
+    "equivalence path end to end (rank agreement with the cosine leg up "
+    "to the 1e-6 grid is pinned in tests/test_pq.py).",
 )
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     qids = emb.select("vec_id").filter(F.col("vec_id") < _N_QUERIES)
-    return brute_force_topk(emb, qids, k=_TOPK_K)
+    cos_leg = brute_force_topk(emb, qids, k=_TOPK_K).select(
+        F.lit("cosine").alias("leg"),
+        "query_id",
+        "cand_id",
+        "cos",
+        F.lit(None).cast("bigint").alias("d"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    qd = with_quantized(emb, metric="cosine").select("vec_id", "qv", "nq")
+    q = F.broadcast(
+        qd.join(qids, "vec_id").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("qv_q"),
+            F.col("nq").alias("nq_q"),
+        )
+    )
+    c = qd.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("qv").alias("qv_c"),
+        F.col("nq").alias("nq_c"),
+    )
+    dcol = (
+        F.col("nq_q") + F.col("nq_c") - 2 * int_dot(F.col("qv_q"), F.col("qv_c"))
+    ).cast("bigint")
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cand_id"))
+    unit_leg = (
+        q.join(c, F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", dcol.alias("d"))
+        .select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _TOPK_K)
+        .select(
+            F.lit("unitgrid").alias("leg"),
+            "query_id",
+            "cand_id",
+            F.lit(None).cast("double").alias("cos"),
+            "d",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+    return cos_leg.unionByName(unit_leg)
 
 
 _IVF_K = 8  # coarse clusters; the oracle replays the same seeded build
