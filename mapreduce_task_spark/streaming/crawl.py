@@ -191,7 +191,11 @@ def streaming_crawl_ingest(
             if bm25_path is not None
             else []
         ),
-        *([f"{ivf_path}/delta"] if ivf_path is not None else []),
+        *(
+            [f"{ivf_path}/delta", f"{ivf_path}/drift"]
+            if ivf_path is not None
+            else []
+        ),
         *(
             [f"{ivfpq_path}/delta", f"{ivfpq_path}/drift"]
             if ivfpq_path is not None

@@ -37,7 +37,12 @@ their nearest list, inflating it; recall for them is unchanged
 (search probes by the same metric) but list-size skew grows until a
 retrain. At 100 TB this is the right shape — per-batch cost is
 O(batch), index reads stay partition-pruned, and retrains are rare,
-scheduled, and offline.
+scheduled, and offline. Since r11 drift is MEASURED, not just named:
+each appended batch lands a mergeable assignment-distance row,
+``drift_baseline`` records the build corpus's own number, and
+``drift_signal`` exposes the retrain trigger (the ivfpq_ingest
+pattern, minus the reconstruction-error term a flat index has no
+codes for).
 """
 
 from __future__ import annotations
@@ -67,20 +72,29 @@ def append_batch(
     index_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    drift: bool = True,
 ) -> None:
     """Assign one (micro-)batch of embeddings to the index's frozen
     centroids and land it in the delta log's own batch partition,
     sub-partitioned by cluster (same physical shape as the base
-    lists, so searches prune identically)."""
+    lists, so searches prune identically). ``drift=True`` (default)
+    also lands one mergeable drift-monitor row for the batch (see the
+    drift section below) — one extra map-only pass + 1-row aggregate,
+    replay-idempotent like the delta write itself."""
     spark = batch_df.sparkSession
     cents = spark.read.parquet(f"{index_path}/centroids")
     qd = with_quantized(batch_df, vec_col).select(id_col, "qv", "nq")
+    assigned = assign_clusters(qd, cents, id_col)
     write_batch_partition(
-        assign_clusters(qd, cents, id_col),
+        assigned,
         batch_id,
         f"{index_path}/delta",
         sub_partition_cols=("cluster",),
     )
+    if drift:
+        write_batch_partition(
+            _ivf_drift_row(assigned, cents), batch_id, f"{index_path}/drift"
+        )
 
 
 def streaming_ivf_append(
@@ -94,6 +108,7 @@ def streaming_ivf_append(
     StreamingQuery. The index (``ivf_build_index``) must exist."""
 
     invalidate_watermark_cache(f"{index_path}/delta")
+    invalidate_watermark_cache(f"{index_path}/drift")
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -278,4 +293,114 @@ def delta_skew_report(spark: SparkSession, index_path: str) -> DataFrame:
             ).otherwise(F.lit(0.0)),
         )
         .drop("__mean")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantizer drift monitor (r11) — the plain-IVF sibling of
+# ivfpq_ingest's: one mergeable row per appended batch holding the
+# exact sum of squared distances from each vector to its frozen home
+# centroid. The module doc above names the frozen-quantizer drift
+# tradeoff; these functions measure it. No reconstruction-error term
+# here — the flat index stores exact vectors, so the only drifting
+# quantity is coarse-assignment fit (list skew / falling recall at
+# fixed nprobe). Rows merge by pure sum; ratios compare against a
+# recorded build-corpus baseline.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_drift_sums() -> list:
+    return [
+        F.sum("n").alias("n"),
+        F.sum("sum_assign_d").alias("sum_assign_d"),
+    ]
+
+
+def _ivf_drift_row(assigned: DataFrame, cents: DataFrame) -> DataFrame:
+    """(n, sum_assign_d) over an assigned (id, qv, nq, cluster) frame —
+    map-only against the broadcast k-row quantizer, then one 1-row
+    aggregate. decimal(38,0) across rows so corpus-scale sums cannot
+    overflow int64."""
+    from ..operators.pq import _sub_dist
+
+    cj = cents.select(F.col("j").alias("cluster"), "cqv")
+    return (
+        assigned.join(F.broadcast(cj), "cluster")
+        .select(
+            _sub_dist(F.col("qv"), F.col("cqv"))
+            .cast("decimal(38,0)")
+            .alias("__ad")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__ad").alias("sum_assign_d"),
+        )
+    )
+
+
+def drift_baseline(spark: SparkSession, index_path: str) -> None:
+    """Record the build corpus's own mean assignment distance as the
+    comparison base, from the index's persisted ``lists`` dataset (the
+    raw corpus is never rescanned). Run once after ``ivf_build_index``
+    or a retrain."""
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    lists = spark.read.parquet(f"{index_path}/lists")
+    _ivf_drift_row(lists, cents).write.mode("overwrite").parquet(
+        f"{index_path}/drift_base"
+    )
+
+
+def read_drift_trend(spark: SparkSession, index_path: str) -> DataFrame | None:
+    """Per-batch (__batch, n, mean_assign_d, assign_ratio) against the
+    recorded baseline; None until a drift row exists. Ratio ~1.0 = the
+    stream matches the build corpus; sustained growth = schedule an
+    offline ``ivf_build_index`` retrain + ``drift_baseline``."""
+    live = log_live(spark, f"{index_path}/drift")
+    if live is None:
+        return None
+    base = spark.read.parquet(f"{index_path}/drift_base").select(
+        (F.col("sum_assign_d") / F.col("n")).cast("double").alias("__bad")
+    )
+    per = live.groupBy(BATCH_COL).agg(*_ivf_drift_sums())
+    return per.crossJoin(F.broadcast(base)).select(
+        BATCH_COL,
+        "n",
+        (F.col("sum_assign_d") / F.col("n")).cast("double").alias("mean_assign_d"),
+        (F.col("sum_assign_d") / F.col("n") / F.col("__bad"))
+        .cast("double")
+        .alias("assign_ratio"),
+    )
+
+
+def drift_signal(
+    spark: SparkSession, index_path: str, retrain_ratio: float = 1.5
+) -> DataFrame | None:
+    """One row over ALL appended-so-far vectors: (n, assign_ratio,
+    retrain). Pure merge of the mergeable rows — cost independent of
+    appended volume. See ivfpq_ingest.drift_signal for the threshold
+    semantics."""
+    live = log_live(spark, f"{index_path}/drift")
+    if live is None:
+        return None
+    base = spark.read.parquet(f"{index_path}/drift_base").select(
+        (F.col("sum_assign_d") / F.col("n")).cast("double").alias("__bad")
+    )
+    out = live.agg(*_ivf_drift_sums()).crossJoin(F.broadcast(base)).select(
+        "n",
+        (F.col("sum_assign_d") / F.col("n") / F.col("__bad"))
+        .cast("double")
+        .alias("assign_ratio"),
+    )
+    return out.select(
+        "*", (F.col("assign_ratio") > F.lit(retrain_ratio)).alias("retrain")
+    )
+
+
+def compact_drift(spark: SparkSession, index_path: str, up_to_batch: int) -> int:
+    """Fold old drift rows by pure sum (see ivfpq_ingest.compact_drift)."""
+    return compact_log(
+        spark,
+        f"{index_path}/drift",
+        up_to_batch,
+        lambda live: live.agg(*_ivf_drift_sums()),
     )

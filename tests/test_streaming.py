@@ -3730,3 +3730,50 @@ def test_watermark_cache_invalidation_and_replay_warning(
         write_batch_partition(df, 1, log)
     assert not any("merged watermark" in str(x.message) for x in w)
     assert os.path.exists(f"{log}/__batch=1")
+
+
+def test_ivf_drift_monitor_detects_synthetic_drift(spark, sf_small, tmp_path):
+    """r11: plain-IVF sibling of the IVF-PQ drift monitor — a shifted
+    batch must raise the assignment-distance ratio well past an
+    in-distribution batch's, the retrain signal must fire between the
+    two regimes, and search results stay exact (delta search equals
+    rebuild, already pinned elsewhere — here we assert the replay
+    idempotence of the drift rows and compaction invariance)."""
+    from mapreduce_task_spark.operators.similarity import ivf_build_index
+    from mapreduce_task_spark.streaming.ivf_ingest import (
+        append_batch,
+        compact_drift,
+        drift_baseline,
+        drift_signal,
+        read_drift_trend,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 300)
+    b_in = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    b_drift = emb.filter(F.col("vec_id") >= 400).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.8)).alias("embedding"),
+    )
+    idx = str(tmp_path / "ivf_drift")
+    ivf_build_index(base, idx, n_clusters=8, dim=64, rounds=1)
+    drift_baseline(spark, idx)
+    append_batch(b_in, 0, idx)
+    append_batch(b_drift, 1, idx)
+
+    trend = {r["__batch"]: r for r in read_drift_trend(spark, idx).collect()}
+    assert set(trend) == {0, 1}
+    assert 0.5 < trend[0]["assign_ratio"] < 1.5, trend[0]
+    assert trend[1]["assign_ratio"] > 2 * trend[0]["assign_ratio"], trend
+
+    sig = drift_signal(spark, idx, retrain_ratio=2.0).collect()[0]
+    assert sig["n"] == b_in.count() + b_drift.count()
+    assert bool(sig["retrain"]) is True
+    assert not drift_signal(spark, idx, retrain_ratio=1e9).collect()[0]["retrain"]
+
+    append_batch(b_drift, 1, idx)  # crash replay
+    replayed = {r["__batch"]: r for r in read_drift_trend(spark, idx).collect()}
+    assert replayed[1] == trend[1]
+
+    assert compact_drift(spark, idx, up_to_batch=1) == 2
+    assert drift_signal(spark, idx, retrain_ratio=2.0).collect()[0] == sig
