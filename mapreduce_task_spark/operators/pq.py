@@ -1155,3 +1155,80 @@ def ivfpq_search_index(
             refine,
         )
     return _rank_topk_by_distance(scored, k).drop("cluster")
+
+
+def index_list_stats(
+    spark, path: str, id_col: str = "vec_id", include_delta: bool = True
+) -> DataFrame:
+    """Per-inverted-list occupancy of a persisted IVF or IVF-PQ index:
+    (cluster, n_base, n_delta, n_total), one row per list.
+
+    The operational counterpart of the drift monitor: frozen-quantizer
+    appends grow lists unevenly (the documented tradeoff in both
+    ingest modules), and the LARGEST list bounds every probe that hits
+    it — at 100 TB a 10x-skewed list is a 10x-slower probe and the
+    concrete retrain trigger an operator acts on. Reads only the
+    cluster partition column's row counts (a metadata-cheap aggregate
+    over the partitioned layout), never vectors or codes content.
+
+    Works on both index layouts — ``ivf_build_index`` (``lists``) and
+    ``ivfpq_build_index`` (``codes``) — and folds in the live delta
+    log when ``include_delta`` (what a ``search_with_delta`` actually
+    scans)."""
+    from ..streaming.batchlog import log_live
+
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    name = None
+    for cand in ("codes", "lists"):
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{cand}")):
+            name = cand
+            break
+    if name is None:
+        raise ValueError(f"no IVF/IVF-PQ list dataset under {path}")
+    base = (
+        spark.read.parquet(f"{path}/{name}")
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_base"))
+    )
+    delta = log_live(spark, f"{path}/delta") if include_delta else None
+    if delta is None:
+        out = base.select("cluster", "n_base", F.lit(0).alias("n_delta"))
+    else:
+        d = delta.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_delta"))
+        out = base.join(d, "cluster", "full").select(
+            "cluster",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
+        )
+    return out.select(
+        "*", (F.col("n_base") + F.col("n_delta")).alias("n_total")
+    )
+
+
+def index_health(
+    spark, path: str, id_col: str = "vec_id", include_delta: bool = True
+) -> DataFrame:
+    """One-row operational summary of a persisted IVF / IVF-PQ index:
+    (n_lists, n_rows, largest_list, skew_ratio, metric, kind).
+    ``skew_ratio`` = largest list / mean list size — 1.0 is perfectly
+    balanced; the probe-cost multiplier a hot list imposes. Metric and
+    kind come from the index meta (NULL for legacy meta-less
+    indexes)."""
+    stats = index_list_stats(spark, path, id_col, include_delta)
+    meta = read_index_meta(spark, path) or {}
+    return stats.agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.sum("n_total").alias("n_rows"),
+        F.max("n_total").alias("largest_list"),
+        (
+            F.max("n_total").cast("double")
+            / (F.sum("n_total").cast("double") / F.count(F.lit(1)))
+        ).alias("skew_ratio"),
+    ).select(
+        "*",
+        F.lit(meta.get("metric")).alias("metric"),
+        F.lit(meta.get("kind")).alias("kind"),
+    )

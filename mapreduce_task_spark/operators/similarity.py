@@ -580,6 +580,14 @@ def ivf_build_index(
     assign_clusters(qd, cents_l, id_col).write.mode("overwrite").partitionBy(
         "cluster"
     ).parquet(f"{path}/lists")
+    # record index-level facts for ops tooling (pq.index_health); the
+    # flat index stores exact vectors and SCORES cosine, so there is
+    # no l2/cosine build split to refuse — kind+shape only
+    from .pq import write_index_meta
+
+    write_index_meta(
+        spark, path, {"kind": "ivf", "n_clusters": n_clusters, "dim": dim}
+    )
 
 
 def ivf_search_index(

@@ -803,3 +803,53 @@ def test_unit_grid_normalization_python_replay(spark, sf_small):
         assert r["nq"] == sum(v * v for v in want)
         # unit grid: norm within one grid step of 1e6
         assert abs(math.sqrt(r["nq"]) - 1e6) < len(q) ** 0.5 + 1
+
+
+def test_index_stats_and_health(spark, sf_small, tmp_path):
+    """r11 ops tooling: per-list occupancy and the one-row health
+    summary over a persisted IVF-PQ index, before and after a delta
+    append — the list-skew number an operator acts on."""
+    from mapreduce_task_spark.operators.pq import (
+        index_health,
+        index_list_stats,
+        ivfpq_build_index,
+    )
+    from mapreduce_task_spark.operators.similarity import ivf_build_index
+    from mapreduce_task_spark.streaming.ivfpq_ingest import append_batch
+
+    emb = load_table(spark, sf_small, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    rest = emb.filter(F.col("vec_id") >= 300)
+    idx = str(tmp_path / "ivfpq_stats")
+    ivfpq_build_index(
+        base, idx, n_clusters=8, m=M, ksub=KSUB, dim=DIM,
+        coarse_rounds=1, pq_rounds=2,
+    )
+
+    st = {r["cluster"]: r for r in index_list_stats(spark, idx).collect()}
+    assert sum(r["n_base"] for r in st.values()) == base.count()
+    assert all(r["n_delta"] == 0 for r in st.values())
+
+    append_batch(rest, 0, idx, m=M, dim=DIM)
+    st2 = index_list_stats(spark, idx).collect()
+    assert sum(r["n_delta"] for r in st2) == rest.count()
+    assert all(r["n_total"] == r["n_base"] + r["n_delta"] for r in st2)
+
+    h = index_health(spark, idx).collect()[0]
+    assert h["n_rows"] == emb.count() and h["n_lists"] == len(st2)
+    assert h["largest_list"] == max(r["n_total"] for r in st2)
+    assert h["skew_ratio"] >= 1.0 and h["metric"] == "l2" and h["kind"] == "ivfpq"
+
+    # plain-IVF layout (lists dataset), no delta; its meta records
+    # kind+shape but no metric (the flat index scores cosine — there
+    # is no l2/cosine build split to refuse)
+    idx2 = str(tmp_path / "ivf_stats")
+    ivf_build_index(base, idx2, n_clusters=8, dim=DIM, rounds=1)
+    h2 = index_health(spark, idx2).collect()[0]
+    assert h2["n_rows"] == base.count() and h2["kind"] == "ivf"
+    assert h2["metric"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no IVF"):
+        index_list_stats(spark, str(tmp_path / "nothing_here"))

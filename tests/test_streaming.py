@@ -3777,3 +3777,51 @@ def test_ivf_drift_monitor_detects_synthetic_drift(spark, sf_small, tmp_path):
 
     assert compact_drift(spark, idx, up_to_batch=1) == 2
     assert drift_signal(spark, idx, retrain_ratio=2.0).collect()[0] == sig
+
+
+def test_streaming_ivfpq_cosine_delta_matches_merged_index(
+    spark, sf_small, tmp_path
+):
+    """metric="cosine" end to end through the streaming path: batches
+    appended to a cosine index (unit-grid encode under the frozen
+    quantizer) must make search_with_delta(metric="cosine") reproduce
+    ivfpq_search_index(metric="cosine") run after the segment merge —
+    bit-for-bit, ADC and refined."""
+    from mapreduce_task_spark.operators.pq import (
+        ivfpq_build_index,
+        ivfpq_search_index,
+    )
+    from mapreduce_task_spark.streaming.ivfpq_ingest import (
+        append_batch,
+        merge_delta_into_base,
+        search_with_delta,
+    )
+
+    M, DIM, K = 8, 64, 5
+    emb = load_table(spark, sf_small, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    b0 = emb.filter(F.col("vec_id") >= 300)
+    idx = str(tmp_path / "ivfpq_cos_stream")
+    ivfpq_build_index(
+        base, idx, n_clusters=8, m=M, ksub=16, dim=DIM,
+        coarse_rounds=1, pq_rounds=2, metric="cosine",
+    )
+    append_batch(b0, 0, idx, m=M, dim=DIM, metric="cosine")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+
+    got = sorted(
+        (r["query_id"], r["rank"], r["cand_id"], r["exact_d"])
+        for r in search_with_delta(
+            spark, idx, queries, k=K, nprobe=2, m=M, dim=DIM,
+            refine=5, metric="cosine",
+        ).collect()
+    )
+    assert merge_delta_into_base(spark, idx) == b0.count()
+    want = sorted(
+        (r["query_id"], r["rank"], r["cand_id"], r["exact_d"])
+        for r in ivfpq_search_index(
+            spark, idx, queries, k=K, nprobe=2, m=M, dim=DIM,
+            refine=5, metric="cosine",
+        ).collect()
+    )
+    assert got == want and len(got) > 0
