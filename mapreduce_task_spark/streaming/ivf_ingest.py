@@ -258,26 +258,16 @@ def delta_skew_report(spark: SparkSession, index_path: str) -> DataFrame:
 
     Cost: two column-pruned scans (cluster column only) + one tiny
     groupBy — safe to run on a schedule against a 100 TB index.
+
+    r11: the per-list core is the shared ``pq.index_list_stats``
+    (which also handles the IVF-PQ codes layout); this report layers
+    the two derived drift columns on top. Complementary to the
+    assignment-DISTANCE drift monitor below: skew says where probe
+    cost is going, distance says whether the quantizer still fits.
     """
-    base = (
-        spark.read.parquet(f"{index_path}/lists")
-        .groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n_base"))
-    )
-    delta = _delta_live(spark, index_path)
-    if delta is not None:
-        dc = delta.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_delta"))
-        per = base.join(dc, "cluster", "full_outer")
-    else:
-        per = base.withColumn("n_delta", F.lit(None).cast("long"))
-    per = per.select(
-        "cluster",
-        F.coalesce("n_base", F.lit(0)).alias("n_base"),
-        F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
-        (F.coalesce("n_base", F.lit(0)) + F.coalesce("n_delta", F.lit(0))).alias(
-            "n_total"
-        ),
-    ).withColumn(
+    from ..operators.pq import index_list_stats
+
+    per = index_list_stats(spark, index_path).withColumn(
         "frac_delta",
         F.when(F.col("n_total") > 0, F.col("n_delta") / F.col("n_total")).otherwise(
             F.lit(0.0)
