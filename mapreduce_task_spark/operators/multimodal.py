@@ -235,6 +235,9 @@ def _decode_jpeg(payload: bytes):
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # optional 0xFF fill bytes before a marker (spec B.1.1.2)
+        while i + 4 <= len(payload) and payload[i + 1] == 0xFF:
+            i += 1
         marker = payload[i + 1]
         if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
@@ -312,6 +315,13 @@ def _jpeg_decode_scan(payload, start, sof, scan, qt, dc_tabs, ac_tabs, dri):
     vmax = max(c[2] for c in comps)
     if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
         raise ValueError("bad JPEG sampling factors")
+    if any(hmax % c[1] or vmax % c[2] for c in comps):
+        # nearest-neighbor upsampling below assumes integer ratios
+        # (every real-world 4:4:4/4:2:2/4:2:0/4:1:1 layout); a 3:2
+        # ratio needs a resampling filter an imaging library provides
+        raise NotImplementedError(
+            "non-integer JPEG chroma sampling ratio needs an imaging library"
+        )
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = -(-w // mcu_w)
     mcus_y = -(-h // mcu_h)
