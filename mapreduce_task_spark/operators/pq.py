@@ -343,6 +343,7 @@ def pq_fit(
     ksub: int = 16,
     dim: int = 64,
     rounds: int = 2,
+    metric: str = "l2",
 ) -> DataFrame:
     """Learn the codebook: (sub, j, cqv) — ksub centroids per subspace.
 
@@ -358,10 +359,14 @@ def pq_fit(
     consumers must size positional lookups from the codebook itself
     (``pq_adc_topk`` derives it as size(dtable)/m) — never assume ksub
     entries. Checking the seed count here would need a driver action at
-    plan-build time, which this package bans."""
+    plan-build time, which this package bans.
+
+    ``metric="cosine"`` fits over unit-grid normalized vectors (see
+    ``ivfpq_topk`` — the same normalize-then-L2 equivalence; encode
+    and search must pass the same metric)."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    qd = with_quantized(df, vec_col).select(id_col, "qv")
+    qd = with_quantized(df, vec_col, metric=metric).select(id_col, "qv")
     return _fit_codebook(qd, id_col, m, ksub, dim // m, rounds)
 
 
@@ -471,11 +476,13 @@ def pq_encode(
     vec_col: str = "embedding",
     m: int = 8,
     dim: int = 64,
+    metric: str = "l2",
 ) -> DataFrame:
     """(id, codes): each vector as its m nearest-centroid codes —
     the compressed representation a PQ index persists (m small ints
-    per vector; at rest these pack to m bytes for ksub <= 256)."""
-    qd = with_quantized(df, vec_col).select(id_col, "qv")
+    per vector; at rest these pack to m bytes for ksub <= 256).
+    ``metric`` must match the ``pq_fit`` that produced ``cents``."""
+    qd = with_quantized(df, vec_col, metric=metric).select(id_col, "qv")
     return _encode_codes(qd, cents, id_col, m, dim // m)
 
 
@@ -490,6 +497,7 @@ def pq_adc_topk(
     dim: int = 64,
     rounds: int = 2,
     refine: int = 0,
+    metric: str = "l2",
 ) -> DataFrame:
     """ADC top-k: exact query subvectors against candidate codes.
 
@@ -507,15 +515,17 @@ def pq_adc_topk(
     per query, re-scored with exact int64 squared L2 on the original
     quantized vectors (shortlist-bounded — the broadcast shortlist is
     the only extra vector read), output gains ``exact_d`` and ranks by
-    it. Every ADC search path in the package carries the same knob."""
+    it. Every ADC search path in the package carries the same knob —
+    including ``metric="cosine"`` (unit-grid normalize, then the
+    unchanged L2 machinery; see ``ivfpq_topk``)."""
     dsub = dim // m
     # codebook lineage is truncated per Lloyd round inside _fit_codebook
     # (lazy localCheckpoint), so both consumers below read the m*ksub-row
     # leaf instead of replaying the fit
-    cents = pq_fit(df, id_col, vec_col, m, ksub, dim, rounds)
-    codes = pq_encode(df, cents, id_col, vec_col, m, dim)
+    cents = pq_fit(df, id_col, vec_col, m, ksub, dim, rounds, metric=metric)
+    codes = pq_encode(df, cents, id_col, vec_col, m, dim, metric=metric)
 
-    qd = with_quantized(df, vec_col).select(id_col, "qv")
+    qd = with_quantized(df, vec_col, metric=metric).select(id_col, "qv")
     # exact subspace distances query x (sub, j), packed per query
     # ordered by (sub, j) for positional lookup. Map-only: the codebook
     # is broadcast pre-sorted by (sub, j) — unique key, so array_sort
@@ -566,7 +576,9 @@ def pq_adc_topk(
     )
     if refine:
         shortlist = _rank_topk_by_distance(scored, refine * k).drop("rank")
-        full = with_quantized(df, vec_col).select(id_col, "qv", "nq")
+        full = with_quantized(df, vec_col, metric=metric).select(
+            id_col, "qv", "nq"
+        )
         qvecs = full.join(query_ids.select(id_col), id_col).select(
             F.col(id_col).alias("query_id"),
             F.col("qv").alias("qv_q"),

@@ -853,3 +853,48 @@ def test_index_stats_and_health(spark, sf_small, tmp_path):
 
     with _pytest.raises(ValueError, match="no IVF"):
         index_list_stats(spark, str(tmp_path / "nothing_here"))
+
+
+def test_pq_adc_cosine_exhaustive_refine_equals_unit_grid_exact(spark, sf_small):
+    """metric="cosine" on the PLAIN PQ path: exhaustive refine must
+    equal the exact int64 L2 brute force over the unit-grid normalized
+    vectors bit-for-bit — same contract as the IVF-PQ twin, proving
+    the metric threads through pq_fit/pq_encode/pq_adc_topk/refine."""
+    from mapreduce_task_spark.operators.pq import pq_adc_topk
+    from mapreduce_task_spark.operators.similarity import int_dot, with_quantized
+
+    emb = load_table(spark, sf_small, "embeddings")
+    n = emb.count()
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 5)
+
+    qd = with_quantized(emb, metric="cosine")
+    q = qd.join(qids, "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qv_q"),
+        F.col("nq").alias("nq_q"),
+    )
+    c = qd.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("qv").alias("qv_c"),
+        F.col("nq").alias("nq_c"),
+    )
+    d = F.col("nq_q") + F.col("nq_c") - 2 * int_dot(F.col("qv_q"), F.col("qv_c"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cand_id"))
+    exact = sorted(
+        (r["query_id"], r["cand_id"], r["d"], r["rank"])
+        for r in (
+            F.broadcast(q)
+            .join(c, F.col("cand_id") != F.col("query_id"))
+            .select("query_id", "cand_id", d.alias("d"))
+            .select("*", F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= K)
+        ).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["cand_id"], r["exact_d"], r["rank"])
+        for r in pq_adc_topk(
+            emb, qids, k=K, m=M, ksub=KSUB, dim=DIM, rounds=2,
+            refine=-(-n // K), metric="cosine",
+        ).collect()
+    )
+    assert got == exact and len(got) == 5 * K
