@@ -52,7 +52,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .batchlog import invalidate_watermark_cache, write_batch_partition
-from .bm25_ingest import append_text_batch
+from .bm25_ingest import _DF, _POSTINGS, _STATS, append_text_batch
 from .dedup_ingest import ingest_batch_neardup
 from .ivf_ingest import append_batch as ivf_append_batch
 from .quality_monitor import batch_quality_row
@@ -187,7 +187,7 @@ def streaming_crawl_ingest(
         sig_path,
         quality_path,
         *(
-            [f"{bm25_path}/{d}" for d in ("delta_postings", "delta_df", "delta_stats")]
+            [f"{bm25_path}/{d}" for d in (_POSTINGS, _DF, _STATS)]
             if bm25_path is not None
             else []
         ),

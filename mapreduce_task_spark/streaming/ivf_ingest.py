@@ -332,7 +332,9 @@ def drift_baseline(spark: SparkSession, index_path: str) -> None:
     """Record the build corpus's own mean assignment distance as the
     comparison base, from the index's persisted ``lists`` dataset (the
     raw corpus is never rescanned). Run once after ``ivf_build_index``
-    or a retrain."""
+    or a retrain — after a retrain, ``reset_drift`` FIRST (old rows
+    measured under the old quantizer poison the new ratios; see
+    ivfpq_ingest.drift_baseline's retrain contract)."""
     cents = spark.read.parquet(f"{index_path}/centroids")
     lists = spark.read.parquet(f"{index_path}/lists")
     _ivf_drift_row(lists, cents).write.mode("overwrite").parquet(
@@ -394,3 +396,17 @@ def compact_drift(spark: SparkSession, index_path: str, up_to_batch: int) -> int
         up_to_batch,
         lambda live: live.agg(*_ivf_drift_sums()),
     )
+
+
+def reset_drift(spark: SparkSession, index_path: str) -> None:
+    """Drop the drift log and baseline before a retrain's new
+    ``drift_baseline`` (see ivfpq_ingest.reset_drift)."""
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(index_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for sub in ("drift", "drift_base"):
+        p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/{sub}")
+        if fs.exists(p) and not fs.delete(p, True):
+            raise RuntimeError(f"could not remove {index_path}/{sub}")
+    invalidate_watermark_cache(f"{index_path}/drift")

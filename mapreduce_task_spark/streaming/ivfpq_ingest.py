@@ -393,7 +393,15 @@ def drift_baseline(
     comparison base, from the INDEX's persisted datasets (one read of
     vectors ⋈ codes — the raw corpus is never rescanned). Run once
     after ``ivfpq_build_index`` (or after a retrain); readers join it
-    to per-batch rows to turn absolute errors into ratios."""
+    to per-batch rows to turn absolute errors into ratios.
+
+    RETRAIN CONTRACT: after rebuilding the index (new quantizer /
+    codebook), existing drift rows describe batches encoded under the
+    OLD quantizer — their errors are meaningless against the new
+    baseline and would poison every ratio. Call ``reset_drift`` before
+    re-running this, then re-baseline. (The delta log itself is merged
+    or discarded by the retrain anyway; the drift log is the one
+    artifact that would silently survive.)"""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     coarse = spark.read.parquet(f"{index_path}/coarse")
@@ -450,7 +458,17 @@ def drift_signal(
     default (50% more reconstruction error than trained-on data);
     tighten for recall-critical serving. None until a drift row
     exists. Pure merge of the mergeable rows — cost is independent of
-    how much data was appended."""
+    how much data was appended.
+
+    CALIBRATION CAVEAT (measured r11): with ``per_list=True``
+    codebooks the baseline reconstruction error is OVER-FIT — ksub
+    centroids per small inverted list nearly memorize the build
+    corpus — so even in-distribution appends read quant ratios of
+    ~2-3x (2.68 on the test fixture, arithmetic verified exactly).
+    For per-list indexes set ``retrain_ratio`` relative to the ratio
+    an in-distribution holdout batch reads, not to 1.0; the
+    assignment-distance ratio has no codebook to over-fit and stays
+    near 1 either way."""
     live = log_live(spark, f"{index_path}/drift")
     if live is None:
         return None
@@ -493,3 +511,19 @@ def compact_drift(spark: SparkSession, index_path: str, up_to_batch: int) -> int
         up_to_batch,
         lambda live: live.agg(*_drift_sums()),
     )
+
+
+def reset_drift(spark: SparkSession, index_path: str) -> None:
+    """Drop the drift log and baseline entirely — REQUIRED before a
+    retrain's new ``drift_baseline`` (see its retrain contract: rows
+    measured against the old quantizer poison ratios against the new
+    one). Loud on a failed delete like every protocol step."""
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(index_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for sub in ("drift", "drift_base"):
+        p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/{sub}")
+        if fs.exists(p) and not fs.delete(p, True):
+            raise RuntimeError(f"could not remove {index_path}/{sub}")
+    invalidate_watermark_cache(f"{index_path}/drift")

@@ -3488,6 +3488,18 @@ def test_ivfpq_drift_monitor_detects_synthetic_drift(spark, sf_small, tmp_path):
     after = drift_signal(spark, idx, retrain_ratio=2.0).collect()[0]
     assert after == sig
 
+    # retrain contract: reset_drift drops the log + baseline so a
+    # rebuilt index starts its monitor clean (stale rows measured
+    # under the old quantizer would poison every new ratio)
+    import os
+
+    from mapreduce_task_spark.streaming.ivfpq_ingest import reset_drift
+
+    reset_drift(spark, idx)
+    assert not os.path.exists(f"{idx}/drift")
+    assert not os.path.exists(f"{idx}/drift_base")
+    assert read_drift_trend(spark, idx) is None
+
 
 def test_bm25_legacy_int_marker_protects_lagging_logs(spark, sf_small, tmp_path):
     """r11 ADVICE fix: a legacy single-int _MERGE_COMMITTED marker must
@@ -3825,3 +3837,45 @@ def test_streaming_ivfpq_cosine_delta_matches_merged_index(
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_ivfpq_drift_monitor_per_list_codebooks(spark, sf_small, tmp_path):
+    """The drift row's reconstruction-error lookup must honor per-list
+    codebooks (each row scores against ITS cluster's own book — the
+    arithmetic was verified bit-for-bit against a python replay when
+    this test was written). A per-list BASELINE is over-fit by design
+    (ksub centroids per small list nearly memorize the build corpus),
+    so even an in-distribution batch reads a quant ratio well above 1
+    — the documented calibration caveat; what the monitor must still
+    deliver is a clear gap between in-distribution and drifted."""
+    from mapreduce_task_spark.operators.pq import ivfpq_build_index
+    from mapreduce_task_spark.streaming.ivfpq_ingest import (
+        append_batch,
+        drift_baseline,
+        read_drift_trend,
+    )
+
+    M, DIM = 8, 64
+    emb = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 300)
+    b_in = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    b_drift = emb.filter(F.col("vec_id") >= 400).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.8)).alias("embedding"),
+    )
+    idx = str(tmp_path / "ivfpq_drift_pl")
+    ivfpq_build_index(
+        base, idx, n_clusters=8, m=M, ksub=16, dim=DIM,
+        coarse_rounds=1, pq_rounds=2, per_list=True,
+    )
+    drift_baseline(spark, idx, m=M, dim=DIM, per_list=True)
+    append_batch(b_in, 0, idx, m=M, dim=DIM, per_list=True)
+    append_batch(b_drift, 1, idx, m=M, dim=DIM, per_list=True)
+    trend = {r["__batch"]: r for r in read_drift_trend(spark, idx).collect()}
+    # assignment distance has no codebook to over-fit: near-1 as usual
+    assert 0.5 < trend[0]["assign_ratio"] < 1.5, trend[0]
+    # per-list reconstruction baseline is over-fit: in-distribution
+    # reads ~2-3x (measured 2.68 on this fixture), drifted far above
+    assert 1.0 < trend[0]["quant_ratio"] < 4.0, trend[0]
+    assert trend[1]["quant_ratio"] > 2 * trend[0]["quant_ratio"], trend
+    assert trend[1]["assign_ratio"] > 2 * trend[0]["assign_ratio"], trend
