@@ -182,3 +182,133 @@ def sq_topk(
         F.col("nq").alias("nq_c"),
     )
     return _refine_exact(shortlist, qvecs, cvecs, k, on=["cand_id"])
+
+
+def sq_build_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    metric: str = "l2",
+    store_vectors: bool = True,
+) -> None:
+    """Build the SQ8 index ONCE and persist it — the
+    build-once/search-many split every other index family here has.
+
+    Writes under ``path``:
+      - ``bounds``: the 1-row (minq, maxq) frame,
+      - ``codes``: (id, codes) — the dim-byte payload a search scans,
+      - ``vectors`` (``store_vectors=True``): (id, qv, nq) original
+        grid vectors for the exact-rerank refine stage. OPTIONAL
+        because skipping it is the point of SQ when storage is the
+        constraint — a vectors-less index serves ``refine=0`` only
+        (``sq_search_index`` refuses otherwise), the recorded
+        tradeoff.
+    Plus the shared ``_INDEX_META.json`` (kind/metric/dim/
+    store_vectors); ``sq_search_index`` refuses a metric mismatch
+    exactly like the IVF-PQ family."""
+    from .pq import write_index_meta
+
+    spark = df.sparkSession
+    bounds = sq_fit(df, id_col, vec_col, dim, metric=metric)
+    bounds.write.mode("overwrite").parquet(f"{path}/bounds")
+    bounds_l = spark.read.parquet(f"{path}/bounds")
+    sq_encode(df, bounds_l, id_col, vec_col, metric=metric).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+    if store_vectors:
+        with_quantized(df, vec_col, metric=metric).select(
+            id_col, "qv", "nq"
+        ).write.mode("overwrite").parquet(f"{path}/vectors")
+    write_index_meta(
+        spark,
+        path,
+        {
+            "kind": "sq8",
+            "metric": metric,
+            "dim": dim,
+            "store_vectors": store_vectors,
+        },
+    )
+
+
+def sq_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    metric: str = "l2",
+    refine: int = 0,
+    filter_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Search a persisted SQ8 index: decode-and-score the codes column
+    against exact query grid vectors (same arithmetic and tie-breaks
+    as ``sq_topk``, so a rebuilt index reproduces it bit-for-bit,
+    minus sq_topk's self-exclusion only when the query ids are part of
+    the indexed corpus — this function excludes cand_id == query_id
+    identically). ``refine=N`` exact-reranks against the persisted
+    ``vectors`` dataset and REFUSES loudly when the index was built
+    ``store_vectors=False``. ``filter_ids`` pre-filters candidates
+    (left-semi on the id before scoring, the package-wide filtered-
+    search contract)."""
+    from .pq import _refine_exact, _sub_dist, check_index_meta, read_index_meta
+
+    check_index_meta(spark, path, metric=metric, dim=dim)
+    bounds = spark.read.parquet(f"{path}/bounds")
+    cand = spark.read.parquet(f"{path}/codes").select(
+        F.col(id_col).alias("cand_id"), "codes"
+    )
+    if filter_ids is not None:
+        cand = cand.join(
+            filter_ids.select(F.col(id_col).alias("cand_id")),
+            "cand_id",
+            "leftsemi",
+        )
+    qd = with_quantized(queries, vec_col, metric=metric).select(
+        id_col, "qv", "nq"
+    )
+    qb = F.broadcast(
+        qd.select(
+            F.col(id_col).alias("query_id"), F.col("qv").alias("qv_q")
+        )
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(bounds))
+        .select("cand_id", _sq_decoded().alias("__dv"))
+        .join(qb, F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            _sub_dist(F.col("qv_q"), F.col("__dv")).alias("approx_d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d"), F.asc("cand_id")
+    )
+    ranked = scored.select("*", F.row_number().over(w).alias("rank"))
+    if not refine:
+        return ranked.filter(F.col("rank") <= k)
+    meta = read_index_meta(spark, path) or {}
+    if not meta.get("store_vectors", True):
+        raise ValueError(
+            f"SQ index at {path} was built store_vectors=False — it "
+            "cannot serve refine>0; rebuild with store_vectors=True "
+            "or search with refine=0"
+        )
+    full = spark.read.parquet(f"{path}/vectors")
+    qvecs = qd.select(
+        F.col(id_col).alias("query_id"),
+        F.col("qv").alias("qv_q"),
+        F.col("nq").alias("nq_q"),
+    )
+    cvecs = full.select(
+        F.col(id_col).alias("cand_id"),
+        F.col("qv").alias("qv_c"),
+        F.col("nq").alias("nq_c"),
+    )
+    shortlist = ranked.filter(F.col("rank") <= refine * k).drop("rank")
+    return _refine_exact(shortlist, qvecs, cvecs, k, on=["cand_id"])

@@ -119,3 +119,62 @@ def test_sq_recall_beats_pq_resolution(spark, sf_small):
     assert set(got) == set(exact)
     recall = sum(len(exact[q] & got[q]) / K for q in exact) / len(exact)
     assert recall >= 0.8, f"SQ8 recall@{K} unexpectedly low: {recall}"
+
+
+def test_sq_index_split_matches_inline_and_refuses_mismatch(
+    spark, sf_small, tmp_path
+):
+    """sq_build_index + sq_search_index reproduce sq_topk bit-for-bit
+    (same bounds, codes, tie-breaks) for plain AND refined search; the
+    persisted meta refuses a metric mismatch; a vectors-less build
+    serves refine=0 only and refuses refine>0 loudly."""
+    import pytest as _pytest
+
+    from mapreduce_task_spark.operators.pq import read_index_meta
+    from mapreduce_task_spark.operators.sq import sq_build_index, sq_search_index
+
+    emb = load_table(spark, sf_small, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 5)
+    queries = emb.join(qids, "vec_id")
+    idx = str(tmp_path / "sq_idx")
+    sq_build_index(emb, idx, dim=DIM, metric="cosine")
+    meta = read_index_meta(spark, idx)
+    assert meta["kind"] == "sq8" and meta["metric"] == "cosine"
+
+    with _pytest.raises(ValueError, match="metric"):
+        sq_search_index(spark, idx, queries, k=K, dim=DIM)  # default l2
+
+    for kw in ({}, {"refine": 3}):
+        key = "exact_d" if kw else "approx_d"
+        got = sorted(
+            (r["query_id"], r["cand_id"], r[key], r["rank"])
+            for r in sq_search_index(
+                spark, idx, queries, k=K, dim=DIM, metric="cosine", **kw
+            ).collect()
+        )
+        want = sorted(
+            (r["query_id"], r["cand_id"], r[key], r["rank"])
+            for r in sq_topk(
+                emb, qids, k=K, dim=DIM, metric="cosine", **kw
+            ).collect()
+        )
+        assert got == want and len(got) == 5 * K, kw
+
+    # filtered search: candidates restricted BEFORE scoring
+    allow = emb.select("vec_id").filter(F.col("vec_id") % 2 == 0)
+    fres = sq_search_index(
+        spark, idx, queries, k=K, dim=DIM, metric="cosine", filter_ids=allow
+    ).collect()
+    assert fres and all(r["cand_id"] % 2 == 0 for r in fres)
+
+    # storage-lean build: no vectors dataset, refine refused
+    import os
+
+    lean = str(tmp_path / "sq_lean")
+    sq_build_index(emb, lean, dim=DIM, store_vectors=False)
+    assert not os.path.exists(f"{lean}/vectors")
+    assert (
+        sq_search_index(spark, lean, queries, k=K, dim=DIM).limit(1).count() == 1
+    )
+    with _pytest.raises(ValueError, match="store_vectors"):
+        sq_search_index(spark, lean, queries, k=K, dim=DIM, refine=3)
