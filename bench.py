@@ -421,6 +421,30 @@ def main() -> int:
             finally:
                 shutil.rmtree(cos_dir, ignore_errors=True)
 
+            # r11: SQ8, the middle compression/recall point — build,
+            # one refined search, recall vs exact L2 (the same ground
+            # truth the IVF-PQ numbers use), so the flat/SQ/PQ frontier
+            # is three recorded points per pass.
+            from mapreduce_task_spark.operators.sq import (
+                sq_build_index,
+                sq_search_index,
+            )
+
+            sq_dir = tempfile.mkdtemp(prefix="bench_sq_index_")
+            try:
+                t0 = time.perf_counter()
+                sq_build_index(emb, sq_dir, dim=64)
+                extras["sq_index_build_sec"] = round(time.perf_counter() - t0, 3)
+                t0 = time.perf_counter()
+                sres = sq_search_index(spark, sq_dir, queries, k=10, dim=64)
+                sres.write.format("noop").mode("overwrite").save()
+                extras["sq_search_only_sec"] = round(time.perf_counter() - t0, 3)
+                extras["sq_recall_at10"] = _macro_recall(exact10, sres)
+            except Exception as e:
+                extras["sq_recall_error"] = repr(e)[:200]
+            finally:
+                shutil.rmtree(sq_dir, ignore_errors=True)
+
             # Same split for lexical retrieval (r8): BM25 postings
             # persisted once, then term-pushdown search against the
             # term-clustered lists only (the corpus is never re-read).
