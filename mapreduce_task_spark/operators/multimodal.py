@@ -239,6 +239,12 @@ def _decode_jpeg(payload: bytes):
         while i + 4 <= len(payload) and payload[i + 1] == 0xFF:
             i += 1
         marker = payload[i + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            # standalone markers (TEM, RSTn, SOI, EOI) carry no length
+            # segment (spec B.1.1.3) — skip them instead of misreading
+            # the following bytes as a phantom segment size
+            i += 2
+            continue
         if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
             raise NotImplementedError(

@@ -59,13 +59,16 @@ def read_index_meta(spark, path: str) -> dict | None:
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         return None
+    n = fs.getFileStatus(jpath).getLen()
+    if n > 65536:
+        raise ValueError(
+            f"index meta at {path} is {n} bytes (>64 KiB) — not a meta file"
+        )
     stream = fs.open(jpath)
     try:
-        buf = bytearray()
-        b = stream.read()
-        while b != -1 and len(buf) < 65536:
-            buf.append(b)
-            b = stream.read()
+        # one buffered read via commons-io (on Spark's classpath), not
+        # one py4j round-trip per byte
+        buf = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
     finally:
         stream.close()
     return _json.loads(buf.decode())
@@ -1200,11 +1203,17 @@ def index_list_stats(
             break
     if name is None:
         raise ValueError(f"no IVF/IVF-PQ list dataset under {path}")
-    base = (
-        spark.read.parquet(f"{path}/{name}")
-        .groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n_base"))
-    )
+    base_df = spark.read.parquet(f"{path}/{name}")
+    if "cluster" not in base_df.columns:
+        # an SQ8 index also persists a 'codes' dataset, but flat —
+        # no inverted lists to report occupancy for
+        kind = (read_index_meta(spark, path) or {}).get("kind", "unknown")
+        raise ValueError(
+            f"index at {path} (kind={kind!r}) has no cluster-partitioned "
+            "list dataset — occupancy stats apply to IVF/IVF-PQ/IVF-SQ "
+            "indexes only"
+        )
+    base = base_df.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_base"))
     delta = log_live(spark, f"{path}/delta") if include_delta else None
     if delta is None:
         out = base.select("cluster", "n_base", F.lit(0).alias("n_delta"))

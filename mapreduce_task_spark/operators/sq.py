@@ -29,10 +29,12 @@ original grid vectors via the shared ``pq._refine_exact`` core, so
 SQ slots into the same search surface as ADC.
 
 Scale shape: fit is one corpus aggregation to a 1-row bounds frame
-(broadcast thereafter); encode is map-only; search is a broadcast
-nested-loop scan over the codes column only (the flat-scan
-compression option — compose with IVF lists for probe-bounded scans
-the way PQ does; the codes ride any cluster partitioning unchanged).
+(broadcast thereafter); encode is map-only; the flat search is a
+broadcast nested-loop scan over the codes column only (the flat-scan
+compression option). For probe-BOUNDED compressed search, the
+``ivfsq_*`` family below composes the same codes with the IVF coarse
+quantizer (FAISS's IndexIVFScalarQuantizer): cluster-partitioned code
+lists, nprobe-pruned scans, optional per-list bounds.
 
 Cite: reference has no vector ops (SURVEY §2.5); this extends the
 similarity-search extension family (SURVEY §2.6).
@@ -45,6 +47,41 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .similarity import VALID_METRICS, with_quantized
 
 SQ_LEVELS = 255  # 8-bit: codes in [0, 255]
+
+
+def _assert_dim(qv_col, dim_expr, who: str):
+    """Fail loudly on a shape mismatch: zip_with silently null-pads
+    when a vector's length disagrees with the fitted bounds' dim, which
+    would surface as NULL codes/distances (sorting wrongly under asc
+    rank) instead of an error. Returns the vector column unchanged when
+    the size matches, raises at execution time otherwise."""
+    size = F.size(qv_col)
+    return F.when(size == dim_expr, qv_col).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{who}: vector length "),
+                size.cast("string"),
+                F.lit(" != dim "),
+                dim_expr.cast("string"),
+            )
+        )
+    )
+
+
+def _bounds_agg(qd: DataFrame, dim: int, group_cols: tuple = ()) -> DataFrame:
+    """The fit core: 2*dim scalar min/max aggregates in ONE pass over a
+    quantized (``qv``) frame, packed back into (minq, maxq) arrays —
+    globally (1 row) or per group (``group_cols``, e.g. per inverted
+    list for the IVF-SQ composition)."""
+    aggs = [
+        F.min(F.element_at("qv", i + 1)).alias(f"__mn{i}") for i in range(dim)
+    ] + [F.max(F.element_at("qv", i + 1)).alias(f"__mx{i}") for i in range(dim)]
+    row = qd.groupBy(*group_cols).agg(*aggs) if group_cols else qd.agg(*aggs)
+    return row.select(
+        *group_cols,
+        F.array(*[F.col(f"__mn{i}") for i in range(dim)]).alias("minq"),
+        F.array(*[F.col(f"__mx{i}") for i in range(dim)]).alias("maxq"),
+    )
 
 
 def sq_fit(
@@ -60,15 +97,48 @@ def sq_fit(
     into arrays. Broadcast-sized forever after."""
     if metric not in VALID_METRICS:
         raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
-    qd = with_quantized(df, vec_col, metric=metric).select("qv")
-    aggs = [
-        F.min(F.element_at("qv", i + 1)).alias(f"__mn{i}") for i in range(dim)
-    ] + [F.max(F.element_at("qv", i + 1)).alias(f"__mx{i}") for i in range(dim)]
-    row = qd.agg(*aggs)
-    return row.select(
-        F.array(*[F.col(f"__mn{i}") for i in range(dim)]).alias("minq"),
-        F.array(*[F.col(f"__mx{i}") for i in range(dim)]).alias("maxq"),
+    qd = with_quantized(df, vec_col, metric=metric).select(
+        _assert_dim(F.col("qv"), F.lit(dim), "sq_fit").alias("qv")
     )
+    return _bounds_agg(qd, dim)
+
+
+def _codes_expr():
+    """codes_i = clamp(floor((qv_i - min_i) * 255 / (max_i - min_i)),
+    0, 255) — pure int64 arithmetic over columns qv/minq/maxq."""
+    spread = F.zip_with("maxq", "minq", lambda hi, lo: hi - lo)
+    shifted = F.zip_with(
+        "qv", "minq", lambda v, lo: F.greatest(v - lo, F.lit(0)) * F.lit(SQ_LEVELS)
+    )
+    return F.zip_with(
+        shifted,
+        spread,
+        lambda num, sp: F.when(
+            sp > 0,
+            F.least((num - F.pmod(num, sp)) / sp, F.lit(SQ_LEVELS)),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+
+
+def _encode_qv(
+    qd: DataFrame, bounds: DataFrame, keep: list, per_list: bool = False
+) -> DataFrame:
+    """Encode an already-quantized frame (columns ``qv`` + ``keep``)
+    against fitted bounds: global bounds broadcast-crossJoin (1 row) or
+    per-list bounds broadcast-joined on ``cluster``. Returns
+    (*keep, codes)."""
+    if per_list:
+        joined = qd.join(F.broadcast(bounds), "cluster")
+    else:
+        joined = qd.crossJoin(F.broadcast(bounds))
+    return joined.select(
+        *keep,
+        _assert_dim(F.col("qv"), F.size("minq"), "sq_encode").alias("qv"),
+        "minq",
+        "maxq",
+    ).select(*keep, _codes_expr().alias("codes"))
 
 
 def sq_encode(
@@ -83,26 +153,11 @@ def sq_encode(
     components (possible when encoding NEW vectors against frozen
     bounds, e.g. a streaming delta) clamp to the nearest end, the
     standard frozen-bounds degradation (shows up as drift in distance
-    quality, never as wrong arithmetic). Integer floor-division —
+    quality, never as wrong arithmetic — and is COUNTED per batch by
+    streaming.sq_ingest's saturation monitor). Integer floor-division —
     deterministic, oracle-replayable. ``metric`` must match the fit."""
     qd = with_quantized(df, vec_col, metric=metric).select(id_col, "qv")
-    spread = F.zip_with("maxq", "minq", lambda hi, lo: hi - lo)
-    shifted = F.zip_with(
-        "qv", "minq", lambda v, lo: F.greatest(v - lo, F.lit(0)) * F.lit(SQ_LEVELS)
-    )
-    codes = F.zip_with(
-        shifted,
-        spread,
-        lambda num, sp: F.when(
-            sp > 0,
-            F.least((num - F.pmod(num, sp)) / sp, F.lit(SQ_LEVELS)),
-        )
-        .otherwise(F.lit(0))
-        .cast("int"),
-    )
-    return qd.crossJoin(F.broadcast(bounds)).select(
-        id_col, codes.alias("codes")
-    )
+    return _encode_qv(qd, bounds, keep=[id_col])
 
 
 def _sq_decoded(codes_col="codes"):
@@ -182,6 +237,281 @@ def sq_topk(
         F.col("nq").alias("nq_c"),
     )
     return _refine_exact(shortlist, qvecs, cvecs, k, on=["cand_id"])
+
+
+# ---------------------------------------------------------------------------
+# IVF-SQ: SQ8 codes inside the coarse quantizer's inverted lists —
+# probe-bounded compressed search. The flat SQ scan above is O(N) per
+# query (4x compressed, but still the whole codes column); composing
+# with the IVF coarse quantizer bounds every search to nprobe inverted
+# lists while keeping SQ's per-dimension resolution (measured recall
+# ~0.97 at 4x compression vs PQ's ~0.17 at the same nprobe). This is
+# FAISS's IndexIVFScalarQuantizer shape: same build as IVF (seeded
+# exact-integer k-means), same probe ranking, but lists store dim-byte
+# SQ codes instead of full vectors; search decodes only the probed
+# lists. ``per_list=True`` fits (minq, maxq) PER LIST instead of
+# globally — each list's narrower range spends the 8 bits on less
+# spread (finer resolution) at the cost of a k-row instead of 1-row
+# bounds frame (both broadcast-sized; recall measured side by side in
+# tests/bench extras).
+# ---------------------------------------------------------------------------
+
+
+def ivfsq_topk(
+    df: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_clusters: int = 8,
+    dim: int = 64,
+    rounds: int = 1,
+    nprobe: int = 1,
+    metric: str = "l2",
+    refine: int = 0,
+    per_list: bool = False,
+) -> DataFrame:
+    """Inline IVF-SQ top-k (build + search in one plan; the persisted
+    split below reproduces it bit-for-bit). Candidates are scored by
+    exact int64 squared L2 between the query's exact grid vector and
+    the DECODED candidate codes, restricted to each query's ``nprobe``
+    nearest inverted lists; ties to lowest cand_id. At
+    nprobe=n_clusters with global bounds this degenerates to the flat
+    ``sq_topk`` exactly (every candidate scanned, same codes — asserted
+    in tests). ``refine=N`` exact-reranks an N*k shortlist on the
+    original grid vectors (shared ``pq._refine_exact``)."""
+    from .pq import _refine_exact, _sub_dist
+    from .similarity import assign_clusters, kmeans_lite_fit, probe_clusters
+
+    qd, cents = kmeans_lite_fit(
+        df, id_col, vec_col, n_clusters, dim, rounds, metric=metric
+    )
+    # both the candidate assignment and the query probe ranking consume
+    # the k-row centroid frame: materialize the Lloyd rounds once
+    cents = cents.localCheckpoint(eager=False)
+    assigned = assign_clusters(qd, cents, id_col)
+    if per_list:
+        bounds = _bounds_agg(assigned, dim, group_cols=("cluster",))
+    else:
+        bounds = _bounds_agg(
+            qd.select(_assert_dim(F.col("qv"), F.lit(dim), "ivfsq_topk").alias("qv")),
+            dim,
+        )
+    bounds = bounds.localCheckpoint(eager=False)
+    codes = _encode_qv(
+        assigned.select(F.col(id_col).alias("cand_id"), "cluster", "qv"),
+        bounds,
+        keep=["cand_id", "cluster"],
+        per_list=per_list,
+    )
+    probes = probe_clusters(
+        qd.join(query_ids.select(id_col), id_col), cents, id_col, nprobe=nprobe
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qv").alias("qv_q"),
+        F.col("nq").alias("nq_q"),
+        "cluster",
+    )
+    cvecs = assigned.select(
+        F.col(id_col).alias("cand_id"),
+        "cluster",
+        F.col("qv").alias("qv_c"),
+        F.col("nq").alias("nq_c"),
+    )
+    return _ivfsq_score(
+        probes, codes, bounds, cvecs, k, refine, per_list,
+        _sub_dist, _refine_exact,
+    )
+
+
+def _ivfsq_score(
+    probes: DataFrame,
+    codes: DataFrame,
+    bounds: DataFrame,
+    cvecs: DataFrame | None,
+    k: int,
+    refine: int,
+    per_list: bool,
+    _sub_dist,
+    _refine_exact,
+) -> DataFrame:
+    """The shared IVF-SQ search tail (inline operator, persisted-index
+    search, and streaming delta all funnel here so they cannot drift):
+    decode the probed lists' codes, rank by exact int64 L2 to the
+    exact query grid vectors, optional exact rerank on ``cvecs``."""
+    if per_list:
+        dec_src = codes.join(F.broadcast(bounds), "cluster")
+    else:
+        dec_src = codes.crossJoin(F.broadcast(bounds))
+    dec = dec_src.select("cand_id", "cluster", _sq_decoded().alias("__dv"))
+    scored = (
+        F.broadcast(probes)
+        .join(dec, "cluster")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "cluster",
+            _sub_dist(F.col("qv_q"), F.col("__dv")).alias("approx_d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d"), F.asc("cand_id")
+    )
+    ranked = scored.select("*", F.row_number().over(w).alias("rank"))
+    if not refine:
+        return ranked.filter(F.col("rank") <= k)
+    shortlist = ranked.filter(F.col("rank") <= refine * k).drop("rank")
+    qvecs = probes.select("query_id", "qv_q", "nq_q").dropDuplicates(
+        ["query_id"]
+    )
+    return _refine_exact(shortlist, qvecs, cvecs, k, on=["cluster", "cand_id"])
+
+
+def ivfsq_build_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    dim: int = 64,
+    rounds: int = 1,
+    metric: str = "l2",
+    per_list: bool = False,
+    store_vectors: bool = True,
+) -> None:
+    """Build the IVF-SQ index ONCE and persist it. Writes under
+    ``path``:
+      - ``centroids``: the k-row coarse quantizer,
+      - ``bounds``: the SQ bounds frame (1 row global, k rows when
+        ``per_list``),
+      - ``codes``: (id, codes) partitioned BY CLUSTER — each inverted
+        list is a physical partition of dim-byte codes, so a search
+        probing ``nprobe`` lists prunes every other partition at the
+        scan,
+      - ``vectors`` (``store_vectors=True``): the assigned exact grid
+        vectors, cluster-partitioned, for the refine stage (a
+        vectors-less index serves ``refine=0`` only — the flat-SQ
+        storage tradeoff, recorded in meta).
+    Plus ``_INDEX_META.json`` (kind/metric/dim/n_clusters/per_list/
+    store_vectors); search refuses metric/shape mismatches."""
+    from .pq import write_index_meta
+    from .similarity import assign_clusters, kmeans_lite_fit
+
+    spark = df.sparkSession
+    qd, cents = kmeans_lite_fit(
+        df, id_col, vec_col, n_clusters, dim, rounds, metric=metric
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cents_l = spark.read.parquet(f"{path}/centroids")
+    assigned = assign_clusters(qd, cents_l, id_col)
+    if store_vectors:
+        # the vectors dataset IS the assigned frame: persist it first
+        # and derive bounds + codes from the persisted copy, so the
+        # assignment pass runs once
+        assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+            f"{path}/vectors"
+        )
+        assigned = spark.read.parquet(f"{path}/vectors")
+    else:
+        from .pinning import lazy_checkpoint
+
+        assigned = lazy_checkpoint(assigned)
+    if per_list:
+        bounds = _bounds_agg(assigned, dim, group_cols=("cluster",))
+    else:
+        bounds = _bounds_agg(assigned.select("qv"), dim)
+    bounds.write.mode("overwrite").parquet(f"{path}/bounds")
+    bounds_l = spark.read.parquet(f"{path}/bounds")
+    _encode_qv(
+        assigned.select(id_col, "cluster", "qv"),
+        bounds_l,
+        keep=[id_col, "cluster"],
+        per_list=per_list,
+    ).write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/codes")
+    write_index_meta(
+        spark,
+        path,
+        {
+            "kind": "ivfsq",
+            "metric": metric,
+            "dim": dim,
+            "n_clusters": n_clusters,
+            "per_list": per_list,
+            "store_vectors": store_vectors,
+        },
+    )
+
+
+def ivfsq_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    nprobe: int = 1,
+    metric: str = "l2",
+    refine: int = 0,
+    filter_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Search a persisted IVF-SQ index: rank each query's ``nprobe``
+    nearest centroids from the k-row centroid table, decode-and-score
+    ONLY the probed lists' codes partitions (broadcast probe join on
+    the partition column -> dynamic partition pruning), optional exact
+    rerank against the cluster-partitioned ``vectors``. Same arithmetic
+    and tie-breaks as ``ivfsq_topk`` (self-exclusion identical), so a
+    rebuilt index reproduces it bit-for-bit. ``filter_ids``
+    left-semi-filters candidates AFTER the pruned scan (the
+    package-wide filtered-search contract); ``refine>0`` refuses
+    loudly on a ``store_vectors=False`` index."""
+    from .pq import _refine_exact, _sub_dist, check_index_meta, read_index_meta
+    from .similarity import probe_clusters
+
+    check_index_meta(spark, path, metric=metric, dim=dim)
+    meta = read_index_meta(spark, path) or {}
+    per_list = bool(meta.get("per_list", False))
+    cents = spark.read.parquet(f"{path}/centroids")
+    bounds = spark.read.parquet(f"{path}/bounds")
+    codes = spark.read.parquet(f"{path}/codes").select(
+        F.col(id_col).alias("cand_id"), "cluster", "codes"
+    )
+    if filter_ids is not None:
+        codes = codes.join(
+            filter_ids.select(F.col(id_col).alias("cand_id")),
+            "cand_id",
+            "leftsemi",
+        )
+    qd = with_quantized(queries, vec_col, metric=metric).select(
+        id_col,
+        _assert_dim(F.col("qv"), F.lit(dim), "ivfsq_search_index").alias("qv"),
+        "nq",
+    )
+    probes = probe_clusters(qd, cents, id_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qv").alias("qv_q"),
+        F.col("nq").alias("nq_q"),
+        "cluster",
+    )
+    cvecs = None
+    if refine:
+        if not meta.get("store_vectors", True):
+            raise ValueError(
+                f"IVF-SQ index at {path} was built store_vectors=False — "
+                "it cannot serve refine>0; rebuild with store_vectors=True "
+                "or search with refine=0"
+            )
+        cvecs = spark.read.parquet(f"{path}/vectors").select(
+            F.col(id_col).alias("cand_id"),
+            "cluster",
+            F.col("qv").alias("qv_c"),
+            F.col("nq").alias("nq_c"),
+        )
+    return _ivfsq_score(
+        probes, codes, bounds, cvecs, k, refine, per_list,
+        _sub_dist, _refine_exact,
+    )
 
 
 def sq_build_index(
@@ -269,7 +599,9 @@ def sq_search_index(
             "leftsemi",
         )
     qd = with_quantized(queries, vec_col, metric=metric).select(
-        id_col, "qv", "nq"
+        id_col,
+        _assert_dim(F.col("qv"), F.lit(dim), "sq_search_index").alias("qv"),
+        "nq",
     )
     qb = F.broadcast(
         qd.select(

@@ -494,6 +494,44 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOPK_K = 5
 _N_QUERIES = 10
+_EMB_DIM = 64  # testdata embedding dimensionality (oracle hardcodes range(64))
+_SQ_REFINE = 3  # sq leg keeps a 3*k shortlist, then exact-reranks
+
+# SQ8 oracle chain: replay sq_fit (per-dim min/max over the corpus),
+# sq_encode (clamped integer floor-div to [0,255]), _sq_decoded (affine
+# floor reconstruction), the asymmetric approx ranking (exact query grid
+# vector vs decoded candidates), and the pq._refine_exact rerank — every
+# stage integer-exact, so the driver hash gates the whole SQ8 path.
+_SQ_CTES = f"""
+sqcomp AS (SELECT unnest(qv) AS val, unnest(range(len(qv))) AS idx FROM nv),
+sqdim AS (SELECT idx, min(val) AS mn, max(val) AS mx FROM sqcomp GROUP BY idx),
+sqb AS (SELECT list(mn ORDER BY idx) AS minq, list(mx ORDER BY idx) AS maxq FROM sqdim),
+sqenc AS (SELECT vec_id,
+          list_transform(range({_EMB_DIM}), i ->
+              CASE WHEN b.maxq[i+1] - b.minq[i+1] > 0
+                   THEN least(floor((greatest(qv[i+1] - b.minq[i+1], 0) * 255)
+                              / (b.maxq[i+1] - b.minq[i+1])), 255)
+                   ELSE 0 END) AS codes
+          FROM nv CROSS JOIN sqb b),
+sqdec AS (SELECT vec_id,
+          list_transform(range({_EMB_DIM}), i ->
+              b.minq[i+1] + floor((e.codes[i+1] * (b.maxq[i+1] - b.minq[i+1])) / 255)) AS dv
+          FROM sqenc e CROSS JOIN sqb b),
+sqscored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             CAST(q.nq + list_dot_product(c.dv, c.dv)
+                  - 2 * list_dot_product(q.qv, c.dv) AS BIGINT) AS approx_d
+             FROM nv q JOIN sqdec c ON c.vec_id != q.vec_id
+             WHERE q.vec_id < {_N_QUERIES}),
+sqshort AS (SELECT query_id, cand_id, approx_d
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY approx_d ASC, cand_id) AS rn FROM sqscored) s
+            WHERE rn <= {_SQ_REFINE * _TOPK_K}),
+sqexact AS (SELECT s.query_id, s.cand_id, s.approx_d,
+            CAST(q.nq + c.nq - 2 * list_dot_product(q.qv, c.qv) AS BIGINT) AS exact_d
+            FROM sqshort s
+            JOIN nv q ON q.vec_id = s.query_id
+            JOIN nv c ON c.vec_id = s.cand_id)
+"""
 
 
 @query(
@@ -512,21 +550,27 @@ uscored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                    CAST(q.unq + c.unq
                         - 2 * list_dot_product(q.uqv, c.uqv) AS BIGINT) AS d
             FROM uv q JOIN uv c ON c.vec_id != q.vec_id
-            WHERE q.vec_id < {_N_QUERIES})
+            WHERE q.vec_id < {_N_QUERIES}),{_SQ_CTES}
 SELECT 'cosine' AS leg, query_id, cand_id, cos, CAST(NULL AS BIGINT) AS d,
-       CAST(rank AS INTEGER) AS rank
+       CAST(NULL AS BIGINT) AS approx_d, CAST(rank AS INTEGER) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
       FROM scored) r
 WHERE rank <= {_TOPK_K}
 UNION ALL
 SELECT 'unitgrid' AS leg, query_id, cand_id, CAST(NULL AS DOUBLE) AS cos, d,
-       CAST(rank AS INTEGER) AS rank
+       CAST(NULL AS BIGINT) AS approx_d, CAST(rank AS INTEGER) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d ASC, cand_id) AS rank
       FROM uscored) r
 WHERE rank <= {_TOPK_K}
+UNION ALL
+SELECT 'sq' AS leg, query_id, cand_id, CAST(NULL AS DOUBLE) AS cos,
+       exact_d AS d, approx_d, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY exact_d ASC, cand_id) AS rank
+      FROM sqexact) r
+WHERE rank <= {_TOPK_K}
 """,
     doc=f"Brute-force similarity top-{_TOPK_K} for {_N_QUERIES} query "
-    "vectors as a two-leg tagged union. cosine leg: broadcast queries x "
+    "vectors as a three-leg tagged union. cosine leg: broadcast queries x "
     "full scan, exact quantized arithmetic. unitgrid leg (r11): the "
     "same top-k by ASCENDING exact int64 squared L2 over UNIT-GRID "
     "normalized vectors (floor(q*1e6/sqrt(sum q^2)) — "
@@ -534,9 +578,16 @@ WHERE rank <= {_TOPK_K}
     "IVF-PQ stack builds on); the oracle replays the normalization and "
     "the L2 ranking bit-for-bit, driver-verifying the normalize-then-L2 "
     "equivalence path end to end (rank agreement with the cosine leg up "
-    "to the 1e-6 grid is pinned in tests/test_pq.py).",
+    f"to the 1e-6 grid is pinned in tests/test_pq.py). sq leg (r12): the "
+    f"full SQ8 scalar-quantization path at refine={_SQ_REFINE} — the "
+    "oracle replays fit (per-dim min/max), the clamped floor-div encode, "
+    "the affine floor decode, the asymmetric approx ranking, AND the "
+    "shared pq._refine_exact rerank (operators/sq.py), so both approx_d "
+    "and exact_d are hash-gated end to end.",
 )
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sq import sq_topk
+
     emb = t(spark, sf_dir, "embeddings")
     qids = emb.select("vec_id").filter(F.col("vec_id") < _N_QUERIES)
     cos_leg = brute_force_topk(emb, qids, k=_TOPK_K).select(
@@ -545,6 +596,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cand_id",
         "cos",
         F.lit(None).cast("bigint").alias("d"),
+        F.lit(None).cast("bigint").alias("approx_d"),
         F.col("rank").cast("int").alias("rank"),
     )
     qd = with_quantized(emb, metric="cosine").select("vec_id", "qv", "nq")
@@ -575,16 +627,27 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cand_id",
             F.lit(None).cast("double").alias("cos"),
             "d",
+            F.lit(None).cast("bigint").alias("approx_d"),
             F.col("rank").cast("int").alias("rank"),
         )
     )
-    return cos_leg.unionByName(unit_leg)
+    sq_leg = sq_topk(
+        emb, qids, k=_TOPK_K, dim=_EMB_DIM, metric="l2", refine=_SQ_REFINE
+    ).select(
+        F.lit("sq").alias("leg"),
+        "query_id",
+        "cand_id",
+        F.lit(None).cast("double").alias("cos"),
+        F.col("exact_d").cast("bigint").alias("d"),
+        F.col("approx_d").cast("bigint").alias("approx_d"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    return cos_leg.unionByName(unit_leg).unionByName(sq_leg)
 
 
 _IVF_K = 8  # coarse clusters; the oracle replays the same seeded build
 _IVF_ROUNDS = 2  # Lloyd rounds; the oracle unrolls one CTE pair per round
 _IVF_NPROBE = 2  # probed clusters per query; oracle takes rn <= nprobe
-_EMB_DIM = 64  # testdata embedding dimensionality (oracle hardcodes range(64))
 
 
 def _kmeans_ctes(k: int, rounds: int) -> str:

@@ -178,3 +178,160 @@ def test_sq_index_split_matches_inline_and_refuses_mismatch(
     )
     with _pytest.raises(ValueError, match="store_vectors"):
         sq_search_index(spark, lean, queries, k=K, dim=DIM, refine=3)
+
+
+def test_sq_dim_mismatch_raises_loudly(spark):
+    """A vector whose length disagrees with the fitted dim must FAIL,
+    not silently null-pad through zip_with into NULL codes/distances
+    (r11 ADVICE)."""
+    import pytest as _pytest
+
+    rows = [Row(vec_id=i, embedding=[float(i), 1.0, 2.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    with _pytest.raises(Exception, match="vector length"):
+        sq_fit(df, dim=2).collect()
+    bounds = sq_fit(df, dim=3)
+    bad = spark.createDataFrame(
+        [Row(vec_id=9, embedding=[1.0, 2.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="vector length"):
+        sq_encode(bad, bounds).collect()
+
+
+def test_sq_flat_index_refuses_list_stats_cleanly(spark, sf_small, tmp_path):
+    """index_list_stats / index_health on a FLAT SQ index (which also
+    persists a 'codes' dataset, but without inverted lists) must raise
+    the clean ValueError, not an unresolved-column AnalysisException
+    (r11 ADVICE)."""
+    import pytest as _pytest
+
+    from mapreduce_task_spark.operators.pq import index_list_stats
+    from mapreduce_task_spark.operators.sq import sq_build_index
+
+    emb = load_table(spark, sf_small, "embeddings").limit(50)
+    idx = str(tmp_path / "sq_flat")
+    sq_build_index(emb, idx, dim=DIM)
+    with _pytest.raises(ValueError, match="kind='sq8'"):
+        index_list_stats(spark, idx)
+
+
+def test_ivfsq_exhaustive_probe_equals_flat_sq(spark, sf_small):
+    """nprobe = n_clusters with GLOBAL bounds scans every candidate
+    against the same codes — must equal the flat sq_topk bit-for-bit
+    (the composition changes cost, never arithmetic)."""
+    from mapreduce_task_spark.operators.sq import ivfsq_topk
+
+    emb = load_table(spark, sf_small, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 5)
+    nc = 4
+    want = sorted(
+        (r["query_id"], r["cand_id"], r["approx_d"], r["rank"])
+        for r in sq_topk(emb, qids, k=K, dim=DIM).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["cand_id"], r["approx_d"], r["rank"])
+        for r in ivfsq_topk(
+            emb, qids, k=K, n_clusters=nc, dim=DIM, nprobe=nc
+        ).collect()
+    )
+    assert got == want and len(got) == 5 * K
+
+
+def test_ivfsq_recall_monotone_in_nprobe_and_per_list_bounds(spark, sf_small):
+    """Recall@K vs the exact ranking is monotone (non-strict) in nprobe;
+    per-list bounds (narrower ranges, finer 8-bit resolution) must also
+    stay in the high-recall SQ regime under exhaustive probing — not
+    necessarily pointwise >= global (each list's own scale can reorder
+    a near-boundary candidate; measured 0.98 vs 1.0 on this fixture)."""
+    from mapreduce_task_spark.operators.sq import ivfsq_topk
+
+    emb = load_table(spark, sf_small, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    exact = {}
+    for r in _exact_rows(emb, qids).filter(F.col("rank") <= K).collect():
+        exact.setdefault(r["query_id"], set()).add(r["cand_id"])
+
+    def recall(**kw):
+        got = {}
+        for r in ivfsq_topk(emb, qids, k=K, n_clusters=4, dim=DIM, **kw).collect():
+            got.setdefault(r["query_id"], set()).add(r["cand_id"])
+        return sum(len(exact[q] & got.get(q, set())) / K for q in exact) / len(
+            exact
+        )
+
+    r1, r2, r4 = recall(nprobe=1), recall(nprobe=2), recall(nprobe=4)
+    assert r1 <= r2 <= r4, (r1, r2, r4)
+    assert r4 >= 0.8, f"exhaustive-probe IVF-SQ recall too low: {r4}"
+    r4_pl = recall(nprobe=4, per_list=True)
+    assert r4_pl >= 0.9, (r4_pl, r4)
+
+
+def test_ivfsq_index_split_matches_inline(spark, sf_small, tmp_path):
+    """ivfsq_build_index + ivfsq_search_index reproduce ivfsq_topk
+    bit-for-bit for plain AND refined search, global and per-list
+    bounds; meta refuses metric mismatch; filter_ids restricts before
+    scoring; a vectors-less build refuses refine; and the composed
+    codes dataset IS cluster-partitioned (index_list_stats works)."""
+    import pytest as _pytest
+
+    from mapreduce_task_spark.operators.pq import (
+        index_list_stats,
+        read_index_meta,
+    )
+    from mapreduce_task_spark.operators.sq import (
+        ivfsq_build_index,
+        ivfsq_search_index,
+        ivfsq_topk,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 5)
+    queries = emb.join(qids, "vec_id")
+    for per_list in (False, True):
+        idx = str(tmp_path / f"ivfsq_{per_list}")
+        ivfsq_build_index(
+            emb, idx, n_clusters=4, dim=DIM, metric="cosine", per_list=per_list
+        )
+        meta = read_index_meta(spark, idx)
+        assert meta["kind"] == "ivfsq" and meta["per_list"] is per_list
+        with _pytest.raises(ValueError, match="metric"):
+            ivfsq_search_index(spark, idx, queries, k=K, dim=DIM)  # l2
+        for kw in ({}, {"refine": 3}):
+            key = "exact_d" if kw else "approx_d"
+            got = sorted(
+                (r["query_id"], r["cand_id"], r[key], r["rank"])
+                for r in ivfsq_search_index(
+                    spark, idx, queries, k=K, dim=DIM, nprobe=2,
+                    metric="cosine", **kw
+                ).collect()
+            )
+            want = sorted(
+                (r["query_id"], r["cand_id"], r[key], r["rank"])
+                for r in ivfsq_topk(
+                    emb, qids, k=K, n_clusters=4, dim=DIM, nprobe=2,
+                    metric="cosine", per_list=per_list, **kw
+                ).collect()
+            )
+            assert got == want and len(got) == 5 * K, (per_list, kw)
+        stats = index_list_stats(spark, idx).collect()
+        assert sum(r["n_total"] for r in stats) == emb.count()
+
+    idx = str(tmp_path / "ivfsq_False")
+    allow = emb.select("vec_id").filter(F.col("vec_id") % 2 == 0)
+    fres = ivfsq_search_index(
+        spark, idx, queries, k=K, dim=DIM, nprobe=4, metric="cosine",
+        filter_ids=allow,
+    ).collect()
+    assert fres and all(r["cand_id"] % 2 == 0 for r in fres)
+
+    lean = str(tmp_path / "ivfsq_lean")
+    ivfsq_build_index(emb, lean, n_clusters=4, dim=DIM, store_vectors=False)
+    assert (
+        ivfsq_search_index(spark, lean, queries, k=K, dim=DIM, nprobe=2)
+        .limit(1)
+        .count()
+        == 1
+    )
+    with _pytest.raises(ValueError, match="store_vectors"):
+        ivfsq_search_index(spark, lean, queries, k=K, dim=DIM, refine=3)
