@@ -585,7 +585,7 @@ def sq_search_index(
     ``store_vectors=False``. ``filter_ids`` pre-filters candidates
     (left-semi on the id before scoring, the package-wide filtered-
     search contract)."""
-    from .pq import _refine_exact, _sub_dist, check_index_meta, read_index_meta
+    from .pq import check_index_meta, read_index_meta
 
     check_index_meta(spark, path, metric=metric, dim=dim)
     bounds = spark.read.parquet(f"{path}/bounds")
@@ -603,6 +603,36 @@ def sq_search_index(
         _assert_dim(F.col("qv"), F.lit(dim), "sq_search_index").alias("qv"),
         "nq",
     )
+    vectors = None
+    if refine:
+        meta = read_index_meta(spark, path) or {}
+        if not meta.get("store_vectors", True):
+            raise ValueError(
+                f"SQ index at {path} was built store_vectors=False — it "
+                "cannot serve refine>0; rebuild with store_vectors=True "
+                "or search with refine=0"
+            )
+        vectors = spark.read.parquet(f"{path}/vectors")
+    return _sq_flat_score(qd, cand, bounds, id_col, k, refine, vectors)
+
+
+def _sq_flat_score(
+    qd: DataFrame,
+    cand: DataFrame,
+    bounds: DataFrame,
+    id_col: str,
+    k: int,
+    refine: int,
+    vectors: DataFrame | None,
+) -> DataFrame:
+    """The shared flat-SQ search tail (persisted-index search and the
+    streaming delta search funnel here so they cannot drift): decode
+    the (cand_id, codes) frame against the broadcast bounds, rank by
+    exact int64 squared L2 to the exact query grid vectors, optional
+    exact rerank against ``vectors`` (an (id, qv, nq) frame — required
+    when ``refine>0``)."""
+    from .pq import _refine_exact, _sub_dist
+
     qb = F.broadcast(
         qd.select(
             F.col(id_col).alias("query_id"), F.col("qv").alias("qv_q")
@@ -624,20 +654,12 @@ def sq_search_index(
     ranked = scored.select("*", F.row_number().over(w).alias("rank"))
     if not refine:
         return ranked.filter(F.col("rank") <= k)
-    meta = read_index_meta(spark, path) or {}
-    if not meta.get("store_vectors", True):
-        raise ValueError(
-            f"SQ index at {path} was built store_vectors=False — it "
-            "cannot serve refine>0; rebuild with store_vectors=True "
-            "or search with refine=0"
-        )
-    full = spark.read.parquet(f"{path}/vectors")
     qvecs = qd.select(
         F.col(id_col).alias("query_id"),
         F.col("qv").alias("qv_q"),
         F.col("nq").alias("nq_q"),
     )
-    cvecs = full.select(
+    cvecs = vectors.select(
         F.col(id_col).alias("cand_id"),
         F.col("qv").alias("qv_c"),
         F.col("nq").alias("nq_c"),

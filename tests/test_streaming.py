@@ -3879,3 +3879,144 @@ def test_ivfpq_drift_monitor_per_list_codebooks(spark, sf_small, tmp_path):
     assert 1.0 < trend[0]["quant_ratio"] < 4.0, trend[0]
     assert trend[1]["quant_ratio"] > 2 * trend[0]["quant_ratio"], trend
     assert trend[1]["assign_ratio"] > 2 * trend[0]["assign_ratio"], trend
+
+
+def test_streaming_sq_append_matches_merged_index(spark, sf_small, tmp_path):
+    """Flat-SQ freshness (r12): embeddings appended per micro-batch
+    under the FROZEN bounds must make sq search_with_delta reproduce
+    the plain sq_search_index run AFTER merge_delta_into_base folds
+    the delta in — bit-for-bit, plain AND refined; plus replay
+    idempotence and compaction along the way."""
+    import os
+
+    from mapreduce_task_spark.operators.sq import sq_build_index, sq_search_index
+    from mapreduce_task_spark.sources.tables import load_table
+    from mapreduce_task_spark.streaming.sq_ingest import (
+        append_batch,
+        compact_delta,
+        merge_delta_into_base,
+        search_with_delta,
+        streaming_sq_append,
+    )
+    from mapreduce_task_spark.streaming.windows import stream_from_directory
+
+    emb = load_table(spark, sf_small, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    stream_rows = emb.filter(F.col("vec_id") >= 300)
+    idx = str(tmp_path / "sq")
+    sq_build_index(base, idx, dim=64)
+
+    src = tmp_path / "emb_src"
+    stream_rows.filter(F.col("vec_id") < 400).coalesce(1).write.parquet(
+        str(src / "f0")
+    )
+    stream_rows.filter(F.col("vec_id") >= 400).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    q = streaming_sq_append(
+        stream_from_directory(
+            spark, f"{src}/f*", stream_rows.schema, maxFilesPerTrigger=1
+        ),
+        idx,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+
+    def delta_topk(**kw):
+        key = "exact_d" if kw.get("refine") else "approx_d"
+        return sorted(
+            (r["query_id"], r["rank"], r["cand_id"], r[key])
+            for r in search_with_delta(
+                spark, idx, queries, k=5, dim=64, **kw
+            ).collect()
+        )
+
+    want_plain = delta_topk()
+    want_ref = delta_topk(refine=3)
+    assert len(want_plain) == queries.count() * 5
+
+    # replay idempotence: re-landing batch 1 changes nothing
+    b1 = stream_rows.filter(F.col("vec_id") >= 400)
+    append_batch(b1, 1, idx)
+    assert delta_topk() == want_plain
+
+    assert compact_delta(spark, idx, up_to_batch=1) == 2
+    parts = {p for p in os.listdir(f"{idx}/delta") if p.startswith("__batch=")}
+    assert parts == {"__batch=-2"}
+    assert delta_topk() == want_plain
+
+    merged = merge_delta_into_base(spark, idx)
+    assert merged == stream_rows.count()
+    assert not os.path.exists(f"{idx}/delta")
+    for kw, want in (({}, want_plain), ({"refine": 3}, want_ref)):
+        key = "exact_d" if kw else "approx_d"
+        got = sorted(
+            (r["query_id"], r["rank"], r["cand_id"], r[key])
+            for r in sq_search_index(
+                spark, idx, queries, k=5, dim=64, **kw
+            ).collect()
+        )
+        assert got == want, kw
+    assert merge_delta_into_base(spark, idx) == 0
+
+
+def test_sq_bounds_saturation_monitor(spark, sf_small, tmp_path):
+    """The SQ analogue of quantizer drift: an out-of-range stream makes
+    the clamp counter rise (frac_clamped > 0, refit signal trips) while
+    an in-range batch stays at exactly 0 — and the saturation row is
+    replay-idempotent. Results stay exact (clamping is a quality
+    degradation, never wrong arithmetic): the delta search still equals
+    the post-merge index search bit-for-bit."""
+    from mapreduce_task_spark.operators.sq import sq_build_index, sq_search_index
+    from mapreduce_task_spark.sources.tables import load_table
+    from mapreduce_task_spark.streaming.sq_ingest import (
+        append_batch,
+        merge_delta_into_base,
+        read_saturation_trend,
+        reset_saturation,
+        saturation_signal,
+        search_with_delta,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    # batch 0 re-appends base rows under fresh ids: guaranteed inside
+    # the fitted bounds, so its clamp count is EXACTLY zero
+    b_in = base.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 50000).alias("vec_id"), "embedding"
+    )
+    b_out = emb.filter(F.col("vec_id") >= 400).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(3.0)).alias("embedding"),
+    )
+    idx = str(tmp_path / "sq_sat")
+    sq_build_index(base, idx, dim=64)
+
+    append_batch(b_in, 0, idx)
+    append_batch(b_out, 1, idx)
+    append_batch(b_out, 1, idx)  # replay: overwrites its own sat row
+    trend = {r["__batch"]: r for r in read_saturation_trend(spark, idx).collect()}
+    assert set(trend) == {0, 1}
+    assert trend[0]["frac_clamped"] == 0.0, trend[0]
+    assert trend[1]["frac_clamped"] > 0.3, trend[1]
+    assert trend[1]["n"] == b_out.count()
+
+    sig = saturation_signal(spark, idx, refit_frac=0.01).collect()[0]
+    assert sig["refit"] is True and sig["n"] == b_in.count() + b_out.count()
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    want = sorted(
+        (r["query_id"], r["rank"], r["cand_id"], r["approx_d"])
+        for r in search_with_delta(spark, idx, queries, k=5, dim=64).collect()
+    )
+    merge_delta_into_base(spark, idx)
+    got = sorted(
+        (r["query_id"], r["rank"], r["cand_id"], r["approx_d"])
+        for r in sq_search_index(spark, idx, queries, k=5, dim=64).collect()
+    )
+    assert got == want
+
+    reset_saturation(spark, idx)
+    assert read_saturation_trend(spark, idx) is None
