@@ -412,19 +412,21 @@ def _jpeg_decode_scan(payload, start, sof, scan, qt, dc_tabs, ac_tabs, dri):
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# color type -> samples per pixel (8-bit depth): gray, RGB, gray+alpha,
-# RGBA. Palette (3) needs PLTE expansion and stays unimplemented with
-# the 16-bit and interlaced cases.
+# color type -> samples per pixel: gray, RGB, gray+alpha, RGBA (8- and
+# 16-bit depths). Palette (3) expands through the PLTE lookup (r12);
+# only Adam7 interlacing remains a format gap.
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> bytearray:
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytearray:
     """Invert the per-scanline PNG filters (spec §9: None/Sub/Up/
-    Average/Paeth). Sub/Average/Paeth carry a prior-PIXEL dependency
-    along the row, so those scanlines are sequential byte loops; None
-    and Up rows stay O(stride) slice ops. Fine for the mapInPandas
-    batch context: the loop is per payload, not per corpus."""
-    stride = w * bpp
+    Average/Paeth). ``stride`` is the scanline byte length, ``bpp`` the
+    filter's byte distance to the prior pixel (max(1, bits//8) — 1 for
+    sub-byte palette rows, channels*2 for 16-bit). Sub/Average/Paeth
+    carry a prior-PIXEL dependency along the row, so those scanlines
+    are sequential byte loops; None and Up rows stay O(stride) slice
+    ops. Fine for the mapInPandas batch context: the loop is per
+    payload, not per corpus."""
     out = bytearray(h * stride)
     pos = 0
     for y in range(h):
@@ -466,11 +468,14 @@ def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> bytearray:
 def _decode_png(payload: bytes):
     """Pure-stdlib PNG decoder: chunk walk -> IHDR validation -> one
     zlib inflate over the concatenated IDAT stream -> per-scanline
-    unfilter. Covers the 8-bit non-interlaced gray/gray+alpha/RGB/RGBA
-    formats a real corpus overwhelmingly contains; 16-bit, palette,
-    and Adam7-interlaced files raise NotImplementedError (degrading to
-    ok=false rows in decoded_image_stats), anything structurally
-    malformed raises ValueError."""
+    unfilter. Covers non-interlaced 8- and 16-bit gray/gray+alpha/RGB/
+    RGBA plus palette images (PLTE lookup, depths 1/2/4/8, optional
+    tRNS alpha -> RGBA) — the formats a real corpus overwhelmingly
+    contains; only Adam7-interlaced files still raise
+    NotImplementedError (degrading to ok=false rows in
+    decoded_image_stats). Anything structurally malformed raises
+    ValueError. 16-bit samples come back as big-endian uint16 arrays
+    (the PNM decoder's convention)."""
     import struct
     import zlib
 
@@ -478,6 +483,7 @@ def _decode_png(payload: bytes):
 
     ihdr = None
     idat: list[bytes] = []
+    plte = trns = None
     i = len(_PNG_SIG)
     while i + 8 <= len(payload):
         (size,) = struct.unpack(">I", payload[i : i + 4])
@@ -492,6 +498,10 @@ def _decode_png(payload: bytes):
             ihdr = struct.unpack(">IIBBBBB", body[:13])
         elif ctype == b"IDAT":
             idat.append(body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"tRNS":
+            trns = body
         elif ctype == b"IEND":
             break
         i += 12 + size  # len + type + data + CRC
@@ -502,14 +512,26 @@ def _decode_png(payload: bytes):
         raise ValueError(f"bad PNG compression/filter method {comp}/{filt}")
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG not supported")
-    if depth != 8 or color_type not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"PNG depth {depth} color type {color_type} needs an imaging "
-            "library; only 8-bit gray/gray+alpha/RGB/RGBA decode here"
-        )
     if w == 0 or h == 0:
         raise ValueError("zero-dimension PNG")
-    ch = _PNG_CHANNELS[color_type]
+    if color_type == 3:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"bad palette PNG bit depth {depth}")
+        if not plte or len(plte) % 3:
+            raise ValueError("palette PNG missing or malformed PLTE")
+        stride = (w * depth + 7) // 8
+        bpp = 1
+    elif color_type in _PNG_CHANNELS:
+        if depth not in (8, 16):
+            raise NotImplementedError(
+                f"PNG depth {depth} color type {color_type} needs an "
+                "imaging library; 8/16-bit gray/gray+alpha/RGB/RGBA and "
+                "paletted images decode here"
+            )
+        bpp = _PNG_CHANNELS[color_type] * (depth // 8)
+        stride = w * bpp
+    else:
+        raise ValueError(f"bad PNG color type {color_type}")
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
@@ -517,12 +539,37 @@ def _decode_png(payload: bytes):
         # normalize to ValueError so decoded_image_stats degrades the
         # row (ok=false) instead of the zlib.error killing the task
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    if len(raw) != h * (1 + w * ch):
+    if len(raw) != h * (1 + stride):
         raise ValueError(
-            f"PNG raster size mismatch: {len(raw)} != {h * (1 + w * ch)}"
+            f"PNG raster size mismatch: {len(raw)} != {h * (1 + stride)}"
         )
-    pixels = _png_unfilter(raw, h, w, ch)
-    arr = np.frombuffer(bytes(pixels), dtype="u1")
+    pixels = _png_unfilter(raw, h, stride, bpp)
+    if color_type == 3:
+        rows = np.frombuffer(bytes(pixels), dtype="u1").reshape(h, stride)
+        if depth == 8:
+            idx = rows[:, :w]
+        else:
+            # sub-byte indices pack MSB-first within each scanline byte
+            bits = np.unpackbits(rows, axis=1)
+            idx = (
+                bits[:, : w * depth]
+                .reshape(h, w, depth)
+                .dot(1 << np.arange(depth - 1, -1, -1))
+                .astype("u1")
+            )
+        plt = np.frombuffer(plte, dtype="u1").reshape(-1, 3)
+        if int(idx.max()) >= len(plt):
+            raise ValueError("palette PNG index out of PLTE range")
+        rgb = plt[idx]
+        if trns is None:
+            return rgb
+        if len(trns) > len(plt):
+            raise ValueError("palette PNG tRNS longer than PLTE")
+        alpha = np.full(len(plt), 255, dtype="u1")
+        alpha[: len(trns)] = np.frombuffer(trns, dtype="u1")
+        return np.dstack([rgb, alpha[idx]])
+    ch = _PNG_CHANNELS[color_type]
+    arr = np.frombuffer(bytes(pixels), dtype=">u2" if depth == 16 else "u1")
     return arr.reshape((h, w)) if ch == 1 else arr.reshape((h, w, ch))
 
 
@@ -531,11 +578,12 @@ def decode_image(payload: bytes):
 
     REAL pure-python/numpy decoders for binary PNM — P5 (grayscale,
     returns (h, w)) and P6 (RGB, returns (h, w, 3)); maxval > 255
-    raster is big-endian uint16 per the spec — and (r10) for
-    non-interlaced 8-bit PNG (gray (h, w); gray+alpha/RGB/RGBA
-    (h, w, ch)) via stdlib zlib inflate + spec §9 unfiltering.
-    Formats that genuinely need an imaging library (JPEG, 16-bit/
-    palette/interlaced PNG) still raise NotImplementedError — the
+    raster is big-endian uint16 per the spec — and (r10-r12) for
+    non-interlaced PNG: 8/16-bit gray/gray+alpha/RGB/RGBA plus
+    paletted images (PLTE lookup, depths 1/2/4/8, tRNS alpha -> RGBA)
+    via stdlib zlib inflate + spec §9 unfiltering. Formats that
+    genuinely need an imaging library (progressive JPEG, interlaced
+    PNG, compressed audio) still raise NotImplementedError — the
     container ships no PIL.
     """
     import numpy as np

@@ -349,21 +349,152 @@ def _rebuild_raw(arr, filters):
     return raw
 
 
+def _make_png16(arr, filters=None):
+    """Independent encoder for 16-bit PNG: big-endian sample bytes,
+    filter bpp = channels*2."""
+    import struct
+    import zlib
+
+    h, w = arr.shape[0], arr.shape[1]
+    ch = 1 if arr.ndim == 2 else arr.shape[2]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    stride = w * ch * 2
+    rowbytes = arr.reshape(h, w * ch).astype(">u2").tobytes()
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = rowbytes[y * stride : (y + 1) * stride]
+        ft = filters[y] if filters else y % 5
+        raw.append(ft)
+        raw += _png_forward_filter(row, prev, ch * 2, ft)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _make_png_palette(idx, plt, depth, trns=None, filters=None):
+    """Independent encoder for paletted PNG: pack indices MSB-first at
+    ``depth`` bits per pixel, PLTE from ``plt`` ((n,3) uint8), optional
+    tRNS alpha bytes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = idx.shape
+    if depth == 8:
+        packed = idx.astype("u1")
+    else:
+        bits = ((idx[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1).reshape(
+            h, w * depth
+        )
+        pad = (-bits.shape[1]) % 8
+        if pad:
+            bits = np.concatenate(
+                [bits, np.zeros((h, pad), dtype=bits.dtype)], axis=1
+            )
+        packed = np.packbits(bits.astype("u1"), axis=1)
+    stride = packed.shape[1]
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = bytes(packed[y])
+        ft = filters[y] if filters else y % 5
+        raw.append(ft)
+        raw += _png_forward_filter(row, prev, 1, ft)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(b"PLTE", plt.astype("u1").tobytes())
+    if trns is not None:
+        out += _png_chunk(b"tRNS", bytes(trns))
+    return out + _png_chunk(b"IDAT", zlib.compress(bytes(raw))) + _png_chunk(
+        b"IEND", b""
+    )
+
+
+def test_decode_png_16bit_roundtrip():
+    """16-bit gray and RGB roundtrip exactly (every filter type on some
+    scanline); samples come back as big-endian uint16."""
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    for ch in (1, 3):
+        n = 7 * 5 * ch
+        v = ((np.arange(n, dtype="int64") * 2654435761 + 11) % 60001).astype(
+            "u2"
+        )
+        px = v.reshape((7, 5)) if ch == 1 else v.reshape((7, 5, ch))
+        got = decode_image(_make_png16(px))
+        assert got.shape == px.shape and got.dtype == np.dtype(">u2")
+        assert np.array_equal(got, px), f"channels={ch}"
+
+
+def test_decode_png_palette_roundtrip_all_depths():
+    """Paletted PNG at depths 1/2/4/8 expands through PLTE to exactly
+    the encoder's RGB pixels; a tRNS chunk adds the alpha channel
+    (entries beyond tRNS default to 255)."""
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    for depth in (1, 2, 4, 8):
+        n_entries = min(2**depth, 19)
+        plt = (
+            (np.arange(n_entries * 3, dtype="int64") * 97 + depth) % 256
+        ).astype("u1").reshape(-1, 3)
+        idx = (
+            (np.arange(6 * 7, dtype="int64") * 31 + 5) % n_entries
+        ).astype("u1").reshape(6, 7)
+        got = decode_image(_make_png_palette(idx, plt, depth))
+        assert got.shape == (6, 7, 3), depth
+        assert np.array_equal(got, plt[idx]), depth
+        trns = bytes(range(0, min(n_entries, 3) * 50, 50))  # partial alpha
+        got_a = decode_image(_make_png_palette(idx, plt, depth, trns=trns))
+        assert got_a.shape == (6, 7, 4), depth
+        alpha = np.full(n_entries, 255, dtype="u1")
+        alpha[: len(trns)] = np.frombuffer(trns, dtype="u1")
+        assert np.array_equal(got_a[..., 3], alpha[idx]), depth
+        assert np.array_equal(got_a[..., :3], plt[idx]), depth
+
+
 def test_decode_png_unsupported_variants_degrade():
-    """16-bit, palette, and interlaced PNGs are format gaps
-    (NotImplementedError -> ok=false rows); truncated or corrupt
-    structure is ValueError."""
+    """Interlaced PNG is the remaining format gap (NotImplementedError
+    -> ok=false rows); truncated or corrupt structure is ValueError,
+    including malformed palette files."""
+    import numpy as np
     import pytest
 
     from mapreduce_task_spark.operators.multimodal import decode_image
 
     px = _px(3, 3, 3)
     with pytest.raises(NotImplementedError):
-        decode_image(_make_png(px, depth=16))
-    with pytest.raises(NotImplementedError):
-        decode_image(_make_png(px, color_type=3))
-    with pytest.raises(NotImplementedError):
         decode_image(_make_png(px, interlace=1))
+    # palette index beyond the PLTE table is structural damage
+    plt = np.zeros((4, 3), dtype="u1")
+    idx = np.full((3, 3), 9, dtype="u1")
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_image(_make_png_palette(idx, plt, 8))
+    # a palette file with no PLTE at all
+    import struct as _struct
+    import zlib as _zlib
+
+    ihdr = _struct.pack(">IIBBBBB", 3, 3, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00\x00\x01\x02" for _ in range(3))
+    noplte = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_image(noplte)
     whole = _make_png(px)
     with pytest.raises(ValueError):
         decode_image(whole[:40])  # truncated mid-chunk
@@ -702,6 +833,22 @@ def test_decode_jpeg_unsupported_and_corrupt_degrade():
     # bad marker alignment
     with _pytest.raises(ValueError):
         decode_image(b"\xff\xd8\x00\x00\x00\x00")
+
+
+def test_decode_jpeg_standalone_markers_skipped():
+    """Length-less markers (TEM 0x01, RSTn) appearing in the header
+    walk carry no size field — the walker must skip them instead of
+    misreading the following bytes as a segment length (r11 ADVICE)."""
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    px = _test_image(8, 8, 1, seed=5)
+    good = _encode_jpeg(px)
+    want = decode_image(good)
+    # inject a TEM marker right after SOI, before any sized segment
+    tem = good[:2] + b"\xff\x01" + good[2:]
+    assert np.array_equal(decode_image(tem), want)
 
 
 def test_decoded_image_stats_handles_jpeg(spark):
