@@ -283,13 +283,94 @@ def compact_crawl(
         run("bm25_stats", f"{bm25_path}/delta_stats",
             lambda: compact_stats_delta(spark, bm25_path, committed_batch))
     if ivf_path is not None:
+        from .ivf_ingest import compact_drift as compact_ivf_drift
+
         run("ivf_delta", f"{ivf_path}/delta",
             lambda: compact_ivf_delta(spark, ivf_path, committed_batch))
+        run("ivf_drift", f"{ivf_path}/drift",
+            lambda: compact_ivf_drift(spark, ivf_path, committed_batch))
     if ivfpq_path is not None:
         from .ivfpq_ingest import compact_delta as compact_ivfpq_delta
+        from .ivfpq_ingest import compact_drift as compact_ivfpq_drift
 
         run("ivfpq_delta", f"{ivfpq_path}/delta",
             lambda: compact_ivfpq_delta(spark, ivfpq_path, committed_batch))
+        run("ivfpq_drift", f"{ivfpq_path}/drift",
+            lambda: compact_ivfpq_drift(spark, ivfpq_path, committed_batch))
     run("quality", quality_path,
         lambda: compact_quality(spark, quality_path, committed_batch))
     return done
+
+
+def _path_exists(spark, path: str) -> bool:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def crawl_health(
+    spark,
+    ivf_path: str | None = None,
+    ivfpq_path: str | None = None,
+    retrain_ratio: float = 1.5,
+) -> DataFrame:
+    """One operational row per ANN index the crawl maintains — the
+    monitors the per-concern modules expose (``pq.index_health``
+    occupancy/skew; ``ivf_ingest``/``ivfpq_ingest`` drift signals)
+    surfaced as a single frame a scheduler reads after each crawl
+    window, instead of N per-index calls (r11 verdict #6).
+
+    Columns: (index_path, n_lists, n_rows, largest_list, skew_ratio,
+    metric, kind, drift_n, assign_ratio, quant_ratio, retrain).
+    ``skew_ratio`` is the probe-cost multiplier of the hottest list
+    (frozen-quantizer appends grow lists unevenly); the drift columns
+    are the ``drift_signal`` merge over every appended-so-far batch
+    and stay NULL until a drift row AND a recorded ``drift_baseline``
+    exist (``quant_ratio`` is NULL for the flat IVF index — no codes
+    to reconstruct). ``retrain=true`` on either row is the documented
+    offline retrain trigger. Cost: metadata-cheap list counts + a pure
+    merge of the mergeable drift rows per index — safe on a schedule
+    against a 100 TB deployment."""
+    from ..operators.pq import index_health
+    from . import ivf_ingest, ivfpq_ingest
+    from .batchlog import log_exists
+
+    frames = []
+    for path, mod in ((ivf_path, ivf_ingest), (ivfpq_path, ivfpq_ingest)):
+        if path is None:
+            continue
+        h = index_health(spark, path).select(
+            F.lit(path).alias("index_path"), "*"
+        )
+        sig = None
+        if log_exists(spark, f"{path}/drift") and _path_exists(
+            spark, f"{path}/drift_base"
+        ):
+            sig = mod.drift_signal(spark, path, retrain_ratio)
+        if sig is None:
+            sig = spark.range(1).select(
+                F.lit(None).cast("bigint").alias("drift_n"),
+                F.lit(None).cast("double").alias("assign_ratio"),
+                F.lit(None).cast("double").alias("quant_ratio"),
+                F.lit(None).cast("boolean").alias("retrain"),
+            )
+        else:
+            cols = sig.columns
+            sig = sig.select(
+                F.col("n").cast("bigint").alias("drift_n"),
+                F.col("assign_ratio"),
+                (
+                    F.col("quant_ratio")
+                    if "quant_ratio" in cols
+                    else F.lit(None).cast("double")
+                ).alias("quant_ratio"),
+                F.col("retrain"),
+            )
+        frames.append(h.crossJoin(F.broadcast(sig)))
+    if not frames:
+        raise ValueError("crawl_health needs at least one index path")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

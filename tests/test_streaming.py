@@ -694,7 +694,7 @@ def test_transform_with_state_key_stats(spark, events_dir):
     lacks — skip (not xfail) there, exactly like the multimodal decoder
     stubs; the operator itself builds its plan without it.
 
-    Re-verified round 11 (2026-08-16): ``import google.protobuf`` still
+    Re-verified round 12 (2026-08-16): ``import google.protobuf`` still
     raises ModuleNotFoundError, and installing is not an option — the
     build brief forbids pip/apt installs in this environment. The skip
     is therefore a recorded impossibility, not an oversight; the
@@ -2255,6 +2255,42 @@ def test_composed_crawl_single_checkpoint_end_to_end(spark, sf_small, tmp_path):
 
     t = read_quality_total(spark, str(tmp_path / "quality")).collect()[0]
     assert t["n_rows"] == 251  # raw stream, pre-dedup, incl. the dup
+
+    # r12: drift + occupancy surfaced through the composed loop. The
+    # appends above landed one drift row per crawl batch under the SAME
+    # single checkpoint; crawl_health reads occupancy + the drift
+    # signal per index (drift columns NULL until a baseline exists).
+    from mapreduce_task_spark.streaming.crawl import crawl_health
+
+    h0 = {
+        r["index_path"]: r
+        for r in crawl_health(
+            spark, ivf_path=ivf_idx, ivfpq_path=ivfpq_idx
+        ).collect()
+    }
+    assert set(h0) == {ivf_idx, ivfpq_idx}
+    assert h0[ivf_idx]["kind"] == "ivf" and h0[ivfpq_idx]["kind"] == "ivfpq"
+    assert h0[ivf_idx]["assign_ratio"] is None  # no baseline recorded yet
+    assert h0[ivf_idx]["skew_ratio"] >= 1.0
+
+    ivf_ingest.drift_baseline(spark, ivf_idx)
+    ivfpq_ingest.drift_baseline(spark, ivfpq_idx, id_col="doc_id", m=8, dim=64)
+    # one drift row per crawl batch (the two streamed files)
+    trend = ivf_ingest.read_drift_trend(spark, ivf_idx).collect()
+    assert sorted(r["__batch"] for r in trend) == [0, 1]
+    assert sum(r["n"] for r in trend) == n_embedded
+
+    h = {
+        r["index_path"]: r
+        for r in crawl_health(
+            spark, ivf_path=ivf_idx, ivfpq_path=ivfpq_idx
+        ).collect()
+    }
+    assert h[ivf_idx]["drift_n"] == n_embedded
+    assert h[ivf_idx]["assign_ratio"] > 0
+    assert h[ivf_idx]["quant_ratio"] is None  # flat index: no codes
+    assert h[ivfpq_idx]["quant_ratio"] > 0
+    assert h[ivfpq_idx]["retrain"] is not None
 
 
 def test_composed_crawl_batch_replay_idempotent(spark, sf_small, tmp_path):
