@@ -181,10 +181,13 @@ def _idct_matrix():
     return c
 
 
-def _jpeg_entropy_segments(data: bytes, start: int) -> list:
+def _jpeg_entropy_segments(data: bytes, start: int) -> tuple:
     """Split the scan's entropy-coded bytes into restart segments:
     0xFF00 unstuffs to a literal 0xFF, 0xFFD0-0xFFD7 ends a segment,
-    any other marker ends the scan."""
+    any other marker ends the scan. Returns (segments, end) where
+    ``end`` is the offset of the terminating marker's 0xFF (or
+    len(data)) — the progressive walker resumes there for the next
+    scan's header segments."""
     segs = []
     cur = bytearray()
     i = start
@@ -205,21 +208,26 @@ def _jpeg_entropy_segments(data: bytes, start: int) -> list:
         cur.append(b)
         i += 1
     segs.append(bytes(cur))
-    return segs
+    return segs, i
 
 
 def _decode_jpeg(payload: bytes):
-    """Pure-stdlib/numpy BASELINE JPEG decoder (SOF0/SOF1, Huffman,
-    8-bit): marker walk -> DQT/DHT/SOF/SOS -> per-MCU Huffman decode
-    (restart-interval aware) -> dequantize -> inverse zigzag -> 8x8
-    IDCT (one numpy matmul pair per block) -> plane assembly with
-    nearest-neighbor chroma upsampling -> JFIF YCbCr->RGB. Grayscale
-    returns (h, w) uint8; color (h, w, 3) uint8. Progressive (SOF2),
-    arithmetic-coded, hierarchical, and 12-bit files raise
-    NotImplementedError (ok=false degradation); structural damage
-    raises ValueError. The bit loop is per payload inside a
-    mapInPandas batch — slow-but-bounded python, the same posture as
-    the PNG unfilter loops."""
+    """Pure-stdlib/numpy JPEG decoder — BASELINE (SOF0/SOF1) and
+    PROGRESSIVE (SOF2), Huffman, 8-bit. Baseline: marker walk ->
+    DQT/DHT/SOF/SOS -> per-MCU Huffman decode (restart-interval aware)
+    -> dequantize -> inverse zigzag -> 8x8 IDCT (one numpy matmul pair
+    per block) -> plane assembly with nearest-neighbor chroma
+    upsampling -> JFIF YCbCr->RGB. Progressive (r12): each SOS scan
+    accumulates its spectral band of coefficients into per-block
+    arrays (spectral selection + successive approximation with
+    correction bits, see ``_JpegProgressive``), and the single
+    dequant/IDCT/assembly pass runs at the end. Grayscale returns
+    (h, w) uint8; color (h, w, 3) uint8. Arithmetic-coded,
+    hierarchical/lossless, and 12-bit files raise NotImplementedError
+    (ok=false degradation); structural damage raises ValueError. The
+    bit loop is per payload inside a mapInPandas batch —
+    slow-but-bounded python, the same posture as the PNG unfilter
+    loops."""
     import struct
 
     import numpy as np
@@ -230,6 +238,8 @@ def _decode_jpeg(payload: bytes):
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     sof = None
+    progressive = False
+    prog = None
     dri = 0
     i = 2
     while i + 4 <= len(payload):
@@ -245,11 +255,12 @@ def _decode_jpeg(payload: bytes):
             # the following bytes as a phantom segment size
             i += 2
             continue
-        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/arithmetic/hierarchical JPEG needs an imaging "
-                "library; only baseline sequential Huffman decodes here"
+                "arithmetic-coded/hierarchical/lossless JPEG needs an "
+                "imaging library; baseline sequential and progressive "
+                "Huffman decode here"
             )
         (size,) = struct.unpack(">H", payload[i + 2 : i + 4])
         body = payload[i + 4 : i + 2 + size]
@@ -281,7 +292,7 @@ def _decode_jpeg(payload: bytes):
                     bits, vals
                 )
                 j += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 prog.
             depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if depth != 8:
                 raise NotImplementedError("only 8-bit JPEG decodes here")
@@ -292,20 +303,44 @@ def _decode_jpeg(payload: bytes):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             sof = (h, w, comps)
+            progressive = marker == 0xC2
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
-            scan = {}
+            if not progressive:
+                scan = {}
+                for c in range(ns):
+                    cid, tt = body[1 + 2 * c : 3 + 2 * c]
+                    scan[cid] = (tt >> 4, tt & 15)
+                return _jpeg_decode_scan(
+                    payload, i + 2 + size, sof, scan, qt, dc_tabs, ac_tabs,
+                    dri,
+                )
+            # progressive: accumulate this scan's spectral band, then
+            # keep walking — more DHT/DRI/SOS segments follow
+            if len(body) < 4 + 2 * ns:
+                raise ValueError("short JPEG SOS header")
+            if prog is None:
+                prog = _JpegProgressive(sof)
+            scan_list = []
             for c in range(ns):
                 cid, tt = body[1 + 2 * c : 3 + 2 * c]
-                scan[cid] = (tt >> 4, tt & 15)
-            return _jpeg_decode_scan(
-                payload, i + 2 + size, sof, scan, qt, dc_tabs, ac_tabs, dri
+                scan_list.append((cid, tt >> 4, tt & 15))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            segs, end = _jpeg_entropy_segments(payload, i + 2 + size)
+            prog.scan(
+                scan_list, ss, se, ahal >> 4, ahal & 15, segs, dri,
+                dc_tabs, ac_tabs,
             )
+            i = end
+            continue
         i += 2 + size
+    if prog is not None and prog.n_scans:
+        return prog.image(qt)
     raise ValueError("JPEG has no SOS scan")
 
 
@@ -344,7 +379,7 @@ def _jpeg_decode_scan(payload, start, sof, scan, qt, dc_tabs, ac_tabs, dri):
         deq[cid] = q.reshape(8, 8)
         planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch_ * 8))
 
-    segs = _jpeg_entropy_segments(payload, start)
+    segs, _ = _jpeg_entropy_segments(payload, start)
     seg_idx = 0
     br = _JpegBits(segs[0])
     preds = {cid: 0 for cid, *_ in comps}
@@ -391,7 +426,15 @@ def _jpeg_decode_scan(payload, start, sof, scan, qt, dc_tabs, ac_tabs, dri):
                     by = (my * cv + v) * 8
                     bx = (mx * ch_ + hh) * 8
                     planes[cid][by : by + 8, bx : bx + 8] = spatial
-    # upsample each component to full resolution, crop, stack
+    return _jpeg_planes_to_image(planes, comps, hmax, vmax, h, w)
+
+
+def _jpeg_planes_to_image(planes, comps, hmax, vmax, h, w):
+    """Shared decode tail (baseline and progressive): upsample each
+    component plane to full resolution, crop the MCU padding, JFIF
+    YCbCr->RGB for 3-component images."""
+    import numpy as np
+
     out = []
     for cid, ch_, cv, _tq in comps:
         p = planes[cid]
@@ -409,6 +452,214 @@ def _jpeg_decode_scan(payload, start, sof, scan, qt, dc_tabs, ac_tabs, dri):
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype("u1")
+
+
+class _JpegProgressive:
+    """Progressive (SOF2) coefficient accumulator: each SOS scan
+    deposits or refines a spectral band of DCT coefficients (spec
+    G.1.2 / G.2 — spectral selection Ss..Se, successive approximation
+    Ah/Al with correction bits), and ``image()`` runs the one
+    dequantize + IDCT + assembly pass at the end over the accumulated
+    per-block coefficient arrays (kept in ZIGZAG order). DC scans may
+    interleave components in MCU order; AC scans are per-component in
+    block-raster order per the spec. Restart markers reset the DC
+    predictors AND the EOB run."""
+
+    def __init__(self, sof):
+        import numpy as np
+
+        h, w, comps = sof
+        self.h, self.w, self.comps = h, w, comps
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        if self.hmax < 1 or self.vmax < 1 or self.hmax > 4 or self.vmax > 4:
+            raise ValueError("bad JPEG sampling factors")
+        if any(self.hmax % c[1] or self.vmax % c[2] for c in comps):
+            raise NotImplementedError(
+                "non-integer JPEG chroma sampling ratio needs an imaging "
+                "library"
+            )
+        self.mcus_x = -(-w // (8 * self.hmax))
+        self.mcus_y = -(-h // (8 * self.vmax))
+        self.coefs = {}
+        self.bdims = {}
+        self.factors = {}
+        for cid, ch_, cv, _tq in comps:
+            # MCU-padded block grid (interleaved DC scans cover the
+            # padding); non-interleaved scans touch only the ACTUAL
+            # component blocks, per the spec's data-unit count
+            self.coefs[cid] = np.zeros(
+                (self.mcus_y * cv, self.mcus_x * ch_, 64), dtype=np.int32
+            )
+            comp_w = -(-w * ch_ // self.hmax)
+            comp_h = -(-h * cv // self.vmax)
+            self.bdims[cid] = (-(-comp_h // 8), -(-comp_w // 8))
+            self.factors[cid] = (ch_, cv)
+        self.n_scans = 0
+
+    def _units(self, scan_list):
+        """Restart-countable data units: one MCU's block list per unit
+        for interleaved scans, one block per unit otherwise."""
+        if len(scan_list) > 1:
+            units = []
+            for m in range(self.mcus_x * self.mcus_y):
+                my, mx = divmod(m, self.mcus_x)
+                blocks = []
+                for cid, _d, _a in scan_list:
+                    ch_, cv = self.factors[cid]
+                    for v in range(cv):
+                        for hh in range(ch_):
+                            blocks.append((cid, my * cv + v, mx * ch_ + hh))
+                units.append(blocks)
+            return units
+        cid = scan_list[0][0]
+        bh, bw = self.bdims[cid]
+        return [
+            [(cid, by, bx)] for by in range(bh) for bx in range(bw)
+        ]
+
+    def scan(self, scan_list, ss, se, ah, al, segs, dri, dc_tabs, ac_tabs):
+        if not (0 <= ss <= 63 and ss <= se <= 63) or al > 13:
+            raise ValueError("bad JPEG progressive scan parameters")
+        if ss == 0 and se != 0:
+            raise ValueError("JPEG DC scan must have Se=0")
+        if ss > 0 and len(scan_list) > 1:
+            raise ValueError("JPEG progressive AC scan must be one component")
+        for cid, dsel, asel in scan_list:
+            if cid not in self.coefs:
+                raise ValueError("JPEG scan references unknown component")
+            if ss == 0 and ah == 0 and dsel not in dc_tabs:
+                raise ValueError("JPEG scan references missing DHT")
+            if ss > 0 and asel not in ac_tabs:
+                raise ValueError("JPEG scan references missing DHT")
+        units = self._units(scan_list)
+        seg_idx = 0
+        br = _JpegBits(segs[0])
+        preds = {cid: 0 for cid, _d, _a in scan_list}
+        self._eobrun = 0
+        for u, blocks in enumerate(units):
+            if dri and u and u % dri == 0:
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    raise ValueError("JPEG missing restart segment")
+                br = _JpegBits(segs[seg_idx])
+                preds = {cid: 0 for cid, _d, _a in scan_list}
+                self._eobrun = 0
+            for cid, by, bx in blocks:
+                cz = self.coefs[cid][by, bx]
+                dsel = asel = None
+                for scid, d, a in scan_list:
+                    if scid == cid:
+                        dsel, asel = d, a
+                if ss == 0:
+                    if ah == 0:
+                        t = _jpeg_decode_huff(br, dc_tabs[dsel])
+                        if t > 11:
+                            raise ValueError("bad JPEG DC category")
+                        diff = _jpeg_extend(br.read_bits(t), t) if t else 0
+                        preds[cid] += diff
+                        cz[0] = preds[cid] << al
+                    elif br.read_bit():
+                        cz[0] |= 1 << al
+                elif ah == 0:
+                    self._ac_first(br, ac_tabs[asel], cz, ss, se, al)
+                else:
+                    self._ac_refine(br, ac_tabs[asel], cz, ss, se, al)
+        self.n_scans += 1
+
+    def _ac_first(self, br, table, cz, ss, se, al):
+        if self._eobrun > 0:
+            self._eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _jpeg_decode_huff(br, table)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                self._eobrun = (1 << r) - 1  # EOBn: this block ends now
+                if r:
+                    self._eobrun += br.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run past band end")
+            cz[k] = _jpeg_extend(br.read_bits(s), s) << al
+            k += 1
+
+    def _ac_refine(self, br, table, cz, ss, se, al):
+        """Correction-bit pass (spec G.1.2.3): already-nonzero
+        coefficients in the band receive one refinement bit each as the
+        scan traverses them; zero-history positions count toward the
+        run that places each newly-significant +-1<<Al coefficient."""
+        p1 = 1 << al
+        m1 = -p1
+        k = ss
+        if self._eobrun == 0:
+            while k <= se:
+                rs = _jpeg_decode_huff(br, table)
+                r, s = rs >> 4, rs & 15
+                s_val = 0
+                if s == 0:
+                    if r != 15:
+                        # refinement EOB run INCLUDES the current block:
+                        # its remaining in-band correction bits are
+                        # consumed by the tail walk below, then the run
+                        # decrements (unlike the first pass, where the
+                        # current block ends immediately)
+                        self._eobrun = 1 << r
+                        if r:
+                            self._eobrun += br.read_bits(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("bad JPEG AC refinement magnitude")
+                    s_val = p1 if br.read_bit() else m1
+                while k <= se:
+                    if cz[k] != 0:
+                        if br.read_bit() and (cz[k] & p1) == 0:
+                            cz[k] += p1 if cz[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s_val and k <= se:
+                    cz[k] = s_val
+                k += 1
+        if self._eobrun > 0:
+            while k <= se:
+                if cz[k] != 0:
+                    if br.read_bit() and (cz[k] & p1) == 0:
+                        cz[k] += p1 if cz[k] >= 0 else m1
+                k += 1
+            self._eobrun -= 1
+
+    def image(self, qt):
+        import numpy as np
+
+        cmat = _idct_matrix()
+        zz = list(_JPEG_ZIGZAG)
+        planes = {}
+        for cid, ch_, cv, tq in self.comps:
+            if tq not in qt:
+                raise ValueError(f"JPEG component references missing DQT {tq}")
+            qtbl = np.asarray(qt[tq], dtype=np.float64)  # zigzag order
+            plane = np.zeros((self.mcus_y * cv * 8, self.mcus_x * ch_ * 8))
+            nblk_y, nblk_x = self.coefs[cid].shape[:2]
+            for by in range(nblk_y):
+                for bx in range(nblk_x):
+                    nat = np.zeros(64)
+                    nat[zz] = self.coefs[cid][by, bx] * qtbl
+                    spatial = cmat.T @ nat.reshape(8, 8) @ cmat + 128.0
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
+            planes[cid] = plane
+        return _jpeg_planes_to_image(
+            planes, self.comps, self.hmax, self.vmax, self.h, self.w
+        )
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -468,14 +719,13 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytearray:
 def _decode_png(payload: bytes):
     """Pure-stdlib PNG decoder: chunk walk -> IHDR validation -> one
     zlib inflate over the concatenated IDAT stream -> per-scanline
-    unfilter. Covers non-interlaced 8- and 16-bit gray/gray+alpha/RGB/
-    RGBA plus palette images (PLTE lookup, depths 1/2/4/8, optional
-    tRNS alpha -> RGBA) — the formats a real corpus overwhelmingly
-    contains; only Adam7-interlaced files still raise
-    NotImplementedError (degrading to ok=false rows in
-    decoded_image_stats). Anything structurally malformed raises
-    ValueError. 16-bit samples come back as big-endian uint16 arrays
-    (the PNM decoder's convention)."""
+    unfilter. Covers 8- and 16-bit gray/gray+alpha/RGB/RGBA plus
+    palette images (PLTE lookup, depths 1/2/4/8, optional tRNS alpha
+    -> RGBA), non-interlaced AND Adam7-interlaced (r12: seven
+    independently-filtered reduced images scattered onto the sample
+    grid) — the full deflate-era PNG surface. Anything structurally
+    malformed raises ValueError. 16-bit samples come back as
+    big-endian uint16 arrays (the PNM decoder's convention)."""
     import struct
     import zlib
 
@@ -510,8 +760,8 @@ def _decode_png(payload: bytes):
     w, h, depth, color_type, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError(f"bad PNG compression/filter method {comp}/{filt}")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if w == 0 or h == 0:
         raise ValueError("zero-dimension PNG")
     if color_type == 3:
@@ -539,24 +789,74 @@ def _decode_png(payload: bytes):
         # normalize to ValueError so decoded_image_stats degrades the
         # row (ok=false) instead of the zlib.error killing the task
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    if len(raw) != h * (1 + stride):
-        raise ValueError(
-            f"PNG raster size mismatch: {len(raw)} != {h * (1 + stride)}"
-        )
-    pixels = _png_unfilter(raw, h, stride, bpp)
-    if color_type == 3:
-        rows = np.frombuffer(bytes(pixels), dtype="u1").reshape(h, stride)
-        if depth == 8:
-            idx = rows[:, :w]
-        else:
+
+    def region_stride(pw: int) -> int:
+        if color_type == 3:
+            return (pw * depth + 7) // 8
+        return pw * bpp
+
+    def decode_region(part: bytes, ph: int, pw: int):
+        """Unfilter one filtered raster region (the whole image, or one
+        Adam7 pass's reduced image) and return its per-pixel samples —
+        palette indices (ph, pw) or channel samples (ph, pw[, ch])."""
+        st = region_stride(pw)
+        pix = _png_unfilter(part, ph, st, bpp)
+        if color_type == 3:
+            rows = np.frombuffer(bytes(pix), dtype="u1").reshape(ph, st)
+            if depth == 8:
+                return rows[:, :pw]
             # sub-byte indices pack MSB-first within each scanline byte
             bits = np.unpackbits(rows, axis=1)
-            idx = (
-                bits[:, : w * depth]
-                .reshape(h, w, depth)
+            return (
+                bits[:, : pw * depth]
+                .reshape(ph, pw, depth)
                 .dot(1 << np.arange(depth - 1, -1, -1))
                 .astype("u1")
             )
+        ch_ = _PNG_CHANNELS[color_type]
+        a = np.frombuffer(bytes(pix), dtype=">u2" if depth == 16 else "u1")
+        return a.reshape((ph, pw)) if ch_ == 1 else a.reshape((ph, pw, ch_))
+
+    if interlace == 0:
+        if len(raw) != h * (1 + stride):
+            raise ValueError(
+                f"PNG raster size mismatch: {len(raw)} != {h * (1 + stride)}"
+            )
+        samples = decode_region(raw, h, w)
+    else:
+        # Adam7 (spec §8.2): seven reduced images, each filtered
+        # independently at its own reduced width; empty passes
+        # contribute no bytes. Scatter each pass onto its sample grid.
+        if color_type == 3:
+            samples = np.zeros((h, w), dtype="u1")
+        else:
+            ch_ = _PNG_CHANNELS[color_type]
+            dt = ">u2" if depth == 16 else "u1"
+            samples = np.zeros(
+                (h, w) if ch_ == 1 else (h, w, ch_), dtype=dt
+            )
+        pos = 0
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            nbytes = ph * (1 + region_stride(pw))
+            part = raw[pos : pos + nbytes]
+            if len(part) < nbytes:
+                raise ValueError("truncated interlaced PNG raster")
+            pos += nbytes
+            samples[y0::dy, x0::dx] = decode_region(part, ph, pw)
+        if pos != len(raw):
+            raise ValueError(
+                f"PNG raster size mismatch: {len(raw)} != {pos}"
+            )
+
+    if color_type == 3:
+        idx = samples
         plt = np.frombuffer(plte, dtype="u1").reshape(-1, 3)
         if int(idx.max()) >= len(plt):
             raise ValueError("palette PNG index out of PLTE range")
@@ -568,9 +868,7 @@ def _decode_png(payload: bytes):
         alpha = np.full(len(plt), 255, dtype="u1")
         alpha[: len(trns)] = np.frombuffer(trns, dtype="u1")
         return np.dstack([rgb, alpha[idx]])
-    ch = _PNG_CHANNELS[color_type]
-    arr = np.frombuffer(bytes(pixels), dtype=">u2" if depth == 16 else "u1")
-    return arr.reshape((h, w)) if ch == 1 else arr.reshape((h, w, ch))
+    return samples
 
 
 def decode_image(payload: bytes):
@@ -581,10 +879,11 @@ def decode_image(payload: bytes):
     raster is big-endian uint16 per the spec — and (r10-r12) for
     non-interlaced PNG: 8/16-bit gray/gray+alpha/RGB/RGBA plus
     paletted images (PLTE lookup, depths 1/2/4/8, tRNS alpha -> RGBA)
-    via stdlib zlib inflate + spec §9 unfiltering. Formats that
-    genuinely need an imaging library (progressive JPEG, interlaced
-    PNG, compressed audio) still raise NotImplementedError — the
-    container ships no PIL.
+    via stdlib zlib inflate + spec §9 unfiltering; baseline AND
+    progressive JPEG decode through ``_decode_jpeg``. Formats that
+    genuinely need an imaging library (arithmetic-coded JPEG,
+    Adam7-interlaced PNG, compressed audio) still raise
+    NotImplementedError — the container ships no PIL.
     """
     import numpy as np
 

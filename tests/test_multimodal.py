@@ -464,17 +464,91 @@ def test_decode_png_palette_roundtrip_all_depths():
         assert np.array_equal(got_a[..., :3], plt[idx]), depth
 
 
+def _make_png_adam7(arr, plt=None, filters=None):
+    """Independent Adam7 encoder: the seven reduced images, each
+    forward-filtered at its own reduced width (filters cycle 0..4
+    across pass scanlines). ``arr`` is uint8 (h,w[,ch]) or uint16; with
+    ``plt`` the array holds palette indices (depth 8, color type 3)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    ch = 1 if arr.ndim == 2 else arr.shape[2]
+    wide = arr.dtype.itemsize == 2
+    if plt is not None:
+        color_type, depth = 3, 8
+    else:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        depth = 16 if wide else 8
+    bpp = ch * (2 if wide else 1)
+    raw = bytearray()
+    fidx = 0
+    for x0, y0, dx, dy in (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ):
+        sub = arr[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        stride = pw * bpp
+        rowbytes = sub.reshape(ph, pw * ch).astype(">u2" if wide else "u1").tobytes()
+        prev = bytes(stride)
+        for y in range(ph):
+            ft = filters[fidx % len(filters)] if filters else fidx % 5
+            fidx += 1
+            row = rowbytes[y * stride : (y + 1) * stride]
+            raw.append(ft)
+            raw += _png_forward_filter(row, prev, bpp, ft)
+            prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 1)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plt is not None:
+        out += _png_chunk(b"PLTE", plt.astype("u1").tobytes())
+    return out + _png_chunk(b"IDAT", zlib.compress(bytes(raw))) + _png_chunk(
+        b"IEND", b""
+    )
+
+
+def test_decode_png_adam7_roundtrip():
+    """Adam7-interlaced PNG roundtrips exactly: gray/RGB/RGBA, odd
+    dims that leave some passes empty, 16-bit, and palette."""
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    for h, w, ch in ((9, 10, 1), (8, 8, 3), (7, 5, 4), (3, 3, 1),
+                     (1, 1, 3), (2, 2, 1), (16, 3, 2)):
+        px = _px(h, w, ch, seed=h * 31 + w)
+        got = decode_image(_make_png_adam7(px))
+        assert got.shape == px.shape, (h, w, ch)
+        assert np.array_equal(got, px), (h, w, ch)
+    # 16-bit gray
+    v = ((np.arange(6 * 7, dtype="int64") * 40503 + 3) % 60001).astype("u2")
+    px16 = v.reshape(6, 7)
+    got16 = decode_image(_make_png_adam7(px16))
+    assert got16.dtype == np.dtype(">u2") and np.array_equal(got16, px16)
+    # palette
+    plt = ((np.arange(12 * 3, dtype="int64") * 89 + 1) % 256).astype("u1").reshape(-1, 3)
+    idx = ((np.arange(9 * 9, dtype="int64") * 17 + 2) % 12).astype("u1").reshape(9, 9)
+    gotp = decode_image(_make_png_adam7(idx, plt=plt))
+    assert gotp.shape == (9, 9, 3) and np.array_equal(gotp, plt[idx])
+
+
 def test_decode_png_unsupported_variants_degrade():
-    """Interlaced PNG is the remaining format gap (NotImplementedError
-    -> ok=false rows); truncated or corrupt structure is ValueError,
-    including malformed palette files."""
+    """A NON-interlaced raster mislabeled interlaced is structural
+    damage (ValueError — Adam7 expects different pass byte counts);
+    truncated or corrupt structure is ValueError, including malformed
+    palette files."""
     import numpy as np
     import pytest
 
     from mapreduce_task_spark.operators.multimodal import decode_image
 
     px = _px(3, 3, 3)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(_make_png(px, interlace=1))
     # palette index beyond the PLTE table is structural damage
     plt = np.zeros((4, 3), dtype="u1")
@@ -765,6 +839,308 @@ def _test_image(h, w, ch, seed=1):
     return a.reshape((h, w)) if ch == 1 else a.reshape((h, w, ch))
 
 
+# --------------------------------------------------------------------------
+# Progressive JPEG (r12): independent test-side SOF2 encoder — spectral
+# selection bands and (successive=True) successive approximation with
+# correction bits, per spec G.1.2 / libjpeg's emission discipline. The
+# module decoder is written from the spec's decode side; agreement of
+# the two independent implementations is the roundtrip evidence.
+# --------------------------------------------------------------------------
+
+
+def _jpeg_coef_blocks(px, subsample=False):
+    """Quantized (all-ones table) zigzag DCT coefficients per block —
+    the shared front half of both encoders. Returns (h, w, comps,
+    zzb, mcus_x, mcus_y) with zzb[cid][by][bx] a 64-list."""
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _idct_matrix,
+    )
+
+    h, w = px.shape[:2]
+    if px.ndim == 2:
+        planes = {1: px.astype(np.float64)}
+        comps = [(1, 1, 1)]
+    else:
+        r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            ye = np.pad(y, ((0, h % 2), (0, w % 2)), mode="edge")
+            cbe = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
+            cre = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
+            cb2 = cbe.reshape(ye.shape[0] // 2, 2, ye.shape[1] // 2, 2).mean((1, 3))
+            cr2 = cre.reshape(ye.shape[0] // 2, 2, ye.shape[1] // 2, 2).mean((1, 3))
+            planes = {1: y, 2: cb2, 3: cr2}
+            comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+        else:
+            planes = {1: y, 2: cb, 3: cr}
+            comps = [(1, 1, 1), (2, 1, 1), (3, 1, 1)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    cmat = _idct_matrix()
+    zzb = {}
+    for cid, ch_, cv in comps:
+        p = planes[cid]
+        th, tw = mcus_y * cv * 8, mcus_x * ch_ * 8
+        p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        grid = []
+        for by in range(th // 8):
+            row = []
+            for bx in range(tw // 8):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coefs = cmat @ (blk - 128.0) @ cmat.T
+                row.append(
+                    [int(round(coefs.flat[_JPEG_ZIGZAG[k]])) for k in range(64)]
+                )
+            grid.append(row)
+        zzb[cid] = grid
+    return h, w, comps, zzb, mcus_x, mcus_y
+
+
+def _encode_jpeg_progressive(
+    px, subsample=False, restart_interval=0, successive=False,
+    bands=((1, 5), (6, 63)),
+):
+    """SOF2 encoder. successive=False: DC scan + spectral-selection AC
+    band scans, all at Ah=Al=0. successive=True: DC first at Al=1 +
+    AC band firsts at Al=1, then the DC and AC refinement scans
+    (Ah=1, Al=0) with correction bits. Restart markers (if any) apply
+    to every scan — MCU units for the interleaved DC scan, block units
+    for AC scans."""
+    import struct
+
+    h, w, comps, zzb, mcus_x, mcus_y = _jpeg_coef_blocks(px, subsample)
+    dc_bits, dc_vals, ac_bits, ac_vals = _jpeg_enc_tables()
+    dc_map = _enc_huff_map(dc_bits, dc_vals)
+    ac_map = _enc_huff_map(ac_bits, ac_vals)
+    factors = {cid: (ch_, cv) for cid, ch_, cv in comps}
+    # actual (non-padded) block dims per component for AC scans
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    bdims = {
+        cid: (
+            -(-(-(-h * cv // vmax)) // 8),
+            -(-(-(-w * ch_ // hmax)) // 8),
+        )
+        for cid, ch_, cv in comps
+    }
+
+    def entropy(units, emit_unit, reset):
+        """Run emit_unit over units with restart markers every
+        restart_interval units; returns the entropy bytes."""
+        bw = _JpegBitWriter()
+        parts = []
+        rst = 0
+        reset()
+        for u, unit in enumerate(units):
+            if restart_interval and u and u % restart_interval == 0:
+                bw.align()
+                parts.append(bytes(bw.out))
+                parts.append(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                bw = _JpegBitWriter()
+                reset()
+            emit_unit(bw, unit)
+        bw.align()
+        parts.append(bytes(bw.out))
+        return b"".join(parts)
+
+    def put_sym(bw, m, sym):
+        ln, code = m[sym]
+        bw.put(code, ln)
+
+    preds = {}
+
+    def dc_first_scan(al):
+        def reset():
+            preds.clear()
+            preds.update({cid: 0 for cid, *_ in comps})
+
+        def emit(bw, m):
+            my, mx = divmod(m, mcus_x)
+            for cid, ch_, cv in comps:
+                for v in range(cv):
+                    for hh in range(ch_):
+                        dc = zzb[cid][my * cv + v][mx * ch_ + hh][0] >> al
+                        diff = dc - preds[cid]
+                        preds[cid] = dc
+                        t = abs(diff).bit_length()
+                        put_sym(bw, dc_map, t)
+                        if t:
+                            bw.put(
+                                diff if diff > 0 else diff + (1 << t) - 1, t
+                            )
+
+        return entropy(list(range(mcus_x * mcus_y)), emit, reset)
+
+    def dc_refine_scan(al):
+        def emit(bw, m):
+            my, mx = divmod(m, mcus_x)
+            for cid, ch_, cv in comps:
+                for v in range(cv):
+                    for hh in range(ch_):
+                        bw.put((zzb[cid][my * cv + v][mx * ch_ + hh][0] >> al) & 1, 1)
+
+        return entropy(list(range(mcus_x * mcus_y)), emit, lambda: None)
+
+    def ac_first_scan(cid, lo, hi, al):
+        bh, bw_ = bdims[cid]
+
+        def emit(bw, blk):
+            by, bx = blk
+            v = zzb[cid][by][bx]
+            r = 0
+            for k in range(lo, hi + 1):
+                t = abs(v[k]) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    put_sym(bw, ac_map, 0xF0)
+                    r -= 16
+                s = t.bit_length()
+                put_sym(bw, ac_map, (r << 4) | s)
+                sv = t if v[k] > 0 else -t
+                bw.put(sv if sv > 0 else sv + (1 << s) - 1, s)
+                r = 0
+            if r > 0:
+                put_sym(bw, ac_map, 0x00)  # EOB0
+
+        units = [(by, bx) for by in range(bh) for bx in range(bw_)]
+        return entropy(units, emit, lambda: None)
+
+    def ac_refine_scan(cid, lo, hi, al):
+        bh, bw_ = bdims[cid]
+
+        def emit(bw, blk):
+            by, bx = blk
+            v = zzb[cid][by][bx]
+            absv = [abs(x) >> al for x in v]
+            eobpos = max(
+                (k for k in range(lo, hi + 1) if absv[k] == 1), default=-1
+            )
+            r = 0
+            pending = []
+            for k in range(lo, hi + 1):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eobpos:
+                    put_sym(bw, ac_map, 0xF0)
+                    r -= 16
+                    for bit in pending:
+                        bw.put(bit, 1)
+                    pending = []
+                if t > 1:  # nonzero history: one correction bit
+                    pending.append(t & 1)
+                    continue
+                put_sym(bw, ac_map, (r << 4) | 1)
+                bw.put(1 if v[k] > 0 else 0, 1)
+                for bit in pending:
+                    bw.put(bit, 1)
+                pending = []
+                r = 0
+            if r > 0 or pending:
+                put_sym(bw, ac_map, 0x00)  # EOB0 covers this block's tail
+                for bit in pending:
+                    bw.put(bit, 1)
+
+        units = [(by, bx) for by in range(bh) for bx in range(bw_)]
+        return entropy(units, emit, lambda: None)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(scan_comps, ss, se, ah, al, data):
+        body = bytes([len(scan_comps)])
+        for cid in scan_comps:
+            body += bytes([cid, 0x00])  # DC table 0 / AC table 0
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body) + data
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, ch_, cv in comps:
+        sof += bytes([cid, (ch_ << 4) | cv, 0])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    al0 = 1 if successive else 0
+    all_cids = [cid for cid, *_ in comps]
+    out += sos(all_cids, 0, 0, 0, al0, dc_first_scan(al0))
+    for cid in all_cids:
+        for lo, hi in bands:
+            out += sos([cid], lo, hi, 0, al0, ac_first_scan(cid, lo, hi, al0))
+    if successive:
+        out += sos(all_cids, 0, 0, 1, 0, dc_refine_scan(0))
+        for cid in all_cids:
+            for lo, hi in bands:
+                out += sos([cid], lo, hi, 1, 0, ac_refine_scan(cid, lo, hi, 0))
+    return out + b"\xff\xd9"
+
+
+def test_decode_jpeg_progressive_spectral_matches_baseline():
+    """Spectral-selection progressive (DC scan + AC band scans, Ah=Al=0)
+    carries the SAME coefficients as the baseline encoding — the decoded
+    images must be bit-identical, for gray, 4:4:4 color, 4:2:0, and with
+    restart markers in every scan."""
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    cases = [
+        (_test_image(13, 21, 1, seed=2), {}),
+        (_test_image(11, 18, 3, seed=7), {}),
+        (_test_image(20, 25, 3, seed=9), {"subsample": True}),
+        (_test_image(24, 17, 1, seed=4), {"restart_interval": 2}),
+    ]
+    for px, kw in cases:
+        want = decode_image(_encode_jpeg(px, **kw))
+        got = decode_image(_encode_jpeg_progressive(px, **kw))
+        assert got.shape == want.shape, kw
+        assert np.array_equal(got, want), kw
+        if not kw.get("subsample"):
+            # closeness to source (4:2:0 noise chroma legitimately
+            # averages away — equality with baseline covers that case)
+            assert int(np.abs(got.astype(int) - px.astype(int)).max()) <= 3, kw
+
+
+def test_decode_jpeg_progressive_successive_approximation():
+    """Successive approximation (DC/AC firsts at Al=1, then refinement
+    scans with correction bits at Ah=1, Al=0) reconstructs the full
+    coefficients — decode equals the baseline decode bit-for-bit,
+    including 4:2:0, multi-band splits, and restart markers."""
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    cases = [
+        (_test_image(13, 21, 1, seed=3), {}),
+        (_test_image(11, 18, 3, seed=8), {}),
+        (_test_image(20, 25, 3, seed=5), {"subsample": True}),
+        (_test_image(16, 16, 1, seed=6), {"restart_interval": 3}),
+        (
+            _test_image(9, 30, 1, seed=12),
+            {"bands": ((1, 2), (3, 20), (21, 63))},
+        ),
+    ]
+    for px, kw in cases:
+        want = decode_image(_encode_jpeg(px, **{k: v for k, v in kw.items() if k != "bands"}))
+        got = decode_image(_encode_jpeg_progressive(px, successive=True, **kw))
+        assert got.shape == want.shape, kw
+        assert np.array_equal(got, want), kw
+
+
 def test_decode_jpeg_roundtrip_grayscale():
     """decode(encode(px)) within DCT float-rounding tolerance, exact
     dims, non-multiple-of-8 sizes included."""
@@ -823,10 +1199,15 @@ def test_decode_jpeg_unsupported_and_corrupt_degrade():
 
     px = _test_image(8, 8, 1)
     good = _encode_jpeg(px)
-    # progressive: flip SOF0 (0xC0) to SOF2 (0xC2)
-    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    # arithmetic-coded: flip SOF0 (0xC0) to SOF9 (0xC9)
+    arith = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
     with _pytest.raises(NotImplementedError):
-        decode_image(prog)
+        decode_image(arith)
+    # a baseline stream mislabeled SOF2: the full-band SOS (Ss=0,
+    # Se=63) is not a legal progressive DC scan — structural damage
+    mislabel = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError):
+        decode_image(mislabel)
     # truncated entropy stream
     with _pytest.raises(ValueError):
         decode_image(good[: len(good) - (len(good) - good.find(b"\xff\xda")) // 2])
@@ -852,9 +1233,9 @@ def test_decode_jpeg_standalone_markers_skipped():
 
 
 def test_decoded_image_stats_handles_jpeg(spark):
-    """The mapInPandas stats operator over a mixed batch: baseline
-    JPEGs decode (ok=true with exact dims), a progressive JPEG and a
-    corrupt one degrade to ok=false."""
+    """The mapInPandas stats operator over a mixed batch: baseline AND
+    real progressive JPEGs decode (ok=true with exact dims); a baseline
+    stream mislabeled SOF2 and a truncated one degrade to ok=false."""
     import numpy as np
 
     from mapreduce_task_spark.operators.multimodal import decoded_image_stats
@@ -863,13 +1244,15 @@ def test_decoded_image_stats_handles_jpeg(spark):
     c = _test_image(9, 8, 3, seed=4)
     good_g = _encode_jpeg(g)
     good_c = _encode_jpeg(c, subsample=True)
-    prog = good_g.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    mislabel = good_g.replace(b"\xff\xc0", b"\xff\xc2", 1)
     corrupt = good_c[:40]
+    prog = _encode_jpeg_progressive(c, successive=True)
     rows = [
         Row(doc_id=1, payload=bytearray(good_g)),
         Row(doc_id=2, payload=bytearray(good_c)),
-        Row(doc_id=3, payload=bytearray(prog)),
+        Row(doc_id=3, payload=bytearray(mislabel)),
         Row(doc_id=4, payload=bytearray(corrupt)),
+        Row(doc_id=5, payload=bytearray(prog)),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
     got = {r["doc_id"]: r for r in decoded_image_stats(df).collect()}
@@ -878,3 +1261,4 @@ def test_decoded_image_stats_handles_jpeg(spark):
     exp_mean = int(np.int64(g.astype("int64").sum()) * 1000 // g.size)
     assert abs(got[1]["px_mean_milli"] - exp_mean) <= 1000  # ±1 pixel-unit
     assert not got[3]["ok"] and not got[4]["ok"]
+    assert got[5]["ok"] and (got[5]["width"], got[5]["height"], got[5]["channels"]) == (8, 9, 3)
