@@ -326,7 +326,7 @@ def ivfsq_topk(
 
 def _ivfsq_score(
     probes: DataFrame,
-    codes: DataFrame,
+    codes: DataFrame | list,
     bounds: DataFrame,
     cvecs: DataFrame | None,
     k: int,
@@ -338,23 +338,34 @@ def _ivfsq_score(
     """The shared IVF-SQ search tail (inline operator, persisted-index
     search, and streaming delta all funnel here so they cannot drift):
     decode the probed lists' codes, rank by exact int64 L2 to the
-    exact query grid vectors, optional exact rerank on ``cvecs``."""
-    if per_list:
-        dec_src = codes.join(F.broadcast(bounds), "cluster")
-    else:
-        dec_src = codes.crossJoin(F.broadcast(bounds))
-    dec = dec_src.select("cand_id", "cluster", _sq_decoded().alias("__dv"))
-    scored = (
-        F.broadcast(probes)
-        .join(dec, "cluster")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            "cluster",
-            _sub_dist(F.col("qv_q"), F.col("__dv")).alias("approx_d"),
+    exact query grid vectors, optional exact rerank on ``cvecs``.
+    ``codes`` may be a LIST of (cand_id, cluster, codes) frames — each
+    side is scored through its own join against the broadcast probe
+    set (so partition pruning holds on base AND delta independently,
+    the ivf_ingest shape) and the scored candidates merge before the
+    one top-k window."""
+    def scored_side(c: DataFrame) -> DataFrame:
+        if per_list:
+            dec_src = c.join(F.broadcast(bounds), "cluster")
+        else:
+            dec_src = c.crossJoin(F.broadcast(bounds))
+        dec = dec_src.select("cand_id", "cluster", _sq_decoded().alias("__dv"))
+        return (
+            F.broadcast(probes)
+            .join(dec, "cluster")
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "cand_id",
+                "cluster",
+                _sub_dist(F.col("qv_q"), F.col("__dv")).alias("approx_d"),
+            )
         )
-    )
+
+    sides = codes if isinstance(codes, list) else [codes]
+    scored = scored_side(sides[0])
+    for extra in sides[1:]:
+        scored = scored.unionByName(scored_side(extra))
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_d"), F.asc("cand_id")
     )

@@ -240,6 +240,13 @@ def _saturation_row(qd: DataFrame, bounds: DataFrame) -> DataFrame:
     (for a degenerate minq == maxq dimension, any deviation from the
     constant counts — encode emits 0 and decode returns minq there).
     decimal(38,0) sums so corpus-scale merges cannot overflow."""
+    return _sat_row_from_joined(qd.crossJoin(F.broadcast(bounds)))
+
+
+def _sat_row_from_joined(joined: DataFrame) -> DataFrame:
+    """The saturation aggregate over a frame already carrying
+    (qv, minq, maxq) — shared with ivfsq_ingest, whose per-list bounds
+    join on cluster instead of the flat index's 1-row crossJoin."""
     below = F.aggregate(
         F.zip_with("qv", "minq", lambda v, lo: (v < lo).cast("bigint")),
         F.lit(0).cast("bigint"),
@@ -251,7 +258,7 @@ def _saturation_row(qd: DataFrame, bounds: DataFrame) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return (
-        qd.crossJoin(F.broadcast(bounds))
+        joined
         .select(
             F.size("qv").cast("decimal(38,0)").alias("__nc"),
             (below + above).cast("decimal(38,0)").alias("__cl"),

@@ -4056,3 +4056,144 @@ def test_sq_bounds_saturation_monitor(spark, sf_small, tmp_path):
 
     reset_saturation(spark, idx)
     assert read_saturation_trend(spark, idx) is None
+
+
+def test_streaming_ivfsq_append_matches_merged_index(spark, sf_small, tmp_path):
+    """IVF-SQ freshness (r12): batches appended under BOTH frozen
+    quantizers (coarse centroids + SQ bounds) make search_with_delta
+    reproduce the post-merge ivfsq_search_index bit-for-bit (plain and
+    refined), with replay idempotence, compaction, and both monitors
+    (assignment drift + bounds saturation) landing per batch."""
+    import os
+
+    from mapreduce_task_spark.operators.sq import (
+        ivfsq_build_index,
+        ivfsq_search_index,
+    )
+    from mapreduce_task_spark.sources.tables import load_table
+    from mapreduce_task_spark.streaming.ivfsq_ingest import (
+        append_batch,
+        compact_delta,
+        drift_baseline,
+        merge_delta_into_base,
+        read_drift_trend,
+        read_saturation_trend,
+        search_with_delta,
+        streaming_ivfsq_append,
+    )
+    from mapreduce_task_spark.streaming.windows import stream_from_directory
+
+    emb = load_table(spark, sf_small, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    stream_rows = emb.filter(F.col("vec_id") >= 300)
+    idx = str(tmp_path / "ivfsq")
+    ivfsq_build_index(base, idx, n_clusters=4, dim=64, rounds=2)
+    drift_baseline(spark, idx)
+
+    src = tmp_path / "emb_src"
+    stream_rows.filter(F.col("vec_id") < 400).coalesce(1).write.parquet(
+        str(src / "f0")
+    )
+    stream_rows.filter(F.col("vec_id") >= 400).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    q = streaming_ivfsq_append(
+        stream_from_directory(
+            spark, f"{src}/f*", stream_rows.schema, maxFilesPerTrigger=1
+        ),
+        idx,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+
+    def delta_topk(**kw):
+        key = "exact_d" if kw.get("refine") else "approx_d"
+        return sorted(
+            (r["query_id"], r["rank"], r["cand_id"], r[key])
+            for r in search_with_delta(
+                spark, idx, queries, k=5, dim=64, nprobe=2, **kw
+            ).collect()
+        )
+
+    want_plain = delta_topk()
+    want_ref = delta_topk(refine=3)
+    assert len(want_plain) == queries.count() * 5
+
+    # monitors: one drift row AND one saturation row per batch
+    trend = {r["__batch"]: r for r in read_drift_trend(spark, idx).collect()}
+    assert sorted(trend) == [0, 1]
+    assert all(0.3 < trend[b]["assign_ratio"] < 3.0 for b in trend), trend
+    sat = {r["__batch"]: r for r in read_saturation_trend(spark, idx).collect()}
+    assert sorted(sat) == [0, 1]
+    assert all(0 <= sat[b]["frac_clamped"] < 0.05 for b in sat), sat
+
+    # replay idempotence
+    b1 = stream_rows.filter(F.col("vec_id") >= 400)
+    append_batch(b1, 1, idx)
+    assert delta_topk() == want_plain
+
+    assert compact_delta(spark, idx, up_to_batch=1) == 2
+    parts = {p for p in os.listdir(f"{idx}/delta") if p.startswith("__batch=")}
+    assert parts == {"__batch=-2"}
+    assert delta_topk() == want_plain
+
+    merged = merge_delta_into_base(spark, idx)
+    assert merged == stream_rows.count()
+    assert not os.path.exists(f"{idx}/delta")
+    for kw, want in (({}, want_plain), ({"refine": 3}, want_ref)):
+        key = "exact_d" if kw else "approx_d"
+        got = sorted(
+            (r["query_id"], r["rank"], r["cand_id"], r[key])
+            for r in ivfsq_search_index(
+                spark, idx, queries, k=5, dim=64, nprobe=2, **kw
+            ).collect()
+        )
+        assert got == want, kw
+    assert merge_delta_into_base(spark, idx) == 0
+
+
+def test_ivfsq_delta_per_list_bounds_and_filter_ids(spark, sf_small, tmp_path):
+    """The per-list-bounds append path: delta search equals the
+    post-merge index search bit-for-bit (each streamed vector encodes
+    against ITS list's bounds), and filter_ids restricts both sides."""
+    from mapreduce_task_spark.operators.sq import (
+        ivfsq_build_index,
+        ivfsq_search_index,
+    )
+    from mapreduce_task_spark.sources.tables import load_table
+    from mapreduce_task_spark.streaming.ivfsq_ingest import (
+        append_batch,
+        merge_delta_into_base,
+        search_with_delta,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    base = emb.filter(F.col("vec_id") < 350)
+    rest = emb.filter(F.col("vec_id") >= 350)
+    idx = str(tmp_path / "ivfsq_pl")
+    ivfsq_build_index(base, idx, n_clusters=4, dim=64, per_list=True)
+    append_batch(rest, 0, idx)
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    allow = emb.select("vec_id").filter(F.col("vec_id") % 2 == 0)
+    fres = search_with_delta(
+        spark, idx, queries, k=5, dim=64, nprobe=4, filter_ids=allow
+    ).collect()
+    assert fres and all(r["cand_id"] % 2 == 0 for r in fres)
+
+    want = sorted(
+        (r["query_id"], r["rank"], r["cand_id"], r["exact_d"])
+        for r in search_with_delta(
+            spark, idx, queries, k=5, dim=64, nprobe=2, refine=3
+        ).collect()
+    )
+    merge_delta_into_base(spark, idx)
+    got = sorted(
+        (r["query_id"], r["rank"], r["cand_id"], r["exact_d"])
+        for r in ivfsq_search_index(
+            spark, idx, queries, k=5, dim=64, nprobe=2, refine=3
+        ).collect()
+    )
+    assert got == want
