@@ -12,11 +12,12 @@ wired the way a production crawl actually runs: per micro-batch,
    log and lands survivors + signatures (``corpus_path``/``sig_path``);
 3. the SURVIVORS — and only they; a dropped near-dup must not be
    searchable — append to the BM25 delta index (``bm25_path``) and,
-   when the stream carries an embedding column, to the IVF delta
-   index (``ivf_path``) and/or the compressed IVF-PQ delta index
-   (``ivfpq_path``, r10 — frozen quantizer + codebook encode). A
-   freshly crawled document is immediately findable by lexical and
-   ANN search via each index's ``search_with_delta``.
+   when the stream carries an embedding column, to any of the ANN
+   delta indexes: flat IVF (``ivf_path``), compressed IVF-PQ
+   (``ivfpq_path``, r10 — frozen quantizer + codebook encode), and/or
+   IVF-SQ (``ivfsq_path``, r12 — frozen quantizer + frozen-bounds SQ8
+   encode). A freshly crawled document is immediately findable by
+   lexical and ANN search via each index's ``search_with_delta``.
 
 Why ONE foreachBatch (not N independent sinks off the same source):
 every state write above is keyed by the same batch id and is a
@@ -66,6 +67,7 @@ def crawl_batch(
     bm25_path: str | None = None,
     ivf_path: str | None = None,
     ivfpq_path: str | None = None,
+    ivfsq_path: str | None = None,
     quality_path: str | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -153,6 +155,18 @@ def crawl_batch(
             dim=ivfpq_dim,
             per_list=ivfpq_per_list,
         )
+    if ivfsq_path is not None and vec_col in fresh.columns:
+        from .ivfsq_ingest import append_batch as ivfsq_append_batch
+
+        # shape/metric/per_list come from the index's own meta — the
+        # SQ delta encode has no caller-supplied knobs to mismatch
+        ivfsq_append_batch(
+            fresh.where(F.col(vec_col).isNotNull()),
+            batch_id,
+            ivfsq_path,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     return fresh
 
 
@@ -164,6 +178,7 @@ def streaming_crawl_ingest(
     bm25_path: str | None = None,
     ivf_path: str | None = None,
     ivfpq_path: str | None = None,
+    ivfsq_path: str | None = None,
     quality_path: str | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -201,6 +216,11 @@ def streaming_crawl_ingest(
             if ivfpq_path is not None
             else []
         ),
+        *(
+            [f"{ivfsq_path}/delta", f"{ivfsq_path}/drift", f"{ivfsq_path}/sat"]
+            if ivfsq_path is not None
+            else []
+        ),
     ]:
         if log is not None:
             invalidate_watermark_cache(log)
@@ -211,6 +231,7 @@ def streaming_crawl_ingest(
         crawl_batch(
             batch_df, batch_id, corpus_path, sig_path,
             bm25_path=bm25_path, ivf_path=ivf_path, ivfpq_path=ivfpq_path,
+            ivfsq_path=ivfsq_path,
             quality_path=quality_path,
             id_col=id_col, text_col=text_col, vec_col=vec_col,
             threshold=threshold, seed_path=seed_path,
@@ -235,6 +256,7 @@ def compact_crawl(
     bm25_path: str | None = None,
     ivf_path: str | None = None,
     ivfpq_path: str | None = None,
+    ivfsq_path: str | None = None,
     quality_path: str | None = None,
 ) -> dict[str, int]:
     """One maintenance pass over every log the composed sink writes:
@@ -297,6 +319,17 @@ def compact_crawl(
             lambda: compact_ivfpq_delta(spark, ivfpq_path, committed_batch))
         run("ivfpq_drift", f"{ivfpq_path}/drift",
             lambda: compact_ivfpq_drift(spark, ivfpq_path, committed_batch))
+    if ivfsq_path is not None:
+        from .ivfsq_ingest import compact_delta as compact_ivfsq_delta
+        from .ivfsq_ingest import compact_drift as compact_ivfsq_drift
+        from .ivfsq_ingest import compact_saturation as compact_ivfsq_sat
+
+        run("ivfsq_delta", f"{ivfsq_path}/delta",
+            lambda: compact_ivfsq_delta(spark, ivfsq_path, committed_batch))
+        run("ivfsq_drift", f"{ivfsq_path}/drift",
+            lambda: compact_ivfsq_drift(spark, ivfsq_path, committed_batch))
+        run("ivfsq_sat", f"{ivfsq_path}/sat",
+            lambda: compact_ivfsq_sat(spark, ivfsq_path, committed_batch))
     run("quality", quality_path,
         lambda: compact_quality(spark, quality_path, committed_batch))
     return done
@@ -313,31 +346,39 @@ def crawl_health(
     spark,
     ivf_path: str | None = None,
     ivfpq_path: str | None = None,
+    ivfsq_path: str | None = None,
     retrain_ratio: float = 1.5,
+    refit_frac: float = 0.01,
 ) -> DataFrame:
     """One operational row per ANN index the crawl maintains — the
     monitors the per-concern modules expose (``pq.index_health``
-    occupancy/skew; ``ivf_ingest``/``ivfpq_ingest`` drift signals)
+    occupancy/skew; the ingest modules' drift and saturation signals)
     surfaced as a single frame a scheduler reads after each crawl
     window, instead of N per-index calls (r11 verdict #6).
 
     Columns: (index_path, n_lists, n_rows, largest_list, skew_ratio,
-    metric, kind, drift_n, assign_ratio, quant_ratio, retrain).
-    ``skew_ratio`` is the probe-cost multiplier of the hottest list
-    (frozen-quantizer appends grow lists unevenly); the drift columns
-    are the ``drift_signal`` merge over every appended-so-far batch
-    and stay NULL until a drift row AND a recorded ``drift_baseline``
-    exist (``quant_ratio`` is NULL for the flat IVF index — no codes
-    to reconstruct). ``retrain=true`` on either row is the documented
-    offline retrain trigger. Cost: metadata-cheap list counts + a pure
-    merge of the mergeable drift rows per index — safe on a schedule
-    against a 100 TB deployment."""
+    metric, kind, drift_n, assign_ratio, quant_ratio, retrain,
+    frac_clamped, refit). ``skew_ratio`` is the probe-cost multiplier
+    of the hottest list (frozen-quantizer appends grow lists
+    unevenly); the drift columns are the ``drift_signal`` merge over
+    every appended-so-far batch and stay NULL until a drift row AND a
+    recorded ``drift_baseline`` exist (``quant_ratio`` is NULL for
+    indexes with no codes to reconstruct). ``frac_clamped``/``refit``
+    are the IVF-SQ bounds-saturation signal (NULL for the other
+    kinds). ``retrain``/``refit`` true on any row is the documented
+    offline retrain trigger. Cost: metadata-cheap list counts + pure
+    merges of the mergeable monitor rows per index — safe on a
+    schedule against a 100 TB deployment."""
     from ..operators.pq import index_health
-    from . import ivf_ingest, ivfpq_ingest
+    from . import ivf_ingest, ivfpq_ingest, ivfsq_ingest
     from .batchlog import log_exists
 
     frames = []
-    for path, mod in ((ivf_path, ivf_ingest), (ivfpq_path, ivfpq_ingest)):
+    for path, mod in (
+        (ivf_path, ivf_ingest),
+        (ivfpq_path, ivfpq_ingest),
+        (ivfsq_path, ivfsq_ingest),
+    ):
         if path is None:
             continue
         h = index_health(spark, path).select(
@@ -367,7 +408,17 @@ def crawl_health(
                 ).alias("quant_ratio"),
                 F.col("retrain"),
             )
-        frames.append(h.crossJoin(F.broadcast(sig)))
+        sat = None
+        if mod is ivfsq_ingest and log_exists(spark, f"{path}/sat"):
+            sat = ivfsq_ingest.saturation_signal(spark, path, refit_frac)
+        if sat is None:
+            sat = spark.range(1).select(
+                F.lit(None).cast("double").alias("frac_clamped"),
+                F.lit(None).cast("boolean").alias("refit"),
+            )
+        else:
+            sat = sat.select("frac_clamped", "refit")
+        frames.append(h.crossJoin(F.broadcast(sig)).crossJoin(F.broadcast(sat)))
     if not frames:
         raise ValueError("crawl_health needs at least one index path")
     out = frames[0]

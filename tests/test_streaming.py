@@ -2155,6 +2155,7 @@ def test_composed_crawl_single_checkpoint_end_to_end(spark, sf_small, tmp_path):
     bm25_idx = str(tmp_path / "bm25")
     ivf_idx = str(tmp_path / "ivf")
     ivfpq_idx = str(tmp_path / "ivfpq")
+    ivfsq_idx = str(tmp_path / "ivfsq")
     seed = str(tmp_path / "seed_sigs")
     bm25_build_index(base, spark, bm25_idx)
     ivf_build_index(
@@ -2171,6 +2172,16 @@ def test_composed_crawl_single_checkpoint_end_to_end(spark, sf_small, tmp_path):
         n_clusters=8,
         m=8,
         ksub=16,
+        dim=64,
+    )
+    from mapreduce_task_spark.operators.sq import ivfsq_build_index
+
+    ivfsq_build_index(
+        base.where(F.col("embedding").isNotNull()),
+        ivfsq_idx,
+        id_col="doc_id",
+        vec_col="embedding",
+        n_clusters=8,
         dim=64,
     )
     bootstrap_signatures(base, seed)
@@ -2197,6 +2208,7 @@ def test_composed_crawl_single_checkpoint_end_to_end(spark, sf_small, tmp_path):
         bm25_path=bm25_idx,
         ivf_path=ivf_idx,
         ivfpq_path=ivfpq_idx,
+        ivfsq_path=ivfsq_idx,
         quality_path=str(tmp_path / "quality"),
         seed_path=seed,
     )
@@ -2253,6 +2265,18 @@ def test_composed_crawl_single_checkpoint_end_to_end(spark, sf_small, tmp_path):
     assert [r["cand_id"] for r in pq_top] == [probe_id]
     assert pq_top[0]["exact_d"] == 0
 
+    # IVF-SQ freshness (r12): delta holds the embedded survivors, a
+    # refined search at a streamed doc's own embedding puts it at
+    # rank 1 with exact distance 0
+    from mapreduce_task_spark.streaming import ivfsq_ingest
+
+    assert spark.read.parquet(f"{ivfsq_idx}/delta").count() == n_embedded
+    sq_top = ivfsq_ingest.search_with_delta(
+        spark, ivfsq_idx, probe, id_col="doc_id", k=1, nprobe=2, refine=5
+    ).collect()
+    assert [r["cand_id"] for r in sq_top] == [probe_id]
+    assert sq_top[0]["exact_d"] == 0
+
     t = read_quality_total(spark, str(tmp_path / "quality")).collect()[0]
     assert t["n_rows"] == 251  # raw stream, pre-dedup, incl. the dup
 
@@ -2265,25 +2289,34 @@ def test_composed_crawl_single_checkpoint_end_to_end(spark, sf_small, tmp_path):
     h0 = {
         r["index_path"]: r
         for r in crawl_health(
-            spark, ivf_path=ivf_idx, ivfpq_path=ivfpq_idx
+            spark, ivf_path=ivf_idx, ivfpq_path=ivfpq_idx,
+            ivfsq_path=ivfsq_idx,
         ).collect()
     }
-    assert set(h0) == {ivf_idx, ivfpq_idx}
+    assert set(h0) == {ivf_idx, ivfpq_idx, ivfsq_idx}
     assert h0[ivf_idx]["kind"] == "ivf" and h0[ivfpq_idx]["kind"] == "ivfpq"
+    assert h0[ivfsq_idx]["kind"] == "ivfsq"
     assert h0[ivf_idx]["assign_ratio"] is None  # no baseline recorded yet
     assert h0[ivf_idx]["skew_ratio"] >= 1.0
+    # saturation needs no baseline: populated already, and in-range
+    assert h0[ivfsq_idx]["frac_clamped"] is not None
+    assert h0[ivfsq_idx]["frac_clamped"] < 0.05
+    assert h0[ivf_idx]["frac_clamped"] is None  # not an SQ index
 
     ivf_ingest.drift_baseline(spark, ivf_idx)
     ivfpq_ingest.drift_baseline(spark, ivfpq_idx, id_col="doc_id", m=8, dim=64)
+    ivfsq_ingest.drift_baseline(spark, ivfsq_idx)
     # one drift row per crawl batch (the two streamed files)
-    trend = ivf_ingest.read_drift_trend(spark, ivf_idx).collect()
-    assert sorted(r["__batch"] for r in trend) == [0, 1]
-    assert sum(r["n"] for r in trend) == n_embedded
+    for mod, idx_p in ((ivf_ingest, ivf_idx), (ivfsq_ingest, ivfsq_idx)):
+        trend = mod.read_drift_trend(spark, idx_p).collect()
+        assert sorted(r["__batch"] for r in trend) == [0, 1], idx_p
+        assert sum(r["n"] for r in trend) == n_embedded, idx_p
 
     h = {
         r["index_path"]: r
         for r in crawl_health(
-            spark, ivf_path=ivf_idx, ivfpq_path=ivfpq_idx
+            spark, ivf_path=ivf_idx, ivfpq_path=ivfpq_idx,
+            ivfsq_path=ivfsq_idx,
         ).collect()
     }
     assert h[ivf_idx]["drift_n"] == n_embedded
@@ -2291,6 +2324,8 @@ def test_composed_crawl_single_checkpoint_end_to_end(spark, sf_small, tmp_path):
     assert h[ivf_idx]["quant_ratio"] is None  # flat index: no codes
     assert h[ivfpq_idx]["quant_ratio"] > 0
     assert h[ivfpq_idx]["retrain"] is not None
+    assert h[ivfsq_idx]["assign_ratio"] > 0
+    assert h[ivfsq_idx]["refit"] is not None
 
 
 def test_composed_crawl_batch_replay_idempotent(spark, sf_small, tmp_path):
