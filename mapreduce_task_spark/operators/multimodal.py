@@ -909,12 +909,17 @@ def decode_image(payload: bytes):
 def decode_audio(payload: bytes):
     """Decode an audio payload to (samples, sample_rate).
 
-    REAL pure-python decoder for RIFF/WAVE PCM (format tag 1): walks
-    the chunk list, reads fmt + data, returns a numpy array shaped
-    (n_frames,) for mono or (n_frames, n_channels) otherwise —
-    int16 for 16-bit PCM, uint8 for 8-bit. Compressed formats (MP3,
-    AAC, float/extensible WAV...) still raise NotImplementedError —
-    they need a codec library the container doesn't ship.
+    REAL pure-python decoder for RIFF/WAVE: walks the chunk list,
+    reads fmt + data. Integer PCM (format tag 1): uint8 for 8-bit,
+    int16 for 16-bit, and (r12) int32 for 24-bit (each frame's 3
+    little-endian bytes sign-extended into the low 3 bytes of an
+    int32) and 32-bit. IEEE float (tag 3, r12): float32/float64
+    returned as-is. WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE, r12) unwraps
+    to the SubFormat GUID's real tag (PCM/float) and decodes
+    identically. Returns (n_frames,) for mono or
+    (n_frames, n_channels). Genuinely compressed formats (MP3, AAC,
+    mu-law...) still raise NotImplementedError — they need a codec
+    library the container doesn't ship.
     """
     import struct
 
@@ -926,6 +931,7 @@ def decode_audio(payload: bytes):
             "soundfile/librosa, not available here"
         )
     fmt = data = None
+    ext_tag = None
     i = 12
     while i + 8 <= len(payload):
         cid = payload[i : i + 4]
@@ -933,20 +939,47 @@ def decode_audio(payload: bytes):
         body = payload[i + 8 : i + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            if fmt[0] == 0xFFFE:
+                # WAVE_FORMAT_EXTENSIBLE: cbSize(2) + validBits(2) +
+                # channelMask(4) + SubFormat GUID whose first 2 bytes
+                # are the real format tag (spec: KSDATAFORMAT_SUBTYPE_*)
+                if len(body) < 26:
+                    raise ValueError("short WAVE_FORMAT_EXTENSIBLE fmt chunk")
+                (ext_tag,) = struct.unpack("<H", body[24:26])
         elif cid == b"data":
             data = body
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, n_channels, sample_rate, _brate, _align, bits = fmt
-    if audio_format != 1 or bits not in (8, 16):
+    if audio_format == 0xFFFE:
+        audio_format = ext_tag
+    if audio_format == 1 and bits in (8, 16, 24, 32):
+        if bits == 24:
+            raw = np.frombuffer(data, dtype="u1")
+            if len(raw) % 3:
+                raise ValueError("24-bit WAV data not a multiple of 3 bytes")
+            raw = raw.reshape(-1, 3).astype("u4")
+            u = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+            samples = (
+                (u ^ 0x800000).astype("i4") - 0x800000
+            )  # sign-extend bit 23
+        else:
+            dt = {8: "u1", 16: "<i2", 32: "<i4"}[bits]
+            samples = np.frombuffer(data, dtype=np.dtype(dt))
+    elif audio_format == 3 and bits in (32, 64):
+        samples = np.frombuffer(
+            data, dtype=np.dtype("<f4" if bits == 32 else "<f8")
+        )
+    else:
         raise NotImplementedError(
             f"WAV format tag {audio_format}/{bits}-bit needs a codec "
-            "library; only integer PCM (8/16-bit) decodes without one"
+            "library; integer PCM (8/16/24/32-bit) and IEEE float "
+            "(32/64-bit) decode without one"
         )
-    dt = np.dtype("<i2") if bits == 16 else np.dtype("u1")
-    samples = np.frombuffer(data, dtype=dt)
     if n_channels > 1:
+        if len(samples) % n_channels:
+            raise ValueError("WAV data not a whole number of frames")
         samples = samples.reshape((-1, n_channels))
     return samples, sample_rate
 
@@ -1110,8 +1143,12 @@ def decoded_audio_stats(
 ) -> DataFrame:
     """Run the REAL WAV PCM decoder over payload rows inside
     mapInPandas: (id, sample_rate, n_frames, n_channels, peak_abs,
-    mean_abs_milli, ok) — integer stats only (no sqrt/float), corrupt
-    payloads degrade to ok=false rows (see decoded_image_stats)."""
+    mean_abs_milli, ok) — integer stats only (no sqrt in the output),
+    corrupt payloads degrade to ok=false rows (see
+    decoded_image_stats). Float WAV samples (full scale +-1.0 by
+    convention) are scaled to the int16 grid (*32767, rounded) before
+    the integer stats, so peak/mean are comparable across int16 and
+    float payloads."""
     import numpy as np
     import pandas as pd
 
@@ -1123,6 +1160,8 @@ def decoded_audio_stats(
                     samples, rate = decode_audio(bytes(payload))
                     n_frames = samples.shape[0]
                     n_ch = samples.shape[1] if samples.ndim == 2 else 1
+                    if samples.dtype.kind == "f":
+                        samples = np.round(samples * 32767.0)
                     a = np.abs(samples.astype("int64"))
                     n = max(int(a.size), 1)
                     rows.append(

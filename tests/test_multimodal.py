@@ -173,6 +173,29 @@ def test_decode_image_pnm_real():
         decode_image(b"\xff\xd8\xff\xe0 jpeg soi/app0")
 
 
+def _wav(rate, data, tag, channels, bits, extensible=False):
+    """Generic WAV builder: raw ``data`` bytes under any (tag,
+    channels, bits) header; extensible=True wraps the real tag inside
+    a WAVE_FORMAT_EXTENSIBLE fmt chunk's SubFormat GUID."""
+    import struct
+
+    align = channels * bits // 8
+    if extensible:
+        guid = struct.pack("<H", tag) + b"\x00\x00" + bytes(
+            [0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA,
+             0x00, 0x38, 0x9B, 0x71]
+        )
+        fmt = struct.pack(
+            "<HHIIHHHHI", 0xFFFE, channels, rate, rate * align, align,
+            bits, 22, bits, (1 << channels) - 1,
+        ) + guid
+    else:
+        fmt = struct.pack("<HHIIHH", tag, channels, rate, rate * align, align, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def test_decode_audio_wav_real():
     import pytest
 
@@ -183,6 +206,56 @@ def test_decode_audio_wav_real():
     assert list(samples) == [0, 100, -200, 32767, -32768]
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3\x03rest-of-an-mp3")
+
+
+def test_decode_audio_wav_float_24bit_extensible():
+    """r12: IEEE-float WAV (tag 3, f32/f64), 24- and 32-bit integer
+    PCM, and WAVE_FORMAT_EXTENSIBLE unwrapping all decode exactly;
+    mu-law still degrades."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mapreduce_task_spark.operators.multimodal import decode_audio
+
+    want = [0.0, 0.5, -0.25, 1.0, -1.0]
+    s, rate = decode_audio(
+        _wav(44100, struct.pack("<5f", *want), 3, 1, 32)
+    )
+    assert rate == 44100 and s.dtype == np.dtype("<f4")
+    assert list(s) == want
+    s, _ = decode_audio(_wav(8000, struct.pack("<3d", 0.1, -0.2, 0.3), 3, 1, 64))
+    assert s.dtype == np.dtype("<f8") and list(s) == [0.1, -0.2, 0.3]
+
+    # 24-bit PCM: sign extension across the full range, stereo framing
+    vals = [0, 1, -1, 8388607, -8388608, 123456, -654321]
+    data = b"".join(
+        (v & 0xFFFFFF).to_bytes(3, "little") for v in vals + [7]
+    )
+    s, _ = decode_audio(_wav(22050, data, 1, 2, 24))
+    assert s.shape == (4, 2) and s.dtype == np.dtype("i4")
+    assert [int(x) for x in s.flat] == vals + [7]
+
+    # 32-bit PCM
+    s, _ = decode_audio(
+        _wav(8000, struct.pack("<3i", 2**31 - 1, -(2**31), 42), 1, 1, 32)
+    )
+    assert [int(x) for x in s] == [2**31 - 1, -(2**31), 42]
+
+    # extensible wrapper around 16-bit PCM and float32
+    s, _ = decode_audio(
+        _wav(8000, struct.pack("<4h", 1, -2, 3, -4), 1, 2, 16, extensible=True)
+    )
+    assert s.shape == (2, 2) and [int(x) for x in s.flat] == [1, -2, 3, -4]
+    s, _ = decode_audio(
+        _wav(8000, struct.pack("<2f", 0.5, -0.5), 3, 1, 32, extensible=True)
+    )
+    assert list(s) == [0.5, -0.5]
+
+    # mu-law (tag 7) is a genuine codec gap
+    with pytest.raises(NotImplementedError):
+        decode_audio(_wav(8000, b"\x00\x01", 7, 1, 8))
 
 
 def test_decoded_image_stats_mapinpandas(spark):
@@ -207,11 +280,14 @@ def test_decoded_image_stats_mapinpandas(spark):
 
 
 def test_decoded_audio_stats_mapinpandas(spark):
+    import struct
+
     from mapreduce_task_spark.operators.multimodal import decoded_audio_stats
 
     wav = _wav_pcm16(16000, [10, -20, 30, -40])
+    fwav = _wav(8000, struct.pack("<4f", 0.5, -0.25, 1.0, 0.0), 3, 1, 32)
     df = spark.createDataFrame(
-        [(0, wav), (1, b"junk")], "doc_id long, payload binary"
+        [(0, wav), (1, b"junk"), (2, fwav)], "doc_id long, payload binary"
     )
     got = {r["doc_id"]: r for r in decoded_audio_stats(df).collect()}
     r0 = got[0]
@@ -219,6 +295,11 @@ def test_decoded_audio_stats_mapinpandas(spark):
     assert r0["peak_abs"] == 40
     assert r0["mean_abs_milli"] == (10 + 20 + 30 + 40) * 1000 // 4
     assert not got[1]["ok"]
+    # float payload: stats on the int16 grid (r12)
+    r2 = got[2]
+    assert r2["ok"] and r2["n_frames"] == 4 and r2["peak_abs"] == 32767
+    want_sum = round(0.5 * 32767) + round(0.25 * 32767) + 32767
+    assert r2["mean_abs_milli"] == want_sum * 1000 // 4
 
 
 # --- PNG (r10): spec-faithful encoder used only by the tests ---------------
