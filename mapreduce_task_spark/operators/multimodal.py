@@ -916,9 +916,10 @@ def decode_audio(payload: bytes):
     int32) and 32-bit. IEEE float (tag 3, r12): float32/float64
     returned as-is. WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE, r12) unwraps
     to the SubFormat GUID's real tag (PCM/float) and decodes
-    identically. Returns (n_frames,) for mono or
+    identically. G.711 A-law/mu-law (tags 6/7, r12) expand to int16
+    via the fixed companding tables. Returns (n_frames,) for mono or
     (n_frames, n_channels). Genuinely compressed formats (MP3, AAC,
-    mu-law...) still raise NotImplementedError — they need a codec
+    ADPCM...) still raise NotImplementedError — they need a codec
     library the container doesn't ship.
     """
     import struct
@@ -971,11 +972,30 @@ def decode_audio(payload: bytes):
         samples = np.frombuffer(
             data, dtype=np.dtype("<f4" if bits == 32 else "<f8")
         )
+    elif audio_format in (6, 7) and bits == 8:
+        # G.711 A-law (6) / mu-law (7): fixed 8-bit companding — pure
+        # arithmetic expansion to int16 (r12), not a codec-library gap
+        b = np.frombuffer(data, dtype="u1").astype("i4")
+        if audio_format == 7:
+            u = (~b) & 0xFF
+            t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+            mag = t - 0x84
+            samples = np.where(u & 0x80, -mag, mag).astype("i2")
+        else:
+            a = b ^ 0x55
+            seg = (a & 0x70) >> 4
+            t = (a & 0x0F) << 4
+            t = np.where(
+                seg == 0,
+                t + 8,
+                (t + 0x108) << np.maximum(seg - 1, 0),
+            )
+            samples = np.where(a & 0x80, t, -t).astype("i2")
     else:
         raise NotImplementedError(
             f"WAV format tag {audio_format}/{bits}-bit needs a codec "
-            "library; integer PCM (8/16/24/32-bit) and IEEE float "
-            "(32/64-bit) decode without one"
+            "library; integer PCM (8/16/24/32-bit), IEEE float "
+            "(32/64-bit), and G.711 A-law/mu-law decode without one"
         )
     if n_channels > 1:
         if len(samples) % n_channels:

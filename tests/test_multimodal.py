@@ -253,9 +253,37 @@ def test_decode_audio_wav_float_24bit_extensible():
     )
     assert list(s) == [0.5, -0.5]
 
-    # mu-law (tag 7) is a genuine codec gap
+    # ADPCM (tag 2) is a genuine codec gap
     with pytest.raises(NotImplementedError):
-        decode_audio(_wav(8000, b"\x00\x01", 7, 1, 8))
+        decode_audio(_wav(8000, b"\x00\x01", 2, 1, 4))
+
+
+def test_decode_audio_g711_companding():
+    """G.711 expansion checked against the published table anchors:
+    mu-law peaks at +-32124 with TWO zero codes (0x7F/0xFF), A-law
+    peaks at +-32256 with quiet codes 0xD5/0x55 -> +-8; both decode
+    all 256 codes monotonically within each sign half."""
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decode_audio
+
+    allb = bytes(range(256))
+    mu, _ = decode_audio(_wav(8000, allb, 7, 1, 8))
+    assert mu.dtype == np.dtype("i2")
+    assert int(mu.max()) == 32124 and int(mu.min()) == -32124
+    assert mu[0xFF] == 0 and mu[0x7F] == 0
+    assert len(set(int(x) for x in mu)) == 255  # two zero codes
+    # positive codes 0x80..0xFF decode monotonically decreasing
+    pos = [int(mu[b]) for b in range(0x80, 0x100)]
+    assert all(a > b for a, b in zip(pos, pos[1:]))
+
+    al, _ = decode_audio(_wav(8000, allb, 6, 1, 8))
+    assert int(al.max()) == 32256 and int(al.min()) == -32256
+    assert al[0xD5] == 8 and al[0x55] == -8
+    assert len(set(int(x) for x in al)) == 256
+    # extensible wrapper around mu-law too
+    mu2, _ = decode_audio(_wav(8000, allb, 7, 1, 8, extensible=True))
+    assert np.array_equal(mu2, mu)
 
 
 def test_decoded_image_stats_mapinpandas(spark):
