@@ -646,6 +646,38 @@ def test_decode_png_adam7_roundtrip():
     assert gotp.shape == (9, 9, 3) and np.array_equal(gotp, plt[idx])
 
 
+def test_decode_png_adam7_roundtrip_property():
+    """Hypothesis: ANY pixel array under ANY per-scanline filter
+    assignment across the seven Adam7 passes roundtrips bit-exactly —
+    the pass geometry (reduced widths, empty passes, scatter origins)
+    and per-pass filtering hold for arbitrary shapes, not just the
+    fixtures."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 9),
+        w=st.integers(1, 9),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+        data=st.data(),
+    )
+    def roundtrip(h, w, ch, seed, data):
+        n_lines = 2 * h + 10  # >= total scanlines across all passes
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=n_lines, max_size=n_lines)
+        )
+        px = _px(h, w, ch, seed=seed)
+        got = decode_image(_make_png_adam7(px, filters=filters))
+        assert got.shape == px.shape
+        assert np.array_equal(got, px)
+
+    roundtrip()
+
+
 def test_decode_png_unsupported_variants_degrade():
     """A NON-interlaced raster mislabeled interlaced is structural
     damage (ValueError — Adam7 expects different pass byte counts);
