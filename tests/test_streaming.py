@@ -4232,3 +4232,36 @@ def test_ivfsq_delta_per_list_bounds_and_filter_ids(spark, sf_small, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_ivfsq_search_with_delta_prunes_both_sides(spark, sf_small, tmp_path):
+    """The IVF-SQ freshness claim plan-asserted (the ivf_ingest test's
+    shape): search_with_delta's executed plan must show DYNAMIC
+    partition pruning on cluster for BOTH the base codes scan and the
+    delta scan, and the delta scan must also carry the static batchlog
+    watermark filter on __batch."""
+    from mapreduce_task_spark.operators.sq import ivfsq_build_index
+    from mapreduce_task_spark.sources.tables import load_table
+    from mapreduce_task_spark.streaming.ivfsq_ingest import (
+        append_batch,
+        search_with_delta,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    idx = str(tmp_path / "ivfsq_dpp")
+    ivfsq_build_index(emb.filter(F.col("vec_id") < 300), idx, n_clusters=8, dim=64)
+    append_batch(emb.filter(F.col("vec_id") >= 300), 0, idx)
+
+    res = search_with_delta(
+        spark, idx, emb.filter(F.col("vec_id") % 100 == 0), k=5, nprobe=2
+    )
+    res.collect()
+    pf_lines = [
+        ln
+        for ln in res._jdf.queryExecution().executedPlan().toString().splitlines()
+        if "PartitionFilters" in ln and "dynamicpruning" in ln
+    ]
+    delta_scans = [ln for ln in pf_lines if "__batch" in ln]
+    base_scans = [ln for ln in pf_lines if "__batch" not in ln]
+    assert delta_scans, "delta scan lost cluster DPP or the __batch watermark"
+    assert base_scans, "base codes scan lost cluster DPP"
