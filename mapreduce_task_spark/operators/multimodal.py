@@ -5,21 +5,22 @@ typed metadata struct, and runs decode / feature-extraction through
 Arrow-batched ``mapInPandas`` — the pattern a 100 TB multimodal
 pipeline uses (JVM moves the bytes; Python touches each batch once).
 
-Decoders (round 8; PNG round 10; JPEG round 11): ``decode_image``
-REALLY decodes binary PNM (P5/P6), 8-bit non-interlaced PNG (stdlib
-zlib inflate + scanline unfilter), and BASELINE SEQUENTIAL JPEG
-(marker walk, canonical-Huffman entropy decode with restart markers,
-dequant + zigzag + numpy 8x8 IDCT, chroma upsampling, JFIF
-YCbCr->RGB); ``decode_audio`` REALLY decodes RIFF/WAVE integer PCM —
-all pure python/numpy, no new dependencies — and
-``decoded_image_stats`` / ``decoded_audio_stats`` run them inside the
-``mapInPandas`` contract. Formats that genuinely need an external
-library (progressive/arithmetic JPEG, 16-bit/palette/interlaced PNG,
-compressed audio) raise NotImplementedError:
-the container ships no PIL/soundfile, and the production entry point
-``extract_features`` computes deterministic byte-level features for
-arbitrary payloads — the Spark-side contract (schema, batching,
-partitioning) is identical either way.
+Decoders (round 8; PNG round 10; JPEG round 11; completed round 12):
+``decode_image`` REALLY decodes binary PNM (P5/P6), PNG (8/16-bit
+gray/gray+alpha/RGB/RGBA, paletted with tRNS, non-interlaced AND
+Adam7 — the full deflate-era surface), and JPEG — baseline sequential
+AND progressive (spectral selection + successive approximation);
+``decode_audio`` REALLY decodes RIFF/WAVE integer PCM (8/16/24/32),
+IEEE float, WAVE_FORMAT_EXTENSIBLE, and G.711 A-law/mu-law — all pure
+python/numpy, no new dependencies — and ``decoded_image_stats`` /
+``decoded_audio_stats`` run them inside the ``mapInPandas`` contract.
+Formats that genuinely need an external codec library
+(arithmetic-coded/hierarchical/12-bit JPEG, MP3/AAC/ADPCM audio)
+raise NotImplementedError: the container ships no PIL/soundfile, and
+the production entry point ``extract_features`` computes
+deterministic byte-level features for arbitrary payloads — the
+Spark-side contract (schema, batching, partitioning) is identical
+either way.
 
 Scale notes: mapInPandas streams Arrow record batches — constant
 memory per task regardless of partition size; binary payloads are
@@ -249,8 +250,13 @@ def _decode_jpeg(payload: bytes):
         while i + 4 <= len(payload) and payload[i + 1] == 0xFF:
             i += 1
         marker = payload[i + 1]
-        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
-            # standalone markers (TEM, RSTn, SOI, EOI) carry no length
+        if marker == 0xD9:
+            # EOI ends the image — STOP walking (trailing bytes after
+            # EOI are common padding and must not be read as markers;
+            # a progressive stream assembles below)
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # standalone markers (TEM, RSTn, SOI) carry no length
             # segment (spec B.1.1.3) — skip them instead of misreading
             # the following bytes as a phantom segment size
             i += 2
@@ -664,8 +670,9 @@ class _JpegProgressive:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel: gray, RGB, gray+alpha, RGBA (8- and
-# 16-bit depths). Palette (3) expands through the PLTE lookup (r12);
-# only Adam7 interlacing remains a format gap.
+# 16-bit depths). Palette (3) expands through the PLTE lookup and
+# Adam7 interlacing decodes pass-by-pass (both r12) — no PNG format
+# gaps remain on the deflate-era surface.
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
@@ -878,11 +885,11 @@ def decode_image(payload: bytes):
     returns (h, w)) and P6 (RGB, returns (h, w, 3)); maxval > 255
     raster is big-endian uint16 per the spec — and (r10-r12) for
     non-interlaced PNG: 8/16-bit gray/gray+alpha/RGB/RGBA plus
-    paletted images (PLTE lookup, depths 1/2/4/8, tRNS alpha -> RGBA)
-    via stdlib zlib inflate + spec §9 unfiltering; baseline AND
-    progressive JPEG decode through ``_decode_jpeg``. Formats that
-    genuinely need an imaging library (arithmetic-coded JPEG,
-    Adam7-interlaced PNG, compressed audio) still raise
+    paletted images (PLTE lookup, depths 1/2/4/8, tRNS alpha -> RGBA),
+    non-interlaced and Adam7, via stdlib zlib inflate + spec §9
+    unfiltering; baseline AND progressive JPEG decode through
+    ``_decode_jpeg``. Formats that genuinely need an imaging library
+    (arithmetic-coded/hierarchical/12-bit JPEG) still raise
     NotImplementedError — the container ships no PIL.
     """
     import numpy as np

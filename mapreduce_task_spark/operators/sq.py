@@ -122,6 +122,31 @@ def _codes_expr():
     )
 
 
+def _per_list_bounds(assigned: DataFrame, cents: DataFrame, dim: int) -> DataFrame:
+    """Per-list (minq, maxq) with a row GUARANTEED for every centroid:
+    the final assignment pass can leave a centroid with zero members
+    (``kmeans_lite_fit`` returns centroids from the PREVIOUS round's
+    update), and a missing bounds row would silently DROP any streamed
+    vector later assigned to that cluster (the delta encode joins on
+    cluster). Empty lists fall back to the GLOBAL bounds — they hold
+    no base vectors, so the fallback governs only future delta rows.
+    Costs one extra global aggregation pass over the assigned frame."""
+    per = _bounds_agg(assigned, dim, group_cols=("cluster",))
+    glob = _bounds_agg(assigned.select("qv"), dim).select(
+        F.col("minq").alias("__gmn"), F.col("maxq").alias("__gmx")
+    )
+    return (
+        cents.select(F.col("j").alias("cluster"))
+        .join(per, "cluster", "left")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "cluster",
+            F.coalesce("minq", F.col("__gmn")).alias("minq"),
+            F.coalesce("maxq", F.col("__gmx")).alias("maxq"),
+        )
+    )
+
+
 def _encode_qv(
     qd: DataFrame, bounds: DataFrame, keep: list, per_list: bool = False
 ) -> DataFrame:
@@ -195,48 +220,19 @@ def sq_topk(
 
     The candidate side reads only the codes column — the 4x-compressed
     flat scan. The decode + distance is one codegen zip_with chain per
-    candidate; no Python anywhere."""
-    from .pq import _refine_exact, _sub_dist
-
+    candidate; no Python anywhere. Funnels through the shared
+    ``_sq_flat_score`` tail (with the persisted-index search and the
+    streaming delta search), so the three paths cannot drift."""
     bounds = sq_fit(df, id_col, vec_col, dim, metric=metric)
     cand = sq_encode(df, bounds, id_col, vec_col, metric=metric).select(
         F.col(id_col).alias("cand_id"), "codes"
     )
     qd = with_quantized(df, vec_col, metric=metric).select(id_col, "qv", "nq")
-    queries = F.broadcast(
-        qd.join(query_ids.select(id_col), id_col).select(
-            F.col(id_col).alias("query_id"),
-            F.col("qv").alias("qv_q"),
-        )
+    queries_qd = qd.join(query_ids.select(id_col), id_col)
+    return _sq_flat_score(
+        queries_qd, cand, bounds, id_col, k, refine,
+        vectors=qd if refine else None,
     )
-    scored = (
-        cand.crossJoin(F.broadcast(bounds))
-        .select("cand_id", _sq_decoded().alias("__dv"))
-        .join(queries, F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            _sub_dist(F.col("qv_q"), F.col("__dv")).alias("approx_d"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("approx_d"), F.asc("cand_id")
-    )
-    ranked = scored.select("*", F.row_number().over(w).alias("rank"))
-    if not refine:
-        return ranked.filter(F.col("rank") <= k)
-    shortlist = ranked.filter(F.col("rank") <= refine * k).drop("rank")
-    qvecs = qd.join(query_ids.select(id_col), id_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col("qv").alias("qv_q"),
-        F.col("nq").alias("nq_q"),
-    )
-    cvecs = qd.select(
-        F.col(id_col).alias("cand_id"),
-        F.col("qv").alias("qv_c"),
-        F.col("nq").alias("nq_c"),
-    )
-    return _refine_exact(shortlist, qvecs, cvecs, k, on=["cand_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -291,7 +287,7 @@ def ivfsq_topk(
     cents = cents.localCheckpoint(eager=False)
     assigned = assign_clusters(qd, cents, id_col)
     if per_list:
-        bounds = _bounds_agg(assigned, dim, group_cols=("cluster",))
+        bounds = _per_list_bounds(assigned, cents, dim)
     else:
         bounds = _bounds_agg(
             qd.select(_assert_dim(F.col("qv"), F.lit(dim), "ivfsq_topk").alias("qv")),
@@ -429,7 +425,7 @@ def ivfsq_build_index(
 
         assigned = lazy_checkpoint(assigned)
     if per_list:
-        bounds = _bounds_agg(assigned, dim, group_cols=("cluster",))
+        bounds = _per_list_bounds(assigned, cents_l, dim)
     else:
         bounds = _bounds_agg(assigned.select("qv"), dim)
     bounds.write.mode("overwrite").parquet(f"{path}/bounds")
@@ -480,7 +476,7 @@ def ivfsq_search_index(
     from .pq import _refine_exact, _sub_dist, check_index_meta, read_index_meta
     from .similarity import probe_clusters
 
-    check_index_meta(spark, path, metric=metric, dim=dim)
+    check_index_meta(spark, path, metric=metric, dim=dim, kind="ivfsq")
     meta = read_index_meta(spark, path) or {}
     per_list = bool(meta.get("per_list", False))
     cents = spark.read.parquet(f"{path}/centroids")
@@ -598,7 +594,10 @@ def sq_search_index(
     search contract)."""
     from .pq import check_index_meta, read_index_meta
 
-    check_index_meta(spark, path, metric=metric, dim=dim)
+    # kind is checked too: an IVF-SQ index shares this layout's dataset
+    # names (bounds/codes), and flat-scoring per-list bounds would
+    # silently duplicate and mis-rank candidates
+    check_index_meta(spark, path, metric=metric, dim=dim, kind="sq8")
     bounds = spark.read.parquet(f"{path}/bounds")
     cand = spark.read.parquet(f"{path}/codes").select(
         F.col(id_col).alias("cand_id"), "codes"

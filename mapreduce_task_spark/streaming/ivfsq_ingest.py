@@ -76,6 +76,12 @@ def append_batch(
     aggregates, replay-idempotent like the delta write."""
     spark = batch_df.sparkSession
     meta = _meta(spark, index_path)
+    kind = meta.get("kind", "ivfsq")
+    if kind != "ivfsq":
+        raise ValueError(
+            f"index at {index_path} is kind={kind!r} — ivfsq_ingest "
+            "appends to IVF-SQ indexes only (use sq_ingest for flat SQ8)"
+        )
     metric = meta.get("metric", "l2")
     per_list = bool(meta.get("per_list", False))
     cents = spark.read.parquet(f"{index_path}/centroids")
@@ -164,7 +170,7 @@ def search_with_delta(
     from ..operators.pq import _refine_exact, _sub_dist, check_index_meta
     from ..operators.sq import _ivfsq_score
 
-    check_index_meta(spark, index_path, metric=metric, dim=dim)
+    check_index_meta(spark, index_path, metric=metric, dim=dim, kind="ivfsq")
     meta = _meta(spark, index_path)
     per_list = bool(meta.get("per_list", False))
     cents = spark.read.parquet(f"{index_path}/centroids")

@@ -73,6 +73,12 @@ def append_batch(
     write itself."""
     spark = batch_df.sparkSession
     meta = _meta(spark, index_path)
+    kind = meta.get("kind", "sq8")
+    if kind != "sq8":
+        raise ValueError(
+            f"index at {index_path} is kind={kind!r} — sq_ingest appends "
+            "to flat SQ8 indexes only (use ivfsq_ingest for IVF-SQ)"
+        )
     metric = meta.get("metric", "l2")
     bounds = spark.read.parquet(f"{index_path}/bounds")
     qd = with_quantized(batch_df, vec_col, metric=metric).select(
@@ -144,7 +150,7 @@ def search_with_delta(
     filtered-search contract)."""
     from ..operators.pq import check_index_meta
 
-    check_index_meta(spark, index_path, metric=metric, dim=dim)
+    check_index_meta(spark, index_path, metric=metric, dim=dim, kind="sq8")
     meta = _meta(spark, index_path)
     bounds = spark.read.parquet(f"{index_path}/bounds")
     cand = spark.read.parquet(f"{index_path}/codes").select(

@@ -1281,6 +1281,15 @@ def test_decode_jpeg_progressive_successive_approximation():
         assert got.shape == want.shape, kw
         assert np.array_equal(got, want), kw
 
+    # trailing bytes after EOI are common padding — the marker walk
+    # must stop at EOI, not read the padding as markers
+    px = _test_image(9, 9, 1, seed=1)
+    prog = _encode_jpeg_progressive(px, successive=True)
+    want = decode_image(prog)
+    assert np.array_equal(decode_image(prog + b"\x00paddingbytes"), want)
+    assert np.array_equal(decode_image(_encode_jpeg(px) + b"\x01junk"),
+                          decode_image(_encode_jpeg(px)))
+
 
 def test_decode_jpeg_roundtrip_grayscale():
     """decode(encode(px)) within DCT float-rounding tolerance, exact

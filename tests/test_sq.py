@@ -335,3 +335,99 @@ def test_ivfsq_index_split_matches_inline(spark, sf_small, tmp_path):
     )
     with _pytest.raises(ValueError, match="store_vectors"):
         ivfsq_search_index(spark, lean, queries, k=K, dim=DIM, refine=3)
+
+
+def test_ivfsq_search_index_dpp_and_filtered_pruning(spark, sf_small, tmp_path):
+    """The persisted IVF-SQ search's scale contract plan-asserted:
+    the probed-cluster dynamic partition pruning must reach the codes
+    scan AND (at refine>0) the vectors scan, and the filter_ids
+    left-semi join must not break it — the test_pq.py DPP proof's
+    shape for the third index family."""
+    from mapreduce_task_spark.operators.sq import (
+        ivfsq_build_index,
+        ivfsq_search_index,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 5)
+    queries = emb.join(qids, "vec_id")
+    path = str(tmp_path / "ivfsq_dpp")
+    ivfsq_build_index(emb, path, n_clusters=4, dim=DIM)
+
+    def assert_dpp(res, label, want_vectors):
+        res.collect()
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        pruned = [
+            ln
+            for ln in plan.splitlines()
+            if "PartitionFilters" in ln and "dynamicpruning" in ln
+        ]
+        assert any("codes" in ln for ln in pruned), (
+            f"codes scan lost cluster DPP ({label})"
+        )
+        if want_vectors:
+            assert any("qv" in ln and "nq" in ln for ln in pruned), (
+                f"vectors scan lost cluster DPP ({label})"
+            )
+
+    assert_dpp(
+        ivfsq_search_index(spark, path, queries, k=K, dim=DIM, nprobe=2),
+        "plain",
+        want_vectors=False,
+    )
+    assert_dpp(
+        ivfsq_search_index(
+            spark, path, queries, k=K, dim=DIM, nprobe=2, refine=3
+        ),
+        "refined",
+        want_vectors=True,
+    )
+    allow = emb.select("vec_id").filter(F.col("vec_id") % 2 == 0)
+    assert_dpp(
+        ivfsq_search_index(
+            spark, path, queries, k=K, dim=DIM, nprobe=2, refine=3,
+            filter_ids=allow,
+        ),
+        "filtered",
+        want_vectors=True,
+    )
+
+
+def test_ivfsq_per_list_bounds_total_over_empty_clusters(spark, sf_small, tmp_path):
+    """A centroid can end the build with ZERO assigned vectors (the
+    final assignment pass can vacate a previous round's centroid); its
+    bounds row must still exist — falling back to the global bounds —
+    or a streamed vector later assigned there would silently vanish
+    from the delta (inner join on per-list bounds). Pinned at the
+    helper level with a synthetic empty cluster AND at the index level
+    (one bounds row per centroid; an append drops no rows)."""
+    from pyspark.sql import Row
+
+    from mapreduce_task_spark.operators.sq import (
+        _per_list_bounds,
+        ivfsq_build_index,
+    )
+    from mapreduce_task_spark.streaming.ivfsq_ingest import append_batch
+
+    assigned = spark.createDataFrame(
+        [Row(cluster=c, qv=[c * 10, -c]) for c in (1, 2, 4)],
+        "cluster int, qv array<bigint>",
+    )
+    cents = spark.createDataFrame(
+        [Row(j=j) for j in (1, 2, 3, 4)], "j int"
+    )
+    b = {r["cluster"]: r for r in _per_list_bounds(assigned, cents, 2).collect()}
+    assert set(b) == {1, 2, 3, 4}
+    # the empty cluster carries the GLOBAL bounds
+    assert list(b[3]["minq"]) == [10, -4] and list(b[3]["maxq"]) == [40, -1]
+    assert list(b[1]["minq"]) == [10, -1] and list(b[1]["maxq"]) == [10, -1]
+
+    emb = load_table(spark, sf_small, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    idx = str(tmp_path / "ivfsq_total")
+    ivfsq_build_index(base, idx, n_clusters=4, dim=DIM, per_list=True)
+    n_cents = spark.read.parquet(f"{idx}/centroids").count()
+    assert spark.read.parquet(f"{idx}/bounds").count() == n_cents
+    rest = emb.filter(F.col("vec_id") >= 300)
+    append_batch(rest, 0, idx)
+    assert spark.read.parquet(f"{idx}/delta").count() == rest.count()
