@@ -358,3 +358,72 @@ def score_postings(
         .orderBy(F.col("score_micro").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def retrieval_metrics(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Standard retrieval-quality metrics of a ranked run against a
+    relevance set: per-query (and a 'MACRO' average row)
+    ``mrr_at_k``, ``recall_at_k``, and binary ``ndcg_at_k`` — the
+    evaluation loop a search deployment runs beside ``ann_recall``
+    (which grades approximate-vs-exact; this grades ranked-vs-RELEVANT,
+    e.g. planted duplicates, clicked documents, labeled qrels).
+
+    ``runs`` is (query, cand, rank) with rank 1 best (every search
+    surface here emits exactly that shape); ``qrels`` is (query, cand)
+    — binary relevance, the common case for dedup/planted-pair evals.
+    Queries present in ``qrels`` but absent from ``runs`` score 0 (a
+    retrieval MISS must drag the macro average down, not silently
+    shrink the denominator).
+
+    All three metrics are pure join/aggregate over the top-k rows —
+    no collects, scales to any eval-set size. MRR and recall are exact
+    rationals computed in doubles (hits/k sums are tiny integers);
+    NDCG uses the standard 1/log2(1+rank) discount (floats are
+    inherent to the metric — this operator is an evaluation surface,
+    pytest-gated, not an oracle-replayed query).
+    """
+    topk = runs.filter(F.col(rank_col) <= k).select(
+        query_col, cand_col, rank_col
+    )
+    rel = qrels.select(query_col, cand_col).distinct()
+    hits = topk.join(rel, [query_col, cand_col], "inner")
+    discount = 1.0 / F.log2(F.col(rank_col).cast("double") + 1.0)
+    per_hit = hits.groupBy(query_col).agg(
+        (1.0 / F.min(rank_col).cast("double")).alias("mrr_at_k"),
+        F.count(F.lit(1)).alias("__nhits"),
+        F.sum(discount).alias("__dcg"),
+    )
+    n_rel = rel.groupBy(query_col).agg(F.count(F.lit(1)).alias("__nrel"))
+    # ideal DCG: the first min(n_rel, k) ranks all relevant
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("__nrel"), F.lit(k))),
+        F.lit(0.0),
+        lambda acc, r: acc + 1.0 / F.log2(r.cast("double") + 1.0),
+    )
+    per_query = (
+        n_rel.join(per_hit, query_col, "left")
+        .select(
+            F.col(query_col).cast("string").alias(query_col),
+            F.coalesce("mrr_at_k", F.lit(0.0)).alias("mrr_at_k"),
+            (
+                F.coalesce("__nhits", F.lit(0)).cast("double")
+                / F.least(F.col("__nrel"), F.lit(k)).cast("double")
+            ).alias("recall_at_k"),
+            (F.coalesce("__dcg", F.lit(0.0)) / idcg).alias("ndcg_at_k"),
+        )
+    )
+    macro = per_query.agg(
+        F.avg("mrr_at_k").alias("mrr_at_k"),
+        F.avg("recall_at_k").alias("recall_at_k"),
+        F.avg("ndcg_at_k").alias("ndcg_at_k"),
+    ).select(
+        F.lit("MACRO").alias(query_col), "mrr_at_k", "recall_at_k", "ndcg_at_k"
+    )
+    return per_query.unionByName(macro)

@@ -283,3 +283,84 @@ def test_filtered_hybrid_retrieval_composes(spark, sf_small, tmp_path):
     assert fused_ids <= lex_ids | ann_ids
     assert fused_ids & lex_ids and fused_ids & ann_ids
     assert {r["rank"] for r in fused} == set(range(1, len(fused) + 1))
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """MRR/recall/NDCG@k against a fully hand-computed fixture,
+    including a query the run never retrieved (scores 0, drags the
+    macro average down instead of shrinking the denominator)."""
+    import math
+
+    import pytest as _pytest
+
+    from mapreduce_task_spark.operators.ranking import retrieval_metrics
+
+    runs = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+         ("q2", "d", 1), ("q2", "e", 2)],
+        "query_id string, cand_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "b"), ("q1", "z"), ("q2", "d"), ("q3", "x")],
+        "query_id string, cand_id string",
+    )
+    got = {r["query_id"]: r for r in retrieval_metrics(runs, qrels, k=3).collect()}
+    assert set(got) == {"q1", "q2", "q3", "MACRO"}
+
+    # q1: relevant b found at rank 2 (z missed); n_rel=2 <= k
+    dcg1 = 1.0 / math.log2(3.0)
+    idcg1 = 1.0 / math.log2(2.0) + 1.0 / math.log2(3.0)
+    assert got["q1"]["mrr_at_k"] == _pytest.approx(0.5)
+    assert got["q1"]["recall_at_k"] == _pytest.approx(0.5)
+    assert got["q1"]["ndcg_at_k"] == _pytest.approx(dcg1 / idcg1)
+    # q2: its one relevant at rank 1 — perfect
+    for m in ("mrr_at_k", "recall_at_k", "ndcg_at_k"):
+        assert got["q2"][m] == _pytest.approx(1.0), m
+    # q3: never retrieved — all zeros
+    for m in ("mrr_at_k", "recall_at_k", "ndcg_at_k"):
+        assert got["q3"][m] == 0.0, m
+    # macro = plain average over the three qrel queries
+    assert got["MACRO"]["mrr_at_k"] == _pytest.approx((0.5 + 1.0 + 0.0) / 3)
+    assert got["MACRO"]["recall_at_k"] == _pytest.approx((0.5 + 1.0 + 0.0) / 3)
+    assert got["MACRO"]["ndcg_at_k"] == _pytest.approx(
+        (dcg1 / idcg1 + 1.0 + 0.0) / 3
+    )
+
+    # n_rel > k: the ideal DCG (and recall denominator) truncate at k
+    qrels_many = spark.createDataFrame(
+        [("q2", c) for c in ("d", "e", "f", "g")],
+        "query_id string, cand_id string",
+    )
+    r2 = {
+        r["query_id"]: r
+        for r in retrieval_metrics(runs, qrels_many, k=2).collect()
+    }
+    assert r2["q2"]["recall_at_k"] == _pytest.approx(1.0)  # 2 hits / min(4,2)
+    idcg2 = 1.0 / math.log2(2.0) + 1.0 / math.log2(3.0)
+    assert r2["q2"]["ndcg_at_k"] == _pytest.approx(1.0)  # dcg == idcg
+    assert r2["q2"]["mrr_at_k"] == _pytest.approx(1.0)
+    assert idcg2 > 0
+
+
+def test_retrieval_metrics_on_search_stack(spark, sf_small):
+    """Composed with a real search surface: grading brute-force top-k
+    against its own top-1 as the relevance set must score a perfect
+    MRR/recall/NDCG macro (the self-consistency anchor)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce_task_spark.operators.ranking import retrieval_metrics
+    from mapreduce_task_spark.operators.similarity import brute_force_topk
+    from mapreduce_task_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 8)
+    run = brute_force_topk(emb, qids, k=5)
+    qrels = run.filter(F.col("rank") == 1).select("query_id", "cand_id")
+    macro = (
+        retrieval_metrics(run, qrels, k=5)
+        .filter(F.col("query_id") == "MACRO")
+        .collect()[0]
+    )
+    for m in ("mrr_at_k", "recall_at_k", "ndcg_at_k"):
+        assert macro[m] == _pytest.approx(1.0), m
