@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.hashing import hash64_duckdb_sql
+from ..operators.extract import html_to_text, html_to_text_duckdb_sql
 from ..operators.scrub import redact_pii, remove_boilerplate_lines
 from ..registry import query, t
 from .llm_dedup import (
@@ -131,6 +132,56 @@ sh8 AS (SELECT DISTINCT doc_id, {_SH8_CONCAT} AS shingle
         FROM led8 WHERE w{_DECONTAM_N - 1} IS NOT NULL)
 """
 
+# Planted-HTML fixture for the html leg: the synthetic corpus is plain
+# text, so each document is wrapped in a deterministic full HTML page
+# (head block with title/style, a body-level script, a comment, block
+# elements, all six named entities, decodable (&#233;) / out-of-range
+# (&#8364;) / hex (&#x27;) numeric refs, <br>, a list). BOTH the Spark
+# plant and the oracle plant are generated from this one segment table,
+# and both sides then run their own extraction chain — the hash match
+# verifies the real regex/entity semantics end to end.
+_HTML_SEGS: tuple[tuple[str, str | None], ...] = (
+    ("<!DOCTYPE html><html><head><title>T", "ID"),
+    (
+        '</title><style type="text/css">p {color: red}</style></head>'
+        "<body><script>var x = 1 < 2;</script><!-- hidden ",
+        "ID",
+    ),
+    (" --><h1>Doc ", "ID"),
+    ("</h1><p>", "TEXT"),
+    (
+        '</p><div class="c">A &amp; B &lt;i&gt; &quot;Q&quot; it&apos;s '
+        "caf&#233; &#8364;9 &#x27;hex 100&nbsp;%</div><br><ul><li>one</li>"
+        "<li>item ",
+        "ID",
+    ),
+    ("</li></ul></body></html>", None),
+)
+
+
+def _html_plant_spark():
+    did = F.col("doc_id").cast("string")
+    cols = []
+    for lit, tok in _HTML_SEGS:
+        cols.append(F.lit(lit))
+        if tok == "ID":
+            cols.append(did)
+        elif tok == "TEXT":
+            cols.append(F.col("text"))
+    return F.concat(*cols)
+
+
+def _html_plant_sql() -> str:
+    parts = []
+    for lit, tok in _HTML_SEGS:
+        parts.append("'" + lit.replace("'", "''") + "'")
+        if tok == "ID":
+            parts.append("CAST(doc_id AS VARCHAR)")
+        elif tok == "TEXT":
+            parts.append("text")
+    return " || ".join(parts)
+
+
 # deterministic planted-PII suffix, replayed verbatim by the oracle
 _PII_SUFFIX_SQL = (
     "' d' || CAST(doc_id AS VARCHAR) || '@ex.com https://ex.com/' || "
@@ -160,6 +211,8 @@ WITH {_SIG_CTE},
 {_LEAK_CTES},
 {_QVEC_CTE.strip()},
 pii AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents),
+hraw AS (SELECT doc_id, {_html_plant_sql()} AS text FROM documents),
+hext AS (SELECT doc_id, {html_to_text_duckdb_sql('text')} AS text FROM hraw),
 nfc_seed AS (SELECT doc_id,
        CASE WHEN doc_id % 3 = 0
             THEN text || CASE WHEN doc_id % 2 = 0
@@ -209,9 +262,23 @@ UNION ALL
 SELECT 'nfc' AS leg, doc_id, nfc_normalize(text) AS text,
        CAST(NULL AS BIGINT) AS n_removed
 FROM nfc_seed
+UNION ALL
+SELECT 'html' AS leg, doc_id, text, CAST(NULL AS BIGINT) AS n_removed
+FROM hext
 """,
-    doc="Corpus scrubbing as a seven-leg tagged union (operators/scrub"
-    ".py + operators/decontam.py). nfc leg (r10): normalize_unicode_"
+    doc="Corpus scrubbing as an eight-leg tagged union (operators/scrub"
+    ".py + operators/decontam.py + operators/extract.py). html leg "
+    "(r13): html_to_text — the pipeline-head markup extraction every "
+    "web corpus needs; the plain-text corpus is wrapped in a "
+    "deterministic full HTML page (head/style/script blocks, comment, "
+    "block elements, named + decodable/out-of-range/hex numeric "
+    "entities, <br>, list — one shared segment table plants BOTH "
+    "sides) and the oracle replays the whole chained-regexp extraction "
+    "(comment/head/script/style strip, block tags -> newlines, tag "
+    "strip, Latin-1 numeric + named entity decode, whitespace "
+    "normalize) bit-for-bit; map-only, zero shuffles, generated from "
+    "the same step table as the Spark chain so the sides cannot "
+    "drift. nfc leg (r10): normalize_unicode_"
     "text — the pre-dedup Unicode NFC pass; the synthetic corpus is "
     "ASCII, so the leg PLANTS composed (U+00E9) and decomposed "
     "(e+U+0301) café suffixes on every third doc and the oracle "
@@ -352,6 +419,11 @@ def q_scrub_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     nfc_leg = normalize_unicode_text(seeded).select(
         F.lit("nfc").alias("leg"), "doc_id", "text", nul_b.alias("n_removed")
     )
+    hplanted = docs.select("doc_id", _html_plant_spark().alias("text"))
+    html_leg = html_to_text(hplanted).select(
+        F.lit("html").alias("leg"), "doc_id", "text",
+        nul_b.alias("n_removed"),
+    )
     return (
         red_leg.unionByName(boiler_leg)
         .unionByName(dec_leg)
@@ -359,4 +431,5 @@ def q_scrub_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(span_leg)
         .unionByName(leak_leg)
         .unionByName(nfc_leg)
+        .unionByName(html_leg)
     )
