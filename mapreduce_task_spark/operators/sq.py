@@ -73,14 +73,22 @@ def _bounds_agg(qd: DataFrame, dim: int, group_cols: tuple = ()) -> DataFrame:
     quantized (``qv``) frame, packed back into (minq, maxq) arrays —
     globally (1 row) or per group (``group_cols``, e.g. per inverted
     list for the IVF-SQ composition)."""
-    aggs = [
-        F.min(F.element_at("qv", i + 1)).alias(f"__mn{i}") for i in range(dim)
-    ] + [F.max(F.element_at("qv", i + 1)).alias(f"__mx{i}") for i in range(dim)]
+    # F.expr strings, not per-column py4j construction: the 2*dim agg
+    # expressions and the 2 dim-ary array packs are built in O(1) py4j
+    # round-trips instead of O(dim) — identical resolved plan, ~1 s
+    # less driver-side build time per fit at dim=64 (r13; the bench
+    # build/run split is the receipt). qv[i] is the 0-based subscript,
+    # == element_at(qv, i+1) under the _assert_dim guard.
+    aggs = [F.expr(f"min(qv[{i}])").alias(f"__mn{i}") for i in range(dim)] + [
+        F.expr(f"max(qv[{i}])").alias(f"__mx{i}") for i in range(dim)
+    ]
     row = qd.groupBy(*group_cols).agg(*aggs) if group_cols else qd.agg(*aggs)
+    mn_pack = "array(" + ",".join(f"__mn{i}" for i in range(dim)) + ")"
+    mx_pack = "array(" + ",".join(f"__mx{i}" for i in range(dim)) + ")"
     return row.select(
         *group_cols,
-        F.array(*[F.col(f"__mn{i}") for i in range(dim)]).alias("minq"),
-        F.array(*[F.col(f"__mx{i}") for i in range(dim)]).alias("maxq"),
+        F.expr(mn_pack).alias("minq"),
+        F.expr(mx_pack).alias("maxq"),
     )
 
 
@@ -130,10 +138,31 @@ def _per_list_bounds(assigned: DataFrame, cents: DataFrame, dim: int) -> DataFra
     vector later assigned to that cluster (the delta encode joins on
     cluster). Empty lists fall back to the GLOBAL bounds — they hold
     no base vectors, so the fallback governs only future delta rows.
-    Costs one extra global aggregation pass over the assigned frame."""
+
+    The global fallback derives from the k-row per-list frame itself
+    (element-wise min-of-mins / max-of-maxes == the corpus global —
+    empty clusters contribute to neither side), NOT a second corpus
+    aggregation: one zip_with reduce over k collected arrays replaces
+    a second 2*dim-aggregate pass (r13 — measured ~2 s less
+    driver-side plan construction per build at dim=64, and one fewer
+    corpus pass at any scale)."""
     per = _bounds_agg(assigned, dim, group_cols=("cluster",))
-    glob = _bounds_agg(assigned.select("qv"), dim).select(
-        F.col("minq").alias("__gmn"), F.col("maxq").alias("__gmx")
+    packed = per.agg(
+        F.collect_list("minq").alias("__mns"),
+        F.collect_list("maxq").alias("__mxs"),
+    )
+    _rest = lambda c: F.slice(c, 2, 1 << 30)  # noqa: E731
+    glob = packed.select(
+        F.aggregate(
+            _rest(F.col("__mns")),
+            F.element_at("__mns", 1),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+        ).alias("__gmn"),
+        F.aggregate(
+            _rest(F.col("__mxs")),
+            F.element_at("__mxs", 1),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.greatest(a, b)),
+        ).alias("__gmx"),
     )
     return (
         cents.select(F.col("j").alias("cluster"))

@@ -693,7 +693,16 @@ def _ivf_oracle(k: int, rounds: int, nprobe: int = 1) -> str:
     """Multi-probe IVF search over the replayed k-means build:
     candidates keep rank 1 (home list), queries keep rank <= nprobe
     (probe set) over the SAME (distance, j) ordering, then the
-    cluster-restricted top-k."""
+    cluster-restricted top-k — plus (r13) the ivfsq leg: the IVF-SQ
+    COMPOSED path (operators/sq.py ivfsq family, per-list bounds)
+    replayed end to end over the SAME build and probe set: per-list
+    (minq, maxq) with the global fallback for build-time-empty
+    clusters (_per_list_bounds), clamped floor-div encode, affine
+    floor decode, probe-restricted asymmetric approx ranking, and the
+    shared pq._refine_exact rerank — every stage integer-exact, so
+    the driver hash anchors IVF-SQ directly (previously only
+    transitively via the exhaustive-probe == flat-SQ pytest
+    equality)."""
     return f"""
 WITH {_QVEC_CTE},
 {_kmeans_ctes(k, rounds)},
@@ -702,10 +711,59 @@ probes AS (SELECT vec_id, qv, nq, j AS cluster FROM a_final
 scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                   list_dot_product(q.qv, c.qv) / (sqrt(q.nq) * sqrt(c.nq)) AS cos
            FROM probes q JOIN m_final c
-             ON q.cluster = c.cluster AND c.vec_id != q.vec_id)
-SELECT query_id, cand_id, cos, CAST(rank AS INTEGER) AS rank
+             ON q.cluster = c.cluster AND c.vec_id != q.vec_id),
+vcomp AS (SELECT cluster, unnest(qv) AS val, unnest(range(len(qv))) AS idx
+          FROM m_final),
+vpb AS (SELECT cluster, idx, min(val) AS mn, max(val) AS mx
+        FROM vcomp GROUP BY cluster, idx),
+vpl AS (SELECT cluster, list(mn ORDER BY idx) AS minq,
+               list(mx ORDER BY idx) AS maxq
+        FROM vpb GROUP BY cluster),
+vgd AS (SELECT idx, min(val) AS mn, max(val) AS mx FROM vcomp GROUP BY idx),
+vgb AS (SELECT list(mn ORDER BY idx) AS gmn, list(mx ORDER BY idx) AS gmx
+        FROM vgd),
+vbf AS (SELECT c.j AS cluster, coalesce(p.minq, g.gmn) AS minq,
+               coalesce(p.maxq, g.gmx) AS maxq
+        FROM cents_r{rounds} c LEFT JOIN vpl p ON p.cluster = c.j
+        CROSS JOIN vgb g),
+venc AS (SELECT m.vec_id, m.cluster,
+         list_transform(range({_EMB_DIM}), i ->
+           CASE WHEN b.maxq[i+1] - b.minq[i+1] > 0
+                THEN least(floor((greatest(m.qv[i+1] - b.minq[i+1], 0) * 255)
+                           / (b.maxq[i+1] - b.minq[i+1])), 255)
+                ELSE 0 END) AS codes
+         FROM m_final m JOIN vbf b ON b.cluster = m.cluster),
+vdec AS (SELECT e.vec_id, e.cluster,
+         list_transform(range({_EMB_DIM}), i ->
+           b.minq[i+1] + floor((e.codes[i+1] * (b.maxq[i+1] - b.minq[i+1]))
+                               / 255)) AS dv
+         FROM venc e JOIN vbf b ON b.cluster = e.cluster),
+vscored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.cluster,
+            CAST(q.nq + list_dot_product(c.dv, c.dv)
+                 - 2 * list_dot_product(q.qv, c.dv) AS BIGINT) AS approx_d
+            FROM probes q JOIN vdec c
+              ON c.cluster = q.cluster AND c.vec_id != q.vec_id),
+vshort AS (SELECT query_id, cand_id, cluster, approx_d
+           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY approx_d ASC, cand_id) AS rn FROM vscored) s
+           WHERE rn <= {_SQ_REFINE * _TOPK_K}),
+vexact AS (SELECT s.query_id, s.cand_id, s.approx_d,
+           CAST(q.nq + c.nq - 2 * list_dot_product(q.qv, c.qv) AS BIGINT)
+               AS exact_d
+           FROM vshort s
+           JOIN nv q ON q.vec_id = s.query_id
+           JOIN m_final c ON c.vec_id = s.cand_id AND c.cluster = s.cluster)
+SELECT 'ivf' AS leg, query_id, cand_id, cos,
+       CAST(NULL AS BIGINT) AS approx_d, CAST(NULL AS BIGINT) AS exact_d,
+       CAST(rank AS INTEGER) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
       FROM scored) r
+WHERE rank <= {_TOPK_K}
+UNION ALL
+SELECT 'ivfsq' AS leg, query_id, cand_id, CAST(NULL AS DOUBLE) AS cos,
+       approx_d, exact_d, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY exact_d ASC, cand_id) AS rank
+      FROM vexact) r
 WHERE rank <= {_TOPK_K}
 """
 
@@ -720,10 +778,20 @@ WHERE rank <= {_TOPK_K}
     "(recall-gated vs brute force in tests/test_similarity.py). At scale "
     "the cluster id IS the shuffle/bucket key; the oracle replays the "
     "identical deterministic build and probe ranking, one generated CTE "
-    "pair per round.",
+    "pair per round. ivfsq leg (r13): the IVF-SQ COMPOSED path over the "
+    "SAME build and probe set — per-list SQ8 bounds (with the proven "
+    "global fallback for build-time-empty clusters), clamped floor-div "
+    "encode, affine floor decode, probe-restricted asymmetric approx "
+    f"ranking, exact rerank at refine={_SQ_REFINE} through the shared "
+    "_ivfsq_score/_refine_exact tail — every stage integer-exact and "
+    "oracle-replayed, so the driver hash anchors the IVF-SQ family "
+    "directly (it was previously only transitively anchored via the "
+    "exhaustive-probe == flat-SQ pytest equality).",
 )
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import _refine_exact, _sub_dist
     from ..operators.similarity import assign_clusters, kmeans_lite_fit, probe_clusters
+    from ..operators.sq import _encode_qv, _ivfsq_score, _per_list_bounds
 
     emb = t(spark, sf_dir, "embeddings")
     qd, cents = kmeans_lite_fit(emb, k=_IVF_K, dim=_EMB_DIM, rounds=_IVF_ROUNDS)
@@ -734,7 +802,12 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (~0.6 s less driver-side planning than persist at sf0.1, and the
     # r6 checkpoint discipline of operators.pq)
     cents = cents.localCheckpoint(eager=False)
-    c = assign_clusters(qd, cents).select(
+    # the assigned corpus now feeds FIVE consumers (ivf candidates,
+    # per-list bounds x2 aggregations, the code encode, the refine
+    # vectors): one lazy checkpoint materializes the broadcast-argmin
+    # pass once instead of replanning it per consumer
+    assigned = assign_clusters(qd, cents).localCheckpoint(eager=False)
+    c = assigned.select(
         F.col("vec_id").alias("cand_id"),
         F.col("qv").alias("qv_c"),
         F.col("nq").alias("nq_c"),
@@ -761,9 +834,51 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
-    return scored.select("*", F.row_number().over(w).alias("rank")).filter(
-        F.col("rank") <= _TOPK_K
+    nul_b = F.lit(None).cast("bigint")
+    ivf_leg = (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _TOPK_K)
+        .select(
+            F.lit("ivf").alias("leg"),
+            "query_id",
+            "cand_id",
+            "cos",
+            nul_b.alias("approx_d"),
+            nul_b.alias("exact_d"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     )
+    # ivfsq leg: per-list bounds -> encode -> the shared search tail
+    # (probe-pruned decode/rank + exact rerank), reusing the SAME
+    # kmeans build, assignment, and probe frame as the ivf leg
+    bounds = _per_list_bounds(assigned, cents, _EMB_DIM).localCheckpoint(
+        eager=False
+    )
+    codes = _encode_qv(
+        assigned.select(F.col("vec_id").alias("cand_id"), "cluster", "qv"),
+        bounds,
+        keep=["cand_id", "cluster"],
+        per_list=True,
+    )
+    cvecs = assigned.select(
+        F.col("vec_id").alias("cand_id"),
+        "cluster",
+        F.col("qv").alias("qv_c"),
+        F.col("nq").alias("nq_c"),
+    )
+    ivfsq_leg = _ivfsq_score(
+        q, codes, bounds, cvecs, _TOPK_K, _SQ_REFINE, True,
+        _sub_dist, _refine_exact,
+    ).select(
+        F.lit("ivfsq").alias("leg"),
+        "query_id",
+        "cand_id",
+        F.lit(None).cast("double").alias("cos"),
+        F.col("approx_d").cast("bigint").alias("approx_d"),
+        F.col("exact_d").cast("bigint").alias("exact_d"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    return ivf_leg.unionByName(ivfsq_leg)
 
 
 @query(
