@@ -170,7 +170,10 @@ def main() -> int:
     canary_pre = cpu_canary()
     retry_info: dict | None = None
     slow_thresh = float(os.environ.get("SPARK_GRAFT_CANARY_SLOW", "0.5"))
-    if not only and canary_pre["single_thread_sec"] > slow_thresh and phases:
+
+    def retry_worst_rows(trigger_canary: dict, when: str) -> dict:
+        """Re-run the 6 worst build_sec-dominated rows once, keep the
+        per-row min. Returns the retry record for the artifacts."""
         worst = sorted(
             phases, key=lambda n: phases[n]["build_sec"], reverse=True
         )[:6]
@@ -185,11 +188,15 @@ def main() -> int:
             if total < timings[name]:
                 timings[name] = total
                 phases[name] = {"build_sec": build, "run_sec": run}
-        retry_info = {
-            "pre_single_thread_sec": canary_pre["single_thread_sec"],
+        return {
+            "pre_single_thread_sec": trigger_canary["single_thread_sec"],
             "post_single_thread_sec": cpu_canary()["single_thread_sec"],
+            "when": when,
             "retried": retried,
         }
+
+    if not only and canary_pre["single_thread_sec"] > slow_thresh and phases:
+        retry_info = retry_worst_rows(canary_pre, "pre_extras")
 
     # Build-once/search-many split (r4 verdict #3): the registry's
     # similarity_ivf measures BUILD+search each run (its oracle covers
@@ -605,8 +612,23 @@ def main() -> int:
         except Exception as e:
             print(f"bench: ivf split extra failed: {e!r:.200}", file=sys.stderr)
 
+    # Close the post-extras hole (r12 verdict #1): a pass that degrades
+    # DURING the ~5-minute extras window escaped the pre-extras gate —
+    # re-measure the canary after extras and retry the planning-bound
+    # rows if THIS measurement is slow and no retry ran yet. The final
+    # recorded canary is taken after any retry, so the artifact's
+    # headline canary describes the numbers that stand.
+    canary_post = cpu_canary()
+    if (
+        not only
+        and retry_info is None
+        and canary_post["single_thread_sec"] > slow_thresh
+        and phases
+    ):
+        retry_info = retry_worst_rows(canary_post, "post_extras")
+
     ok = {k: v for k, v in timings.items() if v >= 0}
-    canary = cpu_canary()
+    canary = cpu_canary() if retry_info is not None else canary_post
     # Per-query build/run phases and the recall/ablation extras are
     # valuable but bulky; they outgrew the driver's stdout tail-capture
     # window in round 10 (BENCH_r10.json recorded parsed:null). They go
@@ -637,17 +659,19 @@ def main() -> int:
                 "sf": sf,
                 "cpu_canary": canary,
                 # both attempts' canaries when the slow-phase retry ran
-                # (~90 bytes; the retried row list lives in the detail)
-                **(
+                # (~110 bytes; the retried row list lives in the detail).
+                # Explicit null otherwise — the gate line and
+                # BENCH_DETAIL now record the same shape (r12 verdict's
+                # cosmetic asymmetry).
+                "canary_retry": (
                     {
-                        "canary_retry": {
-                            "pre": retry_info["pre_single_thread_sec"],
-                            "post": retry_info["post_single_thread_sec"],
-                            "n_retried": len(retry_info["retried"]),
-                        }
+                        "pre": retry_info["pre_single_thread_sec"],
+                        "post": retry_info["post_single_thread_sec"],
+                        "when": retry_info["when"],
+                        "n_retried": len(retry_info["retried"]),
                     }
                     if retry_info
-                    else {}
+                    else None
                 ),
             }
         )

@@ -5,11 +5,13 @@ typed metadata struct, and runs decode / feature-extraction through
 Arrow-batched ``mapInPandas`` — the pattern a 100 TB multimodal
 pipeline uses (JVM moves the bytes; Python touches each batch once).
 
-Decoders (round 8; PNG round 10; JPEG round 11; completed round 12):
-``decode_image`` REALLY decodes binary PNM (P5/P6), PNG (8/16-bit
-gray/gray+alpha/RGB/RGBA, paletted with tRNS, non-interlaced AND
-Adam7 — the full deflate-era surface), and JPEG — baseline sequential
-AND progressive (spectral selection + successive approximation);
+Decoders (round 8; PNG round 10; JPEG round 11; WAV/progressive round
+12; GIF/BMP round 13): ``decode_image`` REALLY decodes binary PNM
+(P5/P6), PNG (8/16-bit gray/gray+alpha/RGB/RGBA, paletted with tRNS,
+non-interlaced AND Adam7 — the full deflate-era surface), JPEG —
+baseline sequential AND progressive (spectral selection + successive
+approximation) — GIF (LZW, interlace, transparency, first frame of
+animations) and BMP (1/4/8/24/32-bit BI_RGB + RLE8/RLE4);
 ``decode_audio`` REALLY decodes RIFF/WAVE integer PCM (8/16/24/32),
 IEEE float, WAVE_FORMAT_EXTENSIBLE, and G.711 A-law/mu-law — all pure
 python/numpy, no new dependencies — and ``decoded_image_stats`` /
@@ -878,6 +880,321 @@ def _decode_png(payload: bytes):
     return samples
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF-variant LZW decompress: LSB-first bit packing, variable code
+    width growing to 12 bits, clear/end-of-information codes, table
+    frozen at 4096 entries until the next clear. Returns exactly
+    ``n_pixels`` index bytes; anything structurally wrong (first code
+    not a literal, code beyond the table, truncated stream) raises
+    ValueError — corrupt data, not a format gap."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"bad GIF LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def fresh() -> tuple[list[bytes], int]:
+        # clear/end slots hold placeholders so indices line up
+        return [bytes([i]) for i in range(clear)] + [b"", b""], min_code_size + 1
+
+    table, width = fresh()
+    prev: bytes | None = None
+    out = bytearray()
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + width <= total_bits:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table, width = fresh()
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table) or code > end:
+                raise ValueError("GIF LZW: first code after clear not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW: code beyond table")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if len(out) >= n_pixels:
+            break
+    if len(out) < n_pixels:
+        raise ValueError(
+            f"GIF LZW: pixel stream truncated ({len(out)} < {n_pixels})"
+        )
+    return bytes(out[:n_pixels])
+
+
+def _decode_gif(payload: bytes):
+    """Pure-stdlib GIF decoder (87a/89a): logical screen descriptor ->
+    global color table -> block walk (extensions skipped except the
+    graphic control's transparency index) -> FIRST image frame through
+    the LZW decoder, local color table preferred, 4-pass interlace
+    deinterleaved. Returns (h, w, 3) RGB, or (h, w, 4) RGBA when the
+    frame declares a transparent index. Animated GIFs decode their
+    first frame (per-frame fan-out belongs to ``sample_frames``-style
+    operators, not the single-image contract)."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("bad GIF signature")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    transparent = None
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            if pos + 2 > len(payload):
+                raise ValueError("truncated GIF extension")
+            label = payload[pos + 1]
+            pos += 2
+            subs: list[bytes] = []
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension sub-blocks")
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                if pos + sz > len(payload):
+                    raise ValueError("truncated GIF extension sub-block")
+                subs.append(payload[pos : pos + sz])
+                pos += sz
+            if label == 0xF9 and subs and len(subs[0]) >= 4 and subs[0][0] & 1:
+                transparent = subs[0][3]
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"bad GIF block introducer {b0:#x}")
+        # image descriptor — decode this (first) frame
+        if pos + 10 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        ipacked = payload[pos + 9]
+        pos += 10
+        if iw == 0 or ih == 0:
+            raise ValueError("zero-dimension GIF frame")
+        lct = None
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            lct = payload[pos : pos + 3 * n]
+            if len(lct) < 3 * n:
+                raise ValueError("truncated GIF local color table")
+            pos += 3 * n
+        if pos >= len(payload):
+            raise ValueError("truncated GIF image data")
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF image sub-blocks")
+            sz = payload[pos]
+            pos += 1
+            if sz == 0:
+                break
+            if pos + sz > len(payload):
+                raise ValueError("truncated GIF image sub-block")
+            data += payload[pos : pos + sz]
+            pos += sz
+        ct = lct if lct is not None else gct
+        if ct is None:
+            raise ValueError("GIF frame has no color table")
+        idx = np.frombuffer(
+            _gif_lzw_decode(bytes(data), mcs, iw * ih), dtype="u1"
+        ).reshape(ih, iw)
+        if ipacked & 0x40:  # interlaced: rows stored in 4 passes
+            order = (
+                list(range(0, ih, 8))
+                + list(range(4, ih, 8))
+                + list(range(2, ih, 4))
+                + list(range(1, ih, 2))
+            )
+            deint = np.empty_like(idx)
+            deint[np.asarray(order)] = idx
+            idx = deint
+        pal = np.frombuffer(ct, dtype="u1").reshape(-1, 3)
+        if int(idx.max()) >= len(pal):
+            raise ValueError("GIF index out of color table range")
+        rgb = pal[idx]
+        if transparent is not None and transparent < len(pal):
+            alpha = np.where(idx == transparent, 0, 255).astype("u1")
+            return np.dstack([rgb, alpha])
+        return rgb
+    raise ValueError("GIF contains no image data")
+
+
+def _bmp_rle_decode(data: bytes, w: int, h: int, four_bit: bool):
+    """BMP RLE8/RLE4 decompress to an (h, w) index array. Encoded runs,
+    absolute runs (word-aligned), end-of-line/bitmap, and delta moves
+    per the spec; rows are bottom-up (a top-down BMP cannot be RLE).
+    Pixels the stream never names stay 0 (the common convention);
+    writes past the raster raise ValueError."""
+    import numpy as np
+
+    out = np.zeros((h, w), dtype="u1")
+    x = y = i = 0
+    while i + 1 < len(data):
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            if y >= h or x + cnt > w:
+                raise ValueError("BMP RLE run past raster bounds")
+            row = out[h - 1 - y]
+            if four_bit:
+                pair = (val >> 4, val & 0x0F)
+                for j in range(cnt):
+                    row[x + j] = pair[j & 1]
+            else:
+                row[x : x + cnt] = val
+            x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return out
+        elif val == 2:  # delta
+            if i + 2 > len(data):
+                raise ValueError("truncated BMP RLE delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("BMP RLE delta past raster bounds")
+        else:  # absolute run of `val` pixels, word-aligned
+            npix = val
+            nbytes = (npix + 1) // 2 if four_bit else npix
+            padded = nbytes + (nbytes & 1)
+            if i + padded > len(data):
+                raise ValueError("truncated BMP RLE absolute run")
+            if y >= h or x + npix > w:
+                raise ValueError("BMP RLE absolute run past raster bounds")
+            row = out[h - 1 - y]
+            if four_bit:
+                for j in range(npix):
+                    b = data[i + (j >> 1)]
+                    row[x + j] = (b >> 4) if j & 1 == 0 else (b & 0x0F)
+            else:
+                row[x : x + npix] = np.frombuffer(
+                    data[i : i + npix], dtype="u1"
+                )
+            x += npix
+            i += padded
+    raise ValueError("BMP RLE stream missing end-of-bitmap")
+
+
+def _decode_bmp(payload: bytes):
+    """Pure-stdlib BMP decoder: BITMAPINFOHEADER (and the V4/V5
+    supersets — same leading fields) with bit depths 1/4/8 (paletted,
+    BGRX entries), 24 (BGR) and 32 (BGRA), BI_RGB plus RLE8/RLE4,
+    bottom-up or top-down rows, 4-byte row padding. Returns (h, w, 3)
+    RGB for paletted/24-bit, (h, w, 4) RGBA for 32-bit. 16-bit and
+    BI_BITFIELDS masks (and the ancient BITMAPCOREHEADER) raise
+    NotImplementedError; structural damage raises ValueError."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("bad BMP signature")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise NotImplementedError(
+            f"BMP header size {hdr_size} (BITMAPCOREHEADER era) needs an "
+            "imaging library; BITMAPINFOHEADER and its V4/V5 supersets "
+            "decode here"
+        )
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    (clr_used,) = struct.unpack_from("<I", payload, 46)
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h_raw}")
+    if planes != 1:
+        raise ValueError(f"bad BMP plane count {planes}")
+    if bpp in (16,) or compression == 3:
+        raise NotImplementedError(
+            "16-bit / BI_BITFIELDS BMP needs mask-aware decode from an "
+            "imaging library"
+        )
+    if bpp not in (1, 4, 8, 24, 32):
+        raise ValueError(f"bad BMP bit depth {bpp}")
+    if compression not in (0, 1, 2):
+        raise ValueError(f"bad BMP compression {compression}")
+    if (compression == 1 and bpp != 8) or (compression == 2 and bpp != 4):
+        raise ValueError(f"BMP compression {compression} invalid at {bpp} bpp")
+    palette = None
+    if bpp <= 8:
+        n = clr_used or (1 << bpp)
+        pal_off = 14 + hdr_size
+        pal = payload[pal_off : pal_off + 4 * n]
+        if len(pal) < 4 * n:
+            raise ValueError("truncated BMP palette")
+        palette = np.frombuffer(pal, dtype="u1").reshape(-1, 4)[:, [2, 1, 0]]
+    if compression in (1, 2):
+        if top_down:
+            raise ValueError("top-down BMP cannot be RLE-compressed")
+        idx = _bmp_rle_decode(
+            payload[data_off:], w, h, four_bit=(compression == 2)
+        )
+        if int(idx.max()) >= len(palette):
+            raise ValueError("BMP index out of palette range")
+        return palette[idx]
+    stride = ((w * bpp + 31) // 32) * 4
+    raster = payload[data_off : data_off + stride * h]
+    if len(raster) < stride * h:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(raster, dtype="u1").reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 24:
+        return rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1].copy()
+    if bpp == 32:
+        return rows[:, : w * 4].reshape(h, w, 4)[:, :, [2, 1, 0, 3]].copy()
+    if bpp == 8:
+        idx = rows[:, :w]
+    elif bpp == 4:
+        nb = (w + 1) // 2
+        b = rows[:, :nb]
+        idx = np.empty((h, nb * 2), dtype="u1")
+        idx[:, 0::2] = b >> 4
+        idx[:, 1::2] = b & 0x0F
+        idx = idx[:, :w]
+    else:  # 1-bit, MSB first
+        idx = np.unpackbits(rows[:, : (w + 7) // 8], axis=1)[:, :w]
+    if int(idx.max()) >= len(palette):
+        raise ValueError("BMP index out of palette range")
+    return palette[idx]
+
+
 def decode_image(payload: bytes):
     """Decode an image payload to a numpy pixel array.
 
@@ -888,9 +1205,12 @@ def decode_image(payload: bytes):
     paletted images (PLTE lookup, depths 1/2/4/8, tRNS alpha -> RGBA),
     non-interlaced and Adam7, via stdlib zlib inflate + spec §9
     unfiltering; baseline AND progressive JPEG decode through
-    ``_decode_jpeg``. Formats that genuinely need an imaging library
-    (arithmetic-coded/hierarchical/12-bit JPEG) still raise
-    NotImplementedError — the container ships no PIL.
+    ``_decode_jpeg``; (r13) GIF 87a/89a — LZW, interlace, local color
+    tables, transparency -> RGBA, first frame of animations — and BMP
+    1/4/8/24/32-bit BI_RGB + RLE8/RLE4. Formats that genuinely need an
+    imaging library (arithmetic-coded/hierarchical/12-bit JPEG, 16-bit
+    / BI_BITFIELDS BMP) still raise NotImplementedError — the
+    container ships no PIL.
     """
     import numpy as np
 
@@ -898,6 +1218,10 @@ def decode_image(payload: bytes):
         return _decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     magic = payload[:2]
     if magic in (b"P5", b"P6"):
         (w, h, maxval), off = _pnm_header(payload, 3)
@@ -908,8 +1232,8 @@ def decode_image(payload: bytes):
         return arr.reshape((h, w, 3)) if ch == 3 else arr.reshape((h, w))
     raise NotImplementedError(
         f"image format {magic!r} requires an imaging library (e.g. Pillow); "
-        "only binary PNM (P5/P6), 8-bit non-interlaced PNG, and baseline "
-        "sequential JPEG decode without one"
+        "binary PNM (P5/P6), PNG, baseline+progressive JPEG, GIF, and BMP "
+        "decode without one"
     )
 
 

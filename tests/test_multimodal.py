@@ -1412,3 +1412,436 @@ def test_decoded_image_stats_handles_jpeg(spark):
     assert abs(got[1]["px_mean_milli"] - exp_mean) <= 1000  # ±1 pixel-unit
     assert not got[3]["ok"] and not got[4]["ok"]
     assert got[5]["ok"] and (got[5]["width"], got[5]["height"], got[5]["channels"]) == (8, 9, 3)
+
+
+# --- GIF (r13): independent test-side encoder — real LZW compressor,
+# interlace, local color tables, transparency, multi-frame -------------------
+
+
+def _gif_lzw_encode(seq: bytes, mcs: int) -> bytes:
+    """Independent LZW compressor (dictionary growth, KwKwK-capable):
+    emits raw codes first, then assigns each code the width the
+    DECODER's table-size rule implies at that read — the spec's
+    synchronization restated from the reader's side, so an encoder bug
+    here cannot silently mirror a decoder bug there."""
+    clear = 1 << mcs
+    end = clear + 1
+    emitted = [clear]
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    prev = b""
+    for ch in seq:
+        nxt = prev + bytes([ch])
+        if nxt in table:
+            prev = nxt
+            continue
+        emitted.append(table[prev])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+        else:
+            emitted.append(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+        prev = bytes([ch])
+    if prev:
+        emitted.append(table[prev])
+    emitted.append(end)
+    # width assignment by decoder simulation
+    buf = bytearray()
+    acc = nbits = 0
+    width = mcs + 1
+    dec_len = clear + 2
+    first = True
+    for code in emitted:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if code == clear:
+            width, dec_len, first = mcs + 1, clear + 2, True
+        elif code != end:
+            if first:
+                first = False
+            elif dec_len < 4096:
+                dec_len += 1
+            if dec_len == (1 << width) and width < 12:
+                width += 1
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _make_gif(
+    idx,
+    palette,
+    interlace=False,
+    transparent=None,
+    local_ct=False,
+    extra_frame=False,
+):
+    """Minimal-but-real GIF89a writer over an (h, w) uint8 index array
+    and an (n, 3) palette."""
+    import numpy as np
+
+    h, w = idx.shape
+    f = max(1, (len(palette) - 1).bit_length() - 1)
+    npal = 2 << f
+    pal = np.zeros((npal, 3), dtype="u1")
+    pal[: len(palette)] = palette
+    mcs = max(2, f + 1)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    if local_ct:
+        out += bytes([0x70, 0, 0])  # no global table
+    else:
+        out += bytes([0xF0 | f, 0, 0]) + pal.tobytes()
+    if transparent is not None:
+        out += b"\x21\xf9\x04" + bytes([1, 0, 0, transparent]) + b"\x00"
+    # a plain-text extension the decoder must skip
+    out += b"\x21\x01" + bytes([3]) + b"abc" + b"\x00"
+
+    def frame(body_idx):
+        fr = bytearray(b"\x2c")
+        fr += (0).to_bytes(2, "little") * 2
+        fr += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        fr += bytes([(0x80 | f if local_ct else 0) | (0x40 if interlace else 0)])
+        if local_ct:
+            fr += pal.tobytes()
+        rows = body_idx
+        if interlace:
+            order = [
+                r for start, step in _GIF_PASSES for r in range(start, h, step)
+            ]
+            rows = body_idx[np.asarray(order)]
+        data = _gif_lzw_encode(rows.tobytes(), mcs)
+        fr += bytes([mcs])
+        for i in range(0, len(data), 255):
+            blk = data[i : i + 255]
+            fr += bytes([len(blk)]) + blk
+        fr += b"\x00"
+        return fr
+
+    out += frame(idx)
+    if extra_frame:
+        out += frame((idx ^ 1) & (npal - 1))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _gif_fixture(h, w, npal, seed):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    idx = rng.randint(0, npal, size=(h, w)).astype("u1")
+    palette = rng.randint(0, 256, size=(npal, 3)).astype("u1")
+    return idx, palette
+
+
+def test_decode_gif_roundtrip():
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    idx, palette = _gif_fixture(13, 17, 200, seed=3)
+    got = decode_image(_make_gif(idx, palette))
+    assert got.shape == (13, 17, 3)
+    assert np.array_equal(got, palette[idx])
+
+
+def test_decode_gif_lzw_dictionary_growth_stress():
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    # 96x97 structured-plus-noise image: thousands of dictionary
+    # entries, multiple width increases (code width reaches 12 bits)
+    rng = np.random.RandomState(11)
+    grad = (np.add.outer(np.arange(96), np.arange(97)) % 251).astype("u1")
+    noise = rng.randint(0, 5, size=grad.shape).astype("u1")
+    idx = ((grad + noise) % 251).astype("u1")
+    palette = rng.randint(0, 256, size=(251, 3)).astype("u1")
+    got = decode_image(_make_gif(idx, palette))
+    assert np.array_equal(got, palette[idx])
+
+
+def test_decode_gif_interlaced_roundtrip():
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    idx, palette = _gif_fixture(11, 7, 16, seed=5)
+    got = decode_image(_make_gif(idx, palette, interlace=True))
+    assert np.array_equal(got, palette[idx])
+
+
+def test_decode_gif_transparency_rgba():
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    idx, palette = _gif_fixture(6, 6, 8, seed=7)
+    got = decode_image(_make_gif(idx, palette, transparent=3))
+    assert got.shape == (6, 6, 4)
+    assert np.array_equal(got[:, :, :3], palette[idx])
+    assert np.array_equal(got[:, :, 3] == 0, idx == 3)
+
+
+def test_decode_gif_local_color_table_preferred():
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    idx, palette = _gif_fixture(5, 9, 32, seed=9)
+    got = decode_image(_make_gif(idx, palette, local_ct=True))
+    assert np.array_equal(got, palette[idx])
+
+
+def test_decode_gif_animated_returns_first_frame():
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    idx, palette = _gif_fixture(8, 8, 64, seed=13)
+    got = decode_image(_make_gif(idx, palette, extra_frame=True))
+    assert np.array_equal(got, palette[idx])
+
+
+def test_decode_gif_malformed_degrades():
+    import pytest
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    idx, palette = _gif_fixture(6, 6, 8, seed=1)
+    good = _make_gif(idx, palette)
+    for bad in (
+        good[:10],                        # truncated header/table
+        good[:-8],                        # truncated image data
+        good.replace(b"\x2c", b"\x7e", 1),  # bad block introducer
+        b"GIF89a" + good[6:10],           # truncated screen descriptor
+    ):
+        with pytest.raises(ValueError):
+            decode_image(bad)
+
+
+# --- BMP (r13): independent test-side encoder -------------------------------
+
+
+def _make_bmp(
+    arr=None,
+    idx=None,
+    palette=None,
+    bpp=24,
+    top_down=False,
+    rle=False,
+    compression=None,
+):
+    import struct
+
+    import numpy as np
+
+    if arr is not None:
+        h, w = arr.shape[:2]
+    else:
+        h, w = idx.shape
+    if rle:
+        comp = 1 if bpp == 8 else 2
+        body = bytearray()
+        for r in range(h):
+            row = idx[h - 1 - r]  # RLE streams run bottom-up
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 255:
+                    run += 1
+                if bpp == 8:
+                    body += bytes([run, int(row[x])])
+                else:
+                    v = (int(row[x]) << 4) | int(row[x])
+                    body += bytes([run, v])
+                x += run
+            body += b"\x00\x00"
+        body += b"\x00\x01"
+        raster = bytes(body)
+    else:
+        comp = compression if compression is not None else 0
+        stride = ((w * bpp + 31) // 32) * 4
+        rows = []
+        for r in range(h):
+            y = r if top_down else h - 1 - r
+            if bpp == 24:
+                line = arr[y][:, ::-1].tobytes()  # RGB -> BGR
+            elif bpp == 32:
+                line = arr[y][:, [2, 1, 0, 3]].tobytes()
+            elif bpp == 8:
+                line = idx[y].tobytes()
+            elif bpp == 4:
+                padded = np.zeros(((w + 1) // 2) * 2, dtype="u1")
+                padded[:w] = idx[y]
+                line = ((padded[0::2] << 4) | padded[1::2]).tobytes()
+            else:  # 1-bit
+                line = np.packbits(idx[y]).tobytes()
+            rows.append(line + b"\x00" * (stride - len(line)))
+        raster = b"".join(rows)
+    pal_bytes = b""
+    n_colors = 0
+    if palette is not None:
+        n_colors = len(palette)
+        pal = np.zeros((n_colors, 4), dtype="u1")
+        pal[:, :3] = palette[:, ::-1]  # RGB -> BGRX
+        pal_bytes = pal.tobytes()
+    data_off = 14 + 40 + len(pal_bytes)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        w,
+        -h if top_down else h,
+        1,
+        bpp,
+        comp,
+        len(raster),
+        2835,
+        2835,
+        n_colors,
+        0,
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", data_off + len(raster), 0, 0, data_off)
+    return hdr + info + pal_bytes + raster
+
+
+def test_decode_bmp_24_and_32_bit():
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(2)
+    rgb = rng.randint(0, 256, size=(7, 5, 3)).astype("u1")
+    assert np.array_equal(decode_image(_make_bmp(arr=rgb, bpp=24)), rgb)
+    assert np.array_equal(
+        decode_image(_make_bmp(arr=rgb, bpp=24, top_down=True)), rgb
+    )
+    rgba = rng.randint(0, 256, size=(4, 9, 4)).astype("u1")
+    assert np.array_equal(decode_image(_make_bmp(arr=rgba, bpp=32)), rgba)
+
+
+def test_decode_bmp_paletted_depths():
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(4)
+    for bpp, ncol in ((8, 200), (4, 16), (1, 2)):
+        idx = rng.randint(0, ncol, size=(6, 11)).astype("u1")
+        palette = rng.randint(0, 256, size=(ncol, 3)).astype("u1")
+        got = decode_image(_make_bmp(idx=idx, palette=palette, bpp=bpp))
+        assert np.array_equal(got, palette[idx]), f"bpp={bpp}"
+
+
+def test_decode_bmp_rle8_and_rle4():
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(6)
+    # runs of varying length, exercised through the run encoder
+    base = np.repeat(rng.randint(0, 9, size=60), rng.randint(1, 7, size=60))
+    assert base.size >= 13 * 8
+    idx = base[: 13 * 8].reshape(13, 8).astype("u1")
+    palette = rng.randint(0, 256, size=(16, 3)).astype("u1")
+    got8 = decode_image(_make_bmp(idx=idx, palette=palette, bpp=8, rle=True))
+    assert np.array_equal(got8, palette[idx])
+    got4 = decode_image(_make_bmp(idx=idx, palette=palette, bpp=4, rle=True))
+    assert np.array_equal(got4, palette[idx])
+
+
+def test_decode_bmp_rle8_absolute_and_delta():
+    """Hand-crafted stream: encoded run, absolute run (odd length ->
+    word padding), delta move, early end-of-bitmap; unnamed pixels are
+    index 0."""
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    palette = np.arange(30, dtype="u1").reshape(10, 3)
+    stream = bytes(
+        [3, 5]            # run: 3 pixels of 5 at (0, x0..2) bottom row
+        + [0, 3, 7, 8, 9, 0]  # absolute: 3 pixels 7,8,9 (+pad byte)
+        + [0, 0]          # end of line
+        + [0, 2, 1, 1]    # delta: x+=1, y+=1 -> row 2, x 1
+        + [2, 4]          # run: 2 pixels of 4
+        + [0, 1]          # end of bitmap
+    )
+    import struct
+
+    data_off = 14 + 40 + 40
+    pal = np.zeros((10, 4), dtype="u1")
+    pal[:, :3] = palette[:, ::-1]
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 6, 4, 1, 8, 1, len(stream), 0, 0, 10, 0
+    )
+    hdr = struct.pack(
+        "<2sIHHI", b"BM", data_off + len(stream), 0, 0, data_off
+    )
+    got = decode_image(hdr + info + pal.tobytes() + stream)
+    want_idx = np.zeros((4, 6), dtype="u1")
+    want_idx[3, 0:3] = 5
+    want_idx[3, 3:6] = (7, 8, 9)
+    want_idx[1, 1:3] = 4   # after EOL (y=1) + delta (y=2) from the bottom
+    assert np.array_equal(got, palette[want_idx])
+
+
+def test_decode_bmp_unsupported_and_malformed():
+    import numpy as np
+    import pytest
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(8)
+    rgb = rng.randint(0, 256, size=(3, 3, 3)).astype("u1")
+    good = _make_bmp(arr=rgb, bpp=24)
+    with pytest.raises(ValueError):
+        decode_image(good[: 14 + 40 + 4])  # truncated raster
+    with pytest.raises(ValueError):
+        decode_image(b"BM" + good[2:20])  # truncated header
+    with pytest.raises(NotImplementedError):
+        decode_image(_make_bmp(arr=rgb, bpp=24, compression=3))  # bitfields
+    # 16 bpp needs masks
+    import struct
+
+    info16 = struct.pack(
+        "<IiiHHIIiiII", 40, 3, 3, 1, 16, 0, 0, 0, 0, 0, 0
+    )
+    hdr16 = struct.pack("<2sIHHI", b"BM", 14 + 40 + 24, 0, 0, 14 + 40)
+    with pytest.raises(NotImplementedError):
+        decode_image(hdr16 + info16 + b"\x00" * 24)
+
+
+def test_decoded_image_stats_handles_gif_and_bmp(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from mapreduce_task_spark.operators.multimodal import decoded_image_stats
+
+    idx, palette = _gif_fixture(9, 6, 50, seed=21)
+    gif = _make_gif(idx, palette)
+    rng = np.random.RandomState(22)
+    rgb = rng.randint(0, 256, size=(5, 8, 3)).astype("u1")
+    bmp = _make_bmp(arr=rgb, bpp=24)
+    rows = [
+        Row(doc_id=1, payload=bytearray(gif)),
+        Row(doc_id=2, payload=bytearray(bmp)),
+        Row(doc_id=3, payload=bytearray(gif[:-6])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r["doc_id"]: r for r in decoded_image_stats(df).collect()}
+    assert got[1]["ok"] and (got[1]["width"], got[1]["height"], got[1]["channels"]) == (6, 9, 3)
+    exp = palette[idx]
+    assert got[1]["px_mean_milli"] == int(exp.astype("int64").sum()) * 1000 // exp.size
+    assert got[2]["ok"] and (got[2]["width"], got[2]["height"], got[2]["channels"]) == (8, 5, 3)
+    assert got[2]["px_mean_milli"] == int(rgb.astype("int64").sum()) * 1000 // rgb.size
+    assert not got[3]["ok"]
