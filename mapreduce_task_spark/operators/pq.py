@@ -914,6 +914,7 @@ def ivfpq_encode_batch(
     dim: int = 64,
     per_list: bool = False,
     metric: str = "l2",
+    prequantized: bool = False,
 ) -> DataFrame:
     """Encode NEW vectors against a FROZEN coarse quantizer + residual
     codebook: (id, cluster, qv, nq, codes) — home cluster, original
@@ -933,7 +934,10 @@ def ivfpq_encode_batch(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    qd = with_quantized(df, vec_col, metric=metric).select(id_col, "qv", "nq")
+    if prequantized:
+        qd = df.select(id_col, "qv", "nq")
+    else:
+        qd = with_quantized(df, vec_col, metric=metric).select(id_col, "qv", "nq")
     homed = assign_clusters(qd, coarse, id_col)
     cj = coarse.select(F.col("j").alias("cluster"), "cqv")
     resid = homed.join(F.broadcast(cj), "cluster").select(
@@ -969,6 +973,7 @@ def ivfpq_build_index(
     pq_rounds: int = 2,
     per_list: bool = False,
     metric: str = "l2",
+    prequantized: bool = False,
 ) -> None:
     """Build the IVF-PQ index ONCE and persist it — the codes-at-rest
     counterpart of ``similarity.ivf_build_index`` (r4 TODO: ``pq_encode``
@@ -1017,7 +1022,8 @@ def ivfpq_build_index(
     dsub = dim // m
     spark = df.sparkSession
     qd, coarse = kmeans_lite_fit(
-        df, id_col, vec_col, n_clusters, dim, coarse_rounds, metric=metric
+        df, id_col, vec_col, n_clusters, dim, coarse_rounds, metric=metric,
+        prequantized=prequantized,
     )
     coarse.write.mode("overwrite").parquet(f"{path}/coarse")
     coarse_l = spark.read.parquet(f"{path}/coarse")
@@ -1068,6 +1074,8 @@ def ivfpq_build_index(
             "ksub": ksub,
             "n_clusters": n_clusters,
             "per_list": per_list,
+            "coarse_rounds": coarse_rounds,
+            "pq_rounds": pq_rounds,
         },
     )
 

@@ -414,6 +414,7 @@ def kmeans_lite_fit(
     dim: int = 64,
     rounds: int = 1,
     metric: str = "l2",
+    prequantized: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the seeded-k-means build and return (quantized corpus,
     final centroids) — the pieces an IVF search composes: assign the
@@ -430,12 +431,22 @@ def kmeans_lite_fit(
     points is a monotone transform of cosine. Centroid means are not
     re-normalized (probing quality is gated empirically by the recall
     tests, exactly as for L2).
+    ``prequantized=True`` (r13, the retrain entry): ``df`` IS already a
+    quantized (id, qv, nq) frame — e.g. an index's persisted lists ∪
+    delta — and ``vec_col``/``metric`` are ignored for quantization
+    (the metric was applied when those rows were first quantized;
+    re-normalizing an already-normalized grid vector would NOT be
+    byte-idempotent, which is exactly why retrains must not round-trip
+    through ``with_quantized``).
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     from ..functions.hashing import hash64
 
-    qd = with_quantized(df, vec_col, metric=metric).select(id_col, "qv", "nq")
+    if prequantized:
+        qd = df.select(id_col, "qv", "nq")
+    else:
+        qd = with_quantized(df, vec_col, metric=metric).select(id_col, "qv", "nq")
 
     seed_rows = qd.select(id_col, "qv", "nq", hash64(id_col).alias("__h")).orderBy(
         "__h", id_col
@@ -557,6 +568,7 @@ def ivf_build_index(
     n_clusters: int = 8,
     dim: int = 64,
     rounds: int = 1,
+    prequantized: bool = False,
 ) -> None:
     """Build the IVF index ONCE and persist it — the build/search split
     a production deployment needs (r4 verdict: ``ivf_topk`` rebuilds
@@ -574,7 +586,9 @@ def ivf_build_index(
     assignment pass, so the Lloyd rounds run exactly once (no lineage
     recompute across the two outputs)."""
     spark = df.sparkSession
-    qd, cents = kmeans_lite_fit(df, id_col, vec_col, n_clusters, dim, rounds)
+    qd, cents = kmeans_lite_fit(
+        df, id_col, vec_col, n_clusters, dim, rounds, prequantized=prequantized
+    )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     cents_l = spark.read.parquet(f"{path}/centroids")
     assign_clusters(qd, cents_l, id_col).write.mode("overwrite").partitionBy(
@@ -582,11 +596,14 @@ def ivf_build_index(
     ).parquet(f"{path}/lists")
     # record index-level facts for ops tooling (pq.index_health); the
     # flat index stores exact vectors and SCORES cosine, so there is
-    # no l2/cosine build split to refuse — kind+shape only
+    # no l2/cosine build split to refuse — kind+shape only. rounds
+    # rides along (r13) so a retrain replays the build hyperparameters.
     from .pq import write_index_meta
 
     write_index_meta(
-        spark, path, {"kind": "ivf", "n_clusters": n_clusters, "dim": dim}
+        spark,
+        path,
+        {"kind": "ivf", "n_clusters": n_clusters, "dim": dim, "rounds": rounds},
     )
 
 

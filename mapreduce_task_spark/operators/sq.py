@@ -415,6 +415,7 @@ def ivfsq_build_index(
     metric: str = "l2",
     per_list: bool = False,
     store_vectors: bool = True,
+    prequantized: bool = False,
 ) -> None:
     """Build the IVF-SQ index ONCE and persist it. Writes under
     ``path``:
@@ -436,7 +437,8 @@ def ivfsq_build_index(
 
     spark = df.sparkSession
     qd, cents = kmeans_lite_fit(
-        df, id_col, vec_col, n_clusters, dim, rounds, metric=metric
+        df, id_col, vec_col, n_clusters, dim, rounds, metric=metric,
+        prequantized=prequantized,
     )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     cents_l = spark.read.parquet(f"{path}/centroids")
@@ -475,6 +477,7 @@ def ivfsq_build_index(
             "n_clusters": n_clusters,
             "per_list": per_list,
             "store_vectors": store_vectors,
+            "rounds": rounds,
         },
     )
 

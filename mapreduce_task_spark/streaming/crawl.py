@@ -258,11 +258,26 @@ def compact_crawl(
     ivfpq_path: str | None = None,
     ivfsq_path: str | None = None,
     quality_path: str | None = None,
+    retrain_roots: tuple[str, ...] = (),
+    retrain_ratio: float = 1.5,
+    refit_frac: float = 0.01,
 ) -> dict[str, int]:
     """One maintenance pass over every log the composed sink writes:
     fold partitions ``__batch <= committed_batch`` in the corpus,
     signature, BM25-delta (×3), IVF-delta, and monitor logs. Returns
     superseded-directories-dropped per log (absent logs report 0).
+
+    ``retrain_roots`` (r13 opt-in): VERSIONED index roots
+    (``streaming.retrain``) to poll after compaction — each root's
+    live version is checked against the same drift/saturation signals
+    ``crawl_health`` surfaces, and a tripped signal triggers the full
+    offline retrain (rebuild ∪ delta under fresh quantizers, fresh
+    baseline, atomic manifest promote, post-watermark batches carried
+    at ``committed_batch``). The result rides the returned dict as
+    ``retrain:<root>`` = new epoch (0 = signal quiet). NOTE the
+    stream-stopped contract: pass retrain_roots only from a
+    maintenance window where the append stream is stopped — the
+    compactions above are safe mid-stream, the retrain is not.
 
     ``committed_batch`` MUST be <= the stream's checkpoint-COMMITTED
     batch id. Only the SIGNATURE log strictly requires that (the sink
@@ -332,6 +347,14 @@ def compact_crawl(
             lambda: compact_ivfsq_sat(spark, ivfsq_path, committed_batch))
     run("quality", quality_path,
         lambda: compact_quality(spark, quality_path, committed_batch))
+    for root in retrain_roots:
+        from .retrain import retrain_if_due
+
+        res = retrain_if_due(
+            spark, root, retrain_ratio=retrain_ratio, refit_frac=refit_frac,
+            committed_batch=committed_batch,
+        )
+        done[f"retrain:{root}"] = res.get("epoch", 0) if res["due"] else 0
     return done
 
 

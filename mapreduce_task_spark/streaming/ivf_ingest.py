@@ -73,6 +73,7 @@ def append_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     drift: bool = True,
+    prequantized: bool = False,
 ) -> None:
     """Assign one (micro-)batch of embeddings to the index's frozen
     centroids and land it in the delta log's own batch partition,
@@ -83,7 +84,11 @@ def append_batch(
     replay-idempotent like the delta write itself."""
     spark = batch_df.sparkSession
     cents = spark.read.parquet(f"{index_path}/centroids")
-    qd = with_quantized(batch_df, vec_col).select(id_col, "qv", "nq")
+    if prequantized:
+        # retrain carry / replay path: batch_df IS (id, qv, nq) rows
+        qd = batch_df.select(id_col, "qv", "nq")
+    else:
+        qd = with_quantized(batch_df, vec_col).select(id_col, "qv", "nq")
     assigned = assign_clusters(qd, cents, id_col)
     write_batch_partition(
         assigned,

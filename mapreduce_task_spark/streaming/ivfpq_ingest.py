@@ -84,6 +84,7 @@ def append_batch(
     per_list: bool = False,
     metric: str = "l2",
     drift: bool = True,
+    prequantized: bool = False,
 ) -> None:
     """Encode one (micro-)batch against the index's frozen coarse
     quantizer + residual codebook and land it in the delta log's own
@@ -110,7 +111,7 @@ def append_batch(
     cents = spark.read.parquet(f"{index_path}/codebook")
     rows = ivfpq_encode_batch(
         batch_df, coarse, cents, id_col, vec_col, m=m, dim=dim,
-        per_list=per_list, metric=metric,
+        per_list=per_list, metric=metric, prequantized=prequantized,
     )
     write_batch_partition(
         rows, batch_id, f"{index_path}/delta", sub_partition_cols=("cluster",)

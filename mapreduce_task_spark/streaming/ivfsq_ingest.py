@@ -67,6 +67,7 @@ def append_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     monitors: bool = True,
+    prequantized: bool = False,
 ) -> None:
     """Assign one (micro-)batch to the frozen coarse centroids, encode
     against the frozen SQ bounds, and land it in the delta log's own
@@ -86,9 +87,12 @@ def append_batch(
     per_list = bool(meta.get("per_list", False))
     cents = spark.read.parquet(f"{index_path}/centroids")
     bounds = spark.read.parquet(f"{index_path}/bounds")
-    qd = with_quantized(batch_df, vec_col, metric=metric).select(
-        id_col, "qv", "nq"
-    )
+    if prequantized:
+        qd = batch_df.select(id_col, "qv", "nq")
+    else:
+        qd = with_quantized(batch_df, vec_col, metric=metric).select(
+            id_col, "qv", "nq"
+        )
     assigned = assign_clusters(qd, cents, id_col)
     if per_list:
         joined = assigned.join(F.broadcast(bounds), "cluster")

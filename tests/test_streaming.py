@@ -694,7 +694,7 @@ def test_transform_with_state_key_stats(spark, events_dir):
     lacks — skip (not xfail) there, exactly like the multimodal decoder
     stubs; the operator itself builds its plan without it.
 
-    Re-verified round 12 (2026-08-16): ``import google.protobuf`` still
+    Re-verified round 13 (2026-08-17): ``import google.protobuf`` still
     raises ModuleNotFoundError, and installing is not an option — the
     build brief forbids pip/apt installs in this environment. The skip
     is therefore a recorded impossibility, not an oversight; the
