@@ -6,8 +6,9 @@ any dedup/quality operator downstream of this package runs).
 the ``redact_pii`` shape (operators/scrub.py): per-row JVM regex at
 scan speed, zero shuffles, no Python anywhere. Steps, in order:
 
-1. drop the sentinel char (U+E000) from input — it is reserved by the
-   numeric-entity decode below (out-of-contract in real text),
+1. drop the sentinel chars (U+E000/U+E001) from input — they are
+   reserved by the numeric-entity decode below (out-of-contract in
+   real text),
 2. strip comments, the whole ``<head>`` block, and ``<script>`` /
    ``<style>`` blocks (non-greedy, case-insensitive),
 3. ``<br>`` and closing block-element tags become newlines (so block
@@ -56,10 +57,16 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# Private-use sentinel for the numeric-entity decode: wraps each
-# ``&#NNN;`` match so a split can isolate it. Stripped from input
-# first, so user text can never forge a decode token.
+# Private-use sentinels for the numeric-entity decode: each ``&#NNN;``
+# match is wrapped OPEN + digits + CLOSE, the text splits on OPEN, and
+# only elements carrying the CLOSE marker decode — two DISTINCT
+# markers, because a single marker cannot distinguish an inside-token
+# segment from an after-token one (plain text like ``#66`` abutting a
+# real entity would falsely decode — the r13 self-review finding).
+# Both are stripped from input first, so user text can never forge a
+# decode token.
 SENTINEL = ""
+SENTINEL_CLOSE = ""
 
 _BLOCK_CLOSERS = (
     "p|div|li|ul|ol|h[1-6]|tr|table|blockquote|pre|section|article|"
@@ -69,7 +76,7 @@ _BLOCK_CLOSERS = (
 # (pattern, replacement) — applied in order BEFORE entity decoding.
 # Patterns stay inside the Java/RE2 common subset (module docstring).
 _PRE_STEPS: tuple[tuple[str, str], ...] = (
-    (SENTINEL, ""),
+    ("[" + SENTINEL + SENTINEL_CLOSE + "]", ""),
     (r"(?s)<!--.*?-->", " "),
     (r"(?is)<head\b[^>]*>.*?</head[ \t\r\n]*>", " "),
     (r"(?is)<script\b[^>]*>.*?</script[ \t\r\n]*>", " "),
@@ -97,22 +104,31 @@ _POST_STEPS: tuple[tuple[str, str], ...] = (
 _NUMERIC_ENTITY = r"&#([0-9]{1,7});"
 
 
+_TOKEN_RE = "^#([0-9]{1,7})" + SENTINEL_CLOSE
+
 def _decode_numeric_entities(x: Column) -> Column:
-    """Decode ``&#NNN;`` for 1 <= NNN <= 255: wrap each match in the
-    sentinel, split, map decodable elements through ``char`` (exact
-    chr() for 1..255 — above that Spark wraps mod 256 where DuckDB
-    does full Unicode, so larger refs are restored verbatim), rejoin.
-    All array/lambda codegen — no Python."""
-    wrapped = F.regexp_replace(x, _NUMERIC_ENTITY, SENTINEL + "#$1" + SENTINEL)
+    """Decode ``&#NNN;`` for 1 <= NNN <= 255: wrap each match as
+    OPEN#digits CLOSE, split on OPEN, decode only elements that START
+    with the ``#digits CLOSE`` token (the rest of the element — text
+    that immediately followed the entity — is re-appended verbatim),
+    rejoin. ``char``/``chr`` agree exactly for 1..255; above that
+    Spark wraps mod 256 where DuckDB does full Unicode, so larger
+    refs are restored verbatim. All array/lambda codegen — no
+    Python."""
+    wrapped = F.regexp_replace(
+        x, _NUMERIC_ENTITY, SENTINEL + "#$1" + SENTINEL_CLOSE
+    )
     parts = F.split(wrapped, SENTINEL)
 
     def dec(e: Column) -> Column:
-        n = F.substring(e, 2, 7).cast("int")
+        digits = F.regexp_extract(e, _TOKEN_RE, 1)
+        n = digits.cast("int")
+        rest = F.regexp_replace(e, _TOKEN_RE, "")
+        decoded = F.when((n >= 1) & (n <= 255), F.char(n)).otherwise(
+            F.concat(F.lit("&#"), digits, F.lit(";"))
+        )
         return F.when(
-            e.rlike("^#[0-9]{1,7}$"),
-            F.when((n >= 1) & (n <= 255), F.char(n)).otherwise(
-                F.concat(F.lit("&"), e, F.lit(";"))
-            ),
+            e.rlike(_TOKEN_RE), F.concat(decoded, rest)
         ).otherwise(e)
 
     return F.array_join(F.transform(parts, dec), "")
@@ -183,18 +199,22 @@ def html_to_text_duckdb_sql(expr: str) -> str:
     for pat, rep in _PRE_STEPS:
         x = f"regexp_replace({x}, {_sql_pat(pat)}, {_sql_rep(rep)}, 'g')"
     # numeric entities: RE2 rewrite uses \1 where Java uses $1
-    backref_rep = _sql_rep(SENTINEL + "#\\1" + SENTINEL)
+    backref_rep = _sql_rep(SENTINEL + "#\\1" + SENTINEL_CLOSE)
     wrapped = (
         f"regexp_replace({x}, {_sql_pat(_NUMERIC_ENTITY)}, "
         f"{backref_rep}, 'g')"
     )
+    tok = _sql_pat(_TOKEN_RE)
     x = (
         f"array_to_string(list_transform(string_split({wrapped}, "
         f"'{SENTINEL}'), __e -> "
-        "CASE WHEN regexp_matches(__e, '^#[0-9]{1,7}$') THEN "
-        "CASE WHEN CAST(substr(__e, 2) AS INTEGER) BETWEEN 1 AND 255 "
-        "THEN chr(CAST(substr(__e, 2) AS INTEGER)) "
-        "ELSE '&' || __e || ';' END ELSE __e END), '')"
+        f"CASE WHEN regexp_matches(__e, {tok}) THEN "
+        f"(CASE WHEN CAST(regexp_extract(__e, {tok}, 1) AS INTEGER) "
+        "BETWEEN 1 AND 255 "
+        f"THEN chr(CAST(regexp_extract(__e, {tok}, 1) AS INTEGER)) "
+        f"ELSE '&#' || regexp_extract(__e, {tok}, 1) || ';' END) || "
+        f"regexp_replace(__e, {tok}, '') "
+        "ELSE __e END), '')"
     )
     for pat, rep in _POST_STEPS:
         x = f"regexp_replace({x}, {_sql_pat(pat)}, {_sql_rep(rep)}, 'g')"

@@ -1111,7 +1111,9 @@ def _decode_bmp(payload: bytes):
     supersets — same leading fields) with bit depths 1/4/8 (paletted,
     BGRX entries), 24 (BGR) and 32 (BGRA), BI_RGB plus RLE8/RLE4,
     bottom-up or top-down rows, 4-byte row padding. Returns (h, w, 3)
-    RGB for paletted/24-bit, (h, w, 4) RGBA for 32-bit. 16-bit and
+    RGB for paletted/24-bit and for 32-bit files whose reserved 4th
+    byte is all-zero (the BI_RGB spec reserves it; GDI zeroes it),
+    (h, w, 4) RGBA when the 4th channel carries data. 16-bit and
     BI_BITFIELDS masks (and the ancient BITMAPCOREHEADER) raise
     NotImplementedError; structural damage raises ValueError."""
     import struct
@@ -1178,7 +1180,15 @@ def _decode_bmp(payload: bytes):
     if bpp == 24:
         return rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1].copy()
     if bpp == 32:
-        return rows[:, : w * 4].reshape(h, w, 4)[:, :, [2, 1, 0, 3]].copy()
+        # BI_RGB 32-bit's 4th byte is RESERVED, not alpha (GDI writes
+        # 0 there — returning it as alpha would make ordinary files
+        # fully transparent, the r13 self-review finding). Surface it
+        # as alpha only when some pixel actually uses it; otherwise
+        # drop it and return RGB like every mainstream decoder.
+        px = rows[:, : w * 4].reshape(h, w, 4)
+        if int(px[:, :, 3].max()) == 0:
+            return px[:, :, [2, 1, 0]].copy()
+        return px[:, :, [2, 1, 0, 3]].copy()
     if bpp == 8:
         idx = rows[:, :w]
     elif bpp == 4:

@@ -175,7 +175,7 @@ def unigram_train(
     """Train a unigram-LM vocabulary; returns the final (piece, logp)
     list sorted by piece. Loop: ``em_rounds`` of hard EM, then prune
     the lowest-probability multi-character pieces (by (logp asc, piece
-    desc) — deterministic) down to ``max(vocab_size, |V|*(1-prune_
+    asc) — deterministic) down to ``max(vocab_size, |V|*(1-prune_
     frac))``, repeat until the vocabulary fits, then one final EM
     round re-fits probabilities on the surviving set. Single
     characters are unprunable; pieces that win zero Viterbi counts in
@@ -230,6 +230,7 @@ def unigram_segment(
     input (unknown single chars via UNK_LOGP)."""
     v = dict(vocab)
     max_len = max_piece_len or max((len(p) for p in v), default=1)
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def seg(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -247,5 +248,5 @@ def unigram_segment(
 
     w = words(df, text_col, keep=(id_col,))
     return w.mapInPandas(
-        seg, f"{id_col} bigint, word string, pieces array<string>"
+        seg, f"{id_col} {id_type}, word string, pieces array<string>"
     )

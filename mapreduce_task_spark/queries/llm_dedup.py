@@ -860,14 +860,10 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep=["cand_id", "cluster"],
         per_list=True,
     )
-    cvecs = assigned.select(
-        F.col("vec_id").alias("cand_id"),
-        "cluster",
-        F.col("qv").alias("qv_c"),
-        F.col("nq").alias("nq_c"),
-    )
+    # c already IS the (cand_id, qv_c, nq_c, cluster) projection the
+    # refine stage wants — reuse it rather than re-projecting assigned
     ivfsq_leg = _ivfsq_score(
-        q, codes, bounds, cvecs, _TOPK_K, _SQ_REFINE, True,
+        q, codes, bounds, c, _TOPK_K, _SQ_REFINE, True,
         _sub_dist, _refine_exact,
     ).select(
         F.lit("ivfsq").alias("leg"),

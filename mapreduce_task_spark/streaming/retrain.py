@@ -129,10 +129,17 @@ def promote_version(
     spark: SparkSession, root: str, version_name: str, epoch: int | None = None
 ) -> int:
     """Atomically make ``root/<version_name>`` the live version: write
-    ``manifest-<epoch>.json`` via temp file + rename (rename-to-a-NEW-
-    name is atomic on HDFS and local filesystems; a concurrent
-    same-epoch promote loses the rename and raises instead of silently
-    clobbering). Returns the epoch promoted."""
+    ``manifest-<epoch>.json`` via temp file + rename. Readers can
+    never observe a partial manifest (the rename is atomic on HDFS
+    and POSIX). The duplicate-epoch guard is exists-then-rename —
+    BEST-EFFORT, not a lock: on HDFS a losing racer's rename fails
+    and raises, but Hadoop's RawLocalFileSystem rename overwrites, so
+    two schedulers racing the SAME epoch on a local filesystem can
+    silently last-write-win (they would also have raced the version
+    build itself). Single-maintainer operation assumed; true
+    multi-writer coordination needs a table format (Delta/Iceberg) —
+    the same documented boundary as ``batchlog.merge_log_into_base``.
+    Returns the epoch promoted."""
     if epoch is None:
         versions = list_versions(spark, root)
         epoch = (versions[-1][0] + 1) if versions else 1
@@ -310,14 +317,29 @@ def _carry_batches(
     return ids
 
 
-def _drift_baseline(spark: SparkSession, path: str, kind: str) -> None:
+def _drift_baseline(
+    spark: SparkSession, path: str, kind: str, meta: dict, id_col: str
+) -> None:
+    """Fresh baseline on the new version — the IVF-PQ one needs the
+    index's own shape params (meta-sourced, NOT the signature
+    defaults: a per-list or non-64-dim index baselined under default
+    knobs would record silently wrong reconstruction errors — r13
+    self-review finding)."""
     if kind == "ivf":
         from .ivf_ingest import drift_baseline
+
+        drift_baseline(spark, path)
     elif kind == "ivfpq":
         from .ivfpq_ingest import drift_baseline
+
+        drift_baseline(
+            spark, path, id_col=id_col, m=meta.get("m", 8),
+            dim=meta.get("dim", 64), per_list=meta.get("per_list", False),
+        )
     else:
         from .ivfsq_ingest import drift_baseline
-    drift_baseline(spark, path)
+
+        drift_baseline(spark, path)
 
 
 def retrain_index(
@@ -345,6 +367,19 @@ def retrain_index(
     new_epoch = old_epoch + 1
     new_name = f"v{new_epoch}"
     new_path = f"{root}/{new_name}"
+    # a previous retrain may have crashed after writing into this
+    # deterministic version name but before promoting: its leftover
+    # delta partitions / monitor rows (measured under a DIFFERENT
+    # quantizer) would survive the dataset-scoped overwrite-mode build
+    # and double-count or poison the promoted version — clear first
+    jvm, fs, _ = _fs(spark, root)
+    stale = jvm.org.apache.hadoop.fs.Path(new_path)
+    if fs.exists(stale) and not fs.delete(stale, True):
+        raise RuntimeError(f"could not clear crashed-retrain leftover {new_path}")
+    from .batchlog import invalidate_watermark_cache
+
+    for log in ("delta", "drift", "sat"):
+        invalidate_watermark_cache(f"{new_path}/{log}")
     _build_new(corpus, new_path, kind, meta, id_col)
     carried = (
         _carry_batches(spark, carry, new_path, kind, meta, id_col)
@@ -354,7 +389,7 @@ def retrain_index(
     # fresh baseline BEFORE promote: a reader of the new version must
     # never observe index-without-baseline (crawl_health would silently
     # skip its drift columns)
-    _drift_baseline(spark, new_path, kind)
+    _drift_baseline(spark, new_path, kind, meta, id_col)
     promote_version(spark, root, new_name, epoch=new_epoch)
     return {
         "kind": kind,

@@ -106,8 +106,31 @@ def test_whitespace_normalization(spark):
 
 
 def test_sentinel_in_input_cannot_forge_decode(spark):
-    got = _extract(spark, [f"{SENTINEL}#65{SENTINEL} and #66 raw"])[0]
+    from mapreduce_task_spark.operators.extract import SENTINEL_CLOSE
+
+    got = _extract(
+        spark, [f"{SENTINEL}#65{SENTINEL_CLOSE} and #66 raw"]
+    )[0]
     assert got == "#65 and #66 raw"
+
+
+def test_numeric_entity_adjacent_plain_text_not_decoded(spark):
+    # r13 self-review regression: '#digits' plain text abutting a real
+    # entity must NOT be mistaken for an entity token (the two-sentinel
+    # wrap distinguishes inside-token from after-token segments)
+    got = _extract(
+        spark,
+        [
+            "&#65;#66",
+            "#2020&#8212;x",
+            "&#49;#123&#50;",
+            "&#65;&#66; back to back",
+        ],
+    )
+    assert got[0] == "A#66"
+    assert got[1] == "#2020&#8212;x"
+    assert got[2] == "1#123" + "2"
+    assert got[3] == "AB back to back"
 
 
 def test_null_text_passes_through(spark):
@@ -124,6 +147,9 @@ def test_duckdb_replay_parity(spark):
         "a<br/>b &amp;&amp; c &#65;&#66;",
         "<header>nav</header><article>body text</article><footer>f</footer>",
         "plain",
+        "&#65;#66 adjacency",
+        "#2020&#8212;x",
+        "&#49;#123&#50;",
     ]
     spark_out = _extract(spark, texts)
     con = duckdb.connect()

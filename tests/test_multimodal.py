@@ -1726,7 +1726,15 @@ def test_decode_bmp_24_and_32_bit():
         decode_image(_make_bmp(arr=rgb, bpp=24, top_down=True)), rgb
     )
     rgba = rng.randint(0, 256, size=(4, 9, 4)).astype("u1")
+    rgba[0, 0, 3] = 1  # ensure the 4th channel is actually used
     assert np.array_equal(decode_image(_make_bmp(arr=rgba, bpp=32)), rgba)
+    # BI_RGB 32-bit with an all-zero reserved byte is OPAQUE RGB, not
+    # a fully-transparent RGBA (the 4th byte is reserved per the spec)
+    rgbx = rgba.copy()
+    rgbx[:, :, 3] = 0
+    got = decode_image(_make_bmp(arr=rgbx, bpp=32))
+    assert got.shape == (4, 9, 3)
+    assert np.array_equal(got, rgbx[:, :, :3])
 
 
 def test_decode_bmp_paletted_depths():

@@ -171,6 +171,18 @@ def test_unigram_segment_total_over_unknown_chars(spark):
     assert "".join(got["internationalqz"]) == "internationalqz"
 
 
+def test_unigram_segment_non_bigint_id(spark):
+    # the output schema derives the id type from the input frame
+    vocab = unigram_train(_docs(spark), **_HP)
+    df = spark.createDataFrame(
+        [Row(doc_id="a-1", text="the working group")],
+        "doc_id string, text string",
+    )
+    got = unigram_segment(df, vocab).collect()
+    assert {r["doc_id"] for r in got} == {"a-1"}
+    assert all("".join(r["pieces"]) == r["word"] for r in got)
+
+
 def test_unigram_train_is_layout_invariant(spark):
     base = _docs(spark)
     a = unigram_train(base.repartition(1), **_HP)
