@@ -1205,6 +1205,144 @@ def _decode_bmp(payload: bytes):
     return palette[idx]
 
 
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    """Apple PackBits decompress (TIFF compression 32773): n in 0..127
+    copies n+1 literal bytes, n in -127..-1 repeats the next byte
+    1-n times, -128 is a no-op. Raises ValueError on truncation."""
+    out = bytearray()
+    i = 0
+    while len(out) < expect:
+        if i >= len(data):
+            raise ValueError("truncated PackBits stream")
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1
+            if i + n + 1 > len(data):
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= len(data):
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out[:expect])
+
+
+def _decode_tiff(payload: bytes):
+    """Pure-stdlib baseline TIFF decoder: both byte orders, first IFD,
+    strip-based (chunky planar) 8- and 16-bit gray/RGB/RGBA,
+    uncompressed (1) or PackBits (32773). Tiled, planar-separated,
+    palette, and LZW/JPEG-compressed TIFFs raise NotImplementedError
+    (the last two genuinely carry codecs; the first two are rare
+    layout variants recorded as honest gaps). Structural damage
+    raises ValueError."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("bad TIFF signature")
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF header")
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF IFD offset")
+    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    if ifd_off + 2 + n_entries * 12 > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    _SZ = {1: 1, 2: 1, 3: 2, 4: 4}
+
+    def entry_values(off: int):
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", payload, off)
+        if typ not in _SZ:
+            return tag, None  # rationals etc. — ignored tags here
+        total = _SZ[typ] * cnt
+        if total <= 4:
+            raw = payload[off + 8 : off + 8 + total]
+        else:
+            (voff,) = struct.unpack_from(bo + "I", payload, off + 8)
+            if voff + total > len(payload):
+                raise ValueError("truncated TIFF tag values")
+            raw = payload[voff : voff + total]
+        if typ == 3:
+            vals = list(struct.unpack(bo + "H" * cnt, raw))
+        elif typ == 4:
+            vals = list(struct.unpack(bo + "I" * cnt, raw))
+        elif typ == 1:
+            vals = list(raw)
+        else:
+            vals = [raw]
+        return tag, vals
+
+    tags: dict[int, list] = {}
+    for k in range(n_entries):
+        tag, vals = entry_values(ifd_off + 2 + k * 12)
+        if vals is not None:
+            tags[tag] = vals
+    try:
+        w = int(tags[256][0])
+        h = int(tags[257][0])
+        offsets = [int(v) for v in tags[273]]
+        counts = [int(v) for v in tags[279]]
+    except (KeyError, IndexError) as e:
+        raise ValueError(f"TIFF missing required tag: {e}") from e
+    spp = int(tags.get(277, [1])[0])
+    bits = tags.get(258, [8] * spp)
+    rows_per_strip = int(tags.get(278, [h])[0])
+    compression = int(tags.get(259, [1])[0])
+    planar = int(tags.get(284, [1])[0])
+    if w <= 0 or h <= 0:
+        raise ValueError("zero-dimension TIFF")
+    if 322 in tags or 324 in tags:
+        raise NotImplementedError("tiled TIFF needs an imaging library")
+    if planar != 1:
+        raise NotImplementedError(
+            "planar-separated TIFF needs an imaging library"
+        )
+    if int(tags.get(262, [1])[0]) == 3:
+        raise NotImplementedError("palette TIFF needs an imaging library")
+    if compression not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {compression} needs a codec library; "
+            "uncompressed and PackBits decode here"
+        )
+    if len(set(bits)) != 1 or bits[0] not in (8, 16):
+        raise NotImplementedError(
+            f"TIFF bit depths {bits} need an imaging library (8/16 here)"
+        )
+    depth = int(bits[0])
+    if spp not in (1, 3, 4):
+        raise ValueError(f"bad TIFF samples-per-pixel {spp}")
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF strip offsets/counts disagree")
+    bpp = spp * (depth // 8)
+    raster = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(payload):
+            raise ValueError("truncated TIFF strip")
+        strip = payload[off : off + cnt]
+        rows_here = min(rows_per_strip, h - si * rows_per_strip)
+        if rows_here <= 0:
+            raise ValueError("TIFF has more strips than rows")
+        expect = rows_here * w * bpp
+        if compression == 32773:
+            strip = _packbits_decode(strip, expect)
+        if len(strip) < expect:
+            raise ValueError("short TIFF strip")
+        raster += strip[:expect]
+    dt = np.dtype(bo + "u2") if depth == 16 else np.dtype("u1")
+    arr = np.frombuffer(bytes(raster), dtype=dt, count=h * w * spp)
+    return arr.reshape((h, w)) if spp == 1 else arr.reshape((h, w, spp))
+
+
 def decode_image(payload: bytes):
     """Decode an image payload to a numpy pixel array.
 
@@ -1216,8 +1354,10 @@ def decode_image(payload: bytes):
     non-interlaced and Adam7, via stdlib zlib inflate + spec §9
     unfiltering; baseline AND progressive JPEG decode through
     ``_decode_jpeg``; (r13) GIF 87a/89a — LZW, interlace, local color
-    tables, transparency -> RGBA, first frame of animations — and BMP
-    1/4/8/24/32-bit BI_RGB + RLE8/RLE4. Formats that genuinely need an
+    tables, transparency -> RGBA, first frame of animations — BMP
+    1/4/8/24/32-bit BI_RGB + RLE8/RLE4, and baseline strip TIFF
+    (both byte orders, 8/16-bit gray/RGB/RGBA, uncompressed +
+    PackBits). Formats that genuinely need an
     imaging library (arithmetic-coded/hierarchical/12-bit JPEG, 16-bit
     / BI_BITFIELDS BMP) still raise NotImplementedError — the
     container ships no PIL.
@@ -1232,6 +1372,8 @@ def decode_image(payload: bytes):
         return _decode_gif(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(payload)
     magic = payload[:2]
     if magic in (b"P5", b"P6"):
         (w, h, maxval), off = _pnm_header(payload, 3)

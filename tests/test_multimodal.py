@@ -1853,3 +1853,176 @@ def test_decoded_image_stats_handles_gif_and_bmp(spark):
     assert got[2]["ok"] and (got[2]["width"], got[2]["height"], got[2]["channels"]) == (8, 5, 3)
     assert got[2]["px_mean_milli"] == int(rgb.astype("int64").sum()) * 1000 // rgb.size
     assert not got[3]["ok"]
+
+
+# --- TIFF (r13): independent test-side writer -------------------------------
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Independent PackBits compressor: repeat runs >= 3 become
+    (257-len, byte); literals chunk at 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit = bytearray()
+
+    def flush():
+        j = 0
+        while j < len(lit):
+            chunk = lit[j : j + 128]
+            out.append(len(chunk) - 1)
+            out.extend(chunk)
+            j += 128
+        lit.clear()
+
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 3:
+            flush()
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+        else:
+            lit += data[i : i + run]
+            i += run
+    flush()
+    return bytes(out)
+
+
+def _make_tiff(
+    arr, big_endian=False, rows_per_strip=None, packbits=False
+):
+    import struct
+
+    import numpy as np
+
+    bo = ">" if big_endian else "<"
+    h, w = arr.shape[:2]
+    spp = 1 if arr.ndim == 2 else arr.shape[2]
+    depth = 16 if arr.dtype.itemsize == 2 else 8
+    rps = rows_per_strip or h
+    data = arr.astype(bo + "u2") if depth == 16 else arr.astype("u1")
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = data[y0 : y0 + rps].tobytes()
+        strips.append(_packbits_encode(raw) if packbits else raw)
+
+    entries = []  # (tag, type, count, value_or_bytes)
+    extra = bytearray()
+    header_size = 8
+
+    def add(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    add(256, 4, [w])
+    add(257, 4, [h])
+    add(258, 3, [depth] * spp)
+    add(259, 3, [32773 if packbits else 1])
+    add(262, 3, [2 if spp >= 3 else 1])
+    add(277, 3, [spp])
+    add(278, 4, [rps])
+    # strip offsets/counts patched after layout
+    add(273, 4, [0] * len(strips))
+    add(279, 4, [len(s_) for s_ in strips])
+    entries.sort()
+    n = len(entries)
+    ifd_off = header_size
+    data_off = ifd_off + 2 + n * 12 + 4
+    sz = {3: 2, 4: 4}
+    fmt = {3: "H", 4: "I"}
+    # lay out overflow values then strips
+    blobs = []
+    pos = data_off
+    for tag, typ, vals in entries:
+        total = sz[typ] * len(vals)
+        if total > 4:
+            blobs.append((tag, pos))
+            pos += total
+    strip_offsets = []
+    for s_ in strips:
+        strip_offsets.append(pos)
+        pos += len(s_)
+    out = bytearray()
+    out += (b"II*\x00" if not big_endian else b"MM\x00*")
+    out += struct.pack(bo + "I", ifd_off)
+    out += struct.pack(bo + "H", n)
+    blob_pos = dict(blobs)
+    for tag, typ, vals in entries:
+        if tag == 273:
+            vals = strip_offsets
+        total = sz[typ] * len(vals)
+        out += struct.pack(bo + "HHI", tag, typ, len(vals))
+        if total <= 4:
+            packed = struct.pack(bo + fmt[typ] * len(vals), *vals)
+            out += packed + b"\x00" * (4 - total)
+        else:
+            out += struct.pack(bo + "I", blob_pos[tag])
+    out += struct.pack(bo + "I", 0)  # next-IFD pointer
+    for tag, typ, vals in entries:
+        if tag == 273:
+            vals = strip_offsets
+        total = sz[typ] * len(vals)
+        if total > 4:
+            out += struct.pack(bo + fmt[typ] * len(vals), *vals)
+    for s_ in strips:
+        out += s_
+    return bytes(out)
+
+
+def test_decode_tiff_roundtrip_forms():
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(31)
+    gray = rng.randint(0, 256, size=(9, 7)).astype("u1")
+    rgb = rng.randint(0, 256, size=(6, 5, 3)).astype("u1")
+    rgba = rng.randint(0, 256, size=(4, 4, 4)).astype("u1")
+    g16 = rng.randint(0, 65536, size=(5, 6)).astype("u2")
+    for arr in (gray, rgb, rgba):
+        for be in (False, True):
+            got = decode_image(_make_tiff(arr, big_endian=be))
+            assert np.array_equal(got, arr), f"be={be} shape={arr.shape}"
+    got16 = decode_image(_make_tiff(g16, big_endian=True))
+    assert np.array_equal(got16.astype("u2"), g16)
+
+
+def test_decode_tiff_multi_strip_and_packbits():
+    import numpy as np
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(33)
+    # runs + noise exercise both PackBits modes across strip boundaries
+    base = np.repeat(rng.randint(0, 5, size=120), rng.randint(1, 9, size=120))
+    rgb = base[: 13 * 6 * 3].reshape(13, 6, 3).astype("u1")
+    for pb in (False, True):
+        got = decode_image(_make_tiff(rgb, rows_per_strip=4, packbits=pb))
+        assert np.array_equal(got, rgb), f"packbits={pb}"
+
+
+def test_decode_tiff_malformed_and_unsupported():
+    import numpy as np
+    import pytest
+
+    from mapreduce_task_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(35)
+    arr = rng.randint(0, 256, size=(5, 5)).astype("u1")
+    good = _make_tiff(arr)
+    with pytest.raises(ValueError):
+        decode_image(good[:-8])  # truncated strip
+    with pytest.raises(ValueError):
+        decode_image(good[:6])  # truncated header
+    lzw = bytearray(good)
+    # compression tag (259) value -> 5 (LZW): format gap, not damage
+    import struct
+
+    n = struct.unpack_from("<H", lzw, 8)[0]
+    for k in range(n):
+        off = 10 + k * 12
+        if struct.unpack_from("<H", lzw, off)[0] == 259:
+            struct.pack_into("<H", lzw, off + 8, 5)
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(lzw))
