@@ -523,6 +523,43 @@ def main() -> int:
             finally:
                 shutil.rmtree(ivfsq_dir, ignore_errors=True)
 
+            # r13: the triggered-retrain orchestration at sf scale —
+            # versioned root, one delta append, full rebuild from
+            # base ∪ delta with fresh quantizers + baseline + promote.
+            # Records the offline maintenance cost the crawl loop's
+            # retrain trigger schedules (amortized over many appends).
+            try:
+                from pyspark.sql import functions as _F
+
+                from mapreduce_task_spark.streaming.ivf_ingest import (
+                    append_batch as _ivf_append,
+                )
+                from mapreduce_task_spark.streaming.ivf_ingest import (
+                    drift_baseline as _ivf_baseline,
+                )
+                from mapreduce_task_spark.streaming.retrain import (
+                    current_index_path,
+                    promote_version,
+                    retrain_index,
+                )
+
+                rt_root = tempfile.mkdtemp(prefix="bench_retrain_root_")
+                half = emb.agg(_F.expr("percentile(vec_id, 0.5)")).collect()[0][0]
+                base_half = emb.filter(_F.col("vec_id") <= half)
+                delta_half = emb.filter(_F.col("vec_id") > half)
+                ivf_build_index(
+                    base_half, f"{rt_root}/v1", n_clusters=8, dim=64, rounds=2
+                )
+                _ivf_baseline(spark, f"{rt_root}/v1")
+                promote_version(spark, rt_root, "v1")
+                _ivf_append(delta_half, 0, current_index_path(spark, rt_root))
+                t0 = time.perf_counter()
+                retrain_index(spark, rt_root)
+                extras["ivf_retrain_sec"] = round(time.perf_counter() - t0, 3)
+                shutil.rmtree(rt_root, ignore_errors=True)
+            except Exception as e:
+                extras["ivf_retrain_error"] = repr(e)[:200]
+
             # Same split for lexical retrieval (r8): BM25 postings
             # persisted once, then term-pushdown search against the
             # term-clustered lists only (the corpus is never re-read).
