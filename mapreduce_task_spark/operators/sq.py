@@ -151,16 +151,21 @@ def _per_list_bounds(assigned: DataFrame, cents: DataFrame, dim: int) -> DataFra
         F.collect_list("minq").alias("__mns"),
         F.collect_list("maxq").alias("__mxs"),
     )
+    # F.get (0-based) is null-safe on an EMPTY collected list (zero
+    # clusters — the empty-corpus sweep), where ANSI element_at(.., 1)
+    # throws; the null init just propagates through an aggregate over
+    # an equally empty tail, and the empty centroid join below emits
+    # zero rows anyway
     _rest = lambda c: F.slice(c, 2, 1 << 30)  # noqa: E731
     glob = packed.select(
         F.aggregate(
             _rest(F.col("__mns")),
-            F.element_at("__mns", 1),
+            F.get("__mns", 0),
             lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
         ).alias("__gmn"),
         F.aggregate(
             _rest(F.col("__mxs")),
-            F.element_at("__mxs", 1),
+            F.get("__mxs", 0),
             lambda acc, x: F.zip_with(acc, x, lambda a, b: F.greatest(a, b)),
         ).alias("__gmx"),
     )
