@@ -81,6 +81,15 @@ def bpe_train(
     training log a driver-verifiable query needs.
     """
     wf = word_freq_table(df, text_col).persist()
+    # ONE action per round: round r's argmax collect both returns the
+    # top pair AND (as a cache side effect) materializes round r's
+    # persisted word table — the previous round's table is released
+    # only after that, so the fold never recomputes upstream. The
+    # former shape ran an explicit nxt.count() materializer per round
+    # (2 jobs/round); fusing it into the next argmax halves the job
+    # count with bit-identical merges (r13 optimization round; A/B in
+    # OPTIMIZATION_r13.md).
+    prev: DataFrame | None = None
     merges: list = []
     try:
         for _ in range(num_merges):
@@ -101,6 +110,10 @@ def bpe_train(
                 .limit(1)
                 .collect()
             )
+            # wf is now materialized in cache; its predecessor can go
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top:
                 break
             a, b = top[0]["a"], top[0]["b"]
@@ -108,11 +121,12 @@ def bpe_train(
             nxt = wf.select(
                 "word", "cnt", _merge_fold(F.col("syms"), a, b).alias("syms")
             ).persist()
-            nxt.count()  # materialize before dropping the previous round
-            wf.unpersist()
+            prev = wf
             wf = nxt
     finally:
         wf.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 

@@ -115,14 +115,13 @@ def _subvectors(
     subvectors — a map-side projection, m rows per vector. ``id_col``
     may be a composite key (ivfpq uses (query_id, cluster))."""
     keys = [id_col] if isinstance(id_col, str) else list(id_col)
-    subs = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("sub"),
-                F.slice(F.col("qv"), s * dsub + 1, dsub).alias("sqv"),
-            )
+    subs = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('sub', {s}, 'sqv', slice(qv, {s * dsub + 1}, {dsub}))"
             for s in range(m)
-        ]
+        )
+        + ")"
     )
     return qd.select(*keys, F.explode(subs).alias("__s")).select(
         *keys, F.col("__s.sub").alias("sub"), F.col("__s.sqv").alias("sqv")
@@ -138,22 +137,34 @@ def _sub_dist(a, b):
     )
 
 
+def _sub_dist_sql(a: str, b: str) -> str:
+    """``_sub_dist`` as a SQL fragment for ``F.expr`` construction —
+    the identical expression tree (zip_with + aggregate over int64)
+    built in O(1) py4j round-trips instead of O(1) *per lambda* times
+    every loop iteration. The r13 optimization round measured the
+    Python-API construction of the m-way argmin/ADC expressions at
+    ~2 s of driver time per ``ivfpq_topk`` build (cProfile: the
+    ``_create_lambda`` stack); the F.expr form is the same fix
+    ``similarity._update_centroids`` and ``sq._bounds_agg`` already
+    ship. Results are bit-identical (golden-hash + oracle gated)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0 AS BIGINT), (acc, d) -> acc + d)"
+    )
+
+
 def _assign_codes(subs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     """Nearest centroid per (vector, subspace): pack ALL m x ksub
     centroids into one broadcast row, argmin via array_min over the
-    row's own subspace — shuffle-free, ties to lowest code."""
+    row's own subspace — shuffle-free, ties to lowest code. (F.expr
+    construction — see ``_sub_dist_sql``.)"""
     packed = cents.agg(F.collect_list(F.struct("sub", "j", "cqv")).alias("__c"))
-    mine = F.filter(F.col("__c"), lambda c: c["sub"] == F.col("sub"))
-    best = F.array_min(
-        F.transform(
-            mine,
-            lambda c: F.struct(
-                _sub_dist(F.col("sqv"), c["cqv"]).alias("d"), c["j"].alias("j")
-            ),
-        )
+    best = F.expr(
+        "array_min(transform(filter(__c, c -> c.sub = sub), "
+        f"c -> named_struct('d', {_sub_dist_sql('sqv', 'c.cqv')}, 'j', c.j))).j"
     )
     return subs.crossJoin(F.broadcast(packed)).select(
-        id_col, "sub", "sqv", best["j"].alias("code")
+        id_col, "sub", "sqv", best.alias("code")
     )
 
 
@@ -202,26 +213,25 @@ def _fit_codebook(
     for _ in range(rounds):
         assigned = _assign_codes(subs, cents, id_col)
         sums = assigned.groupBy("sub", "code").agg(
-            F.count(F.lit(1)).alias("n"),
+            F.expr("count(1)").alias("n"),
             *[
-                F.sum(F.element_at("sqv", i + 1)).alias(f"s{i}")
+                F.expr(f"sum(element_at(sqv, {i + 1}))").alias(f"s{i}")
                 for i in range(dsub)
             ],
         )
-        comps = [
-            (
-                (F.col(f"s{i}") - F.pmod(F.col(f"s{i}"), F.col("n"))) / F.col("n")
-            ).cast("bigint")
-            for i in range(dsub)
-        ]
         # fused update: ONE left join from the dense current codebook to
         # the per-cluster sums — a matched (sub, j) takes the floor-mean,
         # an emptied cluster (no sums row, n NULL) keeps its centroid, so
         # the codebook stays dense for positional ADC lookups without the
         # former anti-join + union pair (same rows, fewer plan nodes —
         # these are m*ksub-row frames where per-stage overhead dominates)
-        new_cqv = F.when(F.col("n").isNull(), F.col("cqv")).otherwise(
-            F.array(*comps)
+        new_cqv = F.expr(
+            "CASE WHEN n IS NULL THEN cqv ELSE array("
+            + ", ".join(
+                f"CAST((s{i} - pmod(s{i}, n)) / n AS BIGINT)"
+                for i in range(dsub)
+            )
+            + ") END"
         )
         fused = cents.join(
             sums.withColumnRenamed("code", "j"), ["sub", "j"], "left"
@@ -248,20 +258,13 @@ def _assign_codes_per_list(subs: DataFrame, cents: DataFrame, id_col: str) -> Da
     packed = cents.agg(
         F.collect_list(F.struct("cluster", "sub", "j", "cqv")).alias("__c")
     )
-    mine = F.filter(
-        F.col("__c"),
-        lambda c: (c["cluster"] == F.col("cluster")) & (c["sub"] == F.col("sub")),
-    )
-    best = F.array_min(
-        F.transform(
-            mine,
-            lambda c: F.struct(
-                _sub_dist(F.col("sqv"), c["cqv"]).alias("d"), c["j"].alias("j")
-            ),
-        )
+    best = F.expr(
+        "array_min(transform("
+        "filter(__c, c -> c.cluster = cluster AND c.sub = sub), "
+        f"c -> named_struct('d', {_sub_dist_sql('sqv', 'c.cqv')}, 'j', c.j))).j"
     )
     return subs.crossJoin(F.broadcast(packed)).select(
-        id_col, "cluster", "sub", "sqv", best["j"].alias("code")
+        id_col, "cluster", "sub", "sqv", best.alias("code")
     )
 
 
@@ -304,20 +307,19 @@ def _fit_codebook_per_list(
     for _ in range(rounds):
         assigned = _assign_codes_per_list(subs, cents, id_col)
         sums = assigned.groupBy("cluster", "sub", "code").agg(
-            F.count(F.lit(1)).alias("n"),
+            F.expr("count(1)").alias("n"),
             *[
-                F.sum(F.element_at("sqv", i + 1)).alias(f"s{i}")
+                F.expr(f"sum(element_at(sqv, {i + 1}))").alias(f"s{i}")
                 for i in range(dsub)
             ],
         )
-        comps = [
-            (
-                (F.col(f"s{i}") - F.pmod(F.col(f"s{i}"), F.col("n"))) / F.col("n")
-            ).cast("bigint")
-            for i in range(dsub)
-        ]
-        new_cqv = F.when(F.col("n").isNull(), F.col("cqv")).otherwise(
-            F.array(*comps)
+        new_cqv = F.expr(
+            "CASE WHEN n IS NULL THEN cqv ELSE array("
+            + ", ".join(
+                f"CAST((s{i} - pmod(s{i}, n)) / n AS BIGINT)"
+                for i in range(dsub)
+            )
+            + ") END"
         )
         cents = pin(
             cents.join(
@@ -452,24 +454,23 @@ def _encode_codes(
             .otherwise(F.col("__bk"))
             .alias("__bk"),
         )
-    # per-subspace entry count read off the (possibly per-cluster) book
-    nsub = (F.size("__bk") / F.lit(m)).cast("int")
+    # per-subspace entry count read off the (possibly per-cluster) book.
+    # The m per-subspace argmins are ONE F.expr string (identical
+    # expression tree; see _sub_dist_sql — this loop was the single
+    # biggest py4j construction cost in the ivfpq_topk build).
+    nsub = f"CAST(size(__bk) / {m} AS INT)"
 
-    def best(s: int):
-        entries = F.slice(F.col("__bk"), s * nsub + F.lit(1), nsub)
-        sqv = F.slice(F.col("qv"), s * dsub + 1, dsub)
-        return F.array_min(
-            F.transform(
-                entries,
-                lambda c: F.struct(
-                    _sub_dist(sqv, c["cqv"]).alias("d"), c["j"].alias("j")
-                ),
-            )
-        )["j"]
+    def best(s: int) -> str:
+        entries = f"slice(__bk, {s} * {nsub} + 1, {nsub})"
+        sqv = f"slice(qv, {s * dsub + 1}, {dsub})"
+        return (
+            f"array_min(transform({entries}, "
+            f"c -> named_struct('d', {_sub_dist_sql(sqv, 'c.cqv')}, "
+            f"'j', c.j))).j"
+        )
 
-    return pre.select(
-        id_col, *extra, F.array(*[best(s) for s in range(m)]).alias("codes")
-    )
+    codes = F.expr("array(" + ", ".join(best(s) for s in range(m)) + ")")
+    return pre.select(id_col, *extra, codes.alias("codes"))
 
 
 def pq_encode(
@@ -542,19 +543,13 @@ def pq_adc_topk(
         .crossJoin(F.broadcast(packed_cb))
         .select(
             F.col(id_col).alias("query_id"),
-            F.transform(
-                F.col("__cb"),
-                lambda c: _sub_dist(
-                    F.slice(F.col("qv"), c["sub"] * dsub + 1, dsub), c["cqv"]
-                ),
+            F.expr(
+                "transform(__cb, c -> "
+                + _sub_dist_sql(f"slice(qv, c.sub * {dsub} + 1, {dsub})", "c.cqv")
+                + ")"
             ).alias("dtable"),
         )
     )
-    # Per-subspace entry count, read off the table itself: equals ksub
-    # normally, but a corpus smaller than ksub yields a smaller (still
-    # dense, still uniform-per-subspace) codebook — hard-coding ksub
-    # here would silently misalign every sub >= 1 lookup.
-    nsub = (F.size("dtable") / F.lit(m)).cast("int")
     scored = (
         codes.withColumnRenamed(id_col, "cand_id")
         .crossJoin(F.broadcast(qdist))
@@ -562,19 +557,7 @@ def pq_adc_topk(
         .select(
             "query_id",
             "cand_id",
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                F.lit(0).cast("bigint"),
-                lambda acc, s: acc
-                + F.element_at(
-                    "dtable",
-                    # 1-based: sub block s holds positions s*nsub+1..s*nsub+nsub
-                    # for codes j=1..nsub, so (s, j) sits at s*nsub + j
-                    (s * nsub + F.element_at("codes", (s + 1).cast("int"))).cast(
-                        "int"
-                    ),
-                ),
-            ).alias("approx_d"),
+            F.expr(_adc_sum_sql(m)).alias("approx_d"),
         )
     )
     if refine:
@@ -634,28 +617,23 @@ def _ivfpq_adc_scored(
         )
         # filter to THIS row's probed cluster, then sort: cluster is
         # constant within the slice, so ordering is still (sub, j)
-        book = F.array_sort(
-            F.filter(F.col("__cb"), lambda c: c["cluster"] == F.col("cluster"))
-        )
+        book = "array_sort(filter(__cb, c -> c.cluster = cluster))"
     else:
         packed_cb = cents.agg(
             F.array_sort(F.collect_list(F.struct("sub", "j", "cqv"))).alias("__cb")
         )
-        book = F.col("__cb")
+        book = "__cb"
+    dtable = F.expr(
+        f"transform({book}, c -> "
+        + _sub_dist_sql(f"slice(qv, c.sub * {dsub} + 1, {dsub})", "c.cqv")
+        + ")"
+    )
     qdist = rq.crossJoin(F.broadcast(packed_cb)).select(
-        "query_id",
-        "cluster",
-        F.transform(
-            book,
-            lambda c: _sub_dist(
-                F.slice(F.col("qv"), c["sub"] * dsub + 1, dsub), c["cqv"]
-            ),
-        ).alias("dtable"),
+        "query_id", "cluster", dtable.alias("dtable")
     )
     # per-subspace entry count read off the table itself (see pq_fit:
-    # a sub-ksub corpus yields a smaller, still-uniform codebook)
-    nsub = (F.size("dtable") / F.lit(m)).cast("int")
-    # the candidate's home cluster rides along (it is the join key, so
+    # a sub-ksub corpus yields a smaller, still-uniform codebook).
+    # The candidate's home cluster rides along (it is the join key, so
     # it is free): the refine stage uses it to prune the original-vector
     # read to probed list directories. Unrefined callers drop it.
     return (
@@ -665,18 +643,23 @@ def _ivfpq_adc_scored(
             "query_id",
             "cand_id",
             "cluster",
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                F.lit(0).cast("bigint"),
-                lambda acc, s: acc
-                + F.element_at(
-                    "dtable",
-                    (s * nsub + F.element_at("codes", (s + 1).cast("int"))).cast(
-                        "int"
-                    ),
-                ),
-            ).alias("approx_d"),
+            F.expr(_adc_sum_sql(m)).alias("approx_d"),
         )
+    )
+
+
+def _adc_sum_sql(m: int) -> str:
+    """The ADC lookup-sum as a SQL fragment: a candidate's approximate
+    distance is the sum of its m positional dtable lookups. 1-based:
+    sub block s holds positions s*nsub+1..s*nsub+nsub for codes
+    j=1..nsub, so (s, j) sits at s*nsub + j; nsub is read off the
+    table itself (a sub-ksub corpus yields a smaller, still-uniform
+    codebook — see pq_fit)."""
+    nsub = f"CAST(size(dtable) / {m} AS INT)"
+    return (
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), "
+        f"(acc, s) -> acc + element_at(dtable, "
+        f"CAST(s * {nsub} + element_at(codes, CAST(s + 1 AS INT)) AS INT)))"
     )
 
 

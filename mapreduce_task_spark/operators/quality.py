@@ -147,15 +147,27 @@ def referential_integrity(
     counts orphans; the dim side ships only its key column (broadcast
     by default — dims are small; disable for fact-fact containment).
 
-    EAGER by design: this runs two count() actions (total, orphans) —
-    both 1-number results — because a gate consumes the verdict
-    immediately. Same documented contract as quality_bins' cut-point
-    collect; nothing here hides a job inside plan construction."""
+    EAGER by design: this runs ONE action (a 1-row aggregate) — a gate
+    consumes the verdict immediately. Same documented contract as
+    quality_bins' cut-point collect; nothing here hides a job inside
+    plan construction. The former two-job shape (a count() of the fact
+    plus a count() of the left-anti join) re-scanned the fact table
+    twice; the left join + conditional count below reads it once —
+    safe because ``keys`` is distinct, so a fact row matches at most
+    one key row (r13 optimization round)."""
     keys = dim.select(F.col(dim_col).alias(fact_col)).distinct()
     if broadcast_dim:
         keys = F.broadcast(keys)
-    total = fact.select(fact_col).count()
-    orphans = fact.select(fact_col).join(keys, fact_col, "left_anti").count()
+    row = (
+        fact.select(fact_col)
+        .join(keys.withColumn("__hit", F.lit(1)), fact_col, "left")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count("__hit").alias("resolved"),
+        )
+        .collect()[0]
+    )
+    total, orphans = row["total"], row["total"] - row["resolved"]
     metric = 1.0 if total == 0 else (total - orphans) / total
     return fact.sparkSession.createDataFrame(
         [
