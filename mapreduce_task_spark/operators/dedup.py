@@ -333,10 +333,22 @@ def connected_components(
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    # Fused round 0 (r13 optimization round): the initial labels are
+    # min(v, min of v's neighbors) computed in ONE edges scan —
+    # min over (least(src, dst) grouped by src) == min(self, all
+    # neighbors) because edges are symmetric and min is associative.
+    # The former identity init (label = v) spent its own job on
+    # distinct+sum and then needed one MORE full join round to reach
+    # this state; the fixpoint — and therefore the result — is
+    # identical, one propagation round cheaper. Single edges read in
+    # the init job, so the (possibly unmaterialized) edges cache is
+    # populated exactly once.
     labels = (
-        edges.select(F.col("src").alias("v"))
-        .distinct()
-        .select("v", F.col("v").alias("label"))
+        edges.select(
+            F.col("src").alias("v"), F.least("src", "dst").alias("label")
+        )
+        .groupBy("v")
+        .agg(F.min("label").alias("label"))
         .persist()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
