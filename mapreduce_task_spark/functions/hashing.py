@@ -42,6 +42,18 @@ def minhash_seed_hash(col: Column | str, seed: int, fast: bool = False) -> Colum
     return hash64(F.concat(F.lit(f"{seed}:"), c.cast("string")), fast=fast)
 
 
+def hash64_spark_sql(expr: str, fast: bool = False) -> str:
+    """Spark-SQL text equivalent of ``hash64`` — the same expression
+    tree built in one ``F.expr`` parse instead of ~6 py4j round trips
+    (r13 optimization round; construction cost only, identical plan)."""
+    if fast:
+        return f"abs(xxhash64(CAST({expr} AS STRING))) % {1 << 60}"
+    return (
+        f"CAST(conv(substring(md5(CAST({expr} AS STRING)), 1, "
+        f"{_HEX_DIGITS}), 16, 10) AS BIGINT)"
+    )
+
+
 def hash64_duckdb_sql(expr: str) -> str:
     """DuckDB SQL text equivalent of ``hash64`` (for oracle queries)."""
     return f"CAST('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, {_HEX_DIGITS}) AS BIGINT)"
@@ -75,6 +87,20 @@ def affine_minhash_cols(col: Column | str, num: int, fast: bool = False) -> list
     base = (hash64(col, fast=fast) % F.lit(MINHASH_P)).alias("__mhbase")
     return [
         ((F.lit(a) * base + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_params(num))
+    ]
+
+
+def affine_minhash_spark_sqls(expr: str, num: int, fast: bool = False) -> list[str]:
+    """Spark-SQL text for each hash in the affine family — the
+    ``affine_minhash_cols`` expression trees as strings (one selectExpr
+    parse instead of ~6 py4j round trips per hash; the base-hash
+    subtree repeats per column exactly as the Column form inlines it,
+    and codegen subexpression elimination computes it once per row
+    either way)."""
+    base = f"({hash64_spark_sql(expr, fast=fast)} % {MINHASH_P})"
+    return [
+        f"({a} * {base} + {b}) % {MINHASH_P} AS h{i}"
         for i, (a, b) in enumerate(minhash_params(num))
     ]
 

@@ -27,7 +27,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.hashing import affine_minhash_cols, hash64
+from ..functions.hashing import (
+    affine_minhash_spark_sqls,
+    hash64,
+    hash64_spark_sql,
+)
 from ..functions.text import (
     normalize_token,
     normalize_unicode_text,
@@ -118,9 +122,10 @@ def minhash_signature(
     hash (affine universal hashing mod 2^31-1), not ``num_hashes``
     md5 invocations.
     """
-    hs = affine_minhash_cols("shingle", num_hashes)
-    hashed = shingle_df.select(id_col, *hs)
-    mins = [F.min(f"h{s}").alias(f"mh{s}") for s in range(num_hashes)]
+    hashed = shingle_df.selectExpr(
+        id_col, *affine_minhash_spark_sqls("shingle", num_hashes)
+    )
+    mins = [F.expr(f"min(h{s})").alias(f"mh{s}") for s in range(num_hashes)]
     return hashed.groupBy(id_col).agg(*mins)
 
 
@@ -137,11 +142,16 @@ def lsh_bands(
     rows_per_band = num_hashes // bands
     pairs = []
     for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
-        pairs.append(F.lit(b))
-        pairs.append(F.concat_ws("-", *cols))
+        cols = ", ".join(
+            f"CAST(mh{b * rows_per_band + r} AS STRING)"
+            for r in range(rows_per_band)
+        )
+        pairs.append(f"{b}, concat_ws('-', {cols})")
     return sig_df.select(
-        id_col, F.stack(F.lit(bands), *pairs).alias("band", "band_sig")
+        id_col,
+        F.expr(f"stack({bands}, " + ", ".join(pairs) + ")").alias(
+            "band", "band_sig"
+        ),
     )
 
 
@@ -269,22 +279,18 @@ def simhash(
     ``bits`` conditional-sum aggregate expressions — one shuffle, no
     row explosion, codegen throughout.
     """
-    h = hash64("word").alias("h")
-    toks = words_df.select(id_col, h)
+    toks = words_df.selectExpr(id_col, f"{hash64_spark_sql('word')} AS h")
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"s{i}")
         for i in range(bits)
     ]
     agg = toks.groupBy(id_col).agg(*votes)
-    bit_terms = [
-        F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(bits)
-    ]
-    out = bit_terms[0]
-    for t in bit_terms[1:]:
-        out = out + t
-    return agg.select(id_col, out.cast("bigint").alias("simhash"))
+    out = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    return agg.selectExpr(id_col, f"CAST({out} AS BIGINT) AS simhash")
 
 
 def connected_components(
@@ -748,22 +754,29 @@ def incremental_minhash_dedup(
         F.col(id_col).alias("__old_id"), "band", "band_sig"
     )
     cross = nb.join(kb, ["band", "band_sig"]).select("__new_id", "__old_id").distinct()
-    ns = kept_sig.select(
-        F.col(id_col).alias("__new_id"),
-        *[F.col(f"mh{i}").alias(f"na{i}") for i in range(num_hashes)],
+    ns = kept_sig.selectExpr(
+        f"{id_col} AS __new_id",
+        *[f"mh{i} AS na{i}" for i in range(num_hashes)],
     )
-    os_ = known_sigs.select(
-        F.col(id_col).alias("__old_id"),
-        *[F.col(f"mh{i}").alias(f"ob{i}") for i in range(num_hashes)],
+    os_ = known_sigs.selectExpr(
+        f"{id_col} AS __old_id",
+        *[f"mh{i} AS ob{i}" for i in range(num_hashes)],
     )
-    agree = sum(
-        F.when(F.col(f"na{i}") == F.col(f"ob{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
+    # integer agreement count over a CAST(.. AS DOUBLE) denominator —
+    # a bare `16.0` literal would parse as DECIMAL and change the
+    # division's result type
+    agree = F.expr(
+        "("
+        + " + ".join(
+            f"(CASE WHEN na{i} = ob{i} THEN 1 ELSE 0 END)"
+            for i in range(num_hashes)
+        )
+        + f") / CAST({num_hashes} AS DOUBLE)"
     )
     dup_new = (
         cross.join(ns, "__new_id")
         .join(os_, "__old_id")
-        .withColumn("__agree", agree / F.lit(float(num_hashes)))
+        .withColumn("__agree", agree)
         .filter(F.col("__agree") >= threshold)
         .select(F.col("__new_id").alias(id_col))
         .distinct()

@@ -79,12 +79,17 @@ def _bounds_agg(qd: DataFrame, dim: int, group_cols: tuple = ()) -> DataFrame:
     # less driver-side build time per fit at dim=64 (r13; the bench
     # build/run split is the receipt). qv[i] is the 0-based subscript,
     # == element_at(qv, i+1) under the _assert_dim guard.
-    aggs = [F.expr(f"min(qv[{i}])").alias(f"__mn{i}") for i in range(dim)] + [
-        F.expr(f"max(qv[{i}])").alias(f"__mx{i}") for i in range(dim)
-    ]
-    row = qd.groupBy(*group_cols).agg(*aggs) if group_cols else qd.agg(*aggs)
-    mn_pack = "array(" + ",".join(f"__mn{i}" for i in range(dim)) + ")"
-    mx_pack = "array(" + ",".join(f"__mx{i}" for i in range(dim)) + ")"
+    struct_sql = (
+        "named_struct("
+        + ", ".join(
+            f"'mn{i}', min(qv[{i}]), 'mx{i}', max(qv[{i}])" for i in range(dim)
+        )
+        + ")"
+    )
+    agg = F.expr(struct_sql).alias("__b")
+    row = qd.groupBy(*group_cols).agg(agg) if group_cols else qd.agg(agg)
+    mn_pack = "array(" + ",".join(f"__b.mn{i}" for i in range(dim)) + ")"
+    mx_pack = "array(" + ",".join(f"__b.mx{i}" for i in range(dim)) + ")"
     return row.select(
         *group_cols,
         F.expr(mn_pack).alias("minq"),
