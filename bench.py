@@ -170,6 +170,20 @@ def main() -> int:
     canary_pre = cpu_canary()
     retry_info: dict | None = None
     slow_thresh = float(os.environ.get("SPARK_GRAFT_CANARY_SLOW", "0.5"))
+    # r13 optimization round: host contention can halve PARALLEL
+    # throughput while the single-thread number stays healthy (observed
+    # threads32 0.63 -> 1.06 with single_thread 0.474 < the 0.5 gate —
+    # that pass's parallel rows inflated ~30% and escaped the retry).
+    # The retry now also gates on the 32-thread canary; same bounded
+    # worst-6-rows re-run, minima kept, methodology and artifact shape
+    # unchanged.
+    slow32_thresh = float(os.environ.get("SPARK_GRAFT_CANARY_SLOW32", "1.0"))
+
+    def canary_slow(c: dict) -> bool:
+        return (
+            c["single_thread_sec"] > slow_thresh
+            or c["threads32_sec"] > slow32_thresh
+        )
 
     def retry_worst_rows(trigger_canary: dict, when: str) -> dict:
         """Re-run the 6 worst build_sec-dominated rows once, keep the
@@ -195,7 +209,7 @@ def main() -> int:
             "retried": retried,
         }
 
-    if not only and canary_pre["single_thread_sec"] > slow_thresh and phases:
+    if not only and canary_slow(canary_pre) and phases:
         retry_info = retry_worst_rows(canary_pre, "pre_extras")
 
     # Build-once/search-many split (r4 verdict #3): the registry's
@@ -659,7 +673,7 @@ def main() -> int:
     if (
         not only
         and retry_info is None
-        and canary_post["single_thread_sec"] > slow_thresh
+        and canary_slow(canary_post)
         and phases
     ):
         retry_info = retry_worst_rows(canary_post, "post_extras")
