@@ -81,3 +81,17 @@ def test_bpe_run_semantics(spark):
     seg = {r["word"]: list(r["pieces"]) for r in bpe_segment(df, [("a", "a")]).collect()}
     assert seg["aaaa"] == ["aa", "aa"]
     assert seg["aaa"] == ["aa", "a"]
+
+
+def test_bpe_train_releases_all_caches(spark):
+    """The r13 one-action-per-round cadence tracks a previous-round
+    cache across iterations; every persisted word table (including the
+    deferred previous round and the never-materialized final fold)
+    must be released when training returns."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    docs = spark.createDataFrame(
+        [Row(text="low lower lowest new newer")] * 3
+    )
+    merges = bpe_train(docs, num_merges=4, with_counts=True)
+    assert len(merges) == 4
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before

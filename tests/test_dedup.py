@@ -412,3 +412,25 @@ def test_exact_dedup_first_bounds_lsh_bucket_skew(spark):
     survivors = df.join(reps, "doc_id")
     assert survivors.count() == 21
     assert max_bucket(survivors) <= 2  # no mass bucket survives
+
+
+def test_connected_components_fused_init_converges_in_one_loop_round(spark):
+    """The r13 fused round 0 (labels init = min(self, neighbors) in one
+    edges scan) makes any graph whose every vertex is ADJACENT to its
+    component minimum a fixpoint BEFORE the loop: max_rounds=1 must
+    converge silently with exact components — under the former identity
+    init these graphs needed a second loop round and max_rounds=1
+    warned. A pair, a triangle, and a min-centered star cover the
+    shapes."""
+    import warnings
+
+    edges = [(5, 2), (1, 3), (3, 4), (1, 4), (10, 11), (10, 12), (10, 13)]
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = _cc(spark, edges, max_rounds=1)
+    assert not [w for w in caught if "max_rounds" in str(w.message)]
+    assert got == {
+        2: 2, 5: 2,
+        1: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+    }

@@ -138,3 +138,19 @@ def test_corpus_report_on_empty_corpus(spark):
     assert rows[("total_ws_tokens", "text")] == 0.0
     assert rows[("check:completeness", "doc_id")] == 0.0
     assert not [k for k in rows if k[0] == "lang_docs"]
+
+
+def test_referential_integrity_duplicate_dim_keys_and_null_facts(spark):
+    """The r13 single-aggregate rewrite (left join + conditional count
+    instead of count + left-anti count) is only metric-equivalent
+    because the key set is DISTINCT before the join — duplicate dim
+    keys must not multiply fact rows into the total, and NULL fact
+    keys must still count as orphans (a NULL never equi-matches)."""
+    fact = spark.createDataFrame(
+        [Row(k=1), Row(k=1), Row(k=2), Row(k=None), Row(k=5)]
+    )
+    dim = spark.createDataFrame([Row(d=1), Row(d=1), Row(d=1), Row(d=2)])
+    [r] = referential_integrity(fact, "k", dim, "d").collect()
+    # 5 fact rows: k=1 x2 and k=2 resolve; NULL and 5 are orphans
+    assert abs(r["metric"] - 3 / 5) < 1e-12
+    assert not r["passed"]
