@@ -185,12 +185,45 @@ def main() -> int:
             or c["threads32_sec"] > slow32_thresh
         )
 
+    # r14 (verdict #1a): the retry used to pick the 6 worst rows by
+    # ABSOLUTE build_sec, so a cheap row inflated 2-4x by a contended
+    # window was never re-run (r13: temporal_joins stood at 4.55 s vs a
+    # 1.18 s reference while an already-healthy 4.26 s row got retried).
+    # Rows are now selected by ratio against the committed per-row
+    # reference of record (BENCH_REF.json, refreshed from the best
+    # healthy-canary pass whenever query timings legitimately change);
+    # rows absent from the reference (newly added queries) rank as
+    # most-suspect. Without a reference file the old build_sec ordering
+    # is the fallback. Same bounded 6-row re-run, minima kept,
+    # methodology and artifact shape unchanged.
+    def load_reference() -> dict[str, float]:
+        try:
+            ref_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_REF.json"
+            )
+            with open(ref_path) as f:
+                q = json.load(f)["queries"]
+            return {k: float(v) for k, v in q.items() if float(v) > 0}
+        except Exception:
+            return {}
+
     def retry_worst_rows(trigger_canary: dict, when: str) -> dict:
-        """Re-run the 6 worst build_sec-dominated rows once, keep the
-        per-row min. Returns the retry record for the artifacts."""
-        worst = sorted(
-            phases, key=lambda n: phases[n]["build_sec"], reverse=True
-        )[:6]
+        """Re-run the 6 most-inflated rows once (ratio vs BENCH_REF.json;
+        absolute build_sec when no reference exists), keep the per-row
+        min. Returns the retry record for the artifacts."""
+        ref = load_reference()
+        if ref:
+            selection = "ratio_vs_ref"
+            worst = sorted(
+                phases,
+                key=lambda n: timings[n] / ref[n] if n in ref else float("inf"),
+                reverse=True,
+            )[:6]
+        else:
+            selection = "build_sec"
+            worst = sorted(
+                phases, key=lambda n: phases[n]["build_sec"], reverse=True
+            )[:6]
         retried: dict[str, float] = {}
         for name in worst:
             try:
@@ -206,6 +239,7 @@ def main() -> int:
             "pre_single_thread_sec": trigger_canary["single_thread_sec"],
             "post_single_thread_sec": cpu_canary()["single_thread_sec"],
             "when": when,
+            "selection": selection,
             "retried": retried,
         }
 

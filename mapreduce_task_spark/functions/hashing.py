@@ -83,7 +83,12 @@ def minhash_params(num: int) -> list[tuple[int, int]]:
 
 
 def affine_minhash_cols(col: Column | str, num: int, fast: bool = False) -> list[Column]:
-    """``num`` MinHash hash columns from one base hash of ``col``."""
+    """``num`` MinHash hash columns from one base hash of ``col``.
+
+    Column-form twin of ``affine_minhash_spark_sqls`` kept as the
+    readable reference definition of the hash family (no production
+    caller since the r13 selectExpr switch) — the two MUST stay in
+    lockstep or signatures silently change."""
     base = (hash64(col, fast=fast) % F.lit(MINHASH_P)).alias("__mhbase")
     return [
         ((F.lit(a) * base + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")

@@ -123,7 +123,7 @@ def minhash_signature(
     md5 invocations.
     """
     hashed = shingle_df.selectExpr(
-        id_col, *affine_minhash_spark_sqls("shingle", num_hashes)
+        f"`{id_col}`", *affine_minhash_spark_sqls("shingle", num_hashes)
     )
     mins = [F.expr(f"min(h{s})").alias(f"mh{s}") for s in range(num_hashes)]
     return hashed.groupBy(id_col).agg(*mins)
@@ -279,7 +279,7 @@ def simhash(
     ``bits`` conditional-sum aggregate expressions — one shuffle, no
     row explosion, codegen throughout.
     """
-    toks = words_df.selectExpr(id_col, f"{hash64_spark_sql('word')} AS h")
+    toks = words_df.selectExpr(f"`{id_col}`", f"{hash64_spark_sql('word')} AS h")
     votes = [
         F.expr(
             f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END)"
@@ -290,7 +290,7 @@ def simhash(
     out = " + ".join(
         f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
     )
-    return agg.selectExpr(id_col, f"CAST({out} AS BIGINT) AS simhash")
+    return agg.selectExpr(f"`{id_col}`", f"CAST({out} AS BIGINT) AS simhash")
 
 
 def connected_components(
@@ -755,11 +755,11 @@ def incremental_minhash_dedup(
     )
     cross = nb.join(kb, ["band", "band_sig"]).select("__new_id", "__old_id").distinct()
     ns = kept_sig.selectExpr(
-        f"{id_col} AS __new_id",
+        f"`{id_col}` AS __new_id",
         *[f"mh{i} AS na{i}" for i in range(num_hashes)],
     )
     os_ = known_sigs.selectExpr(
-        f"{id_col} AS __old_id",
+        f"`{id_col}` AS __old_id",
         *[f"mh{i} AS ob{i}" for i in range(num_hashes)],
     )
     # integer agreement count over a CAST(.. AS DOUBLE) denominator —

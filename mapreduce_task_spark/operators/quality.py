@@ -143,9 +143,11 @@ def referential_integrity(
     broadcast_dim: bool = True,
 ) -> DataFrame:
     """Fraction of fact keys that resolve in the dimension — the join
-    check that can't ride the single aggregation pass. Left-anti join
-    counts orphans; the dim side ships only its key column (broadcast
-    by default — dims are small; disable for fact-fact containment).
+    check that can't ride the single aggregation pass. One left join
+    against the distinct key set, then ``count(__hit)`` counts resolved
+    rows (orphans = total - resolved); the dim side ships only its key
+    column (broadcast by default — dims are small; disable for
+    fact-fact containment).
 
     EAGER by design: this runs ONE action (a 1-row aggregate) — a gate
     consumes the verdict immediately. Same documented contract as
