@@ -30,7 +30,11 @@ import json as _json
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.hashing import hash64
-from .pinning import Pin, lazy_checkpoint as _lazy_checkpoint
+from .pinning import (
+    Pin,
+    lazy_checkpoint as _lazy_checkpoint,
+    lazy_checkpoint_tiny as _lazy_checkpoint_tiny,
+)
 from .similarity import VALID_METRICS, with_quantized
 
 _META_FILE = "_INDEX_META.json"
@@ -194,9 +198,13 @@ def _fit_codebook(
     but end-to-end ``ivfpq_topk`` came out FLAT (stride) or 2x WORSE
     (no pins: the unpinned fit tree gets re-analyzed by each of its
     consumers, giving back everything the skipped pins saved).
-    Per-round pinning stays."""
+    Per-round pinning stays. The default pin is the TINY variant
+    (r14): the codebook is m*ksub rows by construction at any corpus
+    size, so its pin compiles AQE-free with a clamped reduce-partition
+    count instead of eagerly executing the round's stages per pin
+    (see ``pinning.lazy_checkpoint_tiny``)."""
     if pin is None:
-        pin = _lazy_checkpoint
+        pin = _lazy_checkpoint_tiny
     subs = _subvectors(qd, id_col, m, dsub)
 
     seed_rank = (
@@ -289,9 +297,12 @@ def _fit_codebook_per_list(
     Same determinism contract as ``_fit_codebook``: md5-ranked seeds
     (here per cluster via a cluster-partitioned window — parallelism
     scales with list count), exact int64 distances, floor-division
-    means, dead centroids retained through the fused left join."""
+    means, dead centroids retained through the fused left join. The
+    default pin is the tiny variant (n_clusters * m * ksub rows by
+    construction; raise SPARK_GRAFT_TINY_PIN_PARTITIONS for
+    thousands-of-lists deployments)."""
     if pin is None:
-        pin = _lazy_checkpoint
+        pin = _lazy_checkpoint_tiny
     subs = _subvectors(resid, [id_col, "cluster"], m, dsub)
 
     wc = Window.partitionBy("cluster").orderBy("__h", id_col)
@@ -832,7 +843,14 @@ def ivfpq_topk(
         df, id_col, vec_col, n_clusters, dim, coarse_rounds, metric=metric
     )
     if pin is not None:
-        coarse = pin(coarse)
+        # the coarse quantizer is n_clusters rows by construction —
+        # the tiny pin compiles it lazily (no eager AQE stage cascade)
+        # whenever the caller asked for the lazy-checkpoint policy;
+        # any other pin policy (disk_persist, reliable checkpoint) is
+        # honored unchanged
+        coarse = (
+            _lazy_checkpoint_tiny if pin is _lazy_checkpoint else pin
+        )(coarse)
     cj = coarse.select(F.col("j").alias("cluster"), "cqv")
 
     homed = assign_clusters(qd, coarse, id_col)

@@ -315,6 +315,7 @@ def ivfsq_topk(
     ``sq_topk`` exactly (every candidate scanned, same codes — asserted
     in tests). ``refine=N`` exact-reranks an N*k shortlist on the
     original grid vectors (shared ``pq._refine_exact``)."""
+    from .pinning import lazy_checkpoint_tiny
     from .pq import _refine_exact, _sub_dist
     from .similarity import assign_clusters, kmeans_lite_fit, probe_clusters
 
@@ -323,7 +324,8 @@ def ivfsq_topk(
     )
     # both the candidate assignment and the query probe ranking consume
     # the k-row centroid frame: materialize the Lloyd rounds once
-    cents = cents.localCheckpoint(eager=False)
+    # (tiny pin — n_clusters rows by construction)
+    cents = lazy_checkpoint_tiny(cents)
     assigned = assign_clusters(qd, cents, id_col)
     if per_list:
         bounds = _per_list_bounds(assigned, cents, dim)
@@ -332,7 +334,7 @@ def ivfsq_topk(
             qd.select(_assert_dim(F.col("qv"), F.lit(dim), "ivfsq_topk").alias("qv")),
             dim,
         )
-    bounds = bounds.localCheckpoint(eager=False)
+    bounds = lazy_checkpoint_tiny(bounds)  # k-row (or 1-row) frame
     codes = _encode_qv(
         assigned.select(F.col(id_col).alias("cand_id"), "cluster", "qv"),
         bounds,

@@ -29,7 +29,7 @@ from ..operators.dedup import (
     shingles,
     simhash,
 )
-from ..operators.pinning import lazy_checkpoint
+from ..operators.pinning import lazy_checkpoint, lazy_checkpoint_tiny
 from ..operators.similarity import (
     blocked_all_pairs_cosine,
     brute_force_topk,
@@ -405,7 +405,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the ingest) is a doc_id SLICE of it — a signature is a per-doc
     # aggregate, so filter-after equals filter-before, bit-for-bit.
     # Pre-r9 this row aggregated signatures three times.
-    sig_all = minhash_signature(sh).localCheckpoint(eager=False)
+    sig_all = lazy_checkpoint(minhash_signature(sh))
     cand = lsh_candidate_pairs(lsh_bands(sig_all))
     nul = F.lit(None).cast("long")
     pairs_leg = (
@@ -801,12 +801,12 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plans against an 8-row leaf instead of the full k-means tree
     # (~0.6 s less driver-side planning than persist at sf0.1, and the
     # r6 checkpoint discipline of operators.pq)
-    cents = cents.localCheckpoint(eager=False)
+    cents = lazy_checkpoint_tiny(cents)  # k-row frame by construction
     # the assigned corpus now feeds FIVE consumers (ivf candidates,
     # per-list bounds x2 aggregations, the code encode, the refine
     # vectors): one lazy checkpoint materializes the broadcast-argmin
     # pass once instead of replanning it per consumer
-    assigned = assign_clusters(qd, cents).localCheckpoint(eager=False)
+    assigned = lazy_checkpoint(assign_clusters(qd, cents))
     c = assigned.select(
         F.col("vec_id").alias("cand_id"),
         F.col("qv").alias("qv_c"),
@@ -851,9 +851,8 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ivfsq leg: per-list bounds -> encode -> the shared search tail
     # (probe-pruned decode/rank + exact rerank), reusing the SAME
     # kmeans build, assignment, and probe frame as the ivf leg
-    bounds = _per_list_bounds(assigned, cents, _EMB_DIM).localCheckpoint(
-        eager=False
-    )
+    # k-row per-list bounds frame — tiny by construction
+    bounds = lazy_checkpoint_tiny(_per_list_bounds(assigned, cents, _EMB_DIM))
     codes = _encode_qv(
         assigned.select(F.col("vec_id").alias("cand_id"), "cluster", "qv"),
         bounds,
