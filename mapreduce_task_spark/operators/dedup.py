@@ -332,13 +332,31 @@ def connected_components(
     this operator is the documented exception to the no-driver-action
     rule, and ``max_rounds`` hard-bounds it.
     """
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    # persist the symmetric edge set: every round joins it, and its
-    # lineage is typically a whole LSH pair pipeline — without this,
-    # each round would replay that pipeline from the scan
-    edges = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    # symmetric edge set as ONE map-side explode of both orientations,
+    # not a self-union: the union's two branches each carried the whole
+    # upstream pair pipeline (typically LSH candidate generation +
+    # Jaccard verification) as a duplicated subtree, leaving it to
+    # exchange reuse to dedupe the heavy stages and re-running the
+    # post-shuffle tail twice in the job that populates this cache
+    # (r14, guide §2.4 — remove the duplicated subtree outright).
+    # Persisted: every round joins it, and without the cache each round
+    # would replay that pipeline from the scan.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select(F.col("__e.src").alias("src"), F.col("__e.dst").alias("dst"))
+        .persist()
+    )
     # Fused round 0 (r13 optimization round): the initial labels are
     # min(v, min of v's neighbors) computed in ONE edges scan —
     # min over (least(src, dst) grouped by src) == min(self, all

@@ -60,6 +60,19 @@ def int_dot(a: Column, b: Column) -> Column:
     )
 
 
+def int_dot_sql(a: str, b: str) -> str:
+    """``int_dot`` as a SQL fragment for ``F.expr`` construction — the
+    identical expression tree built in O(1) py4j round trips instead of
+    one py4j call chain per lambda (r14; cProfile put ~3 s of the
+    dedup_semantic build inside ``_create_lambda`` for the per-round
+    assignment/update expressions alone). Must stay in lockstep with
+    ``int_dot`` or every distance in the package silently changes."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
 def quantized_cosine(dot: Column, na: Column, nb: Column) -> Column:
     """Deterministic double cosine from quantized dot + precomputed
     self-dots (all integer-valued).
@@ -110,7 +123,7 @@ def with_quantized(
     q = quantize(vec_col).alias("qv")
     out = df.select("*", q)
     if metric == "cosine":
-        out = out.select("*", int_dot(F.col("qv"), F.col("qv")).alias("__n0"))
+        out = out.select("*", F.expr(int_dot_sql("qv", "qv")).alias("__n0"))
         out = out.select(
             *df.columns,
             F.transform(
@@ -122,7 +135,7 @@ def with_quantized(
                 ),
             ).alias("qv"),
         )
-    return out.select("*", int_dot(F.col("qv"), F.col("qv")).alias("nq"))
+    return out.select("*", F.expr(int_dot_sql("qv", "qv")).alias("nq"))
 
 
 def brute_force_topk(
@@ -331,18 +344,14 @@ def probe_clusters(
     if nprobe < 1:
         raise ValueError("nprobe must be >= 1")
     packed = cents.agg(F.collect_list(F.struct("j", "cqv", "cnq")).alias("__cents"))
-    ranked = F.array_sort(
-        F.transform(
-            F.col("__cents"),
-            lambda c: F.struct(
-                (F.col("nq") + c["cnq"] - 2 * int_dot(F.col("qv"), c["cqv"])).alias(
-                    "d"
-                ),
-                c["j"].alias("j"),
-            ),
-        )
+    # ONE F.expr string — the identical ranked-probe expression tree
+    # (array_sort over (d, j) structs, slice, j-extract) in O(1) py4j
+    # round trips; see int_dot_sql
+    probes = F.expr(
+        "transform(slice(array_sort(transform(__cents, "
+        f"c -> named_struct('d', nq + c.cnq - 2 * {int_dot_sql('qv', 'c.cqv')}, "
+        f"'j', c.j))), 1, {nprobe}), s -> s.j)"
     )
-    probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["j"])
     return qd.crossJoin(F.broadcast(packed)).select(
         id_col, "qv", "nq", F.explode(probes).alias("cluster")
     )
@@ -360,19 +369,16 @@ def _nearest_cluster(qd: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     input row per Lloyd round.
     """
     packed = cents.agg(F.collect_list(F.struct("j", "cqv", "cnq")).alias("__cents"))
-    best = F.array_min(
-        F.transform(
-            F.col("__cents"),
-            lambda c: F.struct(
-                (F.col("nq") + c["cnq"] - 2 * int_dot(F.col("qv"), c["cqv"])).alias(
-                    "d"
-                ),
-                c["j"].alias("j"),
-            ),
-        )
+    # ONE F.expr string — identical argmin expression tree, O(1) py4j
+    # round trips (see int_dot_sql; this runs once per Lloyd round in
+    # every kmeans consumer)
+    best = F.expr(
+        "array_min(transform(__cents, "
+        f"c -> named_struct('d', nq + c.cnq - 2 * {int_dot_sql('qv', 'c.cqv')}, "
+        "'j', c.j))).j"
     )
     return qd.crossJoin(F.broadcast(packed)).select(
-        id_col, "qv", "nq", best["j"].alias("cluster")
+        id_col, "qv", "nq", best.alias("cluster")
     )
 
 
@@ -407,8 +413,8 @@ def _update_centroids(assigned: DataFrame, dim: int) -> DataFrame:
         )
         + ")"
     )
-    return sums.selectExpr("cluster AS j", f"{arr} AS cqv").select(
-        "j", "cqv", int_dot(F.col("cqv"), F.col("cqv")).alias("cnq")
+    return sums.selectExpr("cluster AS j", f"{arr} AS cqv").selectExpr(
+        "j", "cqv", f"{int_dot_sql('cqv', 'cqv')} AS cnq"
     )
 
 
